@@ -1,0 +1,44 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+config block is what we would ship to a 1000-executor cluster, minus the
+master URL: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), UTC session timezone (the reference treats all timestamps as
+naive UTC — stream_blocks.py:255-257), Arrow for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "distribution-engine-smt-spark") -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the test harness.
+
+    On a real cluster only ``master`` and memory sizing change; the SQL conf
+    is the scale story: AQE re-plans shuffles at runtime, coalesces small
+    partitions, and splits skewed ones, so a fixed ``shuffle.partitions``
+    seed value is safe at any SF.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,99 @@
+"""Parquet-backed table layer.
+
+The reference's table gateway (engine/*_storage.py over the ``dataset``
+library) becomes: parquet directories + explicit schemas + temp-view
+registration. Physical design notes (SURVEY.md §4):
+
+- Tables keyed by token are partitioned by ``token`` on disk so every
+  per-tribe query prunes to one partition — the analog of the reference's
+  leading-``token`` composite indexes (sql/engine.sql:106-116).
+- Time-filtered tables (posts, account_history, votes) are additionally
+  sorted within files by their query-time sort key (created / timestamp) so
+  parquet min-max stats skip files under the 30-day / 2-week cutoff
+  predicates (engine/post_storage.py:171-173,404).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+# token-keyed tables get disk partitioning by token; at 100 TB this is the
+# difference between a full scan and a single-directory read per tribe.
+PARTITION_COLUMNS: dict[str, list[str]] = {
+    "posts": ["token"],
+    "votes": ["token"],
+    "account_history": ["token"],
+    "accounts": ["symbol"],
+}
+
+SORT_COLUMNS: dict[str, list[str]] = {
+    "posts": ["created"],
+    "votes": ["timestamp"],
+    "account_history": ["timestamp"],
+    "reblogs": ["timestamp"],
+}
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read a state table from ``root/name`` with its declared schema."""
+    path = os.path.join(root, name)
+    return spark.read.schema(schemas.STATE_TABLES[name]).parquet(path)
+
+
+def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") -> None:
+    """Write a state table with its scale-appropriate physical layout."""
+    path = os.path.join(root, name)
+    writer = df
+    sort_cols = SORT_COLUMNS.get(name)
+    part_cols = PARTITION_COLUMNS.get(name)
+    if part_cols and sort_cols:
+        writer = df.repartition(*part_cols).sortWithinPartitions(*part_cols, *sort_cols)
+    elif sort_cols:
+        writer = df.sortWithinPartitions(*sort_cols)
+    w = writer.write.mode(mode)
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(path)
+
+
+def empty_table(spark: SparkSession, name: str) -> DataFrame:
+    return spark.createDataFrame([], schemas.STATE_TABLES[name])
+
+
+def load_state(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+    """Load every state table found under ``root`` (missing -> empty)."""
+    out: dict[str, DataFrame] = {}
+    for name in schemas.STATE_TABLES:
+        path = os.path.join(root, name)
+        if os.path.isdir(path):
+            out[name] = read_table(spark, root, name)
+        else:
+            out[name] = empty_table(spark, name)
+    return out
+
+
+def load_tpch(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's TPC-H-ish parquet tables from an sf directory.
+
+    The driver's parquet stores TIMESTAMP(NANOS); Spark rejects that by default,
+    and with the legacy flag reads it as TIMESTAMP_NTZ — which is what we
+    want anyway (naive-UTC semantics, no session-TZ sensitivity)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TPCH_TABLES
+    }
+
+
+def register_views(tables: dict[str, DataFrame]) -> None:
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
