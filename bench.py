@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a small collect) so the full
+plan runs; the session is warmed with one throwaway action so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distribution_engine_smt_spark import driver_queries
+from distribution_engine_smt_spark.session import get_spark
+
+HEADLINE = [
+    "discussions_by_created",
+    "discussions_by_trending",
+    "discussions_by_hot",
+    "discussions_by_payout_keyset",
+    "trending_tags",
+    "blog_union_minjoin",
+    "feed_semijoin",
+    "replies_in_notin",
+    "latest_event_per_key",
+    "thread_tree",
+    "supplier_visible_revenue",
+    "children_counts",
+    "payout_accumulation",
+    "post_with_votes",
+    "json_props_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("desmt-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet footer reads, codegen
+    driver_queries.QUERIES["discussions_by_created"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in driver_queries.QUERIES]
+    extra = [n for n in sorted(driver_queries.QUERIES) if n not in names]
+    for name in names + extra:
+        fn = driver_queries.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,894 @@
+"""Driver-facing query surface: SURVEY.md §2 operator shapes expressed on the
+driver's TPC-H-ish tables, each with a DuckDB oracle twin.
+
+Role mapping (FIXTURES.md §3): orders/lineitem ≈ posts/votes facts,
+customer/supplier ≈ accounts dimension (muted-suppression left join),
+events ≈ op stream (stateful upsert / history queries), part.p_name words ≈
+tags.
+
+Determinism contract (every query here hash-matches DuckDB exactly):
+- every ORDER BY ends in a unique tie-breaker key (SURVEY.md §7 #6);
+- double aggregation goes through DECIMAL(38,10) so summation is exact and
+  associative (float sums are order-dependent and would differ between
+  engines), final cast back to DOUBLE;
+- log10-based scores are rounded to 3 decimals for display; ordering uses
+  the full-precision score with a key tie-break.
+
+Scale notes are on each query: what broadcasts, what shuffles, what pushes
+down. These plans are what we'd run at 100 TB, not test-only shortcuts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import tables
+from .functions import score
+from .operators import expand_tree
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return tables.load_tpch(spark, sf_dir)
+
+
+def _dec(col):
+    """Exact-summation cast: double -> DECIMAL(38,10)."""
+    return col.cast("decimal(38,10)")
+
+
+def _money(col):
+    """Snug decimal for 2-decimal money/rate columns. Casting the INPUT
+    (a double that is the nearest representation of a 2-decimal value) is
+    engine-portable; casting a double PRODUCT is not — the two engines may
+    round the extra binary digits differently. All revenue math therefore
+    happens in exact decimal arithmetic."""
+    return col.cast("decimal(18,2)")
+
+
+# exact decimal revenue: price * (1 - discount), computed in decimal space
+def _revenue():
+    return _money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# get_discussions_by_created — T1 top-k by time + P2 range + P4 muted
+# suppression via left join + J1  (reference: engine/post_storage.py:171-189,
+# server/app.py:599-639)
+# ---------------------------------------------------------------------------
+@register(
+    "discussions_by_created",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, c.c_name
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE (c.c_custkey IS NULL OR c.c_acctbal >= 0)
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY o.o_orderdate DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def discussions_by_created(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: customer is the small dimension -> broadcast left join (J1);
+    the date filter pushes to the parquet scan; top-k compiles to
+    TakeOrderedAndProject (no full sort) — the right plan at any SF."""
+    t = _t(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    from datetime import datetime
+
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        )
+        # muted-row suppression (P4): missing account passes, negative acctbal
+        # plays the role of muted (post_storage.py:189)
+        .filter(F.col("c_custkey").isNull() | (F.col("c_acctbal") >= 0))
+        .filter(F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)).cast("timestamp_ntz"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "c_name")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_discussions_by_trending / by_hot — F1 score + T2 top-k by score
+# (reference: engine/post_storage.py:360-401, engine/utils.py:41-46)
+# ---------------------------------------------------------------------------
+_SCORE_SQL = """
+    SELECT o_orderkey,
+           round(sign(o_totalprice) * log10(greatest(abs(o_totalprice), 1.0))
+                 + epoch(o_orderdate) / {ts}.0, 3) AS score,
+           o_totalprice
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    ORDER BY sign(o_totalprice) * log10(greatest(abs(o_totalprice), 1.0))
+             + epoch(o_orderdate) / {ts}.0 DESC, o_orderkey ASC
+    LIMIT 100
+"""
+
+
+def _by_score(spark: SparkSession, sf_dir: str, timescale: int) -> DataFrame:
+    """Write-time score maintenance (reference stores score columns; §4) means
+    the read path is a pushed-down filter + TakeOrdered top-k. Here the score
+    is computed inline (stateless test data) but stays a codegen'd Column
+    expression — no UDF."""
+    t = _t(spark, sf_dir)
+    s = score(F.col("o_totalprice"), F.col("o_orderdate"), timescale)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") != "F")
+        .select(
+            "o_orderkey",
+            F.round(s, 3).alias("score"),
+            "o_totalprice",
+            s.alias("__s"),
+        )
+        .orderBy(F.col("__s").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .drop("__s")
+    )
+
+
+@register("discussions_by_trending", _SCORE_SQL.format(ts=480000))
+def discussions_by_trending(spark, sf_dir):
+    return _by_score(spark, sf_dir, 480000)
+
+
+@register("discussions_by_hot", _SCORE_SQL.format(ts=10000))
+def discussions_by_hot(spark, sf_dir):
+    return _by_score(spark, sf_dir, 10000)
+
+
+# ---------------------------------------------------------------------------
+# get_discussions_by_payout + keyset pagination — J8 scalar-subquery bound +
+# T4 (reference: engine/post_storage.py:378-389)
+# ---------------------------------------------------------------------------
+@register(
+    "discussions_by_payout_keyset",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice <= (SELECT max(o_totalprice) FROM orders
+                           WHERE o_orderkey IN (42, 43))
+      AND o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def discussions_by_payout_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: the anchor bound is a scalar aggregate computed
+    once and broadcast into the filter (no driver collect in the plan —
+    a 1-row crossJoin keeps it fully lazy/distributed)."""
+    t = _t(spark, sf_dir)
+    orders = t["orders"]
+    anchor = (
+        orders.filter(F.col("o_orderkey").isin(42, 43))
+        .agg(F.max("o_totalprice").alias("__bound"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .filter((F.col("o_totalprice") <= F.col("__bound")) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# promoted sentinel filter — P3 sentinel equality + T2
+# (reference: engine/post_storage.py:386-387: promoted > 0 AND pending)
+# ---------------------------------------------------------------------------
+@register(
+    "discussions_by_promoted",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice > 50000
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def discussions_by_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter((F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 50000))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_trending_tags — A3 explode + sum + top-k
+# (reference: engine/post_storage.py:403-405)
+# ---------------------------------------------------------------------------
+@register(
+    "trending_tags",
+    f"""
+    SELECT tag, CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS payout
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey,
+    LATERAL unnest(string_split(p.p_name, ' ')) AS u(tag)
+    GROUP BY tag
+    ORDER BY payout DESC, tag ASC
+    LIMIT 20
+    """,
+)
+def trending_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags-as-words explode (A3). Plan: part (small) broadcasts into
+    lineitem, explode AFTER the join projects only (tag, revenue) — the
+    partial aggregation (map-side combine) keeps the shuffle tiny: one row
+    per (tag) per task. Revenue math happens in exact decimal space."""
+    t = _t(spark, sf_dir)
+    rev = _revenue()
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("tag"), rev.alias("rev"))
+        .groupBy("tag")
+        .agg(F.sum("rev").cast("double").alias("payout"))
+        .orderBy(F.col("payout").desc(), F.col("tag").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_discussions_by_blog — U1 union + A1 min-groupby + J4 index self-join
+# (reference: engine/post_storage.py:230)
+# ---------------------------------------------------------------------------
+@register(
+    "blog_union_minjoin",
+    """
+    WITH u AS (
+      SELECT o_custkey AS custkey, o_orderdate AS t FROM orders
+      WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_custkey, o_orderdate FROM orders WHERE o_orderpriority LIKE '1%'
+    ), idx AS (
+      SELECT custkey, min(t) AS first_t FROM u GROUP BY custkey
+    )
+    SELECT c.c_name, i.custkey, i.first_t
+    FROM idx i JOIN customer c ON i.custkey = c.c_custkey
+    ORDER BY i.first_t ASC, i.custkey ASC
+    LIMIT 50
+    """,
+)
+def blog_union_minjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blog shape: authored ∪ reblogged -> earliest display time per key ->
+    join back to the dimension. The union feeds one hash aggregation (single
+    shuffle on custkey); customer broadcasts."""
+    t = _t(spark, sf_dir)
+    orders = t["orders"]
+    u = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("t"))
+        .unionByName(
+            orders.filter(F.col("o_orderpriority").startswith("1"))
+            .select(F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("t"))
+        )
+    )
+    idx = u.groupBy("custkey").agg(F.min("t").alias("first_t"))
+    return (
+        idx.join(F.broadcast(t["customer"]), idx.custkey == F.col("c_custkey"))
+        .select("c_name", "custkey", "first_t")
+        .orderBy(F.col("first_t").asc(), F.col("custkey").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_feed — J5 semi-join through the follows set
+# (reference: engine/post_storage.py:338,350)
+# ---------------------------------------------------------------------------
+@register(
+    "feed_semijoin",
+    """
+    SELECT o_orderkey, o_orderdate, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    ORDER BY o_orderdate DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def feed_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed shape: the viewer's following set is small -> broadcast LEFT SEMI
+    join (no row duplication, no shuffle of the fact side)."""
+    t = _t(spark, sf_dir)
+    following = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(following), "o_custkey", "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_custkey")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_discussions_by_replies — P7 membership + P8 negated membership
+# (reference: engine/post_storage.py:293,338,350)
+# ---------------------------------------------------------------------------
+@register(
+    "replies_in_notin",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')
+    ORDER BY o_orderdate DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def replies_in_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership -> left_semi; negated membership -> left_anti. Both
+    broadcastable; neither duplicates fact rows."""
+    t = _t(spark, sf_dir)
+    in_set = t["customer"].filter(F.col("c_nationkey") == 5).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    not_set = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(in_set), "o_custkey", "left_semi")
+        .join(not_set, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# string_agg rebloggers — A2 ordered concat (reference:
+# engine/post_storage.py:338 string_agg; determinism via explicit sort)
+# ---------------------------------------------------------------------------
+@register(
+    "reblogged_by_agg",
+    """
+    SELECT l_orderkey AS o_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS reblogged_by,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    ORDER BY o_orderkey ASC
+    """,
+)
+def reblogged_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> array_sort -> concat_ws replicates string_agg with a
+    defined order (the reference's PG order is nondeterministic; we pin it —
+    SURVEY.md §7 #6)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("l_linenumber")))
+            ).alias("reblogged_by"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.col("o_orderkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# upsert-shaped read: latest state per key — §2.5 window (the reference gets
+# this implicitly from Postgres upsert; events ≈ op stream)
+# ---------------------------------------------------------------------------
+@register(
+    "latest_event_per_key",
+    """
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id ASC, event_type ASC
+    """,
+)
+def latest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert primitive's read shape: one shuffle on the state key, then
+    a per-key top-1 window. At scale this is the same plan MERGE engines run
+    internally."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+        .orderBy(F.col("user_id").asc(), F.col("event_type").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_thread — J7 bounded recursive tree walk
+# (reference: engine/post_storage.py:303-309, depth ≤ 8)
+# ---------------------------------------------------------------------------
+@register(
+    "thread_tree",
+    """
+    WITH RECURSIVE tree AS (
+      SELECT o_orderkey, 0 AS depth FROM orders WHERE o_orderkey = 1
+      UNION ALL
+      SELECT o.o_orderkey, t.depth + 1
+      FROM orders o JOIN tree t ON (o.o_orderkey // 10) = t.o_orderkey
+      WHERE t.depth < 8 AND o.o_orderkey <> 1
+    )
+    SELECT t.o_orderkey, t.depth, o.o_totalprice
+    FROM tree t JOIN orders o ON t.o_orderkey = o.o_orderkey
+    ORDER BY t.o_orderkey ASC
+    """,
+)
+def thread_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-tree walk: synthetic parent edge parent(k) = k div 10 over
+    orders; 8 bounded iterations of broadcast self-joins (operators.recursive)
+    — each level broadcasts only the frontier."""
+    t = _t(spark, sf_dir)
+    orders = t["orders"]
+    edges = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.expr("o_orderkey div 10").cast("long").alias("parent"),
+    )
+    roots = orders.filter(F.col("o_orderkey") == 1).select(F.col("o_orderkey").alias("id"))
+    tree = expand_tree(edges, roots, "id", "parent", max_depth=8)
+    return (
+        tree.withColumnRenamed("id", "o_orderkey")
+        .join(orders.select("o_orderkey", "o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "depth", "o_totalprice")
+        .orderBy(F.col("o_orderkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_follow_count — A4 conditional counts
+# (reference: engine/follow_storage.py:90-110)
+# ---------------------------------------------------------------------------
+@register(
+    "follow_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS following_count,
+           count(*) FILTER (WHERE event_type = 'view') AS follower_count
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC
+    """,
+)
+def follow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two scalar counts in ONE aggregation pass (the reference runs two
+    queries; set-based is one shuffle)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("following_count"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("follower_count"),
+        )
+        .orderBy(F.col("user_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# get_account_history — T5 offset pagination + T6 clamp + J9 filter
+# (reference: engine/account_history_storage.py:82-129)
+# ---------------------------------------------------------------------------
+@register(
+    "account_history_page",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    WHERE user_id = 7
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 20 OFFSET 5
+    """,
+)
+def account_history_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset emulation stays in-plan: top-(limit+offset) then row_number
+    skip — no full sort, no driver-side slicing."""
+    t = _t(spark, sf_dir)
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    head = (
+        t["events"].filter(F.col("user_id") == 7)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .orderBy(*order)
+        .limit(25)
+    )
+    w = Window.orderBy(*order)
+    return (
+        head.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 5)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# earliest reblog — A9 min-by row (reference: engine/reblog_storage.py:39-56)
+# ---------------------------------------------------------------------------
+@register(
+    "earliest_event_per_user",
+    """
+    SELECT user_id, ts, event_type
+    FROM (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id ASC
+    """,
+)
+def earliest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+        .orderBy(F.col("user_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# follow reconciliation — A10/U2 set difference
+# (reference: engine/follow_storage.py:35-65)
+# ---------------------------------------------------------------------------
+@register(
+    "set_diff_reconcile",
+    """
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 195
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 195
+    ORDER BY user_id ASC
+    """,
+)
+def set_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-refresh reconciliation shape: set difference of the stored
+    edge set vs the fetched one. EXCEPT == distinct-subtract."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("value") > 195)
+    a = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return a.subtract(b).orderBy(F.col("user_id").asc())
+
+
+# ---------------------------------------------------------------------------
+# muted left-join aggregate — P4/J1 over the bigger fact side
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_visible_revenue",
+    f"""
+    SELECT s.s_name,
+           count(*) AS n_items,
+           CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE (s.s_suppkey IS NULL OR s.s_acctbal >= 0)
+    GROUP BY s.s_name
+    ORDER BY revenue DESC, s.s_name ASC
+    LIMIT 50
+    """,
+)
+def supplier_visible_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li, sup = t["lineitem"], t["supplier"]
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+        .filter(F.col("s_suppkey").isNull() | (F.col("s_acctbal") >= 0))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_items"), F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("s_name").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tag membership — P6 array-contains (reference: engine/post_storage.py:179)
+# ---------------------------------------------------------------------------
+@register(
+    "tag_membership",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE list_contains(string_split(p_name, ' '), 'bolt')
+    ORDER BY p_partkey ASC
+    """,
+)
+def tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.array_contains(F.split(F.col("p_name"), " "), "bolt"))
+        .select("p_partkey", "p_name")
+        .orderBy(F.col("p_partkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# children counter — A8 per-parent counts merged onto the parent
+# (reference: comment_processor_for_engine.py:160-196)
+# ---------------------------------------------------------------------------
+@register(
+    "children_counts",
+    """
+    SELECT o.o_orderkey, count(l.l_orderkey) AS children
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey < 500
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey ASC
+    """,
+)
+def children_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Children counters: aggregate the child side FIRST (map-side combine),
+    then join the much smaller per-parent counts — at 100 TB this is the
+    difference between shuffling lineitem once vs joining then aggregating."""
+    t = _t(spark, sf_dir)
+    counts = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 500)
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("children"),
+        )
+        .orderBy(F.col("o_orderkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# payout accumulation — A7 grouped decimal sums
+# (reference: engine_comments_contract_processor.py:116-214,277-304)
+# ---------------------------------------------------------------------------
+@register(
+    "payout_accumulation",
+    """
+    SELECT l_orderkey AS o_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_payout,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_tax AS DECIMAL(3,2))) AS DOUBLE) AS curator_payout,
+           count(*) AS n_events
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey
+    ORDER BY total_payout DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def payout_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= F.lit(datetime(1998, 1, 1)).cast("timestamp_ntz"))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("total_payout"),
+            F.sum(
+                _money(F.col("l_extendedprice")) * F.col("l_tax").cast("decimal(3,2)")
+            ).cast("double").alias("curator_payout"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_payout").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON field extraction — F8 (reference: custom_json_processor.py:20-30)
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_sum",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count("*").alias("n"))
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval arithmetic window — F12 rolling cutoff relative to data max
+# (reference: engine/post_storage.py:171-173 "now - 30 days")
+# ---------------------------------------------------------------------------
+@register(
+    "recent_orders_window",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 30 DAY FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus ASC
+    """,
+)
+def recent_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    orders = t["orders"]
+    bound = orders.agg(
+        F.timestamp_add("DAY", F.lit(-30), F.max("o_orderdate")).alias("__cut")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bound))
+        .filter(F.col("o_orderdate") >= F.col("__cut"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("o_orderstatus").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# authorperm codec — F5 construct/resolve round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "authorperm_codec",
+    """
+    SELECT concat('@', c_name, '/', CAST(o_orderkey AS VARCHAR)) AS authorperm,
+           regexp_extract(concat('@', c_name, '/', CAST(o_orderkey AS VARCHAR)),
+                          '^h?@([^/]+)/', 1) AS author
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey < 100
+    ORDER BY authorperm ASC
+    """,
+)
+def authorperm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import construct_authorperm, resolve_author
+
+    t = _t(spark, sf_dir)
+    ap = construct_authorperm(F.col("c_name"), F.col("o_orderkey").cast("string"))
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 100)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(ap.alias("authorperm"), resolve_author(ap).alias("author"))
+        .orderBy(F.col("authorperm").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# case normalization + dimension join — F14 + J1
+# ---------------------------------------------------------------------------
+@register(
+    "segment_nation_counts",
+    """
+    SELECT n.n_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE upper(c.c_mktsegment) = 'BUILDING'
+    GROUP BY n.n_name
+    ORDER BY n_customers DESC, n.n_name ASC
+    """,
+)
+def segment_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.upper(F.col("c_mktsegment")) == "BUILDING")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_name").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# post + votes in one plan — J6 collapsed N+1 (reference: server/app.py:407-416
+# runs one vote query per post; here it's a single join + aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "post_with_votes",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           count(l.l_orderkey) AS vote_count,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS rshares_sum
+    FROM orders o LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    WHERE o.o_orderkey < 300
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_orderkey ASC
+    """,
+)
+def post_with_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N+1 anti-pattern collapsed into one join+aggregate; the
+    vote-after-cashout visibility filter (F16, server/app.py:418-423) becomes
+    a join residual predicate."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") < 300)
+    l = t["lineitem"]
+    cond = (o.o_orderkey == l.l_orderkey) & (
+        l.l_shipdate <= F.timestamp_add("DAY", F.lit(90), o.o_orderdate)
+    )
+    return (
+        o.join(l, cond, "left")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("l_orderkey").alias("vote_count"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("rshares_sum"),
+        )
+        .orderBy(F.col("o_orderkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE-prefix toggle — P5 hive_select (reference: post_storage.py:182-186)
+# ---------------------------------------------------------------------------
+@register(
+    "prefix_select",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def prefix_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+        )
+        .orderBy(F.col("o_orderpriority").asc())
+    )

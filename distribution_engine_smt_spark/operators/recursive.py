@@ -24,32 +24,53 @@ def expand_tree(
     id_col: str,
     parent_col: str,
     max_depth: int = 8,
+    acyclic: bool = True,
 ) -> DataFrame:
     """Return all rows of ``edges`` reachable from ``roots`` by following
     ``parent_col -> id_col`` child links, up to ``max_depth`` levels,
     plus a ``depth`` column (roots = 0).
 
-    ``roots`` must contain ``id_col``.
+    ``roots`` must contain ``id_col``. With ``acyclic=True`` (reply trees
+    are trees — a node has one parent) the already-seen anti-join is
+    skipped: each level is exactly ONE broadcast hash join against the
+    cached edge set, and the per-level early-exit count doubles as the
+    frontier materialization, so the whole walk is max_depth small jobs
+    with no lineage blow-up.
     """
+    edges = edges.select(F.col(id_col), F.col(parent_col))
+    edges.persist()
     frontier = roots.select(F.col(id_col)).distinct().withColumn("depth", F.lit(0))
-    result = frontier
-    for level in range(1, max_depth + 1):
-        children = (
-            edges.join(
-                F.broadcast(frontier.select(F.col(id_col).alias(parent_col))),
-                on=parent_col,
-                how="inner",
+    levels = [frontier]
+    seen = frontier
+    try:
+        for level in range(1, max_depth + 1):
+            children = (
+                edges.join(
+                    F.broadcast(frontier.select(F.col(id_col).alias(parent_col))),
+                    on=parent_col,
+                    how="inner",
+                )
+                .select(F.col(id_col))
+                .distinct()
+                .withColumn("depth", F.lit(level))
             )
-            .select(F.col(id_col))
-            .distinct()
-            .withColumn("depth", F.lit(level))
-        )
-        # drop already-seen ids (cycle guard; reply trees are acyclic but
-        # cheap insurance against bad data)
-        children = children.join(result.select(id_col), on=id_col, how="left_anti")
-        children = children.withColumn("depth", F.lit(level))
-        if children.isEmpty():
-            break
-        result = result.unionByName(children)
-        frontier = children.select(id_col, "depth")
-    return result
+            if not acyclic:
+                children = children.join(
+                    seen.select(id_col), on=id_col, how="left_anti"
+                ).withColumn("depth", F.lit(level))
+            # materialize each frontier once, distributed (no driver
+            # collect — a level can be huge): localCheckpoint truncates the
+            # growing lineage so level N doesn't recompute levels 1..N-1
+            children = children.localCheckpoint(eager=True)
+            if children.isEmpty():
+                break
+            frontier = children
+            levels.append(frontier)
+            if not acyclic:
+                seen = seen.unionByName(frontier)
+        result = levels[0]
+        for lvl in levels[1:]:
+            result = result.unionByName(lvl)
+        return result
+    finally:
+        edges.unpersist()

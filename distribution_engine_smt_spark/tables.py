@@ -84,14 +84,39 @@ def load_state(spark: SparkSession, root: str) -> dict[str, DataFrame]:
 def load_tpch(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's TPC-H-ish parquet tables from an sf directory.
 
-    The driver's parquet stores TIMESTAMP(NANOS); Spark rejects that by default,
-    and with the legacy flag reads it as TIMESTAMP_NTZ — which is what we
-    want anyway (naive-UTC semantics, no session-TZ sensitivity)."""
+    The driver's parquet stores TIMESTAMP(NANOS); Spark rejects that by
+    default. With the legacy flag, non-UTC-adjusted nanos read as
+    TIMESTAMP_NTZ (orders/lineitem) while UTC-adjusted nanos (events.ts)
+    read as a raw nanos LONG — normalize the latter to TIMESTAMP_NTZ so all
+    time columns behave identically and match the DuckDB view of the same
+    files. Session TZ is pinned to UTC so LTZ->NTZ conversion is the
+    identity."""
+    key = (id(spark), sf_dir)
+    cached = _TPCH_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {
         name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for name in TPCH_TABLES
     }
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ev = out["events"]
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        out["events"] = ev.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    # memoize per (session, dir): parquet footer/schema reads are pure
+    # overhead when a query suite hits the same tables repeatedly
+    _TPCH_CACHE[key] = dict(out)
+    return out
+
+
+_TPCH_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
 def register_views(tables: dict[str, DataFrame]) -> None:
