@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from distribution_engine_smt_spark import driver_queries  # noqa: E402
+from distribution_engine_smt_spark import pipeline  # noqa: E402,F401  (registers extension queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

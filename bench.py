@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from distribution_engine_smt_spark import driver_queries
+import distribution_engine_smt_spark.pipeline  # noqa: F401  (registers extension queries)
 from distribution_engine_smt_spark.session import get_spark
 
 HEADLINE = [

@@ -1,0 +1,6 @@
+"""Large-scale training-data-pipeline extensions (beyond the reference
+surface, driver-mandated): deduplication, similarity search, text analysis,
+multimodal column plumbing. Importing this package registers the extension
+queries into the central driver query registry."""
+
+from . import dedup, multimodal, similarity, textstats  # noqa: F401

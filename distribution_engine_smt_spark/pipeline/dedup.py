@@ -1,0 +1,337 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, in increasing scale-sophistication:
+
+- exact         : hash-groupBy on md5(text) — one shuffle keyed by hash.
+- n-gram Jaccard: all-pairs shingle join — correct but O(pairs); the
+                  baseline the LSH variant must agree with.
+- MinHash + LSH : signature -> band -> bucket-join candidates -> exact
+                  verify. At 100 TB this is THE dedup plan: the only
+                  all-pairs work happens inside tiny LSH buckets.
+- SimHash       : 64-bit per-doc sketch via per-bit token votes; pairs
+                  within small hamming distance are near-dups.
+
+Portability: md5 is the shared hash between Spark and DuckDB; a MinHash
+built as ``min(md5(seed || shingle))`` over lexicographic hex strings is a
+valid uniform MinHash and reproduces bit-for-bit in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+
+N_HASHES = 8          # MinHash signature length
+BANDS = 4             # LSH bands (rows per band = N_HASHES // BANDS = 2)
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles(text: Column) -> Column:
+    """Distinct word-3-gram shingles of a text column. slice+array_join
+    stays inside whole-stage codegen (try_element_at per token is ~2.5x
+    slower); a short tail slice yields a partial gram exactly like DuckDB's
+    NULL-skipping concat_ws on out-of-range list access."""
+    toks = F.split(F.trim(text), " ")
+    n = F.greatest(F.size(toks) - 2, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    return F.array_distinct(grams)
+
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents) s,
+         unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: array_distinct already dedups within doc, which is exactly
+    the (doc_id, g) DISTINCT the SQL twin expresses — no shuffle needed."""
+    docs = _t(spark, sf_dir)["documents"]
+    return docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source. The dedup itself (keep first per
+    content hash) is dropDuplicates on the hash — one shuffle keyed by
+    md5(text); here we surface the counts so the result is verifiable."""
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard all-pairs (the exact baseline)
+# ---------------------------------------------------------------------------
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.d1, c.d2,
+           round(c.c::DOUBLE / (s1.n + s2.n - c.c), 6) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON c.d1 = s1.doc_id
+    JOIN sizes s2 ON c.d2 = s2.doc_id
+    WHERE c.c::DOUBLE / (s1.n + s2.n - c.c) >= {JACCARD_THRESHOLD}
+    ORDER BY d1 ASC, d2 ASC
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Jaccard via the inverted shingle index. The join key is the
+    shingle, so only docs sharing a shingle ever meet — still quadratic in
+    the worst case (hot shingles); the LSH variant below is the scale path.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "g")
+    b = sh.select(F.col("doc_id").alias("d2"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.col("d1").asc(), F.col("d2").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: signatures -> bands -> bucket join -> exact verify
+# ---------------------------------------------------------------------------
+def _minhash_aggs():
+    """N_HASHES independent minhashes from N_HASHES/4 md5 calls: each md5's
+    128 bits split into four 8-hex-char chunks, each chunk a uniform 32-bit
+    hash; min over lexicographic hex = a valid MinHash. Hashing is the
+    dominant cost of signature building — this cuts it 4x."""
+    aggs = []
+    for h in range(N_HASHES):
+        seed, off = h // 4, (h % 4) * 8 + 1
+        digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col("g")).cast("binary"))
+        aggs.append(F.min(F.substring(digest, off, 8)).alias(f"m{h}"))
+    return aggs
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + m0..m{N-1}. One shuffle (groupBy doc_id) with partial min
+    aggregation — signature building is a single pass at any scale."""
+    sh = _shingle_df(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+_SIG_COLS_SQL = ", ".join(
+    f"min(substr(md5('{h // 4}:' || g), {(h % 4) * 8 + 1}, 8)) AS m{h}"
+    for h in range(N_HASHES)
+)
+_BAND_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(m{2*b} || m{2*b+1}) AS bv FROM sig"
+    for b in range(BANDS)
+)
+
+_MINHASH_LSH_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                              AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.d1, c.d2,
+           round(c.c::DOUBLE / (s1.n + s2.n - c.c), 6) AS jaccard
+    FROM common c
+    JOIN sizes s1 ON c.d1 = s1.doc_id
+    JOIN sizes s2 ON c.d2 = s2.doc_id
+    WHERE c.c::DOUBLE / (s1.n + s2.n - c.c) >= {JACCARD_THRESHOLD}
+    ORDER BY d1 ASC, d2 ASC
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup plan: O(n) signature pass, O(n) band emission,
+    candidate pairs only from same-bucket collisions, exact Jaccard verify
+    restricted to candidates (semi-join pushdown into the shingle index).
+    With r=2 rows/band, b=4 bands, P(candidate) = 1-(1-J^2)^4 ≈ 0.68 at
+    J=0.5 and > 0.99 at J=0.85 — tune N_HASHES/BANDS per corpus."""
+    # one shingle pass feeds signatures, verification, and sizes
+    sh = _shingle_df(spark, sf_dir).persist()
+    # persist: the band fan-out references sig 4x and the bucket self-join
+    # doubles that — without caching the signature aggregation re-runs 8x
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs()).persist()
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).cast("binary")).alias("bv"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bv")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .persist()  # referenced by two semi-joins + the final verify
+    )
+    # verify only candidates: semi-join the shingle index down to candidate
+    # docs BEFORE the self-join — the expensive all-pairs work happens on
+    # the (tiny) LSH-collision set, which is the entire point of LSH
+    sha = sh.join(
+        cand.select(F.col("d1").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("d1"), "g")
+    shb = sh.join(
+        cand.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("d2"), "g")
+    common = (
+        sha.join(shb, "g")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(cand, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.col("d1").asc(), F.col("d2").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit sketch as 16 hex digits via per-bit token votes
+# ---------------------------------------------------------------------------
+_SIMHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p,
+             strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1 AS v
+      FROM toks, unnest(generate_series(1, 16)) t(p)
+    ),
+    votes AS (
+      SELECT doc_id, p,
+        CASE WHEN 2 * sum(v // 8) >= count(*) THEN 8 ELSE 0 END
+      + CASE WHEN 2 * sum((v // 4) % 2) >= count(*) THEN 4 ELSE 0 END
+      + CASE WHEN 2 * sum((v // 2) % 2) >= count(*) THEN 2 ELSE 0 END
+      + CASE WHEN 2 * sum(v % 2) >= count(*) THEN 1 ELSE 0 END AS digit
+      FROM bits GROUP BY doc_id, p
+    )
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', digit + 1, 1), '' ORDER BY p)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    ORDER BY doc_id ASC
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash built hex-digit-wise: for each of the 16 md5 hex
+    positions, majority-vote the 4 bits across tokens (weight = term
+    frequency). Near-dup pairs then compare sketches by hamming distance —
+    a 16-char join key family instead of all-pairs text comparison.
+    Single scan + one groupBy(doc_id,p) shuffle; p fan-out is 16x."""
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p"),
+        F.col("tok"),
+    ).select(
+        "doc_id",
+        "p",
+        (
+            F.expr("locate(substr(md5(cast(tok as binary)), p, 1), '0123456789abcdef')")
+            - 1
+        ).alias("v"),
+    )
+
+    def maj(expr, weight):
+        return F.when(
+            F.lit(2) * F.sum(expr) >= F.count("*"), F.lit(weight)
+        ).otherwise(F.lit(0))
+
+    votes = bits.groupBy("doc_id", "p").agg(
+        (
+            maj(F.floor(F.col("v") / 8), 8)
+            + maj(F.floor(F.col("v") / 4) % 2, 4)
+            + maj(F.floor(F.col("v") / 2) % 2, 2)
+            + maj(F.col("v") % 2, 1)
+        ).alias("digit")
+    )
+    votes = votes.withColumn(
+        "ch", F.expr("substr('0123456789abcdef', digit + 1, 1)")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "ch"))),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -1,0 +1,167 @@
+"""Text analysis over the ``documents`` table: token counting, language-ID
+heuristic, quality scoring, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen) — at 100 TB these run as a
+single scan with map-side-only work, no shuffle except the final aggregate
+where one exists. Each query has a DuckDB oracle twin computing the same
+deterministic math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+
+# Small demonstration stopword set (English function words) for the n-gram /
+# stopword-ratio language heuristic. At production scale this is a broadcast
+# map of per-language sets; the operator shape is identical.
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "it", "on", "for"]
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def tokens(col):
+    """Whitespace tokenization shared by every text operator."""
+    return F.split(F.trim(col), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace tokens + a BPE-ish subword estimate
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           n_chars,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subwords_est
+    FROM documents
+    ORDER BY doc_id ASC
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            "n_chars",
+            F.ceil(F.col("n_chars") / F.lit(4.0)).cast("long").alias("n_subwords_est"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic: stopword ratio over tokens (n-gram heuristic family)
+# ---------------------------------------------------------------------------
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x IN {_STOP_SQL}))::DOUBLE
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS stop_ratio,
+           CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x IN {_STOP_SQL}))::DOUBLE
+                     / len(string_split_regex(trim(text), '\\s+')) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    ORDER BY doc_id ASC
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(toks)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.round(ratio, 6).alias("stop_ratio"),
+            F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: length / punctuation / stopword-ratio linear blend
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_score",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             least(n_chars / 500.0, 1.0) AS len_component,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x IN {_STOP_SQL}))::DOUBLE
+               / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * len_component + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 6)
+             AS quality
+    FROM q
+    ORDER BY doc_id ASC
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(toks)
+    punct_ratio = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    ).cast("double") / F.greatest(F.length(F.col("text")), F.lit(1))
+    len_component = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.round(quality, 6).alias("quality"))
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: min-hash over word-3-gram shingles (winnowing-style
+# single-function fingerprint; md5 is the portable hash in both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    """
+    WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           min(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS fingerprint
+    FROM s, unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+    GROUP BY doc_id
+    ORDER BY doc_id ASC
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle explode happens AFTER projecting only (doc_id, tokens) —
+    the shuffle carries one md5 string per doc via partial min aggregation."""
+    t = _t(spark, sf_dir)
+    from .dedup import shingles
+
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("g").cast("binary"))).alias("fingerprint"))
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+import distribution_engine_smt_spark.pipeline  # noqa: F401  (registers extension queries)
 from distribution_engine_smt_spark.driver_queries import ORACLE_SQL, QUERIES
 
 from .conftest import SF_DIR_ORACLE

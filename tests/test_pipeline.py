@@ -1,0 +1,53 @@
+"""Semantic tests for the pipeline extensions beyond the oracle hash-match:
+LSH candidates must be a subset of the exact all-pairs baseline, the IVF
+probe must agree with brute force on its own cell, the decode stub must be
+deterministic."""
+
+from __future__ import annotations
+
+from distribution_engine_smt_spark.pipeline.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from distribution_engine_smt_spark.pipeline.multimodal import multimodal_decode
+from distribution_engine_smt_spark.pipeline.similarity import (
+    ann_ivf_topk,
+    ann_topk_bruteforce,
+)
+
+from .conftest import SF_DIR_ORACLE
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, SF_DIR_ORACLE).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, SF_DIR_ORACLE).collect()
+    }
+    assert lsh, "LSH found no pairs"
+    assert set(lsh) <= set(exact), "LSH produced a pair the exact baseline lacks"
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # recall at threshold 0.5 with b=4,r=2 is ~0.68 in expectation; demand
+    # it found at least a third to catch wiring bugs without flakiness
+    assert len(lsh) >= len(exact) / 3
+
+
+def test_ivf_results_are_bruteforce_restricted(spark):
+    brute = {r["vec_id"]: r["cos"] for r in ann_topk_bruteforce(spark, SF_DIR_ORACLE).collect()}
+    ivf = [(r["vec_id"], r["cos"]) for r in ann_ivf_topk(spark, SF_DIR_ORACLE).collect()]
+    assert ivf, "IVF probe returned nothing"
+    for vec_id, cos in ivf:
+        if vec_id in brute:
+            assert cos == brute[vec_id]
+
+
+def test_decode_stub_deterministic(spark):
+    a = multimodal_decode(spark, SF_DIR_ORACLE).collect()
+    b = multimodal_decode(spark, SF_DIR_ORACLE).collect()
+    assert a == b
+    assert all(r["status"] == "ok:stub" and r["n_bytes"] > 0 for r in a)
+    assert all(64 <= r["width"] < 256 and 64 <= r["height"] < 256 for r in a)
