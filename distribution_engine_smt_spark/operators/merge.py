@@ -74,7 +74,12 @@ def merge_upsert(
         target_seq = F.lit(0).cast("long")
         delta_seq = F.lit(1).cast("long")
     else:
-        target_seq = F.coalesce(F.col(seq_col).cast("long"), F.lit(0))
+        # state tables usually don't persist a seq column — existing rows
+        # rank at 0 and any delta row (batch seq > 0) wins
+        if seq_col in target.columns:
+            target_seq = F.coalesce(F.col(seq_col).cast("long"), F.lit(0))
+        else:
+            target_seq = F.lit(0).cast("long")
         delta_seq = F.col(seq_col).cast("long")
 
     if update_cols is not None:

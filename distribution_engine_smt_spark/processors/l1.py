@@ -1,0 +1,353 @@
+"""L1 (Hive mainnet) op processing: comment / delete_comment / custom_json
+(follow, reblog) — the set-based equivalent of the reference's op loop
+(reference: stream_blocks.py:125-158 dispatch;
+processors/comment_processor_for_engine.py;
+processors/custom_json_follow_processor.py;
+processors/custom_json_reblog_processor.py).
+
+Batch-order semantics: ops carry (block_num, op_seq); a single ``seq``
+column gives last-writer-wins inside a batch. Comment/delete interleaving is
+resolved per authorperm: a comment op counts only if no later delete exists;
+a delete wins only over earlier comments.
+
+Documented deviations from the reference (each makes the Spark version
+saner without changing query-visible behavior):
+- accounts.last_post/last_root_post update every token the author posts
+  under (the reference writes only the final loop token —
+  comment_processor_for_engine.py:152-159 leaks the loop variable).
+- post_metadata.json_metadata keeps the raw op string (the reference
+  re-serializes the parsed dict).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    build_tags_csv,
+    construct_authorperm,
+    extract_user,
+    is_main_post,
+    truncate,
+)
+from ..functions.dmp import fold_body_edits
+from ..operators import additive_merge, delete_by_keys, merge_upsert
+
+def _seq():
+    # built lazily: Column construction requires an active SparkContext
+    return (
+        F.col("block_num") * F.lit(1_000_000) + F.coalesce(F.col("op_seq"), F.lit(0))
+    ).alias("seq")
+
+
+def _with_seq_ap(ops: DataFrame) -> DataFrame:
+    return ops.withColumn("seq", _seq()).withColumn(
+        "authorperm", construct_authorperm(F.col("author"), F.col("permlink"))
+    )
+
+
+def apply_l1_batch(state: dict[str, DataFrame], ops: DataFrame) -> dict[str, DataFrame]:
+    """Apply one batch of L1 ops. Dispatch mirrors stream_blocks.py:125-158."""
+    ops = _with_seq_ap(ops)
+    comments = ops.filter(F.col("type") == "comment")
+    deletes = ops.filter(F.col("type") == "delete_comment")
+    cjson = ops.filter(F.col("type") == "custom_json")
+
+    # comment ops superseded by a later delete of the same authorperm are
+    # dropped; deletes superseded by a later re-post are dropped
+    if not deletes.isEmpty():
+        last_del = deletes.groupBy("authorperm").agg(F.max("seq").alias("del_seq"))
+        comments = comments.join(F.broadcast(last_del), "authorperm", "left").filter(
+            F.col("del_seq").isNull() | (F.col("seq") > F.col("del_seq"))
+        ).drop("del_seq")
+        last_com = ops.filter(F.col("type") == "comment").groupBy("authorperm").agg(
+            F.max("seq").alias("com_seq")
+        )
+        deletes = deletes.join(F.broadcast(last_com), "authorperm", "left").filter(
+            F.col("com_seq").isNull() | (F.col("seq") > F.col("com_seq"))
+        )
+
+    state = apply_comments(state, comments)
+    state = apply_deletes(state, deletes)
+    state = apply_follows(state, cjson)
+    state = apply_reblogs(state, cjson)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# comment ops (reference: comment_processor_for_engine.py:32-209)
+# ---------------------------------------------------------------------------
+def apply_comments(state: dict[str, DataFrame], comments: DataFrame) -> dict[str, DataFrame]:
+    if comments.isEmpty():
+        return state
+    posts, meta, accounts = state["posts"], state["post_metadata"], state["accounts"]
+
+    # the reference only processes comments whose post rows already exist
+    # (L2 newComment creates them first — ST2 alignment guarantees order)
+    existing_aps = posts.select("authorperm").distinct()
+    c = comments.join(existing_aps, "authorperm", "left_semi")
+
+    enriched = c.withColumn("main_post", is_main_post(F.col("parent_author"), F.col("parent_permlink"))).withColumn(
+        "parent_authorperm",
+        F.when(
+            ~F.col("main_post"),
+            construct_authorperm(F.col("parent_author"), F.col("parent_permlink")),
+        ),
+    ).withColumn(
+        # category tag: parent_permlink of a main post, unless it contains a
+        # comma (comment_processor_for_engine.py:68-75)
+        "category",
+        F.when(
+            F.col("main_post")
+            & (F.col("parent_permlink") != "")
+            & ~F.col("parent_permlink").contains(","),
+            F.col("parent_permlink"),
+        ),
+    ).withColumn(
+        "meta_tags",
+        F.from_json(
+            F.get_json_object(F.col("json_metadata"), "$.tags"), "array<string>"
+        ),
+    ).withColumn(
+        "tags", build_tags_csv(F.col("category"), F.col("meta_tags"))
+    )
+
+    # last op per authorperm decides the scalar fields
+    w = Window.partitionBy("authorperm").orderBy(F.desc("seq"))
+    last_op = (
+        enriched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # ordered DMP body fold seeded with the stored body
+    # (comment_processor_for_engine.py:102-130)
+    seeds = meta.join(
+        c.select("authorperm").distinct(), "authorperm", "left_semi"
+    ).select(
+        "authorperm",
+        F.lit(-1).cast("long").alias("block_num"),
+        F.lit(0).alias("op_seq"),
+        "body",
+    )
+    edits = c.select("authorperm", "block_num", "op_seq", "body")
+    bodies = fold_body_edits(seeds.unionByName(edits))
+
+    final = last_op.drop("body").join(bodies, "authorperm", "left").withColumn(
+        "desc", truncate(F.col("body"), 300)
+    )
+
+    # posts: update scalar fields on every (authorperm, token) row
+    post_delta = final.select(
+        "authorperm",
+        truncate(F.col("title"), 256).alias("title"),
+        "desc",
+        truncate(F.col("tags"), 256).alias("tags"),
+        "parent_author",
+        "parent_permlink",
+        "main_post",
+        "seq",
+    )
+    token_rows = posts.select("authorperm", "token").join(
+        post_delta, "authorperm", "inner"
+    )
+    new_posts = merge_upsert(
+        posts,
+        token_rows,
+        ["authorperm", "token"],
+        seq_col="seq",
+        update_cols=["title", "desc", "tags", "parent_author", "parent_permlink", "main_post"],
+    )
+
+    # children counters: +1 per processed reply op on every parent row
+    # (comment_processor_for_engine.py:160-196 — edits count too)
+    replies = enriched.filter(
+        (~F.col("main_post")) & F.col("parent_authorperm").isNotNull()
+    )
+    parent_counts = replies.groupBy(
+        F.col("parent_authorperm").alias("authorperm")
+    ).agg(F.count("*").cast("int").alias("children"))
+    parent_exists = parent_counts.join(
+        new_posts.select("authorperm").distinct(), "authorperm", "left_semi"
+    )
+    new_posts = additive_merge(
+        new_posts, parent_exists, ["authorperm"], add_cols=["children"]
+    )
+
+    # accounts: last_post / last_root_post per (author, token) they post under
+    acct_delta = (
+        final.join(posts.select("authorperm", "token"), "authorperm")
+        .groupBy(F.col("author").alias("name"), F.col("token").alias("symbol"))
+        .agg(
+            F.max(F.when(F.col("main_post"), F.col("timestamp"))).alias("last_root_post"),
+            F.max(F.when(~F.col("main_post"), F.col("timestamp"))).alias("last_post"),
+            F.max("seq").alias("seq"),
+        )
+    )
+    # partial upsert: only set the column that fired
+    roots = acct_delta.filter(F.col("last_root_post").isNotNull()).select(
+        "name", "symbol", "last_root_post", "seq"
+    )
+    non_roots = acct_delta.filter(F.col("last_post").isNotNull()).select(
+        "name", "symbol", "last_post", "seq"
+    )
+    new_accounts = merge_upsert(
+        accounts, roots, ["name", "symbol"], seq_col="seq", update_cols=["last_root_post"]
+    )
+    new_accounts = merge_upsert(
+        new_accounts, non_roots, ["name", "symbol"], seq_col="seq", update_cols=["last_post"]
+    )
+
+    # post_metadata: body, raw json_metadata, tags, parent link, depth/url
+    # inheritance (comment_processor_for_engine.py:174-201)
+    parent_meta = meta.select(
+        F.col("authorperm").alias("parent_authorperm"),
+        F.col("depth").alias("parent_depth"),
+        F.col("url").alias("parent_url"),
+    )
+    meta_delta = (
+        final.join(parent_meta, "parent_authorperm", "left")
+        .select(
+            "authorperm",
+            F.col("body"),
+            F.col("json_metadata"),
+            F.col("tags"),
+            "parent_authorperm",
+            F.when(F.col("main_post"), F.lit(0).cast("short"))
+            .otherwise((F.coalesce(F.col("parent_depth"), F.lit(0)) + 1).cast("short"))
+            .alias("depth"),
+            F.when(
+                F.col("main_post"),
+                F.concat(F.lit("/"), F.col("parent_permlink"), F.lit("/"), F.col("authorperm")),
+            )
+            .otherwise(F.col("parent_url"))
+            .alias("url"),
+            F.col("seq"),
+        )
+    )
+    new_meta = merge_upsert(
+        meta,
+        meta_delta,
+        ["authorperm"],
+        seq_col="seq",
+        update_cols=["body", "json_metadata", "tags", "parent_authorperm", "depth", "url"],
+    )
+    # parent metadata children counter
+    meta_parent_counts = replies.groupBy(
+        F.col("parent_authorperm").alias("authorperm")
+    ).agg(F.count("*").cast("int").alias("children"))
+    meta_parent_exists = meta_parent_counts.join(
+        new_meta.select("authorperm"), "authorperm", "left_semi"
+    )
+    new_meta = additive_merge(
+        new_meta, meta_parent_exists, ["authorperm"], add_cols=["children"]
+    )
+
+    out = dict(state)
+    out["posts"], out["post_metadata"], out["accounts"] = new_posts, new_meta, new_accounts
+    return out
+
+
+# ---------------------------------------------------------------------------
+# delete_comment (reference: stream_blocks.py:151-156,
+# engine/post_storage.py:407-415 — deletes post rows for ALL tokens; the
+# metadata row is left in place, matching the reference)
+# ---------------------------------------------------------------------------
+def apply_deletes(state: dict[str, DataFrame], deletes: DataFrame) -> dict[str, DataFrame]:
+    if deletes.isEmpty():
+        return state
+    out = dict(state)
+    out["posts"] = delete_by_keys(state["posts"], deletes.select("authorperm"), ["authorperm"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom_json: follow (reference: custom_json_follow_processor.py:18-42)
+# ---------------------------------------------------------------------------
+def apply_follows(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, DataFrame]:
+    follows_ops = cjson.filter(
+        (F.col("id") == "follow")
+        & (F.get_json_object(F.col("json"), "$[0]") == "follow")
+    )
+    if follows_ops.isEmpty():
+        return state
+    parsed = follows_ops.select(
+        extract_user(F.col("required_posting_auths"), F.col("required_auths")).alias("user"),
+        F.get_json_object(F.col("json"), "$[1].follower").alias("follower"),
+        F.get_json_object(F.col("json"), "$[1].following").alias("following"),
+        F.get_json_object(F.col("json"), "$[1].what").alias("what"),
+        "seq",
+    ).filter(
+        F.col("user").isNotNull()
+        & (F.col("user") == F.col("follower"))
+        & F.col("following").isNotNull()
+        & (F.length("follower") <= 20)
+        & (F.length("following") <= 20)
+    )
+    # state: 2 mute ("ignore"), 1 follow ("blog"), 0 otherwise
+    delta = parsed.select(
+        "follower",
+        "following",
+        F.when(F.col("what") == '["ignore"]', F.lit(2))
+        .when(F.col("what") == '["blog"]', F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("short")
+        .alias("state"),
+        "seq",
+    )
+    out = dict(state)
+    out["follows"] = merge_upsert(
+        state["follows"], delta, ["follower", "following"], seq_col="seq"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom_json: reblog — under id 'follow' OR 'reblog'
+# (reference: stream_blocks.py:125-146, custom_json_reblog_processor.py)
+# ---------------------------------------------------------------------------
+def apply_reblogs(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, DataFrame]:
+    reblog_ops = cjson.filter(
+        F.col("id").isin("follow", "reblog")
+        & (F.get_json_object(F.col("json"), "$[0]") == "reblog")
+    )
+    if reblog_ops.isEmpty():
+        return state
+    parsed = reblog_ops.select(
+        extract_user(F.col("required_posting_auths"), F.col("required_auths")).alias("user"),
+        F.get_json_object(F.col("json"), "$[1].account").alias("account"),
+        F.get_json_object(F.col("json"), "$[1].author").alias("r_author"),
+        F.get_json_object(F.col("json"), "$[1].permlink").alias("r_permlink"),
+        F.get_json_object(F.col("json"), "$[1].delete").alias("del_flag"),
+        "timestamp",
+        "seq",
+    ).filter(
+        F.col("user").isNotNull()
+        & (F.col("user") == F.col("account"))
+        & F.col("r_author").isNotNull()
+        & F.col("r_permlink").isNotNull()
+    ).withColumn(
+        "authorperm", construct_authorperm(F.col("r_author"), F.col("r_permlink"))
+    )
+    # only reblogs of existing MAIN posts count
+    # (custom_json_reblog_processor.py:38-39: parent_author == '')
+    mains = state["posts"].filter(
+        F.col("parent_author").isNull() | (F.col("parent_author") == "")
+    ).select("authorperm").distinct()
+    parsed = parsed.join(mains, "authorperm", "left_semi")
+
+    w = Window.partitionBy("account", "authorperm").orderBy(F.desc("seq"))
+    last = parsed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    adds = last.filter(F.col("del_flag").isNull() | (F.col("del_flag") != "delete")).select(
+        "account", "authorperm", "timestamp", "seq"
+    )
+    dels = last.filter(F.col("del_flag") == "delete").select("account", "authorperm")
+
+    out = dict(state)
+    reblogs = merge_upsert(
+        state["reblogs"], adds, ["account", "authorperm"], seq_col="seq"
+    )
+    out["reblogs"] = delete_by_keys(reblogs, dels, ["account", "authorperm"])
+    return out

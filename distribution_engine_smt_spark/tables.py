@@ -49,9 +49,25 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.schema(schemas.STATE_TABLES[name]).parquet(path)
 
 
+def conform(df: DataFrame, name: str) -> DataFrame:
+    """Cast a state-table DataFrame to its canonical schema. Processor
+    arithmetic narrows/widens decimal precision (e.g. a sum of
+    decimal(38,10) deltas), and parquet written with a drifted decimal
+    precision cannot be read back under the canonical schema — conform at
+    the persistence boundary."""
+    from pyspark.sql import functions as F
+
+    target = schemas.STATE_TABLES[name]
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+
 def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") -> None:
     """Write a state table with its scale-appropriate physical layout."""
     path = os.path.join(root, name)
+    if name in schemas.STATE_TABLES:
+        df = conform(df, name)
     writer = df
     sort_cols = SORT_COLUMNS.get(name)
     part_cols = PARTITION_COLUMNS.get(name)
