@@ -72,6 +72,7 @@ def apply_l1_batch(state: dict[str, DataFrame], ops: DataFrame) -> dict[str, Dat
     state = apply_deletes(state, deletes)
     state = apply_follows(state, cjson)
     state = apply_reblogs(state, cjson)
+    state = apply_tribe_settings(state, cjson)
     return state
 
 
@@ -350,4 +351,38 @@ def apply_reblogs(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, Da
         state["reblogs"], adds, ["account", "authorperm"], seq_col="seq"
     )
     out["reblogs"] = delete_by_keys(reblogs, dels, ["account", "authorperm"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom_json: scot_set_tribe_settings
+# (reference: custom_json_set_tribe_settings.py:18-47 — updates
+# promoted_post_account for the reward pool named in the payload. The
+# reference validates the sender against the token issuer fetched from the
+# engine API; issuer is external state we don't index, so the check is
+# delegated to the caller — documented deviation.)
+# ---------------------------------------------------------------------------
+def apply_tribe_settings(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, DataFrame]:
+    ops = cjson.filter(F.col("id") == "scot_set_tribe_settings")
+    if ops.isEmpty():
+        return state
+    parsed = ops.select(
+        extract_user(F.col("required_posting_auths"), F.col("required_auths")).alias("user"),
+        F.get_json_object(F.col("json"), "$.reward_pool_id").cast("int").alias("reward_pool_id"),
+        F.get_json_object(F.col("json"), "$.promoted_post_account").alias("promoted_post_account"),
+        "seq",
+    ).filter(
+        F.col("user").isNotNull()
+        & F.col("reward_pool_id").isNotNull()
+        & F.col("promoted_post_account").isNotNull()
+    )
+    pool_tokens = state["token_config"].select("token", "reward_pool_id")
+    delta = parsed.join(F.broadcast(pool_tokens), "reward_pool_id").select(
+        "token", "promoted_post_account", "seq"
+    )
+    out = dict(state)
+    out["token_config"] = merge_upsert(
+        state["token_config"], delta, ["token"], seq_col="seq",
+        update_cols=["promoted_post_account"],
+    )
     return out

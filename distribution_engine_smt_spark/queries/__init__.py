@@ -15,7 +15,13 @@ from .discussions import (
     get_discussions_by_score,
 )
 from .social import get_follow_count, get_following, get_trending_tags
-from .accounts import get_account_history, get_account_map, get_post_with_votes, get_state_lag
+from .accounts import (
+    get_account_history,
+    get_account_map,
+    get_post_with_votes,
+    get_state_lag,
+    get_token_config,
+)
 from .thread import get_thread
 
 __all__ = [
@@ -33,4 +39,5 @@ __all__ = [
     "get_account_map",
     "get_post_with_votes",
     "get_state_lag",
+    "get_token_config",
 ]

@@ -94,3 +94,13 @@ def get_state_lag(state: dict[str, DataFrame], now: datetime | None = None) -> D
             "SECOND", F.col("last_streamed_timestamp"), F.lit(now)
         ).alias("lag_seconds"),
     ).orderBy("id")
+
+
+def get_token_config(state: dict[str, DataFrame], token: str | None = None) -> DataFrame:
+    """/config and the indexed part of /info (reference:
+    server/app.py:125-222): token_config lookup or full scan. The external
+    reward-pool RPC enrichment of /info is out of engine scope (S9)."""
+    df = state["token_config"]
+    if token:
+        df = df.filter(F.col("token") == token.upper())
+    return df.orderBy(F.col("token").asc())

@@ -1,0 +1,201 @@
+"""Structured Streaming wrapper around the batch processors.
+
+The reference runs two cooperating daemons (reference: stream_blocks.py,
+stream_engine_sidechain_blocks.py); here each becomes a file-source
+``readStream`` whose micro-batches are handed to the same pure batch
+functions (processors.apply_l1_batch / apply_l2_batch) inside
+``foreachBatch`` — batch-first core, streaming as a thin shell
+(SURVEY.md §7 guiding shape).
+
+Semantics mapped from the reference (§2.9):
+
+- ST1 head-delay gate: ops younger than 15 s are filtered out of the batch;
+  the file source re-lists, so they are picked up by a later trigger
+  (reference: stream_blocks.py:80-84 returns False to pause).
+- ST2 cross-stream alignment (L2 leads, L1 follows): before each L1 batch
+  commits, L1 drops ops at-or-after the L2 checkpoint's
+  last_engine_streamed_timestamp — the driver-side gate SURVEY.md §7 #4
+  (reference: stream_blocks.py:64-93).
+- ST3 per-block transactionality: the foreachBatch write of the whole state
+  (all tables for the batch's block range) is the atomic unit; the batch id
+  recorded with the state makes replay idempotent (re-running batch N
+  overwrites batch N's output, never double-applies it).
+- ST4 resume: Structured Streaming checkpointLocation + the configuration
+  table mirror (id=1/2 rows) the reference exposes via /state.
+- ST5/ST7 ordering: blockchains are totally ordered; batches are applied in
+  trigger order and intra-batch order is (block_num, op_seq) via the
+  processors' seq column.
+- ST6 poll cadence: Trigger.ProcessingTime("3 seconds") == the reference's
+  3 s sleep; Trigger.AvailableNow for catch-up passes.
+
+Scale: state tables re-written per micro-batch are the token-partitioned
+parquet layout from ``tables.write_table``; at production volume the same
+code targets Delta MERGE by swapping the persistence calls — the processor
+layer is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas, tables
+from ..processors import apply_l1_batch, apply_l2_batch
+
+HEAD_DELAY_SECONDS = 15  # reference: stream_blocks.py:82
+
+
+def head_delay_filter(
+    ops: DataFrame, ts_col: str = "timestamp", now: datetime | None = None
+) -> DataFrame:
+    """ST1: refuse ops younger than 15 s (freshness floor)."""
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    bound = F.lit(now).cast(ops.schema[ts_col].dataType) if ts_col in ops.columns else F.lit(now)
+    return ops.filter(
+        F.col(ts_col) <= F.timestamp_add("SECOND", F.lit(-HEAD_DELAY_SECONDS), F.lit(now))
+    )
+
+
+def l2_alignment_bound(state: dict[str, DataFrame]):
+    """ST2: the L2 checkpoint timestamp L1 must stay strictly behind
+    (reference: stream_blocks.py:86-93 — L1 processes an op only when
+    op.timestamp < last_engine_streamed_timestamp)."""
+    row = (
+        state["configuration"]
+        .filter(F.col("id") == 2)
+        .select("last_engine_streamed_timestamp")
+        .first()
+    )
+    return row[0] if row else None
+
+
+def _checkpoint_row(spark: SparkSession, cfg_id: int, name: str, batch: DataFrame,
+                    block_col: str, ts_col: str) -> DataFrame:
+    head = batch.agg(
+        F.max(block_col).alias("b"), F.max(ts_col).alias("t")
+    ).first()
+    is_l2 = cfg_id == 2
+    return spark.createDataFrame(
+        [
+            (
+                cfg_id,
+                None if is_l2 else head["b"],
+                None if is_l2 else head["t"],
+                head["b"] if is_l2 else None,
+                head["t"] if is_l2 else None,
+                name,
+            )
+        ],
+        schemas.CONFIGURATION,
+    )
+
+
+class DualStreamRunner:
+    """Owns the two streams' state under one root directory:
+
+        root/state/<table>/     current materialized tables
+        root/checkpoints/l1     Spark streaming checkpoint (L1)
+        root/checkpoints/l2     Spark streaming checkpoint (L2)
+
+    Batches route through the pure processors; the configuration table's
+    rows 1/2 mirror progress for the /state endpoint (F18)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.state_dir = os.path.join(root, "state")
+        os.makedirs(self.state_dir, exist_ok=True)
+
+    # -- state persistence ---------------------------------------------------
+    def load_state(self) -> dict[str, DataFrame]:
+        return tables.load_state(self.spark, self.state_dir)
+
+    def save_state(self, state: dict[str, DataFrame], only: list[str] | None = None) -> None:
+        for name in only or schemas.STATE_TABLES:
+            df = state[name]
+            # materialize before overwrite: the new state reads the old files
+            df = df.localCheckpoint(eager=True)
+            tables.write_table(df, self.state_dir, name)
+
+    # -- batch handlers (called by foreachBatch and usable directly) --------
+    def process_l1_batch(self, ops: DataFrame, batch_id: int, now: datetime | None = None) -> None:
+        state = self.load_state()
+        ops = head_delay_filter(ops, now=now)
+        bound = l2_alignment_bound(state)
+        if bound is not None:
+            # L2 leads: only ops strictly older than the L2 clock commit
+            ops = ops.filter(F.col("timestamp") < F.lit(bound))
+        if ops.isEmpty():
+            return
+        new_state = apply_l1_batch(state, ops)
+        ckpt = _checkpoint_row(self.spark, 1, "HIVED", ops, "block_num", "timestamp")
+        from ..operators import merge_upsert
+
+        new_state["configuration"] = merge_upsert(
+            new_state["configuration"], ckpt, ["id"]
+        )
+        self.save_state(new_state)
+
+    def process_l2_batch(self, txs: DataFrame, batch_id: int, now: datetime | None = None) -> None:
+        state = self.load_state()
+        txs = head_delay_filter(txs, now=now)
+        if txs.isEmpty():
+            return
+        new_state = apply_l2_batch(state, txs)
+        ckpt = _checkpoint_row(self.spark, 2, "ENGINE_SIDECHAIN", txs, "blockNumber", "timestamp")
+        from ..operators import merge_upsert
+
+        new_state["configuration"] = merge_upsert(
+            new_state["configuration"], ckpt, ["id"]
+        )
+        self.save_state(new_state)
+
+
+def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one op-log file ≈ one block range
+        .json(path)
+    )
+
+
+def run_l1_stream(
+    runner: DualStreamRunner,
+    source_path: str,
+    trigger: dict | None = None,
+    available_now: bool = False,
+):
+    """L1 daemon: op-log files -> foreachBatch(apply_l1_batch).
+    ``available_now=True`` is the catch-up pass (the reference's cron-style
+    re-run, ST6); otherwise 3 s processing-time cadence."""
+    stream = _file_stream(runner.spark, source_path, schemas.OPS_L1)
+    writer = stream.writeStream.foreachBatch(runner.process_l1_batch).option(
+        "checkpointLocation", os.path.join(runner.root, "checkpoints", "l1")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**(trigger or {"processingTime": "3 seconds"}))
+    return writer.start()
+
+
+def run_l2_stream(
+    runner: DualStreamRunner,
+    source_path: str,
+    trigger: dict | None = None,
+    available_now: bool = False,
+):
+    """L2 daemon: sidechain tx-log files -> foreachBatch(apply_l2_batch)."""
+    stream = _file_stream(runner.spark, source_path, schemas.TXS_L2)
+    writer = stream.writeStream.foreachBatch(runner.process_l2_batch).option(
+        "checkpointLocation", os.path.join(runner.root, "checkpoints", "l2")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**(trigger or {"processingTime": "3 seconds"}))
+    return writer.start()

@@ -1,0 +1,165 @@
+"""Streaming wrapper tests: real file-source readStream -> foreachBatch ->
+processors -> persisted state, plus the two gates (15 s head delay,
+L2-leads-L1 alignment) and checkpoint resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+import pytest
+
+from distribution_engine_smt_spark import schemas, tables
+from distribution_engine_smt_spark.queries import get_state_lag
+from distribution_engine_smt_spark.streaming import (
+    DualStreamRunner,
+    head_delay_filter,
+    l2_alignment_bound,
+    run_l1_stream,
+    run_l2_stream,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+NOW = datetime(2024, 1, 1, 13, 0, 0)
+
+
+def _write_l2_file(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _l2_row(block, tx_seq, payload, logs, ts=T0, contract="comments", action="x"):
+    return {
+        "blockNumber": block,
+        "timestamp": ts.isoformat(),
+        "tx_seq": tx_seq,
+        "contract": contract,
+        "action": action,
+        "sender": "s",
+        "transactionId": f"t{block}-{tx_seq}",
+        "payload": json.dumps(payload),
+        "logs": json.dumps(logs),
+    }
+
+
+def _l1_row(block, op_seq, typ, ts=T0, **kw):
+    return {
+        "block_num": block,
+        "op_seq": op_seq,
+        "timestamp": ts.isoformat(),
+        "type": typ,
+        **kw,
+    }
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    r = DualStreamRunner(spark, str(tmp_path))
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["token_config"] = spark.createDataFrame(
+        [("TKN", 7, 50, Decimal(1), Decimal(1), 0, None, "promo", 1, None, 5, 5, False, False)],
+        schemas.TOKEN_CONFIG,
+    )
+    r.save_state(state)
+    return r
+
+
+def test_l2_stream_end_to_end(spark, runner, tmp_path):
+    src = tmp_path / "l2src"
+    src.mkdir()
+    _write_l2_file(
+        src / "b1.json",
+        [
+            _l2_row(1, 0, {"author": "alice", "permlink": "p1"},
+                    {"events": [{"contract": "comments", "event": "newComment", "data": {"symbol": "TKN"}}]}),
+            _l2_row(1, 1, {"author": "alice", "permlink": "p1", "voter": "bob", "weight": 100},
+                    {"events": [{"contract": "comments", "event": "newVote", "data": {"symbol": "TKN", "rshares": "777"}}]}),
+        ],
+    )
+    q = run_l2_stream(runner, str(src), available_now=True)
+    q.awaitTermination(120)
+    state = runner.load_state()
+    posts = state["posts"].collect()
+    assert len(posts) == 1 and posts[0]["vote_rshares"] == Decimal(777)
+    cfg = {r["id"]: r for r in state["configuration"].collect()}
+    assert cfg[2]["last_engine_streamed_block"] == 1
+    assert cfg[2]["last_engine_streamed_timestamp"] == T0
+
+
+def test_l1_gated_by_l2_clock_then_released(spark, runner, tmp_path):
+    # L2 has streamed up to T0; an L1 op AT T0 must NOT commit (needs
+    # op.ts < l2_clock), an op before T0 must commit
+    src = tmp_path / "l1src"
+    src.mkdir()
+    early = T0 - timedelta(seconds=30)
+    _write_l1_follow_ops(src / "ops.json", early, T0)
+
+    # seed L2 checkpoint at T0
+    state = runner.load_state()
+    ckpt = spark.createDataFrame(
+        [(2, None, None, 100, T0, "ENGINE_SIDECHAIN")], schemas.CONFIGURATION
+    )
+    from distribution_engine_smt_spark.operators import merge_upsert
+
+    state["configuration"] = merge_upsert(state["configuration"], ckpt, ["id"])
+    runner.save_state(state, only=["configuration"])
+
+    q = run_l1_stream(runner, str(src), available_now=True)
+    q.awaitTermination(120)
+    follows = {r["following"] for r in runner.load_state()["follows"].collect()}
+    assert follows == {"early-target"}  # the T0 op was held back
+
+
+def _write_l1_follow_ops(path, early_ts, late_ts):
+    rows = [
+        _l1_row(10, 0, "custom_json", ts=early_ts, id="follow",
+                json=json.dumps(["follow", {"follower": "u", "following": "early-target", "what": ["blog"]}]),
+                required_posting_auths=["u"], required_auths=[]),
+        _l1_row(11, 0, "custom_json", ts=late_ts, id="follow",
+                json=json.dumps(["follow", {"follower": "u", "following": "late-target", "what": ["blog"]}]),
+                required_posting_auths=["u"], required_auths=[]),
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_head_delay_filter(spark):
+    now = NOW
+    df = spark.createDataFrame(
+        [(1, now - timedelta(seconds=60)), (2, now - timedelta(seconds=5))],
+        "block_num long, timestamp timestamp",
+    )
+    kept = head_delay_filter(df, now=now).collect()
+    assert [r["block_num"] for r in kept] == [1]
+
+
+def test_alignment_bound_reads_l2_checkpoint(spark, runner):
+    state = runner.load_state()
+    assert l2_alignment_bound(state) is None
+    ckpt = spark.createDataFrame(
+        [(2, None, None, 7, T0, "ENGINE_SIDECHAIN")], schemas.CONFIGURATION
+    )
+    from distribution_engine_smt_spark.operators import merge_upsert
+
+    state["configuration"] = merge_upsert(state["configuration"], ckpt, ["id"])
+    assert l2_alignment_bound(state) == T0
+
+
+def test_state_lag_from_stream_checkpoints(spark, runner, tmp_path):
+    src = tmp_path / "l2src2"
+    src.mkdir()
+    _write_l2_file(
+        src / "b.json",
+        [_l2_row(5, 0, {"author": "a", "permlink": "p"},
+                 {"events": [{"contract": "comments", "event": "newComment", "data": {"symbol": "TKN"}}]})],
+    )
+    q = run_l2_stream(runner, str(src), available_now=True)
+    q.awaitTermination(120)
+    lag = get_state_lag(runner.load_state(), now=T0 + timedelta(seconds=42)).collect()
+    by_name = {r["name"]: r for r in lag if r["name"] == "ENGINE_SIDECHAIN"}
+    assert by_name["ENGINE_SIDECHAIN"]["last_streamed_block"] is None  # L2 uses engine columns
