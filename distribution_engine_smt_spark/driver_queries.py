@@ -892,3 +892,40 @@ def prefix_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderpriority").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# reward curves — F2/F3/F4 scalar math (reference: engine/utils.py:25-38)
+# ---------------------------------------------------------------------------
+@register(
+    "reward_curves",
+    """
+    SELECT o_orderkey,
+           CAST(floor(((o_totalprice + 2000.0) * (o_totalprice + 2000.0)
+                       - 2000.0 * 2000.0) / (o_totalprice + 4 * 2000.0)) AS BIGINT)
+             AS convergent_linear,
+           CAST(floor(o_totalprice / floor(sqrt(o_totalprice + 2 * 2000.0))) AS BIGINT)
+             AS convergent_sqrt
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey ASC
+    """,
+)
+def reward_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-curve evaluation over a fact column: pure Column arithmetic,
+    whole-stage codegen, no UDF (the reference computes these per-row in
+    Python at ingest time)."""
+    from .functions import convergent_linear, convergent_square_root
+
+    t = _t(spark, sf_dir)
+    s = F.lit(2000.0)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            convergent_linear(F.col("o_totalprice"), s).cast("bigint").alias("convergent_linear"),
+            convergent_square_root(F.col("o_totalprice"), s).cast("bigint").alias("convergent_sqrt"),
+        )
+        .orderBy(F.col("o_orderkey").asc())
+    )

@@ -335,3 +335,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: band-blocked hamming join
+# ---------------------------------------------------------------------------
+_SIMHASH_CTE = _SIMHASH_SQL.replace("ORDER BY doc_id ASC", "")
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sh AS ({_SIMHASH_CTE}),
+    pos AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+      FROM sh a JOIN sh b
+        ON substr(a.simhash, 1, 4) = substr(b.simhash, 1, 4)
+       AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT d1, d2,
+             list_reduce(list_transform(generate_series(1, 16), i ->
+               bit_count(xor(strpos('0123456789abcdef', substr(h1, i, 1)) - 1,
+                             strpos('0123456789abcdef', substr(h2, i, 1)) - 1))),
+               (x, y) -> x + y) AS hamming
+      FROM pos
+    )
+    SELECT d1, d2, hamming FROM ham
+    WHERE hamming <= 12
+    ORDER BY d1 ASC, d2 ASC
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the first
+    band (4 hex digits = 16 bits): the self-join key is the band, so only
+    same-band sketches ever meet — the sketch-space analog of LSH banding.
+    At 100 TB the band is the partition key and each bucket is tiny."""
+    sigs = dedup_simhash(spark, sf_dir).withColumn(
+        "band", F.substring(F.col("simhash"), 1, 4)
+    ).persist()
+    a = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band")
+    b = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band")
+    def hexval(col, i):
+        # hex char -> 0..15 via ascii ('0'-'9' -> 48-57, 'a'-'f' -> 97-102);
+        # locate() can't take a lambda-bound position, ascii math can
+        a = F.ascii(F.substring(col, i, F.lit(1)))
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    hamming = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.bit_count(
+                hexval(F.col("h1"), i).bitwiseXOR(hexval(F.col("h2"), i))
+            ).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 12)
+        .orderBy(F.col("d1").asc(), F.col("d2").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# canonical exact dedup: keep the first doc per content hash
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id ASC
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual exact-dedup operator: one shuffle keyed by content hash,
+    min(doc_id) picks the canonical copy (equivalent to dropDuplicates with
+    a deterministic keep rule, which plain dropDuplicates does not give)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy(F.col("keep_doc_id").asc())
+    )
