@@ -76,12 +76,18 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correctness baseline every ANN variant is measured against."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    # norms precompute per side (1 fold/vector) instead of per pair (3x fewer)
     return (
         emb.filter(F.col("vec_id") != 0)
+        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
         .crossJoin(F.broadcast(q))
         .select(
-            "vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos")
+            "vec_id",
+            (dot_fold(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -137,12 +143,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"].withColumn("cell", _bucket(F.col("embedding")))
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"), F.col("cell")
+        F.col("embedding").alias("q_emb"),
+        F.col("cell"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
     )
     return (
         emb.filter(F.col("vec_id") != 0)
+        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
         .join(F.broadcast(q), "cell")
-        .select("vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos"))
+        .select(
+            "vec_id",
+            (dot_fold(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias("cos"),
+        )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(5)
     )
@@ -170,11 +182,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     batch = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("id_new"), F.col("embedding").alias("e_new")
+        F.col("vec_id").alias("id_new"),
+        F.col("embedding").alias("e_new"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n_new"),
     )
-    cos = cosine(F.col("e_new"), F.col("embedding"))
+    cos = dot_fold(F.col("e_new"), F.col("embedding")) / (F.col("n_new") * F.col("norm"))
     return (
-        emb.crossJoin(F.broadcast(batch))
+        emb.withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .crossJoin(F.broadcast(batch))
         .filter(F.col("id_new") < F.col("vec_id"))
         .select(
             "id_new",

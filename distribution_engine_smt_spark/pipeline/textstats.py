@@ -153,15 +153,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle explode happens AFTER projecting only (doc_id, tokens) —
-    the shuffle carries one md5 string per doc via partial min aggregation."""
+    """Winnowing-style fingerprint as a single map-only pass."""
     t = _t(spark, sf_dir)
     from .dedup import shingles
 
+    # array_min over transformed shingles: no explode, no shuffle — the
+    # whole fingerprint pass is map-only (SQL twin groups after unnest;
+    # identical result)
     return (
         t["documents"]
-        .select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
-        .groupBy("doc_id")
-        .agg(F.min(F.md5(F.col("g").cast("binary"))).alias("fingerprint"))
+        .select(
+            "doc_id",
+            F.array_min(
+                F.transform(
+                    shingles(F.col("text")), lambda g: F.md5(g.cast("binary"))
+                )
+            ).alias("fingerprint"),
+        )
         .orderBy(F.col("doc_id").asc())
     )
