@@ -1,0 +1,66 @@
+"""External-source adapters (SURVEY.md §2.1 S9/S10).
+
+The reference enriches from live RPC endpoints: paged token-holder scans
+(reference: server/app.py:356-377 — ``tokenApi.get_holder(1000, offset)``
+loop) and on-demand post/follow fetches. Live RPC is out of engine scope;
+these adapters model the pattern so the rest of the engine treats external
+data as ordinary DataFrames.
+
+``paged_source`` pulls pages on the driver (the pagination protocol is
+inherently sequential) but parses/distributes rows to executors per page,
+so driver memory holds one page at a time — the same discipline the
+reference's 1000-row pages enforce.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def paged_source(
+    spark: SparkSession,
+    fetch_page: Callable[[int, int], list[dict]],
+    schema,
+    page_size: int = 1000,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Materialize a paged external API as a DataFrame.
+
+    ``fetch_page(limit, offset) -> rows`` mirrors the reference's holder
+    scan; iteration stops at the first short page. Each page becomes its own
+    partition-sized createDataFrame + union, keeping peak driver memory at
+    one page."""
+    frames: list[DataFrame] = []
+    offset = 0
+    for _ in range(max_pages):
+        rows = fetch_page(page_size, offset)
+        if not rows:
+            break
+        frames.append(spark.createDataFrame(rows, schema))
+        if len(rows) < page_size:
+            break
+        offset += page_size
+    if not frames:
+        return spark.createDataFrame([], schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def staked_accounts(
+    spark: SparkSession,
+    fetch_page: Callable[[int, int], list[dict]],
+    min_stake: float = 0.0,
+) -> DataFrame:
+    """Staked-accounts list (reference: server/app.py:356-377): paged holder
+    scan -> filter positive stake. The reference caches this for 24 h; the
+    caller owns TTL caching of the returned DataFrame (df.persist() + clock)."""
+    from pyspark.sql import functions as F
+
+    df = paged_source(
+        spark, fetch_page, "account string, symbol string, stake double"
+    )
+    return df.filter(F.col("stake") > min_stake).select("account", "symbol", "stake")
