@@ -138,3 +138,66 @@ _TPCH_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 def register_views(tables: dict[str, DataFrame]) -> None:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    delta: DataFrame,
+    keys: list[str] | None = None,
+    seq_col: str | None = None,
+) -> list:
+    """Partition-scoped upsert: merge ``delta`` into the on-disk table
+    touching ONLY the partitions (e.g. tokens) present in the delta.
+
+    This is the 100 TB write path: a micro-batch touching 3 tokens reads
+    and rewrites 3 partition directories, not the table. Requires the table
+    to be disk-partitioned (PARTITION_COLUMNS) and uses dynamic partition
+    overwrite so untouched partitions' files are never rewritten.
+
+    Returns the list of touched partition values (for logging/metrics).
+    """
+    from pyspark.sql import functions as F
+
+    from . import schemas as _schemas
+    from .operators.merge import merge_upsert
+
+    part_cols = PARTITION_COLUMNS.get(name)
+    if not part_cols:
+        raise ValueError(f"{name} is not partition-keyed; use write_table")
+    if len(part_cols) != 1:
+        raise NotImplementedError("single partition column expected")
+    pcol = part_cols[0]
+    keys = keys or _schemas.UPSERT_KEYS[name]
+
+    touched = [r[0] for r in delta.select(pcol).distinct().collect()]
+    path = os.path.join(root, name)
+    existing = [
+        v for v in touched
+        if os.path.isdir(os.path.join(path, f"{pcol}={v}"))
+    ]
+    if existing:
+        target = (
+            spark.read.option("basePath", path)
+            .schema(_schemas.STATE_TABLES[name])
+            .parquet(*[os.path.join(path, f"{pcol}={v}") for v in existing])
+        )
+    else:
+        target = empty_table(spark, name)
+
+    merged = conform(merge_upsert(target, delta, keys, seq_col=seq_col), name)
+    # self-overwrite safety: materialize before replacing the source files
+    merged = merged.localCheckpoint(eager=True)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        sort_cols = SORT_COLUMNS.get(name, [])
+        writer = merged.repartition(pcol)
+        if sort_cols:
+            writer = writer.sortWithinPartitions(pcol, *sort_cols)
+        writer.write.mode("overwrite").partitionBy(pcol).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return touched
