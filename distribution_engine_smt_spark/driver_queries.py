@@ -929,3 +929,30 @@ def reward_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderkey").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# wire-format timestamps — F11 (reference: formatTimeString server/app.py:76-80)
+# ---------------------------------------------------------------------------
+@register(
+    "time_format_wire",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_wire
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id ASC
+    """,
+)
+def time_format_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API wire format for timestamps (ISO-8601 seconds, no zone suffix) —
+    the reference formats per row in Python; here it's a codegen'd
+    date_format over the scan."""
+    from .functions import format_time
+
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 200)
+        .select("event_id", format_time(F.col("ts")).alias("ts_wire"))
+        .orderBy(F.col("event_id").asc())
+    )
