@@ -53,11 +53,14 @@ def main() -> None:
     extra = [n for n in sorted(driver_queries.QUERIES) if n not in names]
     for name in names + extra:
         fn = driver_queries.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        best = None
+        for _ in range(2):  # min of 2: damps GC/compilation jitter
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
