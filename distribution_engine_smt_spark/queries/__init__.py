@@ -23,6 +23,7 @@ from .accounts import (
     get_token_config,
 )
 from .thread import get_thread
+from .api_edge import format_discussion_rows, to_json_rows
 
 __all__ = [
     "get_discussions_by_created",
@@ -40,4 +41,6 @@ __all__ = [
     "get_post_with_votes",
     "get_state_lag",
     "get_token_config",
+    "format_discussion_rows",
+    "to_json_rows",
 ]

@@ -107,7 +107,9 @@ def load_tpch(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     time columns behave identically and match the DuckDB view of the same
     files. Session TZ is pinned to UTC so LTZ->NTZ conversion is the
     identity."""
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a GC'd session's address can be reused
+    # by a new session, which would serve dead DataFrames from the cache
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TPCH_CACHE.get(key)
     if cached is not None:
         return dict(cached)

@@ -178,3 +178,18 @@ def test_account_map_and_post_votes(state):
 def test_state_lag(state):
     lag = {r["name"]: r["lag_seconds"] for r in queries.get_state_lag(state, now=NOW).collect()}
     assert lag == {"HIVED": 30, "ENGINE_SIDECHAIN": 9}
+
+
+def test_api_edge_formatting(state):
+    df = queries.get_discussions_by_blog(state, "TKN", "dave")
+    shaped = queries.format_discussion_rows(df)
+    rows = shaped.collect()
+    assert rows and rows[0]["author"] == "bob" and rows[0]["permlink"] == "post2"
+    assert rows[0]["hive"] is False
+    assert rows[0]["reblogged_by"] == ["dave"]
+    assert rows[0]["created"].startswith("2024-01-01T")
+    js = queries.to_json_rows(shaped, limit=10)
+    import json as _json
+
+    parsed = _json.loads(js[0])
+    assert parsed["authorperm"] == "@bob/post2"
