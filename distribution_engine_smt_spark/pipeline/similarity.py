@@ -199,3 +199,133 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEARDUP_COSINE)
         .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH near-dup: L tables x K sign-bits + exact verify
+# ---------------------------------------------------------------------------
+RHP_TABLES = 8   # L: independent hash tables (union of candidates)
+RHP_BITS = 4     # K: hyperplanes per table (bucket = K-bit sign pattern)
+
+
+def _hyperplane_signs() -> list[list[list[float]]]:
+    """Deterministic pseudo-random ±1 hyperplane components, derived from
+    md5 so both engines share the exact same planes as literals. Shape:
+    [table][bit][dim]."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{t}:{k}:{i}".encode()).hexdigest()[0], 16) >= 8
+                else -1.0
+                for i in range(DIM)
+            ]
+            for k in range(RHP_BITS)
+        ]
+        for t in range(RHP_TABLES)
+    ]
+
+
+_SIGNS = _hyperplane_signs()
+
+
+def _rhp_bucket(col: Column, t: int) -> Column:
+    """K-bit bucket id for hash table t: bit_k = sign(embedding . plane_k)."""
+    acc = F.lit(0)
+    for k in range(RHP_BITS):
+        plane = F.array(*[F.lit(s) for s in _SIGNS[t][k]])
+        dot = F.aggregate(
+            F.zip_with(col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return acc
+
+
+def _rhp_bucket_sql(col: str, t: int) -> str:
+    bits = []
+    for k in range(RHP_BITS):
+        lit = "[" + ", ".join(str(s) for s in _SIGNS[t][k]) + "]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_RHP_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_rhp_bucket_sql('embedding', t)} AS bucket "
+    "FROM embeddings"
+    for t in range(RHP_TABLES)
+)
+
+_RHP_SQL = f"""
+    WITH bands AS ({_RHP_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE a.vec_id < 100
+    )
+    SELECT c.id_new, c.id_corpus,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_new
+    JOIN embeddings b ON b.vec_id = c.id_corpus
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
+    ORDER BY id_new ASC, id_corpus ASC
+"""
+
+
+@register("dedup_embedding_lsh", _RHP_SQL)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale version of dedup_embedding_cosine: candidates come
+    from sign-pattern bucket collisions in L=8 independent K=4-bit
+    hyperplane tables (recall ≈ 1-(1-p^K)^L with p = 1-θ/π), exact cosine
+    verifies only candidates. At 100 TB the (tbl, bucket) pair is the
+    shuffle key — all-pairs work is confined to bucket interiors, like the
+    MinHash-LSH text path."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    band_frames = [
+        emb.select(
+            "vec_id", F.lit(tb).alias("tbl"), _rhp_bucket(F.col("embedding"), tb).alias("bucket")
+        )
+        for tb in range(RHP_TABLES)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    bands = bands.persist()
+    a = bands.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_new"), "tbl", "bucket"
+    )
+    b = bands.select(F.col("vec_id").alias("id_corpus"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_new") < F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("id_new"),
+        F.col("embedding").alias("e1"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id_corpus"),
+        F.col("embedding").alias("e2"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n2"),
+    )
+    cos = dot_fold(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        cand.join(e1, "id_new")
+        .join(e2, "id_corpus")
+        .select("id_new", "id_corpus", cos.alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COSINE)
+        .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
+    )

@@ -51,3 +51,24 @@ def test_decode_stub_deterministic(spark):
     assert a == b
     assert all(r["status"] == "ok:stub" and r["n_bytes"] > 0 for r in a)
     assert all(64 <= r["width"] < 256 and 64 <= r["height"] < 256 for r in a)
+
+
+def test_embedding_lsh_subset_and_recall(spark):
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r["id_new"], r["id_corpus"]): r["cos"]
+        for r in dedup_embedding_cosine(spark, SF_DIR_ORACLE).collect()
+    }
+    lsh = {
+        (r["id_new"], r["id_corpus"]): r["cos"]
+        for r in dedup_embedding_lsh(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH produced a pair brute force lacks"
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # theoretical recall ~0.8 at cos>=0.4 with L=8,K=4; demand a loose floor
+    assert len(lsh) >= len(exact) * 0.4, (len(lsh), len(exact))
