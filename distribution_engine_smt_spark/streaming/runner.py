@@ -114,12 +114,53 @@ class DualStreamRunner:
     def load_state(self) -> dict[str, DataFrame]:
         return tables.load_state(self.spark, self.state_dir)
 
-    def save_state(self, state: dict[str, DataFrame], only: list[str] | None = None) -> None:
+    def save_state(
+        self,
+        state: dict[str, DataFrame],
+        only: list[str] | None = None,
+        touched_partitions: dict[str, list] | None = None,
+    ) -> None:
+        """Persist state tables. When ``touched_partitions`` names the
+        partition values a batch touched (e.g. {'posts': ['TKN']}), the
+        partitioned tables are written with dynamic partition overwrite
+        restricted to those values — the 100 TB write path: a batch
+        touching 2 tokens rewrites 2 directories, not the table."""
+        from pyspark.sql import functions as F
+
+        touched_partitions = touched_partitions or {}
         for name in only or schemas.STATE_TABLES:
             df = state[name]
+            part_cols = tables.PARTITION_COLUMNS.get(name)
+            touched = touched_partitions.get(name)
             # materialize before overwrite: the new state reads the old files
-            df = df.localCheckpoint(eager=True)
-            tables.write_table(df, self.state_dir, name)
+            if part_cols and touched is not None:
+                if not touched:
+                    continue  # batch didn't touch this table at all
+                pcol = part_cols[0]
+                delta = tables.conform(
+                    df.filter(F.col(pcol).isin(touched)), name
+                ).localCheckpoint(eager=True)
+                prev = self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    sort_cols = tables.SORT_COLUMNS.get(name, [])
+                    w = delta.repartition(pcol)
+                    if sort_cols:
+                        w = w.sortWithinPartitions(pcol, *sort_cols)
+                    w.write.mode("overwrite").partitionBy(pcol).parquet(
+                        os.path.join(self.state_dir, name)
+                    )
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+            else:
+                df = df.localCheckpoint(eager=True)
+                tables.write_table(df, self.state_dir, name)
 
     # -- batch handlers (called by foreachBatch and usable directly) --------
     def process_l1_batch(self, ops: DataFrame, batch_id: int, now: datetime | None = None) -> None:
@@ -152,7 +193,31 @@ class DualStreamRunner:
         new_state["configuration"] = merge_upsert(
             new_state["configuration"], ckpt, ["id"]
         )
-        self.save_state(new_state)
+        # tokens this batch touched: symbols in event data + payload symbols
+        # — bounds the partitioned-table writes to the touched partitions
+        from pyspark.sql import functions as F
+
+        sym_events = txs.select(
+            F.explode_outer(
+                F.from_json(
+                    F.col("logs"), "struct<events:array<struct<data:struct<symbol:string>>>>"
+                )["events"]
+            ).alias("ev")
+        ).select(F.col("ev.data.symbol").alias("s"))
+        sym_payload = txs.select(
+            F.get_json_object(F.col("payload"), "$.symbol").alias("s")
+        )
+        tokens = [
+            r["s"]
+            for r in sym_events.unionByName(sym_payload).filter(F.col("s").isNotNull()).distinct().collect()
+        ]
+        touched = {
+            "posts": tokens,
+            "votes": tokens,
+            "account_history": tokens,
+            "accounts": tokens,
+        }
+        self.save_state(new_state, touched_partitions=touched)
 
 
 def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
