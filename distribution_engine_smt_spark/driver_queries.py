@@ -956,3 +956,57 @@ def time_format_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", format_time(F.col("ts")).alias("ts_wire"))
         .orderBy(F.col("event_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# tolerant double-JSON decode — F8 (reference:
+# custom_json_processor.py:20-30 json.loads twice)
+# ---------------------------------------------------------------------------
+@register(
+    "json_double_decode",
+    """
+    WITH mixed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN props
+                  ELSE to_json(props)::VARCHAR  -- double-encode odd rows
+             END AS payload
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           CAST(json_extract_string(json_extract_string(payload, '$'), '$.k')
+                AS BIGINT) AS k
+    FROM mixed
+    ORDER BY event_id ASC
+    """,
+)
+def json_double_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's tolerant double-decode: payloads arrive either as a
+    JSON object or as a JSON-encoded STRING of a JSON object; both decode
+    to the same fields (functions.json_str_field coalesces the two paths,
+    all JVM-side)."""
+    from .functions import json_str_field
+
+    t = _t(spark, sf_dir)
+    # JSON-string-encode: escape backslashes and quotes, wrap in quotes —
+    # byte-identical to DuckDB's to_json(varchar)
+    encoded = F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(F.col("props"), r"\\", r"\\\\"), '"', '\\\\"'
+        ),
+        F.lit('"'),
+    )
+    mixed = (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 2 == 0, F.col("props"))
+            .otherwise(encoded)
+            .alias("payload"),
+        )
+    )
+    return mixed.select(
+        "event_id",
+        json_str_field(F.col("payload"), "k").cast("bigint").alias("k"),
+    ).orderBy(F.col("event_id").asc())
