@@ -162,30 +162,77 @@ class DualStreamRunner:
                 df = df.localCheckpoint(eager=True)
                 tables.write_table(df, self.state_dir, name)
 
+    # -- holdback re-queue ---------------------------------------------------
+    # The file source's checkpoint marks a file consumed the moment its batch
+    # runs, so ops a gate rejects (too young, or ahead of the L2 clock) would
+    # be lost under continuous triggers. Instead, ineligible ops are parked in
+    # root/holdback/<stream> and unioned into the next batch; the reference
+    # gets the same effect by returning False and re-reading the block
+    # (reference: stream_blocks.py:64-93 pauses instead of skipping).
+    def _holdback_path(self, which: str) -> str:
+        return os.path.join(self.root, "holdback", which)
+
+    def _load_holdback(self, which: str, schema) -> DataFrame | None:
+        path = self._holdback_path(which)
+        if not os.path.isdir(path):
+            return None
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            return None
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _save_holdback(self, which: str, df: DataFrame) -> None:
+        # tiny frame (ops within ~15 s of head); single file keeps re-listing cheap
+        df.coalesce(1).write.mode("overwrite").parquet(self._holdback_path(which))
+
     # -- batch handlers (called by foreachBatch and usable directly) --------
     def process_l1_batch(self, ops: DataFrame, batch_id: int, now: datetime | None = None) -> None:
         state = self.load_state()
-        ops = head_delay_filter(ops, now=now)
+        held = self._load_holdback("l1", schemas.OPS_L1)
+        if held is not None:
+            ops = ops.unionByName(held, allowMissingColumns=True)
+        # decouple from the holdback files we are about to overwrite
+        ops = ops.localCheckpoint(eager=True)
+        now_ = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        cond = F.col("timestamp") <= F.timestamp_add(
+            "SECOND", F.lit(-HEAD_DELAY_SECONDS), F.lit(now_)
+        )
         bound = l2_alignment_bound(state)
         if bound is not None:
             # L2 leads: only ops strictly older than the L2 clock commit
-            ops = ops.filter(F.col("timestamp") < F.lit(bound))
-        if ops.isEmpty():
+            cond = cond & (F.col("timestamp") < F.lit(bound))
+        eligible, parked = ops.filter(cond), ops.filter(~cond)
+        if eligible.isEmpty():
+            self._save_holdback("l1", parked)
             return
-        new_state = apply_l1_batch(state, ops)
+        new_state = apply_l1_batch(state, eligible)
+        ops = eligible
         ckpt = _checkpoint_row(self.spark, 1, "HIVED", ops, "block_num", "timestamp")
         from ..operators import merge_upsert
 
         new_state["configuration"] = merge_upsert(
             new_state["configuration"], ckpt, ["id"]
         )
+        # state first, holdback second: a crash between the two re-runs the
+        # batch against the OLD holdback, and the merges are replay-idempotent
+        # — never the reverse order, which could lose parked ops
         self.save_state(new_state)
+        self._save_holdback("l1", parked)
 
     def process_l2_batch(self, txs: DataFrame, batch_id: int, now: datetime | None = None) -> None:
         state = self.load_state()
-        txs = head_delay_filter(txs, now=now)
-        if txs.isEmpty():
+        held = self._load_holdback("l2", schemas.TXS_L2)
+        if held is not None:
+            txs = txs.unionByName(held, allowMissingColumns=True)
+        txs = txs.localCheckpoint(eager=True)
+        now_ = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        cond = F.col("timestamp") <= F.timestamp_add(
+            "SECOND", F.lit(-HEAD_DELAY_SECONDS), F.lit(now_)
+        )
+        eligible, parked = txs.filter(cond), txs.filter(~cond)
+        if eligible.isEmpty():
+            self._save_holdback("l2", parked)
             return
+        txs = eligible
         new_state = apply_l2_batch(state, txs)
         ckpt = _checkpoint_row(self.spark, 2, "ENGINE_SIDECHAIN", txs, "blockNumber", "timestamp")
         from ..operators import merge_upsert
@@ -195,8 +242,6 @@ class DualStreamRunner:
         )
         # tokens this batch touched: symbols in event data + payload symbols
         # — bounds the partitioned-table writes to the touched partitions
-        from pyspark.sql import functions as F
-
         sym_events = txs.select(
             F.explode_outer(
                 F.from_json(
@@ -218,6 +263,7 @@ class DualStreamRunner:
             "accounts": tokens,
         }
         self.save_state(new_state, touched_partitions=touched)
+        self._save_holdback("l2", parked)
 
 
 def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:

@@ -128,6 +128,66 @@ def _write_l1_follow_ops(path, early_ts, late_ts):
             f.write(json.dumps(r) + "\n")
 
 
+def _ops_df(spark, rows):
+    return spark.read.schema(schemas.OPS_L1).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows] or ["{}"])
+    ).filter("block_num is not null")
+
+
+def test_l1_holdback_parks_and_releases_gated_ops(spark, runner):
+    # L2 clock at T0: an op AT T0 fails the alignment gate. It must be
+    # parked in the holdback, not dropped, and commit once L2 advances.
+    from distribution_engine_smt_spark.operators import merge_upsert
+
+    state = runner.load_state()
+    ckpt = spark.createDataFrame(
+        [(2, None, None, 100, T0, "ENGINE_SIDECHAIN")], schemas.CONFIGURATION
+    )
+    state["configuration"] = merge_upsert(state["configuration"], ckpt, ["id"])
+    runner.save_state(state, only=["configuration"])
+
+    op = _l1_row(11, 0, "custom_json", ts=T0, id="follow",
+                 json=json.dumps(["follow", {"follower": "u", "following": "held-target", "what": ["blog"]}]),
+                 required_posting_auths=["u"], required_auths=[])
+    runner.process_l1_batch(_ops_df(spark, [op]), 0, now=NOW)
+    assert runner.load_state()["follows"].isEmpty()
+    held = runner._load_holdback("l1", schemas.OPS_L1)
+    assert held is not None and held.count() == 1
+
+    # L2 advances past T0 -> an empty next batch releases the parked op
+    ckpt2 = spark.createDataFrame(
+        [(2, None, None, 101, T0 + timedelta(seconds=60), "ENGINE_SIDECHAIN")],
+        schemas.CONFIGURATION,
+    )
+    state = runner.load_state()
+    state["configuration"] = merge_upsert(state["configuration"], ckpt2, ["id"])
+    runner.save_state(state, only=["configuration"])
+    runner.process_l1_batch(_ops_df(spark, []), 1, now=NOW)
+    follows = {r["following"] for r in runner.load_state()["follows"].collect()}
+    assert follows == {"held-target"}
+    assert runner._load_holdback("l1", schemas.OPS_L1).isEmpty()
+
+
+def test_l2_holdback_parks_young_txs(spark, runner):
+    # a tx younger than the 15 s head delay is parked, then committed
+    # once enough wall-clock has passed
+    young = _l2_row(9, 0, {"author": "carol", "permlink": "py"},
+                    {"events": [{"contract": "comments", "event": "newComment", "data": {"symbol": "TKN"}}]},
+                    ts=NOW - timedelta(seconds=5))
+    txs = spark.read.schema(schemas.TXS_L2).json(
+        spark.sparkContext.parallelize([json.dumps(young)])
+    )
+    runner.process_l2_batch(txs, 0, now=NOW)
+    assert runner.load_state()["posts"].isEmpty()
+    assert runner._load_holdback("l2", schemas.TXS_L2).count() == 1
+
+    empty = spark.createDataFrame([], schemas.TXS_L2)
+    runner.process_l2_batch(empty, 1, now=NOW + timedelta(seconds=30))
+    authors = {r["author"] for r in runner.load_state()["posts"].collect()}
+    assert authors == {"carol"}
+    assert runner._load_holdback("l2", schemas.TXS_L2).isEmpty()
+
+
 def test_head_delay_filter(spark):
     now = NOW
     df = spark.createDataFrame(
