@@ -291,16 +291,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH text path."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    band_frames = [
+    # one scan computes all L bucket ids, posexplode emits (tbl, bucket) —
+    # identical fold arithmetic to the per-table plan, minus L-1 re-scans
+    bands = (
         emb.select(
-            "vec_id", F.lit(tb).alias("tbl"), _rhp_bucket(F.col("embedding"), tb).alias("bucket")
+            "vec_id",
+            F.array(
+                *[_rhp_bucket(F.col("embedding"), tb) for tb in range(RHP_TABLES)]
+            ).alias("bks"),
         )
-        for tb in range(RHP_TABLES)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
-    bands = bands.persist()
+        .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+        .persist()
+    )
     a = bands.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("id_new"), "tbl", "bucket"
     )
