@@ -1,16 +1,18 @@
 """Ordered body-edit fold — the one genuine Python UDF in the engine.
 
 The reference receives comment edits as diff-match-patch patch text and
-applies them to the stored body, falling back to the raw text when the patch
-doesn't apply (reference: comment_processor_for_engine.py:102-130). This is
-inherently order-sensitive per post and needs the DMP library, so it runs as
-``applyInPandas`` grouped by authorperm, sorted by (block_num, op_seq) —
-SURVEY.md §2.8 F17 / §2.9 ST7.
+applies them to the stored body, falling back to the raw text when the text
+doesn't parse as patches (reference:
+comment_processor_for_engine.py:102-130). This is inherently order-sensitive
+per post, so it runs as ``applyInPandas`` grouped by authorperm, sorted by
+(block_num, op_seq) — SURVEY.md §2.8 F17 / §2.9 ST7.
 
-The ``diff_match_patch`` library is not available in this container; the
-patch-apply step degrades to "treat the edit as a full body replacement",
-which is also the reference's final fallback. The Spark-side plumbing
-(grouping, ordering, Arrow batching, schema) is real and tested.
+Patch parsing and fuzzy application come from ``dmp_core`` (clean-room
+implementation of the published diff-match-patch algorithms); the real
+``diff_match_patch`` library is preferred when installed. Matching the
+reference exactly: per-patch success flags are IGNORED (``new_body, _ =
+dmp.patch_apply(...)``) — a partially-applied patch set still replaces the
+body with whatever came out.
 """
 
 from __future__ import annotations
@@ -27,41 +29,43 @@ RESULT_SCHEMA = StructType(
 )
 
 
+def apply_body_edit(base: str, edit: str) -> str:
+    """One edit step: DMP patch text applies to ``base``; anything that
+    doesn't parse as patch text is a full body replacement — the
+    reference's fallback chain (comment_processor_for_engine.py:105-130)."""
+    try:
+        from diff_match_patch import diff_match_patch as _DMP
+
+        dmp = _DMP()
+        patch_from_text, patch_apply = dmp.patch_fromText, dmp.patch_apply
+    except Exception:
+        from . import dmp_core
+
+        patch_from_text, patch_apply = dmp_core.patch_from_text, dmp_core.patch_apply
+    if not isinstance(edit, str):
+        return edit
+    try:
+        patches = patch_from_text(edit)
+    except Exception:
+        return edit
+    if not patches:
+        return edit
+    new_body, _results = patch_apply(patches, base or "")
+    return new_body
+
+
 def fold_body_edits(edits: DataFrame) -> DataFrame:
     """edits(authorperm, block_num, op_seq, body) -> final body per authorperm.
 
     Distributed: one Arrow batch per authorperm group; groups shuffle-hash on
     authorperm so the fold parallelizes across executors. Edit chains per
     post are short (human-scale), so group size is bounded.
-
-    The grouped function is fully self-contained (helpers nested, imports
-    inside) so cloudpickle ships it by value — executors don't need this
-    package importable.
     """
 
     def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import pandas as _pd
 
-        try:
-            from diff_match_patch import diff_match_patch as _DMP
-
-            dmp = _DMP()
-        except Exception:
-            dmp = None
-
-        def apply_one(base: str, edit: str) -> str:
-            # DMP patch if it parses and applies, else full replacement —
-            # the reference's fallback chain
-            # (comment_processor_for_engine.py:109-126)
-            if dmp is not None and isinstance(edit, str) and edit.startswith("@@"):
-                try:
-                    patches = dmp.patch_fromText(edit)
-                    new_body, results = dmp.patch_apply(patches, base or "")
-                    if all(results):
-                        return new_body
-                except Exception:
-                    pass
-            return edit
+        from distribution_engine_smt_spark.functions.dmp import apply_body_edit
 
         pdf = pdf.sort_values(["block_num", "op_seq"])
         body = ""
@@ -71,7 +75,7 @@ def fold_body_edits(edits: DataFrame) -> DataFrame:
                 body = edit or ""
                 first = False
             else:
-                body = apply_one(body, edit)
+                body = apply_body_edit(body, edit)
         return _pd.DataFrame(
             {"authorperm": [pdf["authorperm"].iloc[0]], "body": [body]}
         )

@@ -26,6 +26,12 @@ from ..driver_queries import _t, register
 N_HASHES = 8          # MinHash signature length
 BANDS = 4             # LSH bands (rows per band = N_HASHES // BANDS = 2)
 JACCARD_THRESHOLD = 0.5
+# document-frequency cap for the all-pairs baseline: a shingle appearing in
+# more than this many docs is dropped from the index BEFORE sizes and
+# intersections (standard stop-shingle practice) — the posting-list
+# self-join is quadratic per shingle, and one hot shingle ("in the the")
+# otherwise dominates the whole job at corpus scale
+SHINGLE_DF_CAP = 100
 
 
 def shingles(text: Column) -> Column:
@@ -90,7 +96,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard all-pairs (the exact baseline)
 # ---------------------------------------------------------------------------
 _JACCARD_PAIRS_SQL = f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh_all AS ({_SHINGLE_SQL}),
+    df AS (SELECT g FROM sh_all GROUP BY g HAVING count(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh_all.* FROM sh_all JOIN df USING (g)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
@@ -113,7 +121,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, so only docs sharing a shingle ever meet — still quadratic in
     the worst case (hot shingles); the LSH variant below is the scale path.
     """
-    sh = _shingle_df(spark, sf_dir)
+    sh_all = _shingle_df(spark, sf_dir)
+    # stop-shingle cap: drop hot shingles (df > SHINGLE_DF_CAP) before any
+    # size or intersection math — bounds every posting list the self-join
+    # sees; the oracle applies the identical cap
+    keep = (
+        sh_all.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("g")
+    )
+    sh = sh_all.join(keep, "g", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "g")
     b = sh.select(F.col("doc_id").alias("d2"), "g")
@@ -288,53 +306,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, majority-vote the 4 bits across tokens (weight = term
     frequency). Near-dup pairs then compare sketches by hamming distance —
     a 16-char join key family instead of all-pairs text comparison.
-    Single scan + one groupBy(doc_id,p) shuffle; p fan-out is 16x."""
+
+    MAP-SIDE: the sketch folds over the per-row token array with
+    higher-order functions (one md5 per token, 64 cheap array folds), so
+    there is NO explode and NO Exchange before the sketch — at corpus scale
+    the old explode×16 + groupBy pushed 16× the token count through a
+    shuffle for a result that is one row per doc."""
     t = _t(spark, sf_dir)
-    toks = t["documents"].select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
-    )
-    bits = toks.select(
+    docs = t["documents"].select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p"),
-        F.col("tok"),
-    ).select(
-        "doc_id",
-        "p",
-        (
-            F.expr("locate(substr(md5(cast(tok as binary)), p, 1), '0123456789abcdef')")
-            - 1
-        ).alias("v"),
+        # md5 computed once per token; the folds below only read bits
+        F.transform(
+            F.split(F.trim(F.col("text")), " "),
+            lambda tok: F.md5(tok.cast("binary")),
+        ).alias("hexes"),
     )
 
-    def maj(expr, weight):
-        return F.when(
-            F.lit(2) * F.sum(expr) >= F.count("*"), F.lit(weight)
-        ).otherwise(F.lit(0))
+    def _hexval(h, p: int):
+        # hex char at position p -> 0..15 via ascii math ('0'-'9','a'-'f')
+        a = F.ascii(F.substring(h, p, 1))
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
 
-    votes = bits.groupBy("doc_id", "p").agg(
-        (
-            maj(F.floor(F.col("v") / 8), 8)
-            + maj(F.floor(F.col("v") / 4) % 2, 4)
-            + maj(F.floor(F.col("v") / 2) % 2, 2)
-            + maj(F.col("v") % 2, 1)
-        ).alias("digit")
-    )
-    votes = votes.withColumn(
-        "ch", F.expr("substr('0123456789abcdef', digit + 1, 1)")
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "ch"))),
-                    lambda s: s["ch"],
-                ),
-                "",
-            ).alias("simhash")
-        )
-        .orderBy(F.col("doc_id").asc())
-    )
+    n = F.size(F.col("hexes"))
+
+    def _digit(p: int):
+        out = F.lit(0)
+        for b in range(4):  # bit b of the hex digit, weight 2^b
+            s = F.aggregate(
+                F.col("hexes"),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.shiftright(_hexval(h, p), b).bitwiseAND(F.lit(1)),
+            )
+            out = out + F.when(F.lit(2) * s >= n, F.lit(1 << b)).otherwise(F.lit(0))
+        return F.lower(F.conv(out.cast("string"), 10, 16))
+
+    return docs.select(
+        "doc_id",
+        F.concat(*[_digit(p) for p in range(1, 17)]).alias("simhash"),
+    ).orderBy(F.col("doc_id").asc())
 
 
 # ---------------------------------------------------------------------------

@@ -47,16 +47,50 @@ def _with_seq_ap(ops: DataFrame) -> DataFrame:
     )
 
 
+def _batch_flags(ops: DataFrame) -> dict[str, bool]:
+    """ONE driver job classifying which op families a batch contains —
+    replaces a chain of per-family ``isEmpty()`` jobs (each a full Spark
+    job of pure latency at a 3 s trigger cadence)."""
+
+    def _has(cond):
+        return F.max(F.when(cond, 1).otherwise(0))
+
+    is_cj = F.col("type") == "custom_json"
+    row = ops.agg(
+        _has(F.col("type") == "comment").alias("comments"),
+        _has(F.col("type") == "delete_comment").alias("deletes"),
+        _has(
+            is_cj
+            & (F.col("id") == "follow")
+            & (F.get_json_object(F.col("json"), "$[0]") == "follow")
+        ).alias("follows"),
+        _has(
+            is_cj
+            & F.col("id").isin("follow", "reblog")
+            & (F.get_json_object(F.col("json"), "$[0]") == "reblog")
+        ).alias("reblogs"),
+        _has(is_cj & (F.col("id") == "scot_set_tribe_settings")).alias("tribe"),
+    ).first()
+    return {k: bool(row[k]) for k in row.asDict()}
+
+
+def _skip(df: DataFrame, present: bool | None) -> bool:
+    """Family guard: trust the precomputed batch flag when given, else fall
+    back to a per-call isEmpty (direct/unit use of one apply_* function)."""
+    return (not present) if present is not None else df.isEmpty()
+
+
 def apply_l1_batch(state: dict[str, DataFrame], ops: DataFrame) -> dict[str, DataFrame]:
     """Apply one batch of L1 ops. Dispatch mirrors stream_blocks.py:125-158."""
     ops = _with_seq_ap(ops)
+    flags = _batch_flags(ops)
     comments = ops.filter(F.col("type") == "comment")
     deletes = ops.filter(F.col("type") == "delete_comment")
     cjson = ops.filter(F.col("type") == "custom_json")
 
     # comment ops superseded by a later delete of the same authorperm are
     # dropped; deletes superseded by a later re-post are dropped
-    if not deletes.isEmpty():
+    if flags["deletes"]:
         last_del = deletes.groupBy("authorperm").agg(F.max("seq").alias("del_seq"))
         comments = comments.join(F.broadcast(last_del), "authorperm", "left").filter(
             F.col("del_seq").isNull() | (F.col("seq") > F.col("del_seq"))
@@ -68,19 +102,21 @@ def apply_l1_batch(state: dict[str, DataFrame], ops: DataFrame) -> dict[str, Dat
             F.col("com_seq").isNull() | (F.col("seq") > F.col("com_seq"))
         )
 
-    state = apply_comments(state, comments)
-    state = apply_deletes(state, deletes)
-    state = apply_follows(state, cjson)
-    state = apply_reblogs(state, cjson)
-    state = apply_tribe_settings(state, cjson)
+    state = apply_comments(state, comments, present=flags["comments"])
+    state = apply_deletes(state, deletes, present=flags["deletes"])
+    state = apply_follows(state, cjson, present=flags["follows"])
+    state = apply_reblogs(state, cjson, present=flags["reblogs"])
+    state = apply_tribe_settings(state, cjson, present=flags["tribe"])
     return state
 
 
 # ---------------------------------------------------------------------------
 # comment ops (reference: comment_processor_for_engine.py:32-209)
 # ---------------------------------------------------------------------------
-def apply_comments(state: dict[str, DataFrame], comments: DataFrame) -> dict[str, DataFrame]:
-    if comments.isEmpty():
+def apply_comments(
+    state: dict[str, DataFrame], comments: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
+    if _skip(comments, present):
         return state
     posts, meta, accounts = state["posts"], state["post_metadata"], state["accounts"]
 
@@ -255,8 +291,10 @@ def apply_comments(state: dict[str, DataFrame], comments: DataFrame) -> dict[str
 # engine/post_storage.py:407-415 — deletes post rows for ALL tokens; the
 # metadata row is left in place, matching the reference)
 # ---------------------------------------------------------------------------
-def apply_deletes(state: dict[str, DataFrame], deletes: DataFrame) -> dict[str, DataFrame]:
-    if deletes.isEmpty():
+def apply_deletes(
+    state: dict[str, DataFrame], deletes: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
+    if _skip(deletes, present):
         return state
     out = dict(state)
     out["posts"] = delete_by_keys(state["posts"], deletes.select("authorperm"), ["authorperm"])
@@ -266,12 +304,14 @@ def apply_deletes(state: dict[str, DataFrame], deletes: DataFrame) -> dict[str, 
 # ---------------------------------------------------------------------------
 # custom_json: follow (reference: custom_json_follow_processor.py:18-42)
 # ---------------------------------------------------------------------------
-def apply_follows(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, DataFrame]:
+def apply_follows(
+    state: dict[str, DataFrame], cjson: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     follows_ops = cjson.filter(
         (F.col("id") == "follow")
         & (F.get_json_object(F.col("json"), "$[0]") == "follow")
     )
-    if follows_ops.isEmpty():
+    if _skip(follows_ops, present):
         return state
     parsed = follows_ops.select(
         extract_user(F.col("required_posting_auths"), F.col("required_auths")).alias("user"),
@@ -308,12 +348,14 @@ def apply_follows(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, Da
 # custom_json: reblog — under id 'follow' OR 'reblog'
 # (reference: stream_blocks.py:125-146, custom_json_reblog_processor.py)
 # ---------------------------------------------------------------------------
-def apply_reblogs(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, DataFrame]:
+def apply_reblogs(
+    state: dict[str, DataFrame], cjson: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     reblog_ops = cjson.filter(
         F.col("id").isin("follow", "reblog")
         & (F.get_json_object(F.col("json"), "$[0]") == "reblog")
     )
-    if reblog_ops.isEmpty():
+    if _skip(reblog_ops, present):
         return state
     parsed = reblog_ops.select(
         extract_user(F.col("required_posting_auths"), F.col("required_auths")).alias("user"),
@@ -362,9 +404,11 @@ def apply_reblogs(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, Da
 # engine API; issuer is external state we don't index, so the check is
 # delegated to the caller — documented deviation.)
 # ---------------------------------------------------------------------------
-def apply_tribe_settings(state: dict[str, DataFrame], cjson: DataFrame) -> dict[str, DataFrame]:
+def apply_tribe_settings(
+    state: dict[str, DataFrame], cjson: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     ops = cjson.filter(F.col("id") == "scot_set_tribe_settings")
-    if ops.isEmpty():
+    if _skip(ops, present):
         return state
     parsed = ops.select(
         extract_user(F.col("required_posting_auths"), F.col("required_auths")).alias("user"),

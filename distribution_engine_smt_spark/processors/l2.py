@@ -77,6 +77,44 @@ def _payload(col: str, typ: str = "string"):
     return F.get_json_object(F.col("payload"), f"$.{col}").cast(typ)
 
 
+def _event_flag(*names: str):
+    """True when any comments-contract event with one of ``names`` exists in
+    a tx's parsed log — evaluated map-side over the events array."""
+    return F.exists(
+        "parsed_logs.events",
+        lambda e: (e["contract"] == F.lit("comments")) & e["event"].isin(*names),
+    )
+
+
+def _batch_flags(ok: DataFrame) -> dict[str, bool]:
+    """ONE driver job classifying which op families a batch contains —
+    replaces a chain of per-family ``isEmpty()`` jobs (each a full Spark
+    job of pure latency at a 3 s trigger cadence)."""
+
+    def _has(cond):
+        return F.max(F.when(cond, 1).otherwise(0))
+
+    row = ok.agg(
+        _has(F.col("action").isin("setMute", "setPostMute")).alias("mutes"),
+        _has((F.col("contract") == "tokens") & (F.col("action") == "transfer")).alias(
+            "promotions"
+        ),
+        _has(_event_flag("newComment")).alias("new_comments"),
+        _has(_event_flag("newVote", "updateVote")).alias("votes"),
+        _has(
+            _event_flag("curationReward", "beneficiaryReward", "authorReward")
+        ).alias("rewards"),
+        _has(_event_flag("createRewardPool", "updateRewardPool")).alias("pools"),
+    ).first()
+    return {k: bool(row[k]) for k in row.asDict()}
+
+
+def _skip(df: DataFrame, present: bool | None) -> bool:
+    """Family guard: trust the precomputed batch flag when given, else fall
+    back to a per-call isEmpty (direct/unit use of one apply_* function)."""
+    return (not present) if present is not None else df.isEmpty()
+
+
 def apply_l2_batch(
     state: dict[str, DataFrame], txs: DataFrame
 ) -> dict[str, DataFrame]:
@@ -89,6 +127,7 @@ def apply_l2_batch(
     ok = txs.filter(
         F.col("parsed_logs").isNull() | F.col("parsed_logs.errors").isNull()
     )
+    flags = _batch_flags(ok)
     comments_txs = ok.filter(F.col("contract") == "comments")
 
     events = (
@@ -118,21 +157,23 @@ def apply_l2_batch(
         )
     )
 
-    state = apply_mutes(state, comments_txs)
-    state = apply_new_comments(state, events)
-    state = apply_votes(state, events)
-    state = apply_rewards(state, events)
-    state = apply_reward_pools(state, events)
-    state = apply_promotions(state, ok)
+    state = apply_mutes(state, comments_txs, present=flags["mutes"])
+    state = apply_new_comments(state, events, present=flags["new_comments"])
+    state = apply_votes(state, events, present=flags["votes"])
+    state = apply_rewards(state, events, present=flags["rewards"])
+    state = apply_reward_pools(state, events, present=flags["pools"])
+    state = apply_promotions(state, ok, present=flags["promotions"])
     return state
 
 
 # ---------------------------------------------------------------------------
 # setMute / setPostMute (engine_comments_contract_processor.py:33-49)
 # ---------------------------------------------------------------------------
-def apply_mutes(state: dict[str, DataFrame], txs: DataFrame) -> dict[str, DataFrame]:
+def apply_mutes(
+    state: dict[str, DataFrame], txs: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     mutes = txs.filter(F.col("action").isin("setMute", "setPostMute"))
-    if mutes.isEmpty():
+    if _skip(mutes, present):
         return state
     out = dict(state)
     # rewardPoolId -> token via token_config (small dim, broadcast)
@@ -182,9 +223,11 @@ def apply_mutes(state: dict[str, DataFrame], txs: DataFrame) -> dict[str, DataFr
 # ---------------------------------------------------------------------------
 # newComment (engine_comments_contract_processor.py:56-74)
 # ---------------------------------------------------------------------------
-def apply_new_comments(state: dict[str, DataFrame], events: DataFrame) -> dict[str, DataFrame]:
+def apply_new_comments(
+    state: dict[str, DataFrame], events: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     nc = events.filter(F.col("event") == "newComment")
-    if nc.isEmpty():
+    if _skip(nc, present):
         return state
     cfg = F.broadcast(
         state["token_config"].select("token", "cashout_window_days")
@@ -248,9 +291,11 @@ def apply_new_comments(state: dict[str, DataFrame], events: DataFrame) -> dict[s
 # ---------------------------------------------------------------------------
 # newVote / updateVote (engine_comments_contract_processor.py:75-115)
 # ---------------------------------------------------------------------------
-def apply_votes(state: dict[str, DataFrame], events: DataFrame) -> dict[str, DataFrame]:
+def apply_votes(
+    state: dict[str, DataFrame], events: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     v = events.filter(F.col("event").isin("newVote", "updateVote"))
-    if v.isEmpty():
+    if _skip(v, present):
         return state
     votes, posts = state["votes"], state["posts"]
     parsed = v.select(
@@ -328,11 +373,13 @@ def apply_votes(state: dict[str, DataFrame], events: DataFrame) -> dict[str, Dat
 # ---------------------------------------------------------------------------
 # reward events (engine_comments_contract_processor.py:116-214,277-304)
 # ---------------------------------------------------------------------------
-def apply_rewards(state: dict[str, DataFrame], events: DataFrame) -> dict[str, DataFrame]:
+def apply_rewards(
+    state: dict[str, DataFrame], events: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     r = events.filter(
         F.col("event").isin("curationReward", "beneficiaryReward", "authorReward")
     )
-    if r.isEmpty():
+    if _skip(r, present):
         return state
     posts, history = state["posts"], state["account_history"]
     q = F.col("quantity").cast(_NUM)
@@ -408,15 +455,16 @@ def apply_rewards(state: dict[str, DataFrame], events: DataFrame) -> dict[str, D
         F.col("authorperm"),
         (F.col("seq") * F.lit(1000) + F.col("ev_seq")).alias("__order"),
     )
-    base_id = history.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
-    w = Window.orderBy("__order")
-    new_hist = (
-        hist_rows.withColumn("__rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(base_id))
-        .select(
-            (F.col("m") + F.col("__rn")).alias("id"),
-            "account", "token", "timestamp", "quantity", "trx", "type", "authorperm",
-        )
+    # id derives from the already-unique event coordinates (block, tx, event
+    # position) — __order = seq*1000 + ev_seq. The DAO contract only needs
+    # ORDER BY id DESC == reverse event order plus uniqueness
+    # (reference: engine/account_history_storage.py:72-74), not density, and
+    # block numbers grow monotonically, so ids stay monotone across batches.
+    # An unpartitioned row_number here would funnel a bulk catch-up batch's
+    # every reward event through one task; this is a map-only projection.
+    new_hist = hist_rows.select(
+        F.col("__order").alias("id"),
+        "account", "token", "timestamp", "quantity", "trx", "type", "authorperm",
     )
     out = dict(state)
     out["posts"] = new_posts
@@ -428,9 +476,11 @@ def apply_rewards(state: dict[str, DataFrame], events: DataFrame) -> dict[str, D
 # createRewardPool / updateRewardPool
 # (engine_comments_contract_processor.py:215-274)
 # ---------------------------------------------------------------------------
-def apply_reward_pools(state: dict[str, DataFrame], events: DataFrame) -> dict[str, DataFrame]:
+def apply_reward_pools(
+    state: dict[str, DataFrame], events: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     p = events.filter(F.col("event").isin("createRewardPool", "updateRewardPool"))
-    if p.isEmpty():
+    if _skip(p, present):
         return state
 
     def _cfg(col, typ):
@@ -478,9 +528,11 @@ def apply_reward_pools(state: dict[str, DataFrame], events: DataFrame) -> dict[s
 # authorperm memo (engine_promote_post_processor.py:26-101;
 # routing stream_engine_sidechain_blocks.py:57-87)
 # ---------------------------------------------------------------------------
-def apply_promotions(state: dict[str, DataFrame], txs: DataFrame) -> dict[str, DataFrame]:
+def apply_promotions(
+    state: dict[str, DataFrame], txs: DataFrame, present: bool | None = None
+) -> dict[str, DataFrame]:
     t = txs.filter((F.col("contract") == "tokens") & (F.col("action") == "transfer"))
-    if t.isEmpty():
+    if _skip(t, present):
         return state
     posts = state["posts"]
     promoted_accounts = F.broadcast(

@@ -16,29 +16,35 @@ Semantics mapped from the reference (§2.9):
   commits, L1 drops ops at-or-after the L2 checkpoint's
   last_engine_streamed_timestamp — the driver-side gate SURVEY.md §7 #4
   (reference: stream_blocks.py:64-93).
-- ST3 per-block transactionality: the foreachBatch write of the whole state
-  (all tables for the batch's block range) is the atomic unit; the batch id
-  recorded with the state makes replay idempotent (re-running batch N
-  overwrites batch N's output, never double-applies it).
+- ST3 per-block transactionality: replay-idempotence is enforced with the
+  block high-water mark the reference keeps in its configuration row
+  (last_streamed_block — reference: stream_blocks.py:60-63): each batch
+  drops ops at-or-below the persisted mark before processing, and the new
+  mark is promoted atomically WITH the state it describes (journaled
+  multi-table swap, see ``save_state``). foreachBatch is at-least-once;
+  a replayed batch therefore re-applies nothing.
 - ST4 resume: Structured Streaming checkpointLocation + the configuration
   table mirror (id=1/2 rows) the reference exposes via /state.
 - ST5/ST7 ordering: blockchains are totally ordered; batches are applied in
   trigger order and intra-batch order is (block_num, op_seq) via the
-  processors' seq column.
+  processors' seq column. The high-water mark assumes the same total order
+  the reference assumes: block N+1 is never delivered before block N, and
+  all ops of one block share the block's timestamp.
 - ST6 poll cadence: Trigger.ProcessingTime("3 seconds") == the reference's
   3 s sleep; Trigger.AvailableNow for catch-up passes.
 
 Scale: state tables re-written per micro-batch are the token-partitioned
-parquet layout from ``tables.write_table``; at production volume the same
-code targets Delta MERGE by swapping the persistence calls — the processor
-layer is storage-agnostic.
+parquet layout from ``tables.write_table``; writes are staged to a scratch
+directory and promoted by directory rename, so a batch touching 2 tokens
+stages and swaps 2 partition directories, never the table.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from datetime import datetime, timezone
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,7 +60,6 @@ def head_delay_filter(
 ) -> DataFrame:
     """ST1: refuse ops younger than 15 s (freshness floor)."""
     now = now or datetime.now(timezone.utc).replace(tzinfo=None)
-    bound = F.lit(now).cast(ops.schema[ts_col].dataType) if ts_col in ops.columns else F.lit(now)
     return ops.filter(
         F.col(ts_col) <= F.timestamp_add("SECOND", F.lit(-HEAD_DELAY_SECONDS), F.lit(now))
     )
@@ -100,6 +105,7 @@ class DualStreamRunner:
         root/state/<table>/     current materialized tables
         root/checkpoints/l1     Spark streaming checkpoint (L1)
         root/checkpoints/l2     Spark streaming checkpoint (L2)
+        root/_staging/          in-flight state swap (scratch + intent log)
 
     Batches route through the pure processors; the configuration table's
     rows 1/2 mirror progress for the /state endpoint (F18)."""
@@ -109,9 +115,45 @@ class DualStreamRunner:
         self.root = root
         self.state_dir = os.path.join(root, "state")
         os.makedirs(self.state_dir, exist_ok=True)
+        self._recover_pending_swap()
+
+    # -- atomic state swap ---------------------------------------------------
+    # A batch's output spans several table directories; plain parquet has no
+    # cross-table transaction. The swap is made crash-safe with an intent
+    # journal: (1) write every new table/partition into root/_staging/data,
+    # (2) atomically record the list of directory renames in INTENT.json,
+    # (3) execute the renames, (4) clear the staging dir. A crash before (2)
+    # leaves the old state untouched (the replayed batch recomputes it); a
+    # crash after (2) is rolled FORWARD on the next runner start, so the
+    # state and the block high-water mark stored inside it always promote
+    # together — the advisor-required "same save" property.
+    def _staging_dir(self) -> str:
+        return os.path.join(self.root, "_staging")
+
+    def _intent_path(self) -> str:
+        return os.path.join(self._staging_dir(), "INTENT.json")
+
+    def _execute_moves(self, moves: list[list[str]]) -> None:
+        for src, dst in moves:
+            if not os.path.exists(src):
+                continue  # this rename already happened before a crash
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+
+    def _recover_pending_swap(self) -> None:
+        intent = self._intent_path()
+        if os.path.isfile(intent):
+            with open(intent) as f:
+                moves = json.load(f)["moves"]
+            self._execute_moves(moves)
+        if os.path.isdir(self._staging_dir()):
+            shutil.rmtree(self._staging_dir())
 
     # -- state persistence ---------------------------------------------------
     def load_state(self) -> dict[str, DataFrame]:
+        self._recover_pending_swap()
         return tables.load_state(self.spark, self.state_dir)
 
     def save_state(
@@ -120,47 +162,52 @@ class DualStreamRunner:
         only: list[str] | None = None,
         touched_partitions: dict[str, list] | None = None,
     ) -> None:
-        """Persist state tables. When ``touched_partitions`` names the
-        partition values a batch touched (e.g. {'posts': ['TKN']}), the
-        partitioned tables are written with dynamic partition overwrite
-        restricted to those values — the 100 TB write path: a batch
-        touching 2 tokens rewrites 2 directories, not the table."""
-        from pyspark.sql import functions as F
-
+        """Persist state tables via the journaled staged swap. When
+        ``touched_partitions`` names the partition values a batch touched
+        (e.g. {'posts': ['TKN']}), partitioned tables stage and swap only
+        those partition directories — the 100 TB write path: a batch
+        touching 2 tokens renames 2 directories, not the table. Writing to
+        staging (never in place) also removes the read-overwrite conflict,
+        so no localCheckpoint materialization is needed."""
+        self._recover_pending_swap()
+        staging = self._staging_dir()
+        data_dir = os.path.join(staging, "data")
         touched_partitions = touched_partitions or {}
+        moves: list[list[str]] = []
         for name in only or schemas.STATE_TABLES:
             df = state[name]
             part_cols = tables.PARTITION_COLUMNS.get(name)
             touched = touched_partitions.get(name)
-            # materialize before overwrite: the new state reads the old files
+            stage_path = os.path.join(data_dir, name)
             if part_cols and touched is not None:
                 if not touched:
                     continue  # batch didn't touch this table at all
                 pcol = part_cols[0]
-                delta = tables.conform(
-                    df.filter(F.col(pcol).isin(touched)), name
-                ).localCheckpoint(eager=True)
-                prev = self.spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", "static"
-                )
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    sort_cols = tables.SORT_COLUMNS.get(name, [])
-                    w = delta.repartition(pcol)
-                    if sort_cols:
-                        w = w.sortWithinPartitions(pcol, *sort_cols)
-                    w.write.mode("overwrite").partitionBy(pcol).parquet(
-                        os.path.join(self.state_dir, name)
-                    )
-                finally:
-                    self.spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
-                    )
+                delta = tables.conform(df.filter(F.col(pcol).isin(touched)), name)
+                sort_cols = tables.SORT_COLUMNS.get(name, [])
+                w = delta.repartition(pcol)
+                if sort_cols:
+                    w = w.sortWithinPartitions(pcol, *sort_cols)
+                w.write.mode("overwrite").partitionBy(pcol).parquet(stage_path)
+                for v in touched:
+                    pdir = f"{pcol}={v}"
+                    if os.path.isdir(os.path.join(stage_path, pdir)):
+                        moves.append(
+                            [
+                                os.path.join(stage_path, pdir),
+                                os.path.join(self.state_dir, name, pdir),
+                            ]
+                        )
             else:
-                df = df.localCheckpoint(eager=True)
-                tables.write_table(df, self.state_dir, name)
+                tables.write_table(df, data_dir, name)
+                moves.append([stage_path, os.path.join(self.state_dir, name)])
+        os.makedirs(staging, exist_ok=True)
+        tmp = self._intent_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"moves": moves}, f)
+        os.replace(tmp, self._intent_path())  # journal is now durable
+        self._execute_moves(moves)
+        shutil.rmtree(staging)
 
     # -- holdback re-queue ---------------------------------------------------
     # The file source's checkpoint marks a file consumed the moment its batch
@@ -184,6 +231,22 @@ class DualStreamRunner:
         # tiny frame (ops within ~15 s of head); single file keeps re-listing cheap
         df.coalesce(1).write.mode("overwrite").parquet(self._holdback_path(which))
 
+    def _config_rows(self, state: dict[str, DataFrame]) -> dict[int, dict]:
+        """Both checkpoint rows in ONE driver job (HWM + alignment bound)."""
+        return {
+            r["id"]: r.asDict()
+            for r in state["configuration"].filter(F.col("id").isin(1, 2)).collect()
+        }
+
+    @staticmethod
+    def _eligibility_split(ops: DataFrame, cond) -> tuple[DataFrame, DataFrame]:
+        """Null-safe gate split. A NULL timestamp cannot be compared to the
+        head-delay or alignment bounds; three-valued logic would drop the row
+        from BOTH sides. The reference processes every op of a block, so NULL
+        timestamps route to the eligible side explicitly."""
+        safe = F.coalesce(cond, F.lit(True))
+        return ops.filter(safe), ops.filter(~safe)
+
     # -- batch handlers (called by foreachBatch and usable directly) --------
     def process_l1_batch(self, ops: DataFrame, batch_id: int, now: datetime | None = None) -> None:
         state = self.load_state()
@@ -192,28 +255,34 @@ class DualStreamRunner:
             ops = ops.unionByName(held, allowMissingColumns=True)
         # decouple from the holdback files we are about to overwrite
         ops = ops.localCheckpoint(eager=True)
+        cfg = self._config_rows(state)
+        # replay idempotence (ST3): drop blocks at-or-below the persisted
+        # high-water mark — additive counters must never re-apply
+        hwm = cfg.get(1, {}).get("last_streamed_block")
+        if hwm is not None:
+            ops = ops.filter(F.col("block_num") > F.lit(hwm))
         now_ = now or datetime.now(timezone.utc).replace(tzinfo=None)
         cond = F.col("timestamp") <= F.timestamp_add(
             "SECOND", F.lit(-HEAD_DELAY_SECONDS), F.lit(now_)
         )
-        bound = l2_alignment_bound(state)
+        bound = cfg.get(2, {}).get("last_engine_streamed_timestamp")
         if bound is not None:
             # L2 leads: only ops strictly older than the L2 clock commit
             cond = cond & (F.col("timestamp") < F.lit(bound))
-        eligible, parked = ops.filter(cond), ops.filter(~cond)
+        eligible, parked = self._eligibility_split(ops, cond)
         if eligible.isEmpty():
             self._save_holdback("l1", parked)
             return
         new_state = apply_l1_batch(state, eligible)
-        ops = eligible
-        ckpt = _checkpoint_row(self.spark, 1, "HIVED", ops, "block_num", "timestamp")
+        ckpt = _checkpoint_row(self.spark, 1, "HIVED", eligible, "block_num", "timestamp")
         from ..operators import merge_upsert
 
         new_state["configuration"] = merge_upsert(
             new_state["configuration"], ckpt, ["id"]
         )
-        # state first, holdback second: a crash between the two re-runs the
-        # batch against the OLD holdback, and the merges are replay-idempotent
+        # state (including the new HWM) promotes atomically first, holdback
+        # second: a crash between the two re-runs the batch against the OLD
+        # holdback, and the HWM filter discards the already-applied blocks
         # — never the reverse order, which could lose parked ops
         self.save_state(new_state)
         self._save_holdback("l1", parked)
@@ -224,11 +293,15 @@ class DualStreamRunner:
         if held is not None:
             txs = txs.unionByName(held, allowMissingColumns=True)
         txs = txs.localCheckpoint(eager=True)
+        cfg = self._config_rows(state)
+        hwm = cfg.get(2, {}).get("last_engine_streamed_block")
+        if hwm is not None:
+            txs = txs.filter(F.col("blockNumber") > F.lit(hwm))
         now_ = now or datetime.now(timezone.utc).replace(tzinfo=None)
         cond = F.col("timestamp") <= F.timestamp_add(
             "SECOND", F.lit(-HEAD_DELAY_SECONDS), F.lit(now_)
         )
-        eligible, parked = txs.filter(cond), txs.filter(~cond)
+        eligible, parked = self._eligibility_split(txs, cond)
         if eligible.isEmpty():
             self._save_holdback("l2", parked)
             return
@@ -240,8 +313,12 @@ class DualStreamRunner:
         new_state["configuration"] = merge_upsert(
             new_state["configuration"], ckpt, ["id"]
         )
-        # tokens this batch touched: symbols in event data + payload symbols
-        # — bounds the partitioned-table writes to the touched partitions
+        # tokens this batch touched — bounds the partitioned-table writes to
+        # the touched partitions. Three sources: symbols in event data,
+        # payload symbols, and mute payloads, which carry rewardPoolId (not
+        # symbol — reference: engine_comments_contract_processor.py:33-49)
+        # resolved through token_config; a mutes-only batch must still
+        # persist the accounts/posts partitions it updated.
         sym_events = txs.select(
             F.explode_outer(
                 F.from_json(
@@ -252,9 +329,25 @@ class DualStreamRunner:
         sym_payload = txs.select(
             F.get_json_object(F.col("payload"), "$.symbol").alias("s")
         )
+        pool_ids = txs.filter(
+            F.col("action").isin("setMute", "setPostMute")
+        ).select(F.get_json_object(F.col("payload"), "$.rewardPoolId").alias("pool_id"))
+        # resolve against the POST-batch token_config so a pool created and
+        # muted in the same batch still maps to its token
+        sym_mutes = pool_ids.join(
+            new_state["token_config"].select(
+                F.col("reward_pool_id").cast("string").alias("pool_id"),
+                F.col("token").alias("s"),
+            ),
+            "pool_id",
+        ).select("s")
         tokens = [
             r["s"]
-            for r in sym_events.unionByName(sym_payload).filter(F.col("s").isNotNull()).distinct().collect()
+            for r in sym_events.unionByName(sym_payload)
+            .unionByName(sym_mutes)
+            .filter(F.col("s").isNotNull())
+            .distinct()
+            .collect()
         ]
         touched = {
             "posts": tokens,

@@ -8,80 +8,103 @@ re-reading the posts table.
 
 Demonstrated on the vote running-sum (reference semantics A6: per
 (authorperm, token, voter) the LAST rshares replaces the previous one;
-the post total is the sum over voters). The same shape handles session
-windows, per-entity counters, and dedup-with-TTL.
+the post total is the sum over voters).
+
+Scale design — state is keyed by (authorperm, token, voter), NOT by post:
+a viral post with 1M voters becomes 1M independent, few-byte state rows
+hash-distributed across the state store, never one multi-MB JSON map
+deserialized per batch. Each key stores only the voter's last rshares and
+expires after a TTL (votes stop mattering after the cashout window —
+reference: sql/engine.sql cashout_time). The operator emits per-voter
+DELTAS; the per-post running total is a downstream additive merge exactly
+like the batch path (processors/l2.py apply_votes -> additive_merge).
 """
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from decimal import Decimal
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    DecimalType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import DecimalType, StringType, StructField, StructType
 
-OUTPUT_SCHEMA = StructType(
+DELTA_SCHEMA = StructType(
     [
         StructField("authorperm", StringType()),
         StructField("token", StringType()),
-        StructField("vote_rshares", DecimalType(38, 10)),
+        StructField("voter", StringType()),
+        StructField("rshares_delta", DecimalType(38, 10)),
     ]
 )
 
-# engine-managed per-key state: {voter: last_rshares_string}
-STATE_SCHEMA = StructType(
-    [StructField("voters", StringType())]  # JSON map voter -> rshares str
-)
+# engine-managed state per (authorperm, token, voter): the voter's last
+# rshares as a string — a few bytes, never a per-post map
+STATE_SCHEMA = StructType([StructField("last_rshares", StringType())])
+
+# votes stop affecting payout after the cashout window; expire idle keys
+STATE_TTL_MS = 14 * 24 * 3600 * 1000
 
 
-def _update_post_totals(
-    key: Tuple[str, str],
+def _emit_vote_delta(
+    key: Tuple[str, str, str],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fully self-contained (executors import nothing from this repo):
-    fold the batch's votes into the per-voter map, emit the new total."""
-    import json as _json
+    replace-semantics per voter — delta = newest rshares - stored rshares."""
     from decimal import Decimal as _D
 
     import pandas as _pd
 
-    voters: dict[str, str] = (
-        _json.loads(state.get[0]) if state.exists else {}
-    )
+    if state.hasTimedOut:
+        state.remove()
+        return
     rows = _pd.concat(list(batches), ignore_index=True)
+    if rows.empty:
+        return
     # reference semantics: later (block, seq) wins per voter
-    rows = rows.sort_values(["seq"])
-    for r in rows.itertuples():
-        voters[r.voter] = str(r.rshares)
-    state.update((_json.dumps(voters),))
-    total = sum((_D(v) for v in voters.values()), _D(0))
+    newest = _D(str(rows.sort_values("seq")["rshares"].iloc[-1]))
+    last = _D(state.get[0]) if state.exists else _D(0)
+    state.update((str(newest),))
+    state.setTimeoutDuration(14 * 24 * 3600 * 1000)
     yield _pd.DataFrame(
         {
             "authorperm": [key[0]],
             "token": [key[1]],
-            "vote_rshares": [total],
+            "voter": [key[2]],
+            "rshares_delta": [newest - last],
         }
     )
 
 
-def running_vote_totals(votes_stream: DataFrame) -> DataFrame:
-    """votes_stream(authorperm, token, voter, rshares, seq) ->
-    continuously-updated per-post totals. State = per-voter last rshares,
-    partitioned by (authorperm, token) across the cluster's state store."""
-    return (
-        votes_stream.groupBy("authorperm", "token")
-        .applyInPandasWithState(
-            _update_post_totals,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+def vote_delta_stream(votes_stream: DataFrame) -> DataFrame:
+    """votes_stream(authorperm, token, voter, rshares, seq) -> per-voter
+    rshares deltas. State = one last-rshares row per (post, voter) key with
+    a cashout-window TTL; hash-partitioned across the cluster state store."""
+    return votes_stream.groupBy("authorperm", "token", "voter").applyInPandasWithState(
+        _emit_vote_delta,
+        outputStructType=DELTA_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sum_vote_deltas(deltas: DataFrame) -> DataFrame:
+    """Batch-side reduction of one micro-batch of deltas to per-post
+    adjustments — the additive_merge input shape used by the batch path."""
+    return deltas.groupBy("authorperm", "token").agg(
+        F.sum("rshares_delta").cast(DecimalType(38, 10)).alias("rshares_delta")
+    )
+
+
+def apply_vote_deltas(totals: dict, deltas_rows) -> dict:
+    """Driver-side fold helper for sinks/tests: totals[(authorperm, token)]
+    += delta, mirroring additive_merge on the posts table."""
+    for r in deltas_rows:
+        k = (r["authorperm"], r["token"])
+        totals[k] = totals.get(k, Decimal(0)) + r["rshares_delta"]
+    return totals

@@ -1,0 +1,117 @@
+"""F17: real diff-match-patch application — patch text parsing, fuzzy
+matching, and the ordered body-edit fold over genuine ``@@`` patches
+(reference: processors/comment_processor_for_engine.py:102-130)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distribution_engine_smt_spark.functions.dmp import apply_body_edit, fold_body_edits
+from distribution_engine_smt_spark.functions.dmp_core import (
+    DELETE,
+    EQUAL,
+    INSERT,
+    Patch,
+    match_main,
+    patch_apply,
+    patch_from_text,
+    patch_to_text,
+)
+
+
+def test_patch_parse_and_exact_apply():
+    src = "The quick brown fox jumped over the lazy dog."
+    pt = "@@ -17,15 +17,15 @@\n fox \n-jumped\n+leaped\n  over\n"
+    patches = patch_from_text(pt)
+    assert len(patches) == 1 and len(patches[0].diffs) == 4
+    out, results = patch_apply(patches, src)
+    assert out == "The quick brown fox leaped over the lazy dog."
+    assert results == [True]
+
+
+def test_patch_fuzzy_apply_shifted_and_mutated_base():
+    # base drifted since the patch was made: prefix added, 'the'->'a'
+    pt = "@@ -17,15 +17,15 @@\n fox \n-jumped\n+leaped\n  over\n"
+    out, results = patch_apply(
+        patch_from_text(pt), "AA The quick brown fox jumped over a lazy dog."
+    )
+    assert results == [True] and "fox leaped over" in out
+
+
+def test_patch_at_string_edges_uses_null_padding():
+    out, r = patch_apply(patch_from_text("@@ -1,8 +1,8 @@\n-Hello\n+Howdy\n  wo\n"), "Hello world")
+    assert (out, r) == ("Howdy world", [True])
+    out, r = patch_apply(patch_from_text("@@ -8,4 +8,6 @@\n orl\n-d\n+d!!\n"), "Hello world")
+    assert (out, r) == ("Hello world!!", [True])
+
+
+def test_multi_hunk_patch_applies_in_order():
+    src = "alpha beta gamma delta epsilon"
+    pt = "@@ -1,8 +1,9 @@\n-alpha\n+ALPHA!\n  be\n@@ -15,10 +16,9 @@\n ma d\n-el\n+E\n ta e\n"
+    out, results = patch_apply(patch_from_text(pt), src)
+    assert results == [True, True]
+    assert out == "ALPHA! beta gamma dEta epsilon"
+
+
+def test_long_hunk_two_ended_match():
+    body = "x" * 10 + "The quick brown fox jumps over the lazy dog again and again" + "y" * 10
+    t1 = "The quick brown fox jumps over the lazy dog again and again"
+    pt = (
+        f"@@ -11,{len(t1)} +11,{len(t1) - 1} @@\n"
+        + " " + t1[:20] + "\n-" + t1[20:30] + "\n+REPLACED!\n " + t1[30:] + "\n"
+    )
+    out, results = patch_apply(patch_from_text(pt), body)
+    assert results == [True] and "REPLACED!" in out
+
+
+def test_unmatched_patch_reports_false_and_leaves_text():
+    pt = "@@ -1,20 +1,20 @@\n-zzzzzzzzzzzz\n+yyyyyyyyyyyy\n qqqqqqqq\n"
+    out, results = patch_apply(patch_from_text(pt), "completely different text here")
+    assert results == [False] and out == "completely different text here"
+
+
+def test_wire_format_round_trip_unicode():
+    p = Patch([(EQUAL, "ab "), (DELETE, "café"), (INSERT, "café +1"), (EQUAL, " cd")])
+    p.length1, p.length2 = len("ab café cd"), len("ab café +1 cd")
+    text = patch_to_text([p])
+    out, results = patch_apply(patch_from_text(text), "ab café cd")
+    assert out == "ab café +1 cd" and results == [True]
+
+
+def test_plain_text_is_not_patch_text():
+    with pytest.raises(ValueError):
+        patch_from_text("just a normal post body")
+    with pytest.raises(ValueError):
+        patch_from_text("@@ bogus header @@\n x\n")
+
+
+def test_match_main_exact_and_fuzzy():
+    assert match_main("abcdef", "cde", 2) == 2
+    assert match_main("abcdef", "zzz", 0) == -1
+    assert match_main("the cat in the hat", "the hxt", 12) != -1  # 1-char error
+
+
+def test_apply_body_edit_reference_fallback_chain():
+    # patch text -> applied; plain text -> full replacement; the per-patch
+    # results are ignored exactly like the reference's `new_body, _ =`
+    base = "Hello world"
+    assert apply_body_edit(base, "@@ -1,8 +1,8 @@\n-Hello\n+Howdy\n  wo\n") == "Howdy world"
+    assert apply_body_edit(base, "totally new body") == "totally new body"
+    assert apply_body_edit(None, "fresh") == "fresh"
+
+
+def test_fold_body_edits_applies_real_patch_chain(spark):
+    # op 1 creates the body, ops 2..3 arrive as genuine DMP patch text; the
+    # fold must produce the hand-computed final body
+    rows = [
+        ("@a/p", 1, 0, "The quick brown fox jumped over the lazy dog."),
+        ("@a/p", 2, 0, "@@ -17,15 +17,15 @@\n fox \n-jumped\n+leaped\n  over\n"),
+        ("@a/p", 3, 0, "@@ -1,8 +1,8 @@\n-The\n+One\n  quic\n"),
+        ("@b/q", 1, 0, "unrelated"),
+    ]
+    df = spark.createDataFrame(
+        rows, "authorperm string, block_num long, op_seq int, body string"
+    )
+    got = {r["authorperm"]: r["body"] for r in fold_body_edits(df).collect()}
+    assert got["@a/p"] == "One quick brown fox leaped over the lazy dog."
+    assert got["@b/q"] == "unrelated"

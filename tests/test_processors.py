@@ -154,7 +154,11 @@ def test_reward_accumulation_and_history(spark, state):
     hist = sorted(s2["account_history"].collect(), key=lambda r: r["id"])
     assert [h["account"] for h in hist] == ["curator1", "curator2", "a"]
     assert [h["type"] for h in hist] == ["curation_reward", "curation_reward", "author_reward"]
-    assert hist[0]["id"] == 1 and hist[2]["id"] == 3
+    # ids: unique, and ORDER BY id equals event order (the DAO contract —
+    # reference: engine/account_history_storage.py:72-74 needs monotonicity,
+    # not density; ids derive from (block, tx, event) coordinates map-side)
+    ids = [h["id"] for h in hist]
+    assert len(set(ids)) == 3 and ids == sorted(ids)
 
 
 def test_error_logs_skipped(spark, state):

@@ -223,3 +223,112 @@ def test_state_lag_from_stream_checkpoints(spark, runner, tmp_path):
     lag = get_state_lag(runner.load_state(), now=T0 + timedelta(seconds=42)).collect()
     by_name = {r["name"]: r for r in lag if r["name"] == "ENGINE_SIDECHAIN"}
     assert by_name["ENGINE_SIDECHAIN"]["last_streamed_block"] is None  # L2 uses engine columns
+
+
+# ---------------------------------------------------------------------------
+# round-2 hardening: replay idempotence (block HWM), atomic state swap
+# recovery, mute-only touched partitions, NULL-timestamp routing
+# ---------------------------------------------------------------------------
+def test_l2_replay_does_not_double_apply_additive_state(spark, runner):
+    """foreachBatch is at-least-once: re-delivering the same batch must not
+    re-add payouts/rshares (block high-water mark in configuration)."""
+    txs = spark.read.schema(schemas.TXS_L2).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in [
+            _l2_row(1, 0, {"author": "a", "permlink": "p"},
+                    {"events": [{"contract": "comments", "event": "newComment", "data": {"symbol": "TKN"}}]}),
+            _l2_row(2, 0, {"author": "x", "permlink": "y"},
+                    {"events": [{"contract": "comments", "event": "curationReward",
+                                 "data": {"symbol": "TKN", "authorperm": "@a/p", "quantity": "2.5", "account": "cur"}}]}),
+        ]])
+    )
+    runner.process_l2_batch(txs, 0, now=NOW)
+    p1 = runner.load_state()["posts"].collect()[0]
+    assert p1["total_payout_value"] == Decimal("2.5")
+    # crash-replay: the exact same batch arrives again
+    runner.process_l2_batch(txs, 0, now=NOW)
+    state = runner.load_state()
+    p2 = state["posts"].collect()[0]
+    assert p2["total_payout_value"] == Decimal("2.5")  # NOT 5.0
+    assert state["account_history"].count() == 1
+    cfg = {r["id"]: r for r in state["configuration"].collect()}
+    assert cfg[2]["last_engine_streamed_block"] == 2
+
+
+def test_l1_replay_does_not_double_count_children(spark, runner):
+    state = runner.load_state()
+    state["posts"] = spark.createDataFrame(
+        [("@a/parent", "a", T0, None, None, True, False, "TKN", Decimal(0), None, None,
+          Decimal(0), Decimal(0), 0.0, 0.0, 0, Decimal(0), "t", "d", 0, "", "", 0.0, False),
+         ("@b/reply", "b", T0, None, None, False, False, "TKN", Decimal(0), None, None,
+          Decimal(0), Decimal(0), 0.0, 0.0, 0, Decimal(0), "t", "d", 0, "a", "parent", 0.0, False)],
+        schemas.POSTS,
+    )
+    runner.save_state(state, only=["posts"])
+    op = _l1_row(5, 0, "comment", ts=T0, author="b", permlink="reply",
+                 parent_author="a", parent_permlink="parent", title="t", body="body",
+                 json_metadata="{}")
+    ops = _ops_df(spark, [op])
+    runner.process_l1_batch(ops, 0, now=NOW)
+    runner.process_l1_batch(ops, 0, now=NOW)  # replay
+    posts = {r["authorperm"]: r for r in runner.load_state()["posts"].collect()}
+    assert posts["@a/parent"]["children"] == 1  # NOT 2
+    cfg = {r["id"]: r for r in runner.load_state()["configuration"].collect()}
+    assert cfg[1]["last_streamed_block"] == 5
+
+
+def test_mute_only_batch_persists_touched_partitions(spark, runner):
+    """setPostMute payloads carry rewardPoolId, not symbol; a mutes-only
+    batch must still write the posts/accounts partitions it updated
+    (reference: engine_comments_contract_processor.py:33-49)."""
+    state = runner.load_state()
+    state["posts"] = spark.createDataFrame(
+        [("@a/p", "a", T0, None, None, True, False, "TKN", Decimal(0), None, None,
+          Decimal(0), Decimal(0), 0.0, 0.0, 0, Decimal(0), "t", "d", 0, "", "", 0.0, False)],
+        schemas.POSTS,
+    )
+    runner.save_state(state, only=["posts"])
+    mute = _l2_row(3, 0, {"authorperm": "@a/p", "rewardPoolId": 1, "mute": True},
+                   {"events": []}, action="setPostMute")
+    txs = spark.read.schema(schemas.TXS_L2).json(
+        spark.sparkContext.parallelize([json.dumps(mute)])
+    )
+    runner.process_l2_batch(txs, 0, now=NOW)
+    p = runner.load_state()["posts"].collect()[0]
+    assert p["muted"] is True  # silently lost before the pool-id resolution
+
+
+def test_null_timestamp_ops_are_processed_not_dropped(spark, runner):
+    """Three-valued logic must not swallow NULL-timestamp ops: the reference
+    processes every op of a block, so they route to the eligible side."""
+    op = {"block_num": 7, "op_seq": 0, "timestamp": None, "type": "custom_json",
+          "id": "follow",
+          "json": json.dumps(["follow", {"follower": "u", "following": "null-ts", "what": ["blog"]}]),
+          "required_posting_auths": ["u"], "required_auths": []}
+    runner.process_l1_batch(_ops_df(spark, [op]), 0, now=NOW)
+    follows = {r["following"] for r in runner.load_state()["follows"].collect()}
+    assert follows == {"null-ts"}
+    held = runner._load_holdback("l1", schemas.OPS_L1)
+    assert held is None or held.isEmpty()
+
+
+def test_pending_swap_rolls_forward_on_start(spark, runner, tmp_path):
+    """A crash between the intent journal and the directory renames must
+    roll FORWARD on the next start — state + HWM promote together."""
+    import json as _json
+    import os
+
+    # stage a replacement configuration table by hand, as save_state would
+    staging = os.path.join(runner.root, "_staging")
+    staged_tbl = os.path.join(staging, "data", "configuration")
+    new_cfg = spark.createDataFrame(
+        [(1, 99, T0, None, None, "HIVED")], schemas.CONFIGURATION
+    )
+    tables.write_table(new_cfg, os.path.join(staging, "data"), "configuration")
+    dst = os.path.join(runner.state_dir, "configuration")
+    with open(os.path.join(staging, "INTENT.json"), "w") as f:
+        _json.dump({"moves": [[staged_tbl, dst]]}, f)
+    # "crash" happened here; a fresh runner must complete the swap
+    r2 = DualStreamRunner(spark, runner.root)
+    cfg = {r["id"]: r for r in r2.load_state()["configuration"].collect()}
+    assert cfg[1]["last_streamed_block"] == 99
+    assert not os.path.exists(staging)
