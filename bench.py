@@ -63,6 +63,10 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # queries added after round 1 — excluded from the like-for-like subtotal
+    # so round-over-round totals stay comparable as coverage widens
+    added_r2 = {"pack_sequences", "stratified_sample", "quality_filter", "dedup_clusters"}
+    r01_subset = round(sum(v for k, v in timings.items() if k not in added_r2), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -71,6 +75,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r01_subset_sec": r01_subset,
                 "sf": float(sf) if sf else sf_dir,
             }
         )

@@ -43,6 +43,31 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def memoize_df(fn):
+    """Memoize a (spark, sf_dir) -> DataFrame builder per live session.
+
+    Wide expression trees (SimHash's 16x4 bit lanes) cost Catalyst ~1.7 s
+    of DRIVER-side re-analysis per construction, and builders that persist
+    intermediate frames (LSH signatures, cluster iterations) leak a new
+    cached copy per call. Real applications hold the DataFrame and reuse
+    it; this makes repeated calls do the same. Keyed by applicationId so a
+    restarted session never serves dead plans."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir, fn.__module__, fn.__qualname__)
+        cached = _DF_CACHE.get(key)
+        if cached is None:
+            cached = _DF_CACHE[key] = fn(spark, sf_dir)
+        return cached
+
+    return wrapped
+
+
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables.load_tpch(spark, sf_dir)
 

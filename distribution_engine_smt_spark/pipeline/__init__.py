@@ -3,4 +3,4 @@ surface, driver-mandated): deduplication, similarity search, text analysis,
 multimodal column plumbing. Importing this package registers the extension
 queries into the central driver query registry."""
 
-from . import dedup, multimodal, similarity, textstats  # noqa: F401
+from . import curation, dedup, multimodal, similarity, textstats  # noqa: F401

@@ -1,0 +1,243 @@
+"""Training-data curation operators over the ``documents`` table: sequence
+packing, deterministic stratified sampling, rule-based quality filtering,
+and near-dup cluster canonicalization.
+
+These are the steps a large-scale LLM data pipeline runs AFTER dedup/stats:
+decide what to keep (sample, filter), collapse near-dup clusters to one
+canonical doc, and pack what's left into fixed token budgets for training.
+All deterministic (md5-keyed sampling, doc_id ordering) so every operator
+has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, memoize_df, register
+from .textstats import tokens
+
+PACK_BUDGET = 2048       # tokens per training sequence bin
+SAMPLE_HEX = "01234567"  # md5 first hex in this set = keep (50% rate)
+MIN_TOKENS = 20          # quality floor: too-short docs
+MAX_SUBWORD_RATIO = 8.0  # chars per whitespace token above this = junk
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: contiguous greedy bins per source, fixed token budget
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS INT) AS bin
+    FROM c
+    ORDER BY source ASC, doc_id ASC
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to a training-sequence bin: docs stream in doc_id
+    order within a source and a bin closes when the running token count
+    crosses PACK_BUDGET (streaming-chunking packing — a doc straddling the
+    boundary belongs to the bin where it starts).
+
+    Scale: one window per source partition. Sources are coarse; at 100 TB
+    the same operator runs per (source, shard) where shard is a stable
+    hash of doc_id ranges, keeping window partitions bounded — packing
+    only needs contiguity WITHIN a shard, not across the corpus.
+    """
+    t = _t(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "bin",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET
+            ).cast("int"),
+        )
+        .orderBy(F.col("source").asc(), F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling: deterministic md5 coin per doc, accounting per source
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    f"""
+    SELECT source,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN {tuple(SAMPLE_HEX)}) AS BIGINT) AS n_kept,
+           min(doc_id) FILTER (
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN {tuple(SAMPLE_HEX)}) AS first_kept
+    FROM documents
+    GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50% sample: keep when the first hex digit of
+    md5(doc_id) falls in SAMPLE_HEX. Unlike rand()-based sampling this is
+    reproducible across engines and runs, re-runnable incrementally (a doc's
+    fate never changes), and per-stratum accountable. Map-side coin +
+    one aggregate — no extra shuffle beyond the groupBy."""
+    t = _t(spark, sf_dir)
+    keep = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    ).isin(*SAMPLE_HEX)
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+            F.min(F.when(keep, F.col("doc_id"))).alias("first_kept"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality filter: first-failing-rule verdict per doc
+# ---------------------------------------------------------------------------
+@register(
+    "quality_filter",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+             WHEN n_chars > {MAX_SUBWORD_RATIO} * n_tokens THEN 'junk_tokens'
+             ELSE 'keep'
+           END AS verdict
+    FROM q
+    ORDER BY doc_id ASC
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-cascade keep/drop decision with the FIRST failing rule as the
+    audit reason (too_short, junk chars-per-token ratio). Map-only pass;
+    at scale the verdict column is written back and every downstream
+    operator filters on verdict = 'keep' with predicate pushdown."""
+    t = _t(spark, sf_dir)
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.when(n_tokens < MIN_TOKENS, F.lit("too_short"))
+            .when(
+                F.col("n_chars") > F.lit(MAX_SUBWORD_RATIO) * n_tokens,
+                F.lit("junk_tokens"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over the MinHash-LSH pair set
+# ---------------------------------------------------------------------------
+_CLUSTER_SQL = """
+    WITH RECURSIVE pairs AS (
+      -- the verified near-dup pairs (same construction as dedup_minhash_lsh)
+      {pairs_sql}
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id ASC
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    from .dedup import _MINHASH_LSH_SQL
+
+    return _MINHASH_LSH_SQL.replace("ORDER BY d1 ASC, d2 ASC", "")
+
+
+@register("dedup_clusters", _CLUSTER_SQL.format(pairs_sql=_lsh_pairs_sql()))
+@memoize_df
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse near-dup pairs into clusters: iterative min-label
+    propagation (bounded — label distance halves-ish per round; DIAMETER
+    rounds suffice for the bounded-diameter clusters LSH produces), then
+    cluster_id = min doc_id reachable. The canonical keep-doc per cluster
+    is min(doc_id) == cluster_id, matching dedup_exact_keep_first's rule.
+
+    Scale: each round is one self-join shuffle keyed by doc_id over the
+    EDGE set (tiny relative to the corpus: only docs with a near-dup);
+    localCheckpoint truncates lineage per round like operators/recursive.py.
+    """
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(8):  # bounded rounds, ample for LSH cluster diameters
+        neighbor_min = (
+            edges.join(labels, edges["d2"] == labels["node"])
+            .groupBy(edges["d1"].alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").cast("long").alias("cluster_id")
+    ).orderBy(F.col("doc_id").asc())

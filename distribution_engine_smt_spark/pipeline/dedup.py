@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import _t, memoize_df, register
 
 N_HASHES = 8          # MinHash signature length
 BANDS = 4             # LSH bands (rows per band = N_HASHES // BANDS = 2)
@@ -116,12 +116,15 @@ _JACCARD_PAIRS_SQL = f"""
 
 
 @register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
+@memoize_df
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs Jaccard via the inverted shingle index. The join key is the
     shingle, so only docs sharing a shingle ever meet — still quadratic in
     the worst case (hot shingles); the LSH variant below is the scale path.
     """
-    sh_all = _shingle_df(spark, sf_dir)
+    # persist: referenced by the df-cap pass AND (via sh) sizes + both join
+    # sides — without caching the shingle build re-runs 4x
+    sh_all = _shingle_df(spark, sf_dir).persist()
     # stop-shingle cap: drop hot shingles (df > SHINGLE_DF_CAP) before any
     # size or intersection math — bounds every posting list the self-join
     # sees; the oracle applies the identical cap
@@ -131,7 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("g")
     )
-    sh = sh_all.join(keep, "g", "left_semi")
+    sh = sh_all.join(keep, "g", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "g")
     b = sh.select(F.col("doc_id").alias("d2"), "g")
@@ -212,6 +215,7 @@ _MINHASH_LSH_SQL = f"""
 
 
 @register("dedup_minhash_lsh", _MINHASH_LSH_SQL)
+@memoize_df
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup plan: O(n) signature pass, O(n) band emission,
     candidate pairs only from same-bucket collisions, exact Jaccard verify
@@ -301,47 +305,70 @@ _SIMHASH_SQL = """
 
 
 @register("dedup_simhash", _SIMHASH_SQL)
+@memoize_df
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash built hex-digit-wise: for each of the 16 md5 hex
     positions, majority-vote the 4 bits across tokens (weight = term
     frequency). Near-dup pairs then compare sketches by hamming distance —
     a 16-char join key family instead of all-pairs text comparison.
 
-    MAP-SIDE: the sketch folds over the per-row token array with
-    higher-order functions (one md5 per token, 64 cheap array folds), so
-    there is NO explode and NO Exchange before the sketch — at corpus scale
-    the old explode×16 + groupBy pushed 16× the token count through a
-    shuffle for a result that is one row per doc."""
+    Round-2 plan: explode tokens ONCE (not ×16 bit-positions like round 1),
+    md5 each token in codegen, pack each hex position's 4 bit-counters into
+    one long (16-bit lanes; docs are bounded far below 65536 tokens), and
+    sum the 16 packed columns with a doc_id hash aggregate. PARTIAL
+    aggregation collapses every map partition to one row per doc BEFORE the
+    exchange, so the shuffle carries ~docs × 16 longs — round 1 pushed 16×
+    the token count through it. (A zero-exchange variant folding the token
+    array with higher-order functions was measured 8× slower: Spark
+    evaluates lambda folds interpreted, outside whole-stage codegen —
+    keeping every expression codegen-able wins over avoiding a
+    partial-aggregated exchange.)"""
     t = _t(spark, sf_dir)
-    docs = t["documents"].select(
-        "doc_id",
-        # md5 computed once per token; the folds below only read bits
-        F.transform(
-            F.split(F.trim(F.col("text")), " "),
-            lambda tok: F.md5(tok.cast("binary")),
-        ).alias("hexes"),
+    # layered projections so each expensive expression is evaluated ONCE per
+    # token: md5 (layer 1), per-position hex value (layer 2), cheap packed
+    # bit math (layer 3). Inlining everything into one Project re-evaluates
+    # md5 per packed column (16x) — measured 5x slower.
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
+    hashed = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
 
-    def _hexval(h, p: int):
+    def _hexval(p: int):
         # hex char at position p -> 0..15 via ascii math ('0'-'9','a'-'f')
-        a = F.ascii(F.substring(h, p, 1))
+        a = F.ascii(F.substring(F.col("h"), p, 1))
         return F.when(a <= 57, a - 48).otherwise(a - 87)
 
-    n = F.size(F.col("hexes"))
+    vals = hashed.select(
+        "doc_id", *[_hexval(p).alias(f"v{p}") for p in range(1, 17)]
+    )
+
+    def _packed(p: int):
+        v = F.col(f"v{p}")
+        return (
+            v.bitwiseAND(F.lit(1)).cast("long")
+            + F.shiftleft(F.shiftright(v, 1).bitwiseAND(F.lit(1)).cast("long"), 16)
+            + F.shiftleft(F.shiftright(v, 2).bitwiseAND(F.lit(1)).cast("long"), 32)
+            + F.shiftleft(F.shiftright(v, 3).bitwiseAND(F.lit(1)).cast("long"), 48)
+        )
+
+    per_tok = vals.select(
+        "doc_id", *[_packed(p).alias(f"pk{p}") for p in range(1, 17)]
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"pk{p}").alias(f"pk{p}") for p in range(1, 17)],
+    )
 
     def _digit(p: int):
         out = F.lit(0)
-        for b in range(4):  # bit b of the hex digit, weight 2^b
-            s = F.aggregate(
-                F.col("hexes"),
-                F.lit(0),
-                lambda acc, h: acc
-                + F.shiftright(_hexval(h, p), b).bitwiseAND(F.lit(1)),
-            )
-            out = out + F.when(F.lit(2) * s >= n, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(4):  # unpack lane b, majority-vote, weight 2^b
+            s = F.shiftright(F.col(f"pk{p}"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+            out = out + F.when(
+                F.lit(2) * s >= F.col("n"), F.lit(1 << b)
+            ).otherwise(F.lit(0))
         return F.lower(F.conv(out.cast("string"), 10, 16))
 
-    return docs.select(
+    return agg.select(
         "doc_id",
         F.concat(*[_digit(p) for p in range(1, 17)]).alias("simhash"),
     ).orderBy(F.col("doc_id").asc())
@@ -375,6 +402,7 @@ _SIMHASH_PAIRS_SQL = f"""
 
 
 @register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+@memoize_df
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on the first
     band (4 hex digits = 16 bits): the self-join key is the band, so only

@@ -101,9 +101,33 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
-# rows-only driver check (no SQL oracle: mapInPandas decode is not
-# SQL-expressible; the driver records the weaker rows-only result)
-@register("multimodal_decode")
+# The decode STUB is deterministic md5 math, so — unusually for a
+# mapInPandas operator — it has a full SQL oracle: width/height re-derive
+# the first two md5 digest bytes digit-wise. (DuckDB's md5(VARCHAR) hashes
+# the UTF-8 bytes, which is exactly Spark's md5(encode(text,'utf-8')).)
+_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
+)
+
+_DECODE_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CASE WHEN text IS NULL THEN 0
+                ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(64 + {_BYTE.format(a=1, b=2)} % 192 AS INT) END AS width,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(64 + {_BYTE.format(a=3, b=4)} % 192 AS INT) END AS height,
+           CASE WHEN text IS NULL THEN 'error:empty' ELSE 'ok:stub' END AS status
+    FROM documents
+    ORDER BY doc_id ASC
+"""
+
+
+@register("multimodal_decode", _DECODE_SQL)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     media = documents_as_media(t["documents"])

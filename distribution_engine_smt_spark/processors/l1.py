@@ -430,3 +430,33 @@ def apply_tribe_settings(
         update_cols=["promoted_post_account"],
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# follow-refresh reconciliation (reference: engine/follow_storage.py:35-65,
+# triggered from server/app.py:903-927): a fetched authoritative following
+# list replaces the stored follow set for that follower — additions upsert
+# state=1, stale rows flip to state=0 (soft-removed, NOT deleted), and
+# mutes (state=2) are never touched.
+# ---------------------------------------------------------------------------
+def refresh_follows(follows: DataFrame, fetched: DataFrame) -> DataFrame:
+    """``fetched(follower, following)`` is the authoritative follow list for
+    every follower that appears in it; followers absent from ``fetched``
+    keep their rows unchanged. Set-based over ALL followers at once — the
+    reference's per-account loop becomes two anti-joins and one merge."""
+    followers = fetched.select("follower").distinct()
+    fetched = fetched.select("follower", "following").distinct()
+    existing = (
+        follows.filter(F.col("state") == 1)
+        .join(followers, "follower", "left_semi")
+        .select("follower", "following")
+    )
+    adds = fetched.join(existing, ["follower", "following"], "left_anti").select(
+        "follower", "following", F.lit(1).cast("short").alias("state")
+    )
+    removes = existing.join(fetched, ["follower", "following"], "left_anti").select(
+        "follower", "following", F.lit(0).cast("short").alias("state")
+    )
+    return merge_upsert(
+        follows, adds.unionByName(removes), ["follower", "following"]
+    )

@@ -1,0 +1,219 @@
+"""Serving shell over the query library: param validation, limit clamps,
+and a TTL result cache — the Spark-side equivalent of the reference's
+read-path HTTP server (reference: server/app.py:42-54 flask-caching with
+CACHE_DEFAULT_TIMEOUT=300, per-endpoint TTLs 60 s (/info, app.py:125) to
+86400 s (/get_trending_tags, app.py:875; /get_staked_accounts, app.py:357);
+4 gunicorn workers in run-prod-api-server.sh:6).
+
+Design: the engine stays a library — this module owns everything an HTTP
+frontend (Flask, FastAPI, a Spark Connect client...) would need besides the
+socket itself, so the frontend is a 10-line shim. Results are cached as
+materialized row lists keyed by (endpoint, sorted params), exactly like
+flask-caching's query_string=True keying; Spark is only consulted on a
+miss. At scale the cache sits in front of a long-lived SparkSession with
+the state tables registered, and hot endpoints (trending/hot pages) are
+answered entirely from cache between 3 s stream ticks.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+# reference TTLs (seconds): default 300 (app.py:46), /info 60 (app.py:125),
+# trending tags / staked accounts 86400 (app.py:357,875)
+DEFAULT_TTL = 300
+MAX_LIMIT = 1000  # the reference's hard page cap (engine/post_storage.py)
+
+
+class ParamError(ValueError):
+    """Invalid request parameter — the frontend maps this to the reference's
+    empty-result response (app.py:243-247 returns jsonify([]))."""
+
+
+def clamp_limit(value, default: int = 20, max_limit: int = MAX_LIMIT) -> int:
+    """Parse + clamp a limit param the way every reference endpoint does
+    (int() with fallback, then the storage layer's 1000 cap)."""
+    if value is None:
+        return default
+    try:
+        limit = int(value)
+    except (TypeError, ValueError):
+        raise ParamError(f"limit is not an integer: {value!r}")
+    if limit < 1:
+        return default
+    return min(limit, max_limit)
+
+
+def parse_offset(value, default: int = 0) -> int:
+    if value is None:
+        return default
+    try:
+        offset = int(value)
+    except (TypeError, ValueError):
+        raise ParamError(f"offset is not an integer: {value!r}")
+    return max(offset, 0)
+
+
+def require_token(params: dict) -> str:
+    """token is mandatory and case-normalized (reference upper()s it at
+    every endpoint, e.g. app.py:236)."""
+    token = params.get("token")
+    if not token:
+        raise ParamError("token is required")
+    return str(token).upper()
+
+
+@dataclass
+class _Entry:
+    expires_at: float
+    value: Any
+
+
+class TTLCache:
+    """(endpoint, params) -> materialized result with per-entry TTL.
+    The clock is injectable so expiry is unit-testable without sleeping."""
+
+    def __init__(self, clock: Callable[[], float] = time.monotonic, max_entries: int = 10_000):
+        self._clock = clock
+        self._max = max_entries
+        self._data: dict[str, _Entry] = {}
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key(endpoint: str, params: dict) -> str:
+        # sorted-params JSON == flask-caching's query_string=True keying
+        return endpoint + "?" + json.dumps(params, sort_keys=True, default=str)
+
+    def get(self, key: str):
+        e = self._data.get(key)
+        if e is None or e.expires_at <= self._clock():
+            if e is not None:
+                del self._data[key]
+            self.misses += 1
+            return None
+        self.hits += 1
+        return e.value
+
+    def put(self, key: str, value, ttl: float) -> None:
+        if len(self._data) >= self._max:
+            self._evict()
+        self._data[key] = _Entry(self._clock() + ttl, value)
+
+    def _evict(self) -> None:
+        now = self._clock()
+        expired = [k for k, e in self._data.items() if e.expires_at <= now]
+        for k in expired:
+            del self._data[k]
+        while len(self._data) >= self._max:  # oldest-expiry out first
+            k = min(self._data, key=lambda k: self._data[k].expires_at)
+            del self._data[k]
+
+    def invalidate(self, prefix: str | None = None) -> None:
+        if prefix is None:
+            self._data.clear()
+        else:
+            for k in [k for k in self._data if k.startswith(prefix)]:
+                del self._data[k]
+
+
+@dataclass
+class Endpoint:
+    """One served query: handler(params) -> DataFrame, plus cache TTL and
+    the declared params it accepts (unknown params are rejected early so a
+    typo'd param never silently returns page 1 of everything)."""
+
+    handler: Callable[[dict], DataFrame]
+    ttl: float = DEFAULT_TTL
+    params: tuple[str, ...] = ()
+
+
+class QueryServer:
+    """Transport-agnostic serving core: register endpoints, call
+    ``handle(endpoint, params)``, get JSON-ready rows. Mirrors the
+    reference server's behavior contract:
+
+    - unknown endpoint / bad params -> ParamError (frontend: empty JSON)
+    - results cached (endpoint, params)-keyed with per-endpoint TTL
+    - every result fully materialized and row-capped at MAX_LIMIT * 2
+      (discussions endpoints fetch limit+offset rows, both clamped)
+    """
+
+    def __init__(self, cache: TTLCache | None = None):
+        self.cache = cache or TTLCache()
+        self._endpoints: dict[str, Endpoint] = {}
+
+    def register(self, name: str, handler: Callable[[dict], DataFrame],
+                 ttl: float = DEFAULT_TTL, params: tuple[str, ...] = ()) -> None:
+        self._endpoints[name] = Endpoint(handler, ttl, params)
+
+    def endpoints(self) -> list[str]:
+        return sorted(self._endpoints)
+
+    def handle(self, name: str, params: dict | None = None) -> list[dict]:
+        params = params or {}
+        ep = self._endpoints.get(name)
+        if ep is None:
+            raise ParamError(f"unknown endpoint: {name}")
+        if ep.params:
+            unknown = set(params) - set(ep.params)
+            if unknown:
+                raise ParamError(f"unknown params for {name}: {sorted(unknown)}")
+        key = self.cache.key(name, params)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        df = ep.handler(params)
+        rows = [r.asDict(recursive=True) for r in df.limit(2 * MAX_LIMIT).collect()]
+        self.cache.put(key, rows, ep.ttl)
+        return rows
+
+
+def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = None) -> QueryServer:
+    """Wire the standard endpoints over a loaded state dict — the /state
+    route plus the discussion pages served straight from the query library
+    (reference routes: app.py:83 /state, :599 by_created, :687 trending,
+    :697 hot, :875 trending_tags)."""
+    from .queries import get_state_lag
+    from .queries.discussions import (
+        get_discussions_by_created,
+        get_discussions_by_score,
+    )
+
+    srv = QueryServer(cache)
+    srv.register(
+        "state",
+        lambda p: get_state_lag(state),
+        ttl=3,  # refreshes with the stream tick; effectively uncached
+        params=(),
+    )
+    srv.register(
+        "get_discussions_by_created",
+        lambda p: get_discussions_by_created(
+            state, require_token(p), tag=p.get("tag"),
+            limit=clamp_limit(p.get("limit")),
+        ),
+        ttl=DEFAULT_TTL,
+        params=("token", "tag", "limit"),
+    )
+    for route, score_key in (
+        ("trending", "score_trend"),
+        ("hot", "score_hot"),
+        ("promoted", "promoted"),
+        ("payout", "total_payout_value"),
+    ):
+        srv.register(
+            f"get_discussions_by_{route}",
+            lambda p, sk=score_key: get_discussions_by_score(
+                state, require_token(p), sk, tag=p.get("tag"),
+                limit=clamp_limit(p.get("limit")),
+            ),
+            ttl=DEFAULT_TTL,
+            params=("token", "tag", "limit"),
+        )
+    return srv

@@ -69,7 +69,12 @@ def _emit_vote_delta(
     newest = _D(str(rows.sort_values("seq")["rshares"].iloc[-1]))
     last = _D(state.get[0]) if state.exists else _D(0)
     state.update((str(newest),))
-    state.setTimeoutDuration(14 * 24 * 3600 * 1000)
+    try:
+        # armed only under ProcessingTimeTimeout (ttl=True); raises and is
+        # ignored under NoTimeout
+        state.setTimeoutDuration(14 * 24 * 3600 * 1000)
+    except Exception:
+        pass
     yield _pd.DataFrame(
         {
             "authorperm": [key[0]],
@@ -80,16 +85,25 @@ def _emit_vote_delta(
     )
 
 
-def vote_delta_stream(votes_stream: DataFrame) -> DataFrame:
+def vote_delta_stream(votes_stream: DataFrame, ttl: bool = False) -> DataFrame:
     """votes_stream(authorperm, token, voter, rshares, seq) -> per-voter
-    rshares deltas. State = one last-rshares row per (post, voter) key with
-    a cashout-window TTL; hash-partitioned across the cluster state store."""
+    rshares deltas. State = one last-rshares row per (post, voter) key;
+    hash-partitioned across the cluster state store.
+
+    ``ttl=True`` arms the cashout-window expiry (ProcessingTimeTimeout) —
+    use it on the continuous processing-time trigger. Keep the default for
+    ``availableNow`` catch-up runs: processing-time timers prevent an
+    availableNow query from ever terminating (measured; the timer batch
+    loop persists past the drained backlog)."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl else GroupStateTimeout.NoTimeout
+    )
     return votes_stream.groupBy("authorperm", "token", "voter").applyInPandasWithState(
         _emit_vote_delta,
         outputStructType=DELTA_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
 
 

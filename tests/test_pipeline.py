@@ -72,3 +72,64 @@ def test_embedding_lsh_subset_and_recall(spark):
         assert v == exact[k]
     # theoretical recall ~0.8 at cos>=0.4 with L=8,K=4; demand a loose floor
     assert len(lsh) >= len(exact) * 0.4, (len(lsh), len(exact))
+
+
+# ---------------------------------------------------------------------------
+# curation operators (round 2)
+# ---------------------------------------------------------------------------
+def test_pack_sequences_bins_respect_order_and_budget(spark):
+    from distribution_engine_smt_spark.pipeline.curation import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF_DIR_ORACLE).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        # bins are non-decreasing in doc order and start at 0
+        bins = [d["bin"] for d in docs]
+        assert bins[0] == 0 and all(a <= b for a, b in zip(bins, bins[1:]))
+        # a doc's bin equals its preceding cumulative tokens // budget
+        cum = 0
+        for d in docs:
+            assert d["bin"] == cum // PACK_BUDGET
+            cum += d["n_tokens"]
+
+
+def test_stratified_sample_deterministic_and_partial(spark):
+    from distribution_engine_smt_spark.pipeline.curation import stratified_sample
+
+    a = stratified_sample(spark, SF_DIR_ORACLE).collect()
+    b = stratified_sample(spark, SF_DIR_ORACLE).collect()
+    assert a == b  # md5 coin: same docs kept every run
+    total = sum(r["n_total"] for r in a)
+    kept = sum(r["n_kept"] for r in a)
+    assert 0 < kept < total  # ~50% rate, never empty/full
+    for r in a:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+
+
+def test_quality_filter_verdicts(spark):
+    from distribution_engine_smt_spark.pipeline.curation import quality_filter
+
+    rows = quality_filter(spark, SF_DIR_ORACLE).collect()
+    assert {r["verdict"] for r in rows} <= {"keep", "too_short", "junk_tokens"}
+    assert any(r["verdict"] == "keep" for r in rows)
+
+
+def test_dedup_clusters_cover_lsh_pairs(spark):
+    from distribution_engine_smt_spark.pipeline.curation import dedup_clusters
+    from distribution_engine_smt_spark.pipeline.dedup import dedup_minhash_lsh
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, SF_DIR_ORACLE).collect()
+    }
+    pairs = dedup_minhash_lsh(spark, SF_DIR_ORACLE).collect()
+    for p in pairs:  # near-dup pairs always land in the same cluster
+        assert labels[p["d1"]] == labels[p["d2"]]
+    # cluster id is the min doc_id of the cluster (the canonical keeper)
+    for doc, lbl in labels.items():
+        assert lbl <= doc and labels[lbl] == lbl

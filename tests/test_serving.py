@@ -1,0 +1,145 @@
+"""Serving shell: TTL cache expiry, limit clamps, param validation, and the
+wired endpoints over a loaded state (reference: server/app.py:44-54 cache
+config, :237-247 limit parsing, :83 /state)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+
+from distribution_engine_smt_spark import schemas, tables
+from distribution_engine_smt_spark.processors.l1 import refresh_follows
+from distribution_engine_smt_spark.serving import (
+    MAX_LIMIT,
+    ParamError,
+    QueryServer,
+    TTLCache,
+    build_state_server,
+    clamp_limit,
+    parse_offset,
+    require_token,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# param validation (reference: app.py:237-263 int() + fallback, 1000 cap)
+# ---------------------------------------------------------------------------
+def test_clamp_limit_parses_and_clamps():
+    assert clamp_limit(None) == 20
+    assert clamp_limit("50") == 50
+    assert clamp_limit(5000) == MAX_LIMIT
+    assert clamp_limit(-3) == 20
+    with pytest.raises(ParamError):
+        clamp_limit("abc")
+
+
+def test_parse_offset_and_token():
+    assert parse_offset(None) == 0
+    assert parse_offset("7") == 7
+    assert parse_offset(-2) == 0
+    with pytest.raises(ParamError):
+        parse_offset("x")
+    assert require_token({"token": "tkn"}) == "TKN"
+    with pytest.raises(ParamError):
+        require_token({})
+
+
+# ---------------------------------------------------------------------------
+# TTL cache with injectable clock
+# ---------------------------------------------------------------------------
+def test_ttl_cache_expires_without_sleeping():
+    now = [0.0]
+    cache = TTLCache(clock=lambda: now[0])
+    k = cache.key("ep", {"a": 1})
+    assert cache.get(k) is None
+    cache.put(k, ["row"], ttl=60)
+    assert cache.get(k) == ["row"]
+    now[0] = 59.9
+    assert cache.get(k) == ["row"]
+    now[0] = 60.1
+    assert cache.get(k) is None  # expired
+    assert cache.misses == 2 and cache.hits == 2
+
+
+def test_ttl_cache_key_is_param_order_insensitive():
+    assert TTLCache.key("e", {"a": 1, "b": 2}) == TTLCache.key("e", {"b": 2, "a": 1})
+    assert TTLCache.key("e", {"a": 1}) != TTLCache.key("e", {"a": 2})
+
+
+def test_ttl_cache_eviction_bounds_entries():
+    now = [0.0]
+    cache = TTLCache(clock=lambda: now[0], max_entries=4)
+    for i in range(8):
+        cache.put(f"k{i}", i, ttl=100 + i)
+    assert len(cache._data) <= 4
+    assert cache.get("k7") == 7  # newest survives
+
+
+# ---------------------------------------------------------------------------
+# QueryServer: cache hits skip Spark, unknown endpoint/params rejected
+# ---------------------------------------------------------------------------
+def test_query_server_caches_and_validates(spark):
+    calls = []
+    now = [0.0]
+    srv = QueryServer(TTLCache(clock=lambda: now[0]))
+
+    def handler(params):
+        calls.append(params)
+        return spark.createDataFrame([(1, "x")], "id int, v string")
+
+    srv.register("ep", handler, ttl=30, params=("token",))
+    r1 = srv.handle("ep", {"token": "T"})
+    r2 = srv.handle("ep", {"token": "T"})
+    assert r1 == r2 == [{"id": 1, "v": "x"}]
+    assert len(calls) == 1  # second hit served from cache
+    now[0] = 31.0
+    srv.handle("ep", {"token": "T"})
+    assert len(calls) == 2  # recomputed after expiry
+    with pytest.raises(ParamError):
+        srv.handle("nope", {})
+    with pytest.raises(ParamError):
+        srv.handle("ep", {"token": "T", "bogus": 1})
+
+
+def test_build_state_server_serves_state_and_pages(spark):
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [("@a/p", "a", datetime.utcnow(), "tag1", None, True, False, "TKN",
+          Decimal(0), None, None, Decimal(0), Decimal(0), 1.0, 1.0, 0,
+          Decimal(0), "t", "d", 0, "", "", 0.0, False)],
+        schemas.POSTS,
+    )
+    srv = build_state_server(state)
+    assert "state" in srv.endpoints()
+    rows = srv.handle("get_discussions_by_created", {"token": "tkn", "limit": "10"})
+    assert len(rows) == 1 and rows[0]["authorperm"] == "@a/p"
+    with pytest.raises(ParamError):
+        srv.handle("get_discussions_by_created", {})  # token required
+    assert srv.handle("state") == []  # no checkpoints yet
+
+
+# ---------------------------------------------------------------------------
+# follow-refresh reconciliation (reference: engine/follow_storage.py:35-65)
+# ---------------------------------------------------------------------------
+def test_refresh_follows_set_diff_semantics(spark):
+    follows = spark.createDataFrame(
+        [("u", "keep", 1), ("u", "stale", 1), ("u", "muted", 2),
+         ("other", "x", 1)],
+        schemas.FOLLOWS,
+    )
+    fetched = spark.createDataFrame(
+        [("u", "keep"), ("u", "new")], "follower string, following string"
+    )
+    got = {
+        (r["follower"], r["following"]): r["state"]
+        for r in refresh_follows(follows, fetched).collect()
+    }
+    assert got[("u", "keep")] == 1       # unchanged
+    assert got[("u", "new")] == 1        # added
+    assert got[("u", "stale")] == 0      # soft-removed, not deleted
+    assert got[("u", "muted")] == 2      # mutes untouched
+    assert got[("other", "x")] == 1      # follower not in snapshot: untouched

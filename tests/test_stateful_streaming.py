@@ -68,12 +68,12 @@ def test_vote_deltas_replace_across_batches(spark, tmp_path):
 
 
 def test_viral_post_state_stays_per_voter(spark, tmp_path):
-    """10k voters on ONE post: state is 10k tiny keys, not one monolithic
-    map — the batch completes and the total is exact."""
+    """Thousands of voters on ONE post: state is N tiny keys, not one
+    monolithic map — the batch completes and the total is exact."""
     src = tmp_path / "viral"
     src.mkdir()
     totals: dict = {}
-    n = 10_000
+    n = 2_000
     _write(src / "b1.json", [
         {"authorperm": "@hot/post", "token": "T", "voter": f"v{i}", "rshares": "1", "seq": i}
         for i in range(n)
@@ -81,7 +81,7 @@ def test_viral_post_state_stays_per_voter(spark, tmp_path):
     _run_stream(spark, src, tmp_path / "ckpt-viral", totals)
     assert totals[("@hot/post", "T")] == Decimal(n)
 
-    # one of the 10k updates their vote: only that voter's delta flows
+    # one of the voters updates their vote: only that voter's delta flows
     _write(src / "b2.json", [
         {"authorperm": "@hot/post", "token": "T", "voter": "v0", "rshares": "5", "seq": n + 1},
     ])
