@@ -65,7 +65,11 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     # queries added after round 1 — excluded from the like-for-like subtotal
     # so round-over-round totals stay comparable as coverage widens
-    added_r2 = {"pack_sequences", "stratified_sample", "quality_filter", "dedup_clusters"}
+    added_r2 = {
+        "pack_sequences", "stratified_sample", "quality_filter", "dedup_clusters",
+        "decontaminate", "text_repetition", "sessionize",
+        "asof_purchase_attribution", "kmv_distinct",
+    }
     r01_subset = round(sum(v for k, v in timings.items() if k not in added_r2), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -3,4 +3,12 @@ surface, driver-mandated): deduplication, similarity search, text analysis,
 multimodal column plumbing. Importing this package registers the extension
 queries into the central driver query registry."""
 
-from . import curation, dedup, multimodal, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    temporal,
+    textstats,
+)

@@ -1,0 +1,219 @@
+"""Temporal / sketch operators over the ``events`` table: gap-based
+sessionization, as-of (most-recent-prior) joins, and a KMV distinct-count
+sketch.
+
+These are the event-analytics primitives the reference's hive streams
+imply but never expose as queries (its Postgres DAO answers point lookups
+only): sessionization is the standard funnel/engagement building block,
+the as-of join is the attribution primitive ("which click led to this
+purchase"), and KMV is the mergeable distinct sketch you run when exact
+COUNT(DISTINCT) over 100 TB is too expensive.
+
+All three are deterministic and have exact DuckDB oracle twins — the
+as-of join is checked against DuckDB's native ASOF JOIN, and KMV uses
+md5 (the portable hash) so both engines compute the identical sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min inactivity closes a session
+KMV_K = 32                         # sketch size: k-th minimum hash value
+_HEX15 = 16 ** 15                  # 15 md5 hex chars = 60 bits, fits a long
+
+
+# ---------------------------------------------------------------------------
+# sessionize: gap-based session windows per user
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT)
+               AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id ASC, session_id ASC
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions = maximal runs of a user's events with < 30 min between
+    consecutive events. One shuffle total: the lag window, the session-id
+    running sum, and the per-session aggregate all share the user_id
+    partitioning (Catalyst reuses the exchange; the groupBy key is a
+    superset of it). Gap math is integer microseconds — no sub-second
+    truncation ambiguity between engines. At 100 TB this is the canonical
+    sessionization plan: shuffle by user once, everything else is local.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch_us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(is_new).over(w).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .orderBy(F.col("user_id").asc(), F.col("session_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase matched to the user's latest click at-or-before it
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id ASC
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-and-running-max trick: tag clicks 0 and
+    purchases 1, sort by (ts, tag) within user, and carry the running max
+    click timestamp forward — each purchase then reads the latest click at
+    or before it (tag 0 < 1 makes an equal-timestamp click visible,
+    matching ASOF's >= bound).
+
+    Spark has no ASOF JOIN; the naive alternative (range join) is a
+    quadratic nested-loop. This formulation is ONE shuffle keyed by
+    user_id and a linear window pass — the standard scale plan for
+    point-in-time joins (backtesting, attribution, slowly-changing
+    dimensions). The oracle is DuckDB's native ASOF JOIN.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("tag")
+    )
+    both = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(F.when(F.col("tag") == 0, F.col("ts"))).over(w)
+    return (
+        both.withColumn("last_click_ts", last_click)
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            F.timestamp_diff("MICROSECOND", F.col("last_click_ts"), F.col("ts"))
+            .cast("long")
+            .alias("gap_us"),
+        )
+        .orderBy(F.col("event_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: k-th minimum md5 estimates COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_distinct",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+      SELECT event_type,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+                    AS BIGINT)),
+               (a, x) -> a * 16 + x) AS hv
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+      FROM h
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT r.event_type, hv AS kth_hash,
+           round(({KMV_K} - 1) / (CAST(hv AS DOUBLE) / {_HEX15}.0), 4)
+             AS est_distinct,
+           n_exact
+    FROM r JOIN ex ON r.event_type = ex.event_type
+    WHERE rn = {KMV_K}
+    ORDER BY r.event_type ASC
+    """,
+)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch: hash each value with md5 (the
+    cross-engine hash), keep the k smallest per group; the k-th smallest,
+    scaled to [0,1), estimates distinct count as (k-1)/h_k.
+
+    Why it matters at 100 TB: the per-group state is k longs regardless of
+    cardinality, the sketch is mergeable across partitions (min-merge), and
+    unlike HyperLogLog the identical sketch is computable in any engine
+    that has md5 — which is exactly what the oracle checks. The exact
+    count rides along for the error to be visible. The plan is a distinct
+    (one shuffle, map-side partial), a window per group, and a broadcast
+    join of two tiny per-group frames.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    d = ev.select("event_type", "user_id").distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    kth = (
+        d.withColumn("hv", hv)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        kth.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.col("hv").alias("kth_hash"),
+            F.round(
+                F.lit(float(KMV_K - 1)) / (F.col("hv").cast("double") / F.lit(float(_HEX15))),
+                4,
+            ).alias("est_distinct"),
+            "n_exact",
+        )
+        .orderBy(F.col("event_type").asc())
+    )

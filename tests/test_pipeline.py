@@ -133,3 +133,102 @@ def test_dedup_clusters_cover_lsh_pairs(spark):
     # cluster id is the min doc_id of the cluster (the canonical keeper)
     for doc, lbl in labels.items():
         assert lbl <= doc and labels[lbl] == lbl
+
+
+def test_sessionize_gap_semantics(spark):
+    from distribution_engine_smt_spark.pipeline.temporal import (
+        SESSION_GAP_US,
+        sessionize,
+    )
+
+    rows = sessionize(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r["start_ts"] <= r["end_ts"]
+        assert r["n_events"] >= 1
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["session_id"])
+        assert [s["session_id"] for s in sessions] == list(
+            range(1, len(sessions) + 1)
+        )
+        for prev, nxt in zip(sessions, sessions[1:]):
+            gap_us = (nxt["start_ts"] - prev["end_ts"]).total_seconds() * 1e6
+            assert gap_us > SESSION_GAP_US  # sessions split only on real gaps
+
+
+def test_asof_attribution_bounds(spark):
+    from distribution_engine_smt_spark.pipeline.temporal import (
+        asof_purchase_attribution,
+    )
+
+    rows = asof_purchase_attribution(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    matched = [r for r in rows if r["last_click_ts"] is not None]
+    assert matched  # the corpus has clicks before purchases
+    for r in matched:
+        assert r["last_click_ts"] <= r["ts"]  # as-of bound: at-or-before
+        assert r["gap_us"] >= 0
+    unmatched = [r for r in rows if r["last_click_ts"] is None]
+    for r in unmatched:
+        assert r["gap_us"] is None
+
+
+def test_kmv_estimate_reasonable(spark):
+    from distribution_engine_smt_spark.pipeline.temporal import kmv_distinct
+
+    rows = kmv_distinct(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # KMV with k=32 has ~18% relative std error; 2x bounds catch wiring
+        # bugs (e.g. hashing the wrong column) without flakiness
+        assert r["n_exact"] / 2 <= r["est_distinct"] <= r["n_exact"] * 2
+
+
+def test_decontaminate_flags_real_overlap(spark):
+    from distribution_engine_smt_spark.pipeline.decontam import (
+        BENCH_MOD,
+        NGRAM_N,
+        decontaminate,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    rows = decontaminate(spark, SF_DIR_ORACLE).collect()
+    assert all(r["doc_id"] % BENCH_MOD != 0 for r in rows)  # bench docs excluded
+    flagged = [r for r in rows if r["contaminated"]]
+    assert flagged, "synthetic corpus has near-dups; expected contamination hits"
+    # verify one flagged doc really shares an n-gram with a benchmark doc
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_tpch(spark, SF_DIR_ORACLE)["documents"].collect()
+    }
+
+    def grams(text):
+        toks = text.strip().split(" ")
+        if len(toks) < NGRAM_N:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i : i + NGRAM_N])
+            for i in range(len(toks) - NGRAM_N + 1)
+        }
+
+    bench_grams = set()
+    for did, text in docs.items():
+        if did % BENCH_MOD == 0:
+            bench_grams |= grams(text)
+    probe = flagged[0]
+    shared = grams(docs[probe["doc_id"]]) & bench_grams
+    assert len(shared) == probe["n_shared"]
+
+
+def test_repetition_ratios_bounded(spark):
+    from distribution_engine_smt_spark.pipeline.decontam import text_repetition
+
+    rows = text_repetition(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_ratio"] <= 1.0
+        assert 0.0 <= r["dup_2gram_char_ratio"] <= 1.0
+    # word-salad corpus: repetition must actually be detected somewhere
+    assert any(r["dup_2gram_char_ratio"] > 0 for r in rows)
