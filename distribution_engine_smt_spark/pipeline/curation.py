@@ -241,3 +241,124 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").cast("long").alias("cluster_id")
     ).orderBy(F.col("doc_id").asc())
+
+
+# ---------------------------------------------------------------------------
+# temperature-balanced sampling: downsample dominant languages, sqrt scaling
+# ---------------------------------------------------------------------------
+_HEX8 = 16 ** 8  # 8 md5 hex chars = 32-bit coin
+
+
+@register(
+    "balanced_sample",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_lang,
+             sqrt(CAST(n_lang AS DOUBLE) / max(n_lang) OVER ()) AS rate
+      FROM counts
+    ),
+    coin AS (
+      SELECT doc_id, lang,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                    AS BIGINT)),
+               (a, x) -> a * 16 + x) AS hv
+      FROM documents
+    )
+    SELECT c.doc_id, c.lang, round(r.rate, 6) AS rate,
+           (CAST(hv AS DOUBLE) / {_HEX8}.0) < r.rate AS keep
+    FROM coin c JOIN rates r ON c.lang = r.lang
+    ORDER BY c.doc_id ASC
+    """,
+)
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling (alpha = 0.5): keep-rate per language is
+    sqrt(n_lang / n_max), so the dominant language is downsampled toward a
+    flatter distribution while the smallest languages keep everything —
+    the standard multilingual-corpus balancing step.
+
+    Determinism: the coin is the first 32 bits of md5(doc_id) (a doc's
+    fate never changes across runs/engines); sqrt is IEEE correctly-rounded
+    in both engines (why alpha is 0.5 and not an arbitrary pow()).
+    Scale: per-language counts are a tiny aggregate broadcast back into
+    the map-side coin pass — no shuffle touches the corpus itself.
+    """
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_max = counts.agg(F.max("n_lang").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        F.sqrt(F.col("n_lang").cast("double") / F.col("n_max")).alias("rate"),
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("doc_id", "lang", hv.alias("hv"))
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("rate"), 6).alias("rate"),
+            (F.col("hv").cast("double") / F.lit(float(_HEX8)) < F.col("rate")).alias(
+                "keep"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# document chunking: fixed-size character chunks for context-window packing
+# ---------------------------------------------------------------------------
+CHUNK_CHARS = 500
+
+
+@register(
+    "chunk_documents",
+    f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           length(substr(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_len,
+           md5(substr(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_md5
+    FROM documents,
+         unnest(generate_series(0, CAST(greatest(length(text) - 1, 0) // {CHUNK_CHARS} AS BIGINT))) t(i)
+    ORDER BY doc_id ASC, chunk_idx ASC
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed 500-char chunks (the pre-tokenization
+    chunking step for embedding / context-window pipelines). Entirely
+    map-side: sequence + transform + posexplode, no shuffle except the
+    output ORDER BY; at 100 TB this runs as a single scan whose output is
+    larger than its input, which is exactly when you want no exchange in
+    the middle. Chunks are reported as (len, md5) so the oracle row stays
+    narrow while still pinning the exact chunk bytes.
+    """
+    t = _t(spark, sf_dir)
+    n_chunks = F.greatest(F.length("text") - 1, F.lit(0)) / CHUNK_CHARS
+    idx = F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
+    exploded = t["documents"].select(
+        "doc_id",
+        F.col("text"),
+        F.posexplode(idx).alias("chunk_idx", "_i"),
+    )
+    piece = F.col("text").substr(
+        F.col("chunk_idx") * CHUNK_CHARS + 1, F.lit(CHUNK_CHARS)
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.length(piece).alias("chunk_len"),
+            F.md5(piece.cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
+    )

@@ -217,3 +217,32 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# tumbling windows: the Structured Streaming windowed-agg shape, batch twin
+# ---------------------------------------------------------------------------
+@register(
+    "tumbling_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 1-hour tumbling counts/sums per event type — the batch
+    twin of ``streaming.windows.run_tumbling_stream`` (same column logic,
+    shared via ``tumbling_counts``). One shuffle keyed by (window,
+    event_type) with map-side partial aggregation; decimal-space sums make
+    the result bit-identical to the DuckDB oracle."""
+    from ..streaming.windows import tumbling_counts
+
+    ev = _t(spark, sf_dir)["events"]
+    return tumbling_counts(ev).orderBy(
+        F.col("window_start").asc(), F.col("event_type").asc()
+    )

@@ -177,14 +177,22 @@ class DualStreamRunner:
         for name in only or schemas.STATE_TABLES:
             df = state[name]
             part_cols = tables.PARTITION_COLUMNS.get(name)
+            bucketed = not part_cols and name in tables.HASH_BUCKETS
             touched = touched_partitions.get(name)
             stage_path = os.path.join(data_dir, name)
-            if part_cols and touched is not None:
+            if (part_cols or bucketed) and touched is not None:
                 if not touched:
                     continue  # batch didn't touch this table at all
-                pcol = part_cols[0]
-                delta = tables.conform(df.filter(F.col(pcol).isin(touched)), name)
-                sort_cols = tables.SORT_COLUMNS.get(name, [])
+                if bucketed:
+                    pcol = tables.BUCKET_COL
+                    delta = tables.conform(df, name).withColumn(
+                        pcol, tables.bucket_expr(name)
+                    ).filter(F.col(pcol).isin(touched))
+                    sort_cols = [tables.HASH_BUCKETS[name][0]]
+                else:
+                    pcol = part_cols[0]
+                    delta = tables.conform(df.filter(F.col(pcol).isin(touched)), name)
+                    sort_cols = tables.SORT_COLUMNS.get(name, [])
                 w = delta.repartition(pcol)
                 if sort_cols:
                     w = w.sortWithinPartitions(pcol, *sort_cols)
@@ -280,11 +288,41 @@ class DualStreamRunner:
         new_state["configuration"] = merge_upsert(
             new_state["configuration"], ckpt, ["id"]
         )
+        # post_metadata is hash-bucketed on disk; a batch's comment ops touch
+        # only the buckets of their own authorperms plus (children counters)
+        # their parents'. Scoping the save rewrites those bucket dirs, not
+        # the table — the largest L1 table (bodies) stops being a full
+        # rewrite per micro-batch.
+        from ..functions import construct_authorperm, is_main_post
+
+        com = eligible.filter(F.col("type") == "comment")
+        meta_keys = com.select(
+            construct_authorperm(F.col("author"), F.col("permlink")).alias("authorperm")
+        ).unionByName(
+            com.filter(
+                ~F.coalesce(
+                    is_main_post(F.col("parent_author"), F.col("parent_permlink")),
+                    F.lit(True),
+                )
+            ).select(
+                construct_authorperm(
+                    F.col("parent_author"), F.col("parent_permlink")
+                ).alias("authorperm")
+            )
+        ).filter(F.col("authorperm").isNotNull())
+        meta_buckets = [
+            r[0]
+            for r in meta_keys.select(
+                tables.bucket_expr("post_metadata").alias("b")
+            ).distinct().collect()
+        ]
         # state (including the new HWM) promotes atomically first, holdback
         # second: a crash between the two re-runs the batch against the OLD
         # holdback, and the HWM filter discards the already-applied blocks
         # — never the reverse order, which could lose parked ops
-        self.save_state(new_state)
+        self.save_state(
+            new_state, touched_partitions={"post_metadata": meta_buckets}
+        )
         self._save_holdback("l1", parked)
 
     def process_l2_batch(self, txs: DataFrame, batch_id: int, now: datetime | None = None) -> None:
@@ -354,6 +392,9 @@ class DualStreamRunner:
             "votes": tokens,
             "account_history": tokens,
             "accounts": tokens,
+            # L2 never writes post_metadata (only L1 comment ops do) — skip
+            # the bucketed table's rewrite entirely
+            "post_metadata": [],
         }
         self.save_state(new_state, touched_partitions=touched)
         self._save_holdback("l2", parked)

@@ -1,0 +1,76 @@
+"""Event-time tumbling-window aggregation — the Structured Streaming
+windowed-agg shape (`F.window` + watermark) with a batch twin.
+
+The SAME column logic serves both paths: the batch query
+(`pipeline.temporal.tumbling_event_counts`) runs it over the static events
+table and is oracled against DuckDB's date_trunc, while
+`run_tumbling_stream` runs it as a real readStream with an event-time
+watermark. At scale the streaming path is the one you deploy (incremental
+state, late-data eviction via watermark); the batch path is the backfill.
+
+Sums are computed in DECIMAL(18,2) space (cast the INPUT double, never a
+product) so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WINDOW = "1 hour"
+WATERMARK = "1 hour"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): event count + exact decimal value sum.
+    Epoch-aligned 1-hour tumbling windows, so `window.start` equals
+    DuckDB's `date_trunc('hour', ts)`."""
+    return (
+        events.groupBy(F.window(F.col("ts"), WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            # decimal-space sum (exact, engine-portable), double on the way
+            # out so both engines stringify identically
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_tumbling_stream(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "tumbling_counts",
+):
+    """Streaming twin: file source -> watermark -> tumbling agg -> memory
+    sink (complete mode). availableNow drains the source then stops, which
+    is also the catch-up/backfill pattern for a real deployment.
+
+    The watermark bounds state: windows older than (max event time - 1 h)
+    are finalized and their state evicted — without it, a month of events
+    keeps 720 windows x event_types live forever. Complete-mode memory sink
+    is test/demo plumbing; production writes append-mode to a keyed sink.
+    """
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # driver parquet stores TIMESTAMP(NANOS) -> read as nanos long
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
+    # the wall-clock values match the batch twin's NTZ values exactly
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = tumbling_counts(raw.withWatermark("ts", WATERMARK))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

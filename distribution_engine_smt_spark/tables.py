@@ -37,6 +37,34 @@ SORT_COLUMNS: dict[str, list[str]] = {
     "reblogs": ["timestamp"],
 }
 
+# Tables with no natural partition value (post_metadata is keyed only by
+# authorperm — bodies make it the largest L1 table) are hash-bucketed on
+# disk: partition dir = crc32(key) % N. save_state / merge can then scope
+# a batch's write to the touched buckets instead of rewriting the table —
+# at 100 TB a micro-batch rewrites a handful of 1/N-sized directories.
+# crc32 (not xxhash/murmur) because it is bit-stable across Spark versions
+# AND matches Python's zlib.crc32, so the driver can address buckets too.
+HASH_BUCKETS: dict[str, tuple[str, int]] = {
+    "post_metadata": ("authorperm", 16),
+}
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(name: str):
+    """Column expression assigning a row of ``name`` to its disk bucket."""
+    from pyspark.sql import functions as F
+
+    key, n = HASH_BUCKETS[name]
+    return F.pmod(F.crc32(F.col(key).cast("binary")), F.lit(n)).cast("int")
+
+
+def bucket_of(value: str, name: str) -> int:
+    """Driver-side twin of ``bucket_expr`` (zlib.crc32 == Spark crc32)."""
+    import zlib
+
+    _, n = HASH_BUCKETS[name]
+    return zlib.crc32(value.encode("utf-8")) % n
+
 TPCH_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -44,9 +72,12 @@ TPCH_TABLES = [
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    """Read a state table from ``root/name`` with its declared schema."""
+    """Read a state table from ``root/name`` with its declared schema.
+    For hash-bucketed tables the partition column is auto-appended by the
+    reader; drop it so every caller sees the canonical schema."""
     path = os.path.join(root, name)
-    return spark.read.schema(schemas.STATE_TABLES[name]).parquet(path)
+    df = spark.read.schema(schemas.STATE_TABLES[name]).parquet(path)
+    return df.drop(BUCKET_COL)
 
 
 def conform(df: DataFrame, name: str) -> DataFrame:
@@ -71,10 +102,16 @@ def write_table(df: DataFrame, root: str, name: str, mode: str = "overwrite") ->
     writer = df
     sort_cols = SORT_COLUMNS.get(name)
     part_cols = PARTITION_COLUMNS.get(name)
+    if not part_cols and name in HASH_BUCKETS:
+        key, _ = HASH_BUCKETS[name]
+        df = df.withColumn(BUCKET_COL, bucket_expr(name))
+        part_cols, sort_cols = [BUCKET_COL], [key]
     if part_cols and sort_cols:
         writer = df.repartition(*part_cols).sortWithinPartitions(*part_cols, *sort_cols)
     elif sort_cols:
         writer = df.sortWithinPartitions(*sort_cols)
+    elif part_cols:
+        writer = df
     w = writer.write.mode(mode)
     if part_cols:
         w = w.partitionBy(*part_cols)
@@ -186,12 +223,17 @@ def merge_into_partitioned(
     from .operators.merge import merge_upsert
 
     part_cols = PARTITION_COLUMNS.get(name)
-    if not part_cols:
+    bucketed = not part_cols and name in HASH_BUCKETS
+    if not part_cols and not bucketed:
         raise ValueError(f"{name} is not partition-keyed; use write_table")
-    if len(part_cols) != 1:
+    if part_cols and len(part_cols) != 1:
         raise NotImplementedError("single partition column expected")
-    pcol = part_cols[0]
     keys = keys or _schemas.UPSERT_KEYS[name]
+    if bucketed:
+        pcol = BUCKET_COL
+        delta = delta.withColumn(pcol, bucket_expr(name))
+    else:
+        pcol = part_cols[0]
 
     if backend == "delta":
         return _merge_into_delta(spark, root, name, delta, keys, seq_col, pcol)
@@ -209,18 +251,22 @@ def merge_into_partitioned(
             spark.read.option("basePath", path)
             .schema(_schemas.STATE_TABLES[name])
             .parquet(*[os.path.join(path, f"{pcol}={v}") for v in existing])
-        )
+        ).drop(BUCKET_COL)
     else:
         target = empty_table(spark, name)
 
-    merged = conform(merge_upsert(target, delta, keys, seq_col=seq_col), name)
+    merged = conform(
+        merge_upsert(target, delta.drop(BUCKET_COL), keys, seq_col=seq_col), name
+    )
+    if bucketed:
+        merged = merged.withColumn(pcol, bucket_expr(name))
     # self-overwrite safety: materialize before replacing the source files
     merged = merged.localCheckpoint(eager=True)
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        sort_cols = SORT_COLUMNS.get(name, [])
+        sort_cols = [HASH_BUCKETS[name][0]] if bucketed else SORT_COLUMNS.get(name, [])
         writer = merged.repartition(pcol)
         if sort_cols:
             writer = writer.sortWithinPartitions(pcol, *sort_cols)
@@ -263,6 +309,8 @@ def _merge_into_delta(
             .drop("__rn")
         )
     delta_df = conform(delta_df, name)
+    if pcol == BUCKET_COL:
+        delta_df = delta_df.withColumn(pcol, bucket_expr(name))
     touched = [r[0] for r in delta_df.select(pcol).distinct().collect()]
 
     if not DeltaTable.isDeltaTable(spark, path):
@@ -272,6 +320,7 @@ def _merge_into_delta(
     tgt = DeltaTable.forPath(spark, path).alias("t")
     cond = " AND ".join([f"t.{k} <=> s.{k}" for k in keys])
     # partition pruning: restrict the scan to touched partition values
+    # (bucket values are ints; string-quoting them is still valid SQL)
     vals = ", ".join(f"'{v}'" for v in touched)
     cond = f"t.{pcol} IN ({vals}) AND {cond}"
     (

@@ -1,0 +1,155 @@
+"""post_metadata is hash-bucketed on disk (crc32(authorperm) % N): an L1
+batch must rewrite only the bucket directories its authorperms fall in, and
+reads must round-trip the canonical (bucket-free) schema."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+from datetime import datetime
+from decimal import Decimal
+
+from distribution_engine_smt_spark import schemas, tables
+from distribution_engine_smt_spark.streaming import DualStreamRunner
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+NOW = datetime(2024, 1, 1, 13, 0, 0)
+
+
+def _digests(root, table):
+    return {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(root, "state", table, "*", "*.parquet"))
+    }
+
+
+def _post_row(authorperm, author, parent_author="", parent_permlink=""):
+    main = parent_author == ""
+    return (
+        authorperm, author, T0, None, None, main, False, "TKN", Decimal(0),
+        None, None, Decimal(0), Decimal(0), 0.0, 0.0, 0, Decimal(0), None,
+        None, 0, parent_author, parent_permlink, 0.0, False,
+    )
+
+
+def _ops(spark, rows):
+    return spark.read.schema(schemas.OPS_L1).json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    )
+
+
+def _comment(block, author, permlink, body):
+    return {
+        "block_num": block, "op_seq": 0, "timestamp": T0.isoformat(),
+        "type": "comment", "author": author, "permlink": permlink,
+        "parent_author": "", "parent_permlink": "cat", "title": "t",
+        "body": body, "json_metadata": "{}",
+    }
+
+
+def _two_authorperms_in_distinct_buckets():
+    """Find two (author, permlink) pairs landing in different buckets."""
+    base = ("alice", "p0")
+    b0 = tables.bucket_of("@alice/p0", "post_metadata")
+    for i in range(1, 64):
+        cand = ("bob", f"q{i}")
+        if tables.bucket_of(f"@bob/q{i}", "post_metadata") != b0:
+            return base, cand
+    raise AssertionError("no distinct bucket found in 64 tries")
+
+
+def test_l1_batch_rewrites_only_touched_meta_buckets(spark, tmp_path):
+    (a_author, a_perm), (b_author, b_perm) = _two_authorperms_in_distinct_buckets()
+    ap_a, ap_b = f"@{a_author}/{a_perm}", f"@{b_author}/{b_perm}"
+    bucket_a = tables.bucket_of(ap_a, "post_metadata")
+    bucket_b = tables.bucket_of(ap_b, "post_metadata")
+
+    runner = DualStreamRunner(spark, str(tmp_path))
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [_post_row(ap_a, a_author), _post_row(ap_b, b_author)], schemas.POSTS
+    )
+    runner.save_state(state)
+
+    # batch 1: comments on both authorperms -> both buckets written
+    runner.process_l1_batch(
+        _ops(spark, [
+            _comment(10, a_author, a_perm, "body a v1"),
+            _comment(10, b_author, b_perm, "body b v1"),
+        ]),
+        batch_id=0, now=NOW,
+    )
+    meta_dir = os.path.join(str(tmp_path), "state", "post_metadata")
+    dirs = {d for d in os.listdir(meta_dir) if d.startswith(tables.BUCKET_COL)}
+    assert f"{tables.BUCKET_COL}={bucket_a}" in dirs
+    assert f"{tables.BUCKET_COL}={bucket_b}" in dirs
+    before = _digests(str(tmp_path), "post_metadata")
+
+    # batch 2: edit only authorperm A -> bucket B's files must be untouched
+    runner.process_l1_batch(
+        _ops(spark, [_comment(11, a_author, a_perm, "body a v2")]),
+        batch_id=1, now=NOW,
+    )
+    after = _digests(str(tmp_path), "post_metadata")
+    b_files = [p for p in before if f"{tables.BUCKET_COL}={bucket_b}" in p]
+    assert b_files
+    for p in b_files:
+        assert after.get(p) == before[p], f"untouched bucket rewritten: {p}"
+
+    meta = {r["authorperm"]: r for r in runner.load_state()["post_metadata"].collect()}
+    assert meta[ap_a]["body"] == "body a v2"
+    assert meta[ap_b]["body"] == "body b v1"
+    # canonical schema round-trip: the bucket column never leaks to readers
+    assert tables.BUCKET_COL not in runner.load_state()["post_metadata"].columns
+
+
+def test_l1_batch_without_comments_skips_meta_write(spark, tmp_path):
+    runner = DualStreamRunner(spark, str(tmp_path))
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [_post_row("@alice/p0", "alice")], schemas.POSTS
+    )
+    runner.save_state(state)
+    runner.process_l1_batch(
+        _ops(spark, [_comment(10, "alice", "p0", "body v1")]), batch_id=0, now=NOW
+    )
+    before = _digests(str(tmp_path), "post_metadata")
+    assert before
+
+    # a follows-only batch touches no meta bucket: zero rewrites
+    follow = {
+        "block_num": 11, "op_seq": 0, "timestamp": T0.isoformat(),
+        "type": "custom_json", "id": "follow",
+        "json": json.dumps(["follow", {"follower": "u", "following": "v", "what": ["blog"]}]),
+        "required_posting_auths": ["u"], "required_auths": [],
+    }
+    runner.process_l1_batch(_ops(spark, [follow]), batch_id=1, now=NOW)
+    assert _digests(str(tmp_path), "post_metadata") == before
+
+
+def test_merge_into_bucketed_table(spark, tmp_path):
+    root = str(tmp_path)
+    first = spark.createDataFrame(
+        [("@a/p1", "b1", "{}", "", 0, None, "/cat/@a/p1", 0)],
+        schemas.POST_METADATA,
+    )
+    tables.write_table(first, root, "post_metadata")
+    delta = spark.createDataFrame(
+        [
+            ("@a/p1", "b1-edited", "{}", "", 0, None, "/cat/@a/p1", 0),
+            ("@x/new", "fresh", "{}", "", 0, None, "/cat/@x/new", 0),
+        ],
+        schemas.POST_METADATA,
+    )
+    touched = tables.merge_into_partitioned(spark, root, "post_metadata", delta)
+    assert set(touched) == {
+        tables.bucket_of("@a/p1", "post_metadata"),
+        tables.bucket_of("@x/new", "post_metadata"),
+    }
+    rows = {
+        r["authorperm"]: r["body"]
+        for r in tables.read_table(spark, root, "post_metadata").collect()
+    }
+    assert rows == {"@a/p1": "b1-edited", "@x/new": "fresh"}

@@ -71,9 +71,11 @@ def test_merge_into_empty_table(spark, tmp_path):
 def test_merge_rejects_unpartitioned_table(spark, tmp_path):
     import pytest
 
-    delta = spark.createDataFrame([], schemas.POST_METADATA)
+    # post_metadata used to be the example here; it is now hash-bucketed and
+    # supported — follows has neither a partition value nor a bucket spec
+    delta = spark.createDataFrame([], schemas.FOLLOWS)
     with pytest.raises(ValueError):
-        merge_into_partitioned(spark, str(tmp_path), "post_metadata", delta)
+        merge_into_partitioned(spark, str(tmp_path), "follows", delta)
 
 
 def test_delta_backend_merge(spark, tmp_path):

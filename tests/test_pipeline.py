@@ -232,3 +232,45 @@ def test_repetition_ratios_bounded(spark):
         assert 0.0 <= r["dup_2gram_char_ratio"] <= 1.0
     # word-salad corpus: repetition must actually be detected somewhere
     assert any(r["dup_2gram_char_ratio"] > 0 for r in rows)
+
+
+def test_balanced_sample_rates(spark):
+    from distribution_engine_smt_spark.pipeline.curation import balanced_sample
+
+    rows = balanced_sample(spark, SF_DIR_ORACLE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_by_lang = {k: len(v) for k, v in by_lang.items()}
+    top = max(n_by_lang, key=n_by_lang.get)
+    # dominant language: rate exactly 1.0, so every doc survives
+    assert all(r["rate"] == 1.0 and r["keep"] for r in by_lang[top])
+    for lang, rs in by_lang.items():
+        if lang != top and n_by_lang[lang] < n_by_lang[top]:
+            assert all(r["rate"] < 1.0 for r in rs)
+    # determinism: same keeps every run
+    again = balanced_sample(spark, SF_DIR_ORACLE).collect()
+    assert rows == again
+
+
+def test_chunk_documents_reassembles(spark):
+    from distribution_engine_smt_spark.pipeline.curation import (
+        CHUNK_CHARS,
+        chunk_documents,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    lens = {
+        r["doc_id"]: len(r["text"])
+        for r in load_tpch(spark, SF_DIR_ORACLE)["documents"].collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in chunk_documents(spark, SF_DIR_ORACLE).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == set(lens)
+    for doc_id, cs in chunks.items():
+        cs.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in cs] == list(range(len(cs)))
+        assert sum(c["chunk_len"] for c in cs) == lens[doc_id]
+        assert all(c["chunk_len"] == CHUNK_CHARS for c in cs[:-1])
+        assert 1 <= cs[-1]["chunk_len"] <= CHUNK_CHARS
