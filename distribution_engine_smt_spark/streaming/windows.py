@@ -74,3 +74,46 @@ def run_tumbling_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_dedup(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "stream_dedup",
+):
+    """Streaming exact dedup for document ingestion: md5(content) is the
+    identity key, ``dropDuplicatesWithinWatermark`` keeps the first arrival
+    per key and — unlike plain dropDuplicates — EVICTS key state once the
+    watermark passes, so state is bounded by the dedup horizon instead of
+    corpus cardinality. This is the ingest-time half of the dedup story;
+    the batch operators (dedup_exact / dedup_exact_keep_first) are the
+    backfill half over data already at rest.
+
+    Event time is derived from doc_id (the synthetic corpus has no
+    timestamp column); a real feed uses its ingest timestamp. At 100 TB
+    the state store is RocksDB-backed and keyed by the md5 — a few dozen
+    bytes per in-horizon document.
+    """
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    docs = raw.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        # +1 day: the initial watermark is the epoch, and a row whose event
+        # time equals the watermark is discarded as late — doc_id 0 must
+        # not land exactly on it
+        F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000)
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    deduped = docs.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["h"])
+    return (
+        deduped.select("doc_id", "h")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -37,3 +37,35 @@ def test_stream_matches_batch_twin(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tw_test").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_keeps_one_per_content_hash(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.streaming.windows import run_streaming_dedup
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    docs = load_tpch(spark, SF_DIR_ORACLE)["documents"]
+    batch_hashes = {
+        r["h"]
+        for r in docs.select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .collect()
+    }
+
+    # stage the corpus TWICE (two files, identical rows): the stream sees
+    # every document duplicated and must keep exactly one per content hash
+    src = os.path.join(SF_DIR_ORACLE, "documents.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "wave1.parquet")
+    os.symlink(src, stream_dir / "wave2.parquet")
+    q = run_streaming_dedup(
+        spark, str(stream_dir), raw_schema, str(tmp_path / "ckpt2"),
+        query_name="sd_test",
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("SELECT * FROM sd_test").collect()
+    assert {r["h"] for r in kept} == batch_hashes  # every content survives once
+    assert len(kept) == len(batch_hashes)          # and exactly once
