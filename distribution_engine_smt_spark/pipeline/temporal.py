@@ -54,16 +54,9 @@ _HEX15 = 16 ** 15                  # 15 md5 hex chars = 60 bits, fits a long
     ORDER BY user_id ASC, session_id ASC
     """,
 )
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessions = maximal runs of a user's events with < 30 min between
-    consecutive events. One shuffle total: the lag window, the session-id
-    running sum, and the per-session aggregate all share the user_id
-    partitioning (Catalyst reuses the exchange; the groupBy key is a
-    superset of it). Gap math is integer microseconds — no sub-second
-    truncation ambiguity between engines. At 100 TB this is the canonical
-    sessionization plan: shuffle by user once, everything else is local.
-    """
-    ev = _t(spark, sf_dir)["events"]
+def sessionize_events(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``sessionize`` (property tests feed it
+    arbitrary event frames)."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     epoch_us = F.timestamp_diff(
         "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
@@ -80,6 +73,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("user_id").asc(), F.col("session_id").asc())
     )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions = maximal runs of a user's events with < 30 min between
+    consecutive events. One shuffle total: the lag window, the session-id
+    running sum, and the per-session aggregate all share the user_id
+    partitioning (Catalyst reuses the exchange; the groupBy key is a
+    superset of it). Gap math is integer microseconds — no sub-second
+    truncation ambiguity between engines. At 100 TB this is the canonical
+    sessionization plan: shuffle by user once, everything else is local.
+    """
+    return sessionize_events(_t(spark, sf_dir)["events"])
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +114,11 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-time joins (backtesting, attribution, slowly-changing
     dimensions). The oracle is DuckDB's native ASOF JOIN.
     """
-    ev = _t(spark, sf_dir)["events"]
+    return asof_attribution(_t(spark, sf_dir)["events"])
+
+
+def asof_attribution(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``asof_purchase_attribution``."""
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", F.lit(0).alias("tag")
     )
