@@ -29,6 +29,27 @@ _HEX15 = 16 ** 15                  # 15 md5 hex chars = 60 bits, fits a long
 # ---------------------------------------------------------------------------
 # sessionize: gap-based session windows per user
 # ---------------------------------------------------------------------------
+def sessionize_events(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of ``sessionize`` (property tests feed it
+    arbitrary event frames)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch_us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(is_new).over(w).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .orderBy(F.col("user_id").asc(), F.col("session_id").asc())
+    )
+
+
 @register(
     "sessionize",
     f"""
@@ -54,27 +75,6 @@ _HEX15 = 16 ** 15                  # 15 md5 hex chars = 60 bits, fits a long
     ORDER BY user_id ASC, session_id ASC
     """,
 )
-def sessionize_events(ev: DataFrame) -> DataFrame:
-    """DataFrame-level core of ``sessionize`` (property tests feed it
-    arbitrary event frames)."""
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    epoch_us = F.timestamp_diff(
-        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
-    )
-    gap = epoch_us - F.lag(epoch_us).over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
-    return (
-        ev.withColumn("session_id", F.sum(is_new).over(w).cast("int"))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
-        )
-        .orderBy(F.col("user_id").asc(), F.col("session_id").asc())
-    )
-
-
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions = maximal runs of a user's events with < 30 min between
     consecutive events. One shuffle total: the lag window, the session-id
