@@ -69,7 +69,7 @@ def main() -> None:
         "pack_sequences", "stratified_sample", "quality_filter", "dedup_clusters",
         "decontaminate", "text_repetition", "sessionize",
         "asof_purchase_attribution", "kmv_distinct", "tumbling_event_counts",
-        "balanced_sample", "chunk_documents",
+        "balanced_sample", "chunk_documents", "range_join_events",
     }
     r01_subset = round(sum(v for k, v in timings.items() if k not in added_r2), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -255,3 +255,58 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(ev).orderBy(
         F.col("window_start").asc(), F.col("event_type").asc()
     )
+
+
+# ---------------------------------------------------------------------------
+# range join: all (error, signup) event pairs within a +/-60 s window
+# ---------------------------------------------------------------------------
+RANGE_WINDOW_US = 60 * 1_000_000
+
+
+@register(
+    "range_join_events",
+    f"""
+    SELECT e.event_id AS error_id, s.event_id AS signup_id,
+           epoch_us(s.ts) - epoch_us(e.ts) AS dt_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON abs(epoch_us(s.ts) - epoch_us(e.ts)) <= {RANGE_WINDOW_US}
+    ORDER BY error_id ASC, signup_id ASC
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time-bucketing: Spark would execute the
+    raw |t1 - t2| <= w predicate as a broadcast nested-loop (quadratic);
+    instead both sides are binned at the window width, the error side fans
+    out to its 3 adjacent bins, and the join becomes an EQUI-join on bin
+    followed by the exact residual filter. Each signup lives in exactly one
+    bin, so no pair can match twice — no distinct needed.
+
+    At 100 TB this is the standard plan for temporal correlation joins:
+    shuffle keyed by bin (add a salt sub-key if one hot minute dominates),
+    3x fan-out on one side only, candidate set bounded by bin co-residents
+    instead of the full cross product.
+    """
+    ev = _t(spark, sf_dir)["events"]
+    epoch_us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), epoch_us.alias("e_us")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        epoch_us.alias("s_us"),
+        F.floor(epoch_us / RANGE_WINDOW_US).alias("bin"),
+    )
+    e_bin = F.floor(F.col("e_us") / RANGE_WINDOW_US)
+    err_bins = errors.withColumn(
+        "bin", F.explode(F.array(e_bin - 1, e_bin, e_bin + 1))
+    )
+    dt = F.col("s_us") - F.col("e_us")
+    return (
+        err_bins.join(signups, "bin")
+        .filter(F.abs(dt) <= RANGE_WINDOW_US)
+        .select("error_id", "signup_id", dt.cast("long").alias("dt_us"))
+        .orderBy(F.col("error_id").asc(), F.col("signup_id").asc())
+    )
