@@ -316,12 +316,41 @@ class DualStreamRunner:
                 tables.bucket_expr("post_metadata").alias("b")
             ).distinct().collect()
         ]
+        # token partitions: L1 comments/deletes only ever touch posts and
+        # accounts rows whose authorperm appears in the batch (comments
+        # update existing rows — the semi-join in apply_comments — and
+        # deletes remove pre-batch rows), so the touched token set is the
+        # tokens of the PRE-batch posts rows for those authorperms. L1
+        # never writes votes or account_history at all.
+        del_aps = eligible.filter(F.col("type") == "delete_comment").select(
+            construct_authorperm(F.col("author"), F.col("permlink")).alias(
+                "authorperm"
+            )
+        )
+        all_aps = meta_keys.unionByName(del_aps).filter(
+            F.col("authorperm").isNotNull()
+        ).distinct()
+        tokens = [
+            r[0]
+            for r in state["posts"]
+            .join(all_aps, "authorperm", "left_semi")
+            .select("token")
+            .distinct()
+            .collect()
+        ]
         # state (including the new HWM) promotes atomically first, holdback
         # second: a crash between the two re-runs the batch against the OLD
         # holdback, and the HWM filter discards the already-applied blocks
         # — never the reverse order, which could lose parked ops
         self.save_state(
-            new_state, touched_partitions={"post_metadata": meta_buckets}
+            new_state,
+            touched_partitions={
+                "post_metadata": meta_buckets,
+                "posts": tokens,
+                "accounts": tokens,
+                "votes": [],
+                "account_history": [],
+            },
         )
         self._save_holdback("l1", parked)
 

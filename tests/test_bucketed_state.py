@@ -153,3 +153,29 @@ def test_merge_into_bucketed_table(spark, tmp_path):
         for r in tables.read_table(spark, root, "post_metadata").collect()
     }
     assert rows == {"@a/p1": "b1-edited", "@x/new": "fresh"}
+
+
+def test_l1_batch_rewrites_only_touched_posts_tokens(spark, tmp_path):
+    runner = DualStreamRunner(spark, str(tmp_path))
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [
+            _post_row("@alice/p0", "alice"),
+            _post_row("@bob/q0", "bob") [:7] + ("TKB",) + _post_row("@bob/q0", "bob")[8:],
+        ],
+        schemas.POSTS,
+    )
+    runner.save_state(state)
+    before = _digests(str(tmp_path), "posts")
+    assert any("token=TKB" in p for p in before)
+
+    # comment touches only @alice/p0 (token TKN): TKB partition untouched
+    runner.process_l1_batch(
+        _ops(spark, [_comment(10, "alice", "p0", "body v1")]), batch_id=0, now=NOW
+    )
+    after = _digests(str(tmp_path), "posts")
+    for p in (p for p in before if "token=TKB" in p):
+        assert after.get(p) == before[p], f"TKB posts partition rewritten: {p}"
+    posts = {r["authorperm"]: r for r in runner.load_state()["posts"].collect()}
+    assert posts["@alice/p0"]["title"] == "t"  # the comment's title landed
+    assert posts["@bob/q0"]["title"] is None
