@@ -200,12 +200,61 @@ def _lsh_pairs_sql() -> str:
     return _MINHASH_LSH_SQL.replace("ORDER BY d1 ASC, d2 ASC", "")
 
 
+def cluster_labels(pairs: DataFrame) -> DataFrame:
+    """DataFrame-level core: connected-component labels (min node id) for
+    an undirected pair set ``(d1, d2)``. See ``dedup_clusters`` for the
+    algorithm notes; tests drive this directly with adversarial graphs
+    (long chains) the LSH corpus doesn't produce."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(8):  # with pointer jumping: converges for radius < 2^8
+        neighbor_min = (
+            edges.join(labels, edges["d2"] == labels["node"])
+            .groupBy(edges["d1"].alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = labels.join(
+            neighbor_min, labels["node"] == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jumping (label-path compression): replace each label with
+        # ITS label, doubling the propagation distance per round — plain
+        # one-hop min-propagation needs O(radius) rounds and a long LSH
+        # chain (d0~d1~...~dN, min id at one end) would exceed any fixed
+        # bound, diverging from the oracle's exact recursive closure
+        parent = labels.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
+        labels = (
+            labels.join(parent, labels["lbl"] == F.col("p_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").cast("long").alias("cluster_id")
+    ).orderBy(F.col("doc_id").asc())
+
+
 @register("dedup_clusters", _CLUSTER_SQL.format(pairs_sql=_lsh_pairs_sql()))
 @memoize_df
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse near-dup pairs into clusters: iterative min-label
-    propagation (bounded — label distance halves-ish per round; DIAMETER
-    rounds suffice for the bounded-diameter clusters LSH produces), then
+    propagation with pointer jumping (each round takes a neighbor-min hop
+    AND compresses labels to their labels' labels, doubling propagation
+    distance — 8 rounds cover any component of radius < 2^8), then
     cluster_id = min doc_id reachable. The canonical keep-doc per cluster
     is min(doc_id) == cluster_id, matching dedup_exact_keep_first's rule.
 
@@ -215,32 +264,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    edges = pairs.unionByName(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("d1").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-    )
-    for _ in range(8):  # bounded rounds, ample for LSH cluster diameters
-        neighbor_min = (
-            edges.join(labels, edges["d2"] == labels["node"])
-            .groupBy(edges["d1"].alias("node2"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").cast("long").alias("cluster_id")
-    ).orderBy(F.col("doc_id").asc())
+    return cluster_labels(dedup_minhash_lsh(spark, sf_dir).select("d1", "d2"))
 
 
 # ---------------------------------------------------------------------------

@@ -314,8 +314,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round-2 plan: explode tokens ONCE (not ×16 bit-positions like round 1),
     md5 each token in codegen, pack each hex position's 4 bit-counters into
-    one long (16-bit lanes; docs are bounded far below 65536 tokens), and
-    sum the 16 packed columns with a doc_id hash aggregate. PARTIAL
+    TWO longs (32-bit lanes, 2 lanes per long — a single long's 16-bit
+    lanes would overflow the sign bit at only 2^15 tokens/doc; 32-bit
+    lanes are safe to 2^31), and
+    sum the 32 packed columns with a doc_id hash aggregate. PARTIAL
     aggregation collapses every map partition to one row per doc BEFORE the
     exchange, so the shuffle carries ~docs × 16 longs — round 1 pushed 16×
     the token count through it. (A zero-exchange variant folding the token
@@ -342,27 +344,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[_hexval(p).alias(f"v{p}") for p in range(1, 17)]
     )
 
-    def _packed(p: int):
+    def _packed(p: int, lo_bit: int):
+        # two bit-counters per long: lanes at bit 0 and bit 32
         v = F.col(f"v{p}")
         return (
-            v.bitwiseAND(F.lit(1)).cast("long")
-            + F.shiftleft(F.shiftright(v, 1).bitwiseAND(F.lit(1)).cast("long"), 16)
-            + F.shiftleft(F.shiftright(v, 2).bitwiseAND(F.lit(1)).cast("long"), 32)
-            + F.shiftleft(F.shiftright(v, 3).bitwiseAND(F.lit(1)).cast("long"), 48)
+            F.shiftright(v, lo_bit).bitwiseAND(F.lit(1)).cast("long")
+            + F.shiftleft(
+                F.shiftright(v, lo_bit + 1).bitwiseAND(F.lit(1)).cast("long"), 32
+            )
         )
 
     per_tok = vals.select(
-        "doc_id", *[_packed(p).alias(f"pk{p}") for p in range(1, 17)]
+        "doc_id",
+        *[_packed(p, 0).alias(f"pk{p}a") for p in range(1, 17)],
+        *[_packed(p, 2).alias(f"pk{p}b") for p in range(1, 17)],
     )
     agg = per_tok.groupBy("doc_id").agg(
         F.count("*").alias("n"),
-        *[F.sum(f"pk{p}").alias(f"pk{p}") for p in range(1, 17)],
+        *[F.sum(f"pk{p}a").alias(f"pk{p}a") for p in range(1, 17)],
+        *[F.sum(f"pk{p}b").alias(f"pk{p}b") for p in range(1, 17)],
     )
 
     def _digit(p: int):
         out = F.lit(0)
-        for b in range(4):  # unpack lane b, majority-vote, weight 2^b
-            s = F.shiftright(F.col(f"pk{p}"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+        for b in range(4):  # unpack lane, majority-vote, weight 2^b
+            col = F.col(f"pk{p}a") if b < 2 else F.col(f"pk{p}b")
+            s = F.shiftright(col, 32 * (b % 2)).bitwiseAND(F.lit(0xFFFFFFFF))
             out = out + F.when(
                 F.lit(2) * s >= F.col("n"), F.lit(1 << b)
             ).otherwise(F.lit(0))

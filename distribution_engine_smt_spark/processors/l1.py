@@ -34,6 +34,18 @@ from ..functions import (
 from ..functions.dmp import fold_body_edits
 from ..operators import additive_merge, delete_by_keys, merge_upsert
 
+# Every state table apply_l1_batch (and the runner on its behalf) can write.
+# The streaming runner derives its touched-partition scoping from this: a
+# partitioned/bucketed table NOT listed here is skipped entirely during an
+# L1 save. If a processor below gains a new table write, list it here or
+# that write is silently dropped at save time (test_processor_writes_decl
+# cross-checks this set against the apply functions).
+L1_WRITES = frozenset({
+    "posts", "post_metadata", "accounts", "follows", "reblogs",
+    "token_config", "configuration",
+})
+
+
 def _seq():
     # built lazily: Column construction requires an active SparkContext
     return (
@@ -446,12 +458,15 @@ def refresh_follows(follows: DataFrame, fetched: DataFrame) -> DataFrame:
     reference's per-account loop becomes two anti-joins and one merge."""
     followers = fetched.select("follower").distinct()
     fetched = fetched.select("follower", "following").distinct()
-    existing = (
-        follows.filter(F.col("state") == 1)
-        .join(followers, "follower", "left_semi")
-        .select("follower", "following")
+    scoped = follows.join(followers, "follower", "left_semi")
+    existing = scoped.filter(F.col("state") == 1).select("follower", "following")
+    # adds anti-join against EVERY live row (state 1 follows AND state 2
+    # mutes): a muted pair appearing in the fetched list must stay muted,
+    # not be flipped to a follow
+    present = scoped.filter(F.col("state").isin(1, 2)).select(
+        "follower", "following"
     )
-    adds = fetched.join(existing, ["follower", "following"], "left_anti").select(
+    adds = fetched.join(present, ["follower", "following"], "left_anti").select(
         "follower", "following", F.lit(1).cast("short").alias("state")
     )
     removes = existing.join(fetched, ["follower", "following"], "left_anti").select(

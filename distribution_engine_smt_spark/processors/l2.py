@@ -34,6 +34,15 @@ from ..functions.scoring import SCORE_TIMESCALE_HOT, SCORE_TIMESCALE_TREND
 from ..functions.timeutils import add_days
 from ..operators import additive_merge, merge_upsert
 
+# Every state table apply_l2_batch (and the runner on its behalf) can write —
+# the runner's touched-partition scoping skips partitioned/bucketed tables
+# not listed here (see L1_WRITES in l1.py for the contract).
+L2_WRITES = frozenset({
+    "posts", "votes", "account_history", "accounts", "token_config",
+    "configuration",
+})
+
+
 def _seq():
     # built lazily: Column construction requires an active SparkContext
     return (

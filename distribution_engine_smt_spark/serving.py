@@ -167,11 +167,14 @@ class QueryServer:
         key = self.cache.key(name, params)
         cached = self.cache.get(key)
         if cached is not None:
-            return cached
+            # shallow-copy rows on every hit: callers slice/annotate results
+            # (offset pagination, response decoration) and must not corrupt
+            # the cached copy for later requests within the TTL
+            return [dict(r) for r in cached]
         df = ep.handler(params)
         rows = [r.asDict(recursive=True) for r in df.limit(2 * MAX_LIMIT).collect()]
         self.cache.put(key, rows, ep.ttl)
-        return rows
+        return [dict(r) for r in rows]
 
 
 def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = None) -> QueryServer:

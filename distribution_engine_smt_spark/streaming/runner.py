@@ -133,8 +133,16 @@ class DualStreamRunner:
     def _intent_path(self) -> str:
         return os.path.join(self._staging_dir(), "INTENT.json")
 
-    def _execute_moves(self, moves: list[list[str]]) -> None:
+    def _execute_moves(self, moves: list[list[str | None]]) -> None:
         for src, dst in moves:
+            if src is None:
+                # deletion entry: a touched partition ended the batch EMPTY
+                # (e.g. a delete_comment removed its last row) — the old
+                # directory must go, or the deleted rows resurrect on the
+                # next load. Idempotent under crash-replay.
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                continue
             if not os.path.exists(src):
                 continue  # this rename already happened before a crash
             if os.path.exists(dst):
@@ -199,13 +207,15 @@ class DualStreamRunner:
                 w.write.mode("overwrite").partitionBy(pcol).parquet(stage_path)
                 for v in touched:
                     pdir = f"{pcol}={v}"
+                    dst = os.path.join(self.state_dir, name, pdir)
                     if os.path.isdir(os.path.join(stage_path, pdir)):
-                        moves.append(
-                            [
-                                os.path.join(stage_path, pdir),
-                                os.path.join(self.state_dir, name, pdir),
-                            ]
-                        )
+                        moves.append([os.path.join(stage_path, pdir), dst])
+                    else:
+                        # the touched partition has ZERO rows post-batch (a
+                        # delete emptied it): journal a deletion, or the old
+                        # directory survives and resurrects deleted rows
+                        # while the HWM advances past the delete op
+                        moves.append([None, dst])
             else:
                 tables.write_table(df, data_dir, name)
                 moves.append([stage_path, os.path.join(self.state_dir, name)])
@@ -342,16 +352,20 @@ class DualStreamRunner:
         # second: a crash between the two re-runs the batch against the OLD
         # holdback, and the HWM filter discards the already-applied blocks
         # — never the reverse order, which could lose parked ops
-        self.save_state(
-            new_state,
-            touched_partitions={
-                "post_metadata": meta_buckets,
-                "posts": tokens,
-                "accounts": tokens,
-                "votes": [],
-                "account_history": [],
-            },
-        )
+        touched = {
+            "post_metadata": meta_buckets,
+            "posts": tokens,
+            "accounts": tokens,
+        }
+        # every scoped (partitioned/bucketed) table the L1 processors never
+        # write is skipped — the write-set is declared next to the
+        # processors (L1_WRITES) so this stays in sync with them
+        from ..processors.l1 import L1_WRITES
+
+        for name in set(tables.PARTITION_COLUMNS) | set(tables.HASH_BUCKETS):
+            if name not in L1_WRITES:
+                touched.setdefault(name, [])
+        self.save_state(new_state, touched_partitions=touched)
         self._save_holdback("l1", parked)
 
     def process_l2_batch(self, txs: DataFrame, batch_id: int, now: datetime | None = None) -> None:
@@ -421,10 +435,14 @@ class DualStreamRunner:
             "votes": tokens,
             "account_history": tokens,
             "accounts": tokens,
-            # L2 never writes post_metadata (only L1 comment ops do) — skip
-            # the bucketed table's rewrite entirely
-            "post_metadata": [],
         }
+        # scoped tables outside the declared L2 write-set (e.g.
+        # post_metadata, which only L1 comment ops write) are skipped
+        from ..processors.l2 import L2_WRITES
+
+        for name in set(tables.PARTITION_COLUMNS) | set(tables.HASH_BUCKETS):
+            if name not in L2_WRITES:
+                touched.setdefault(name, [])
         self.save_state(new_state, touched_partitions=touched)
         self._save_holdback("l2", parked)
 

@@ -48,41 +48,45 @@ STATE_SCHEMA = StructType([StructField("last_rshares", StringType())])
 STATE_TTL_MS = 14 * 24 * 3600 * 1000
 
 
-def _emit_vote_delta(
-    key: Tuple[str, str, str],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fully self-contained (executors import nothing from this repo):
-    replace-semantics per voter — delta = newest rshares - stored rshares."""
-    from decimal import Decimal as _D
+def _make_vote_delta_fn(ttl: bool):
+    """Build the per-key fold, closing over the ttl flag (cloudpickle ships
+    the closure by value — executors import nothing from this repo)."""
 
-    import pandas as _pd
+    def _emit_vote_delta(
+        key: Tuple[str, str, str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal as _D
 
-    if state.hasTimedOut:
-        state.remove()
-        return
-    rows = _pd.concat(list(batches), ignore_index=True)
-    if rows.empty:
-        return
-    # reference semantics: later (block, seq) wins per voter
-    newest = _D(str(rows.sort_values("seq")["rshares"].iloc[-1]))
-    last = _D(state.get[0]) if state.exists else _D(0)
-    state.update((str(newest),))
-    try:
-        # armed only under ProcessingTimeTimeout (ttl=True); raises and is
-        # ignored under NoTimeout
-        state.setTimeoutDuration(14 * 24 * 3600 * 1000)
-    except Exception:
-        pass
-    yield _pd.DataFrame(
-        {
-            "authorperm": [key[0]],
-            "token": [key[1]],
-            "voter": [key[2]],
-            "rshares_delta": [newest - last],
-        }
-    )
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = _pd.concat(list(batches), ignore_index=True)
+        if rows.empty:
+            return
+        # reference semantics: later (block, seq) wins per voter
+        newest = _D(str(rows.sort_values("seq")["rshares"].iloc[-1]))
+        last = _D(state.get[0]) if state.exists else _D(0)
+        state.update((str(newest),))
+        if ttl:
+            # ProcessingTimeTimeout is armed: a failure here must SURFACE —
+            # swallowing it would silently disable state expiry and let the
+            # store grow without bound (the old blanket except did exactly
+            # that)
+            state.setTimeoutDuration(14 * 24 * 3600 * 1000)
+        yield _pd.DataFrame(
+            {
+                "authorperm": [key[0]],
+                "token": [key[1]],
+                "voter": [key[2]],
+                "rshares_delta": [newest - last],
+            }
+        )
+
+    return _emit_vote_delta
 
 
 def vote_delta_stream(votes_stream: DataFrame, ttl: bool = False) -> DataFrame:
@@ -99,7 +103,7 @@ def vote_delta_stream(votes_stream: DataFrame, ttl: bool = False) -> DataFrame:
         GroupStateTimeout.ProcessingTimeTimeout if ttl else GroupStateTimeout.NoTimeout
     )
     return votes_stream.groupBy("authorperm", "token", "voter").applyInPandasWithState(
-        _emit_vote_delta,
+        _make_vote_delta_fn(ttl),
         outputStructType=DELTA_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

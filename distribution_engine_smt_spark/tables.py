@@ -241,6 +241,8 @@ def merge_into_partitioned(
         raise ValueError(f"unknown backend: {backend}")
 
     touched = [r[0] for r in delta.select(pcol).distinct().collect()]
+    if not touched:
+        return []  # empty delta: nothing to merge, nothing to rewrite
     path = os.path.join(root, name)
     existing = [
         v for v in touched
@@ -312,6 +314,9 @@ def _merge_into_delta(
     if pcol == BUCKET_COL:
         delta_df = delta_df.withColumn(pcol, bucket_expr(name))
     touched = [r[0] for r in delta_df.select(pcol).distinct().collect()]
+    if not touched:
+        return []  # empty delta: a 't.<pcol> IN ()' merge condition would
+        # be a ParseException; mirror the parquet backend's no-op
 
     if not DeltaTable.isDeltaTable(spark, path):
         (delta_df.write.format("delta").partitionBy(pcol).mode("overwrite").save(path))

@@ -179,3 +179,25 @@ def test_l1_batch_rewrites_only_touched_posts_tokens(spark, tmp_path):
     posts = {r["authorperm"]: r for r in runner.load_state()["posts"].collect()}
     assert posts["@alice/p0"]["title"] == "t"  # the comment's title landed
     assert posts["@bob/q0"]["title"] is None
+
+
+def test_l1_delete_emptying_partition_removes_directory(spark, tmp_path):
+    """A delete that removes a token partition's LAST row must delete the
+    partition directory — otherwise the deleted rows resurrect on the next
+    load while the HWM has advanced past the delete op."""
+    runner = DualStreamRunner(spark, str(tmp_path))
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [_post_row("@alice/p0", "alice")], schemas.POSTS
+    )
+    runner.save_state(state)
+    token_dir = os.path.join(str(tmp_path), "state", "posts", "token=TKN")
+    assert os.path.isdir(token_dir)
+
+    delete = {
+        "block_num": 10, "op_seq": 0, "timestamp": T0.isoformat(),
+        "type": "delete_comment", "author": "alice", "permlink": "p0",
+    }
+    runner.process_l1_batch(_ops(spark, [delete]), batch_id=0, now=NOW)
+    assert not os.path.isdir(token_dir), "emptied partition dir must be removed"
+    assert runner.load_state()["posts"].isEmpty()

@@ -274,3 +274,16 @@ def test_chunk_documents_reassembles(spark):
         assert sum(c["chunk_len"] for c in cs) == lens[doc_id]
         assert all(c["chunk_len"] == CHUNK_CHARS for c in cs[:-1])
         assert 1 <= cs[-1]["chunk_len"] <= CHUNK_CHARS
+
+
+def test_cluster_labels_long_chain_converges(spark):
+    """A 40-node chain with the min id at one end: one-hop propagation
+    would need 39 rounds; pointer jumping must reach full convergence so
+    the Spark result matches the oracle's exact recursive closure."""
+    from distribution_engine_smt_spark.pipeline.curation import cluster_labels
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "d1 long, d2 long"
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in cluster_labels(pairs).collect()}
+    assert labels == {i: 0 for i in range(41)}

@@ -425,3 +425,26 @@ def test_l1_batch_deterministic(spark, state):
     b = apply_l1_batch(state, ops)["posts"].collect()
     assert a == b
     assert a[0]["title"] == "v2" and a[0]["desc"] == "b2"
+
+
+def test_refresh_follows_keeps_mute_when_pair_in_fetched(spark):
+    """A muted (state=2) pair appearing in the fetched authoritative list
+    must STAY muted — the refresh reconciles follows, never mutes."""
+    from distribution_engine_smt_spark.processors.l1 import refresh_follows
+
+    follows = spark.createDataFrame(
+        [("u", "muted-acct", 2), ("u", "kept", 1), ("u", "dropped", 1)],
+        "follower string, following string, state short",
+    )
+    fetched = spark.createDataFrame(
+        [("u", "muted-acct"), ("u", "kept"), ("u", "new")],
+        "follower string, following string",
+    )
+    out = {
+        (r["follower"], r["following"]): r["state"]
+        for r in refresh_follows(follows, fetched).collect()
+    }
+    assert out[("u", "muted-acct")] == 2  # mute survives the refresh
+    assert out[("u", "kept")] == 1
+    assert out[("u", "new")] == 1
+    assert out[("u", "dropped")] == 0

@@ -143,3 +143,22 @@ def test_refresh_follows_set_diff_semantics(spark):
     assert got[("u", "stale")] == 0      # soft-removed, not deleted
     assert got[("u", "muted")] == 2      # mutes untouched
     assert got[("other", "x")] == 1      # follower not in snapshot: untouched
+
+
+def test_cache_hits_are_isolated_from_caller_mutation(spark):
+    """handle() must hand out copies: a caller slicing or annotating the
+    result (offset pagination, response decoration) must not corrupt the
+    cached rows for later requests."""
+    from distribution_engine_smt_spark.serving import QueryServer, TTLCache
+
+    clock = [0.0]
+    srv = QueryServer(TTLCache(clock=lambda: clock[0]))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    srv.register("q", lambda p: df, ttl=60)
+
+    first = srv.handle("q")
+    del first[0]               # caller-side offset slicing
+    first[0]["v"] = "mutated"  # caller-side row decoration
+
+    second = srv.handle("q")   # cache hit — must be pristine
+    assert second == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
