@@ -117,3 +117,82 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_range_join_stream(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "stream_range_join",
+):
+    """Stream-stream interval join: error events joined to signup events
+    within +/-60 s — the streaming twin of the batch
+    ``pipeline.temporal.range_join_events`` (same output columns; a test
+    proves the drained stream equals the batch result).
+
+    Both sides carry a watermark and the join predicate bounds event-time
+    distance in BOTH directions, which is what lets Spark evict join state:
+    an error older than (watermark - 60 s) can never match a future signup
+    and its buffered row is dropped. Spark additionally REQUIRES an
+    equality predicate on stream-stream joins — supplied by the same
+    window-width time-bin trick as the batch plan (the error side fans out
+    to its 3 adjacent bins, the signup side keeps its own bin), so the
+    streaming plan is literally the batch plan running incrementally.
+    This is the §2.9 completion piece next to the windowed agg and the
+    streaming dedup.
+    """
+    from ..pipeline.temporal import RANGE_WINDOW_US
+
+    def _side(event_type, alias_prefix):
+        raw = spark.readStream.schema(schema).parquet(source_dir)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias_prefix}_id"),
+                F.col("ts").alias(f"{alias_prefix}_ts"),
+            )
+            .withWatermark(f"{alias_prefix}_ts", "1 minute")
+        )
+
+    def _bin(ts_col):
+        epoch_us = F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp"), ts_col
+        )
+        return F.floor(epoch_us / RANGE_WINDOW_US)
+
+    errors = _side("error", "error").withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                _bin(F.col("error_ts")) - 1,
+                _bin(F.col("error_ts")),
+                _bin(F.col("error_ts")) + 1,
+            )
+        ),
+    )
+    signups = _side("signup", "signup").withColumn("bin", _bin(F.col("signup_ts")))
+    joined = errors.join(
+        signups,
+        (errors["bin"] == signups["bin"])
+        & (F.col("signup_ts") >= F.col("error_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("signup_ts") <= F.col("error_ts") + F.expr("INTERVAL 60 SECONDS")),
+        "inner",
+    ).select(
+        "error_id",
+        "signup_id",
+        F.timestamp_diff("MICROSECOND", F.col("error_ts"), F.col("signup_ts"))
+        .cast("long")
+        .alias("dt_us"),
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

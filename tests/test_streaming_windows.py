@@ -69,3 +69,30 @@ def test_streaming_dedup_keeps_one_per_content_hash(spark, tmp_path):
     kept = spark.sql("SELECT * FROM sd_test").collect()
     assert {r["h"] for r in kept} == batch_hashes  # every content survives once
     assert len(kept) == len(batch_hashes)          # and exactly once
+
+
+def test_stream_range_join_matches_batch_twin(spark, tmp_path):
+    from distribution_engine_smt_spark.pipeline.temporal import range_join_events
+    from distribution_engine_smt_spark.streaming.windows import run_range_join_stream
+
+    batch = {
+        (r["error_id"], r["signup_id"]): r["dt_us"]
+        for r in range_join_events(spark, SF_DIR_ORACLE).collect()
+    }
+    assert batch
+
+    src = os.path.join(SF_DIR_ORACLE, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tmp_path / "rj_stream"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "events.parquet")
+    q = run_range_join_stream(
+        spark, str(stream_dir), raw_schema, str(tmp_path / "ckpt3"),
+        query_name="rj_test",
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["error_id"], r["signup_id"]): r["dt_us"]
+        for r in spark.sql("SELECT * FROM rj_test").collect()
+    }
+    assert streamed == batch
