@@ -11,7 +11,7 @@ has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, memoize_df, register
@@ -385,4 +385,135 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(piece.cast("binary")).alias("chunk_md5"),
         )
         .orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# capstone: the composed end-to-end curation decision per document
+# ---------------------------------------------------------------------------
+@register(
+    "curated_corpus",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+      FROM documents
+    ),
+    g AS ({{ngram_sql}}),
+    bench AS (SELECT DISTINCT h FROM g WHERE doc_id % {{bench_mod}} = 0),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, h FROM g WHERE doc_id % {{bench_mod}} <> 0) c
+      JOIN bench b USING (h)
+    ),
+    rates AS (
+      SELECT lang, sqrt(CAST(count(*) AS DOUBLE) / max(count(*)) OVER ()) AS rate
+      FROM documents GROUP BY lang
+    ),
+    coin AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                    AS BIGINT)),
+               (a, x) -> a * 16 + x) AS hv
+      FROM documents
+    )
+    SELECT q.doc_id,
+           CASE
+             WHEN q.doc_id % {{bench_mod}} = 0 THEN 'bench_holdout'
+             WHEN n_tokens < {MIN_TOKENS}
+                  OR n_chars > {MAX_SUBWORD_RATIO} * n_tokens THEN 'low_quality'
+             WHEN q.doc_id > canon_id THEN 'duplicate'
+             WHEN hits.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN (CAST(hv AS DOUBLE) / {{hex8}}.0) >= rate THEN 'sampled_out'
+             ELSE 'kept'
+           END AS reason
+    FROM q
+    LEFT JOIN hits ON q.doc_id = hits.doc_id
+    JOIN rates ON q.lang = rates.lang
+    JOIN coin ON q.doc_id = coin.doc_id
+    ORDER BY q.doc_id ASC
+    """.format(
+        ngram_sql=__import__("distribution_engine_smt_spark.pipeline.decontam",
+                             fromlist=["_ngram_sql"])._ngram_sql(8),
+        bench_mod=5,
+        hex8=16 ** 8,
+    ),
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-set decision — every curation stage composed
+    into one first-failing-reason verdict per document: bench holdout >
+    quality rules > exact-dup canonicalization > benchmark contamination >
+    temperature sampling. This is the query a data pipeline materializes as
+    its manifest; downstream training jobs filter reason = 'kept' with
+    predicate pushdown.
+
+    Plan shape: one corpus scan feeds the quality expressions and the
+    content-hash window; the benchmark n-gram set and the per-language
+    rate table (both tiny) broadcast back in; the only corpus-keyed
+    shuffles are the md5(text) window and the n-gram hit count — each
+    keyed by doc-identity columns, never all-pairs.
+    """
+    from .decontam import BENCH_MOD, NGRAM_N, word_ngrams
+    from .textstats import tokens
+
+    docs = _t(spark, sf_dir)["documents"]
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.min("doc_id").over(w).alias("canon_id"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_ngrams(F.col("text"), NGRAM_N),
+                lambda g: F.md5(g.cast("binary")),
+            )
+        ).alias("h"),
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_max = counts.agg(F.max("n_lang").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang", F.sqrt(F.col("n_lang").cast("double") / F.col("n_max")).alias("rate")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    reason = (
+        F.when(F.col("doc_id") % BENCH_MOD == 0, F.lit("bench_holdout"))
+        .when(
+            (F.col("n_tokens") < MIN_TOKENS)
+            | (F.col("n_chars") > F.lit(MAX_SUBWORD_RATIO) * F.col("n_tokens")),
+            F.lit("low_quality"),
+        )
+        .when(F.col("doc_id") > F.col("canon_id"), F.lit("duplicate"))
+        .when(F.col("hit"), F.lit("contaminated"))
+        .when(
+            F.col("hv").cast("double") / F.lit(float(_HEX8)) >= F.col("rate"),
+            F.lit("sampled_out"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .join(F.broadcast(rates), "lang")
+        .withColumn("hv", hv)
+        .select("doc_id", reason.alias("reason"))
+        .orderBy(F.col("doc_id").asc())
     )
