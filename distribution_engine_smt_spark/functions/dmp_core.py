@@ -1,14 +1,17 @@
-"""Clean-room diff-match-patch patch parsing and fuzzy application.
+"""diff-match-patch patch parsing and fuzzy application.
 
-The reference applies comment edits that arrive as diff-match-patch patch
-text to the stored post body (reference:
-processors/comment_processor_for_engine.py:102-130: ``patch_fromText`` then
-``patch_apply``). The library is absent from this container, so the two
-entry points the engine needs are re-implemented here from the PUBLISHED
-algorithm description (Neil Fraser's diff-match-patch: Bitap fuzzy match
-with a weighted error/proximity score, patch coordinates with context, null
-padding at string edges). This is a from-scratch implementation of a public
-algorithm, not a copy of the library.
+Derived from Neil Fraser's diff-match-patch library
+(https://github.com/google/diff-match-patch), Copyright 2018 The
+diff-match-patch Authors, licensed under the Apache License, Version 2.0
+(http://www.apache.org/licenses/LICENSE-2.0).  The Bitap matcher
+(``_match_bitap``) and the ``patch_apply`` alignment loop follow the
+library's Python implementation closely — same score function, bin search
+bounds, and ``rd`` recurrence — because the engine must byte-match the
+library's output on real edit streams; the rest is a reduced
+re-implementation of only the entry points the reference engine uses
+(``patch_fromText``/``patch_apply``: reference
+processors/comment_processor_for_engine.py:102-130).  The library is absent
+from this container, hence the vendored-equivalent subset.
 
 Deviations from the library (documented, none change the engine's
 behavior on real edit streams):
@@ -372,9 +375,10 @@ def patch_apply(patches: list[Patch], text: str) -> tuple[str, list[bool]]:
             len(text1) > MATCH_MAXBITS
             and _diff_levenshtein(diffs) / float(len(text1)) > PATCH_DELETE_THRESHOLD
         ):
+            # rejected long fuzzy hunk: delta stays start_loc - expected_loc
+            # (set above), exactly like the library — adjusting it again here
+            # doubled the drift offset for every later patch in the chain
             results[-1] = False
-            delta -= patch.length2 - patch.length1  # roll the alignment back
-            delta += start_loc - expected_loc
             continue
         index1 = 0
         for op, data in patch.diffs:

@@ -18,6 +18,7 @@ from ..driver_queries import _t, memoize_df, register
 from .textstats import tokens
 
 PACK_BUDGET = 2048       # tokens per training sequence bin
+PACK_SHARD_SPAN = 10_000  # docs per packing shard (doc_id range width)
 SAMPLE_HEX = "01234567"  # md5 first hex in this set = keep (50% rate)
 MIN_TOKENS = 20          # quality floor: too-short docs
 MAX_SUBWORD_RATIO = 8.0  # chars per whitespace token above this = junk
@@ -26,61 +27,74 @@ MAX_SUBWORD_RATIO = 8.0  # chars per whitespace token above this = junk
 # ---------------------------------------------------------------------------
 # sequence packing: contiguous greedy bins per source, fixed token budget
 # ---------------------------------------------------------------------------
+def pack_sequences_df(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    shard_span: int = PACK_SHARD_SPAN,
+) -> DataFrame:
+    """Assign each doc to a training-sequence bin: docs stream in doc_id
+    order within a (source, shard) and a bin closes when the running token
+    count crosses ``budget`` (streaming-chunking packing — a doc straddling
+    the boundary belongs to the bin where it starts).
+
+    Scale: the window partitions on (source, shard), where shard is a
+    STABLE doc_id range (doc_id div shard_span) — packing only needs
+    contiguity WITHIN a shard, not across the corpus, so a dominant source
+    (common-crawl-like, most of a 100 TB corpus) fans out over
+    ceil(docs/shard_span) parallel window partitions instead of
+    serializing through one task.  Bins are shard-local; (source, shard,
+    bin) is the training-sequence key.
+    """
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("shard", F.floor(F.col("doc_id") / F.lit(shard_span)).cast("long"))
+        .withColumn(
+            "bin",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+            ).cast("int"),
+        )
+        .select("doc_id", "source", "n_tokens", "shard", "bin")
+        .orderBy(F.col("source").asc(), F.col("doc_id").asc())
+    )
+
+
 @register(
     "pack_sequences",
     f"""
     WITH t AS (
       SELECT doc_id, source,
+             CAST(doc_id // {PACK_SHARD_SPAN} AS BIGINT) AS shard,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens
       FROM documents
     ),
     c AS (
-      SELECT doc_id, source, n_tokens,
+      SELECT doc_id, source, n_tokens, shard,
              coalesce(sum(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
+               PARTITION BY source, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       FROM t
     )
-    SELECT doc_id, source, n_tokens,
+    SELECT doc_id, source, n_tokens, shard,
            CAST(cum_before // {PACK_BUDGET} AS INT) AS bin
     FROM c
     ORDER BY source ASC, doc_id ASC
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign each doc to a training-sequence bin: docs stream in doc_id
-    order within a source and a bin closes when the running token count
-    crosses PACK_BUDGET (streaming-chunking packing — a doc straddling the
-    boundary belongs to the bin where it starts).
-
-    Scale: one window per source partition. Sources are coarse; at 100 TB
-    the same operator runs per (source, shard) where shard is a stable
-    hash of doc_id ranges, keeping window partitions bounded — packing
-    only needs contiguity WITHIN a shard, not across the corpus.
-    """
-    t = _t(spark, sf_dir)
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        t["documents"]
-        .select(
-            "doc_id",
-            "source",
-            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        )
-        .withColumn(
-            "bin",
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET
-            ).cast("int"),
-        )
-        .orderBy(F.col("source").asc(), F.col("doc_id").asc())
-    )
+    """Sharded sequence packing over the documents table — see
+    :func:`pack_sequences_df` for the scale rationale; the oracle twin
+    shards identically (doc_id // span) so the hash matches exactly."""
+    return pack_sequences_df(_t(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------

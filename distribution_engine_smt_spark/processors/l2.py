@@ -49,6 +49,45 @@ def _seq():
         F.col("blockNumber") * F.lit(1_000_000) + F.coalesce(F.col("tx_seq"), F.lit(0))
     ).alias("seq")
 
+
+# int64 event-coordinate layout: blockNumber * 1e9 + tx_seq * 1e4 + ev_seq.
+# Caps: blockNumber < 9.2e9 (int64 headroom; Hive is ~1e8 after 9 years),
+# tx_seq < 1e5 per block, ev_seq < 1e4 events per transaction.  A bulk payout
+# tx (curationReward per voter on a viral post — the catch-up scenario) can
+# exceed 1e3 events, which is why the slot is 1e4 and why overflow raises
+# instead of silently colliding with the next transaction's slot.
+_TX_SLOT = 1_000_000  # tx_seq slot inside `seq` (see _seq above)
+_EV_SLOT = 10_000
+_TX_CAP = 100_000
+
+
+def _event_order():
+    """Unique, monotone int64 for one event: (block, tx, event position).
+
+    Derived from ``seq`` (blockNumber*1e6 + tx_seq) and ``ev_seq``.  Raises
+    at runtime if a slot overflows — a wrong-but-unique id is recoverable, a
+    silent cross-transaction collision is not (reference auto-increments:
+    engine/account_history_storage.py:72-74, so uniqueness + event order is
+    the contract, not density).
+    """
+    block = F.col("seq") / F.lit(_TX_SLOT)  # integer division below
+    block = F.floor(block).cast("long")
+    tx = (F.col("seq") % F.lit(_TX_SLOT)).cast("long")
+    ok = (F.col("ev_seq") < _EV_SLOT) & (tx < _TX_CAP)
+    ordered = block * F.lit(1_000_000_000) + tx * F.lit(_EV_SLOT) + F.col("ev_seq")
+    # the guard lives inside the id expression itself so column pruning can
+    # never drop it; raise_error makes overflow loud instead of colliding
+    return F.when(ok, ordered).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("event-order slot overflow (tx_seq or ev_seq): seq="),
+                F.col("seq").cast("string"),
+                F.lit(" ev_seq="),
+                F.col("ev_seq").cast("string"),
+            )
+        ).cast("long")
+    )
+
 _EVENTS_SCHEMA = StructType(
     [
         StructField(
@@ -314,7 +353,7 @@ def apply_votes(
         F.col("rshares").cast(_NUM).alias("rshares"),
         _payload("weight", "short").alias("percent"),
         "timestamp",
-        (F.col("seq") * F.lit(1000) + F.col("ev_seq")).alias("seq"),
+        _event_order().alias("seq"),
     )
 
     # last vote per (authorperm, token, voter) in the batch
@@ -462,10 +501,10 @@ def apply_rewards(
         .otherwise(F.lit("curation_reward"))
         .alias("type"),
         F.col("authorperm"),
-        (F.col("seq") * F.lit(1000) + F.col("ev_seq")).alias("__order"),
+        _event_order().alias("__order"),
     )
     # id derives from the already-unique event coordinates (block, tx, event
-    # position) — __order = seq*1000 + ev_seq. The DAO contract only needs
+    # position) — see _event_order. The DAO contract only needs
     # ORDER BY id DESC == reverse event order plus uniqueness
     # (reference: engine/account_history_storage.py:72-74), not density, and
     # block numbers grow monotonically, so ids stay monotone across batches.

@@ -17,6 +17,7 @@ answered entirely from cache between 3 s stream ticks.
 
 from __future__ import annotations
 
+import copy
 import json
 import time
 from dataclasses import dataclass, field
@@ -167,14 +168,15 @@ class QueryServer:
         key = self.cache.key(name, params)
         cached = self.cache.get(key)
         if cached is not None:
-            # shallow-copy rows on every hit: callers slice/annotate results
-            # (offset pagination, response decoration) and must not corrupt
-            # the cached copy for later requests within the TTL
-            return [dict(r) for r in cached]
+            # deep-copy rows on every hit: rows come from
+            # asDict(recursive=True) and can nest dicts/lists, so a caller
+            # annotating a nested field through a shallow copy would corrupt
+            # the cached entry for later requests within the TTL
+            return copy.deepcopy(cached)
         df = ep.handler(params)
         rows = [r.asDict(recursive=True) for r in df.limit(2 * MAX_LIMIT).collect()]
         self.cache.put(key, rows, ep.ttl)
-        return [dict(r) for r in rows]
+        return copy.deepcopy(rows)
 
 
 def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = None) -> QueryServer:

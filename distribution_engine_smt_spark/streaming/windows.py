@@ -48,15 +48,20 @@ def run_tumbling_stream(
     schema,
     checkpoint_dir: str,
     query_name: str = "tumbling_counts",
+    output_mode: str = "complete",
 ):
     """Streaming twin: file source -> watermark -> tumbling agg -> memory
-    sink (complete mode). availableNow drains the source then stops, which
-    is also the catch-up/backfill pattern for a real deployment.
+    sink. availableNow drains the source then stops, which is also the
+    catch-up/backfill pattern for a real deployment.
 
-    The watermark bounds state: windows older than (max event time - 1 h)
-    are finalized and their state evicted — without it, a month of events
-    keeps 720 windows x event_types live forever. Complete-mode memory sink
-    is test/demo plumbing; production writes append-mode to a keyed sink.
+    Output mode governs state retention: in the default ``complete`` mode
+    Spark keeps ALL window state regardless of the watermark — that is
+    demo/test plumbing (the memory sink re-emits the full result, which is
+    what the drain-equals-batch test compares).  For production pass
+    ``update`` (or ``append``) with a keyed/append sink: only then does the
+    watermark actually evict windows older than max event time minus 1 h —
+    otherwise a month of events keeps 720 windows x event_types live
+    forever.  The watermark declaration itself is shared by both modes.
     """
     raw = spark.readStream.schema(schema).parquet(source_dir)
     if dict(raw.dtypes).get("ts") == "bigint":
@@ -69,7 +74,7 @@ def run_tumbling_stream(
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -115,3 +115,71 @@ def test_fold_body_edits_applies_real_patch_chain(spark):
     got = {r["authorperm"]: r["body"] for r in fold_body_edits(df).collect()}
     assert got["@a/p"] == "One quick brown fox leaped over the lazy dog."
     assert got["@b/q"] == "unrelated"
+
+
+def test_rejected_long_hunk_keeps_single_drift_delta():
+    """Regression (round-3 ADVICE): after a rejected long fuzzy hunk the
+    alignment delta must stay start_loc - expected_loc, like the library.
+    The old code subtracted (length2-length1) and re-added the drift,
+    doubling it — steering the NEXT patch to the wrong of two identical
+    targets.  Fixture: doc drifted +200 chars; patch-2's 20-char pattern
+    occurs at +200 (correct) and at +460 (where the doubled delta of the
+    buggy code pointed)."""
+    from urllib.parse import quote
+
+    from distribution_engine_smt_spark.functions.dmp_core import patch_from_text
+
+    A = "ABCDEFGHIJKLMNOPQRSTUVWXYZ[]{}<>"  # 32-char anchors (two-ended match)
+    B = "zyxwvutsrqponmlkjihgfedcba()*&^%"
+    M = "m" * 30 + "n" * 30                 # patch-1 source middle
+    Mp = "Q" * 65 + "R" * 65                # actual middle: levenshtein 130 > 0.5*124 -> reject
+    PAT = "0123456789abcdefghij"
+    a_pos, q0, drift = 10, 400, 200
+    doc = "." * (drift + a_pos) + A + Mp + B
+    doc = doc + "." * ((q0 + 200) - len(doc)) + PAT        # correct target
+    doc = doc + "." * ((q0 + 460) - len(doc)) + PAT + "." * 30  # buggy-delta target
+
+    enc = lambda s: quote(s, safe="!~*'();/?:@&=+$,# ")  # noqa: E731
+    p1 = f"@@ -{a_pos+1},124 +{a_pos+1},64 @@\n " + enc(A) + "\n-" + enc(M) + "\n " + enc(B) + "\n"
+    p2 = (
+        f"@@ -{q0+1},20 +{q0+1-60},26 @@\n " + enc(PAT[:10])
+        + "\n+" + enc("<MARK>") + "\n " + enc(PAT[10:]) + "\n"
+    )
+    new, results = patch_apply(patch_from_text(p1 + p2), doc)
+    assert results == [False, True]
+    assert new.find("<MARK>") == q0 + 200 + 10  # edited the CORRECT occurrence
+    assert PAT in new[q0 + 400:]                 # second occurrence untouched
+
+
+def test_fold_group_ships_by_value(tmp_path):
+    """The applyInPandas fold must be loadable WITHOUT this package on
+    sys.path (cluster executors don't have /root/repo deployed) — dmp_core
+    is registered for by-value pickling."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark import cloudpickle
+
+    from distribution_engine_smt_spark.functions.dmp import build_fold_group
+
+    blob = tmp_path / "fold.pkl"
+    blob.write_bytes(cloudpickle.dumps(build_fold_group()))
+    script = tmp_path / "runner.py"
+    script.write_text(
+        "import sys, pickle, pandas as pd\n"
+        "sys.path = [p for p in sys.path if 'repo' not in p and p not in ('', '.')]\n"
+        "sys.modules.pop('distribution_engine_smt_spark', None)\n"
+        "fold = pickle.load(open(sys.argv[1], 'rb'))\n"
+        "pdf = pd.DataFrame({'authorperm': ['@a/p'] * 2, 'block_num': [1, 2],\n"
+        "                    'op_seq': [0, 0],\n"
+        "                    'body': ['Hello world',\n"
+        "                             '@@ -1,8 +1,8 @@\\n-Hello\\n+Howdy\\n  wo\\n']})\n"
+        "out = fold(pdf)\n"
+        "assert list(out['body']) == ['Howdy world'], out\n"
+        "print('OK')\n"
+    )
+    proc = subprocess.run(
+        [_sys.executable, str(script), str(blob)],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0 and "OK" in proc.stdout, proc.stderr

@@ -84,11 +84,11 @@ def test_pack_sequences_bins_respect_order_and_budget(spark):
     )
 
     rows = pack_sequences(spark, SF_DIR_ORACLE).collect()
-    by_source: dict = {}
+    by_part: dict = {}
     for r in rows:
-        by_source.setdefault(r["source"], []).append(r)
-    for source, docs in by_source.items():
-        # bins are non-decreasing in doc order and start at 0
+        by_part.setdefault((r["source"], r["shard"]), []).append(r)
+    for (_source, _shard), docs in by_part.items():
+        # bins are non-decreasing in doc order and start at 0 per shard
         bins = [d["bin"] for d in docs]
         assert bins[0] == 0 and all(a <= b for a, b in zip(bins, bins[1:]))
         # a doc's bin equals its preceding cumulative tokens // budget
@@ -96,6 +96,33 @@ def test_pack_sequences_bins_respect_order_and_budget(spark):
         for d in docs:
             assert d["bin"] == cum // PACK_BUDGET
             cum += d["n_tokens"]
+
+
+def test_pack_sequences_shards_a_single_source_corpus(spark):
+    """The scale fix (round-3): a dominant single source must fan out over
+    multiple window partitions keyed by stable doc_id ranges, never
+    serialize through one task."""
+    from distribution_engine_smt_spark.pipeline.curation import pack_sequences_df
+
+    docs = spark.createDataFrame(
+        [(i, "common-crawl", "tok " * 5) for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences_df(docs, budget=50, shard_span=25)
+    rows = out.collect()
+    shards = {r["shard"] for r in rows}
+    assert shards == {0, 1, 2, 3}  # one source -> 4 parallel doc_id-range shards
+    # the physical window partitions on (source, shard), not source alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan and "shard" in plan.split(
+        "windowspecdefinition"
+    )[1][:120]
+    # packing is correct within each shard: token budget respected per bin
+    for shard in shards:
+        cum = 0
+        for r in sorted((r for r in rows if r["shard"] == shard), key=lambda r: r["doc_id"]):
+            assert r["bin"] == cum // 50
+            cum += r["n_tokens"]
 
 
 def test_stratified_sample_deterministic_and_partial(spark):

@@ -161,6 +161,63 @@ def test_reward_accumulation_and_history(spark, state):
     assert len(set(ids)) == 3 and ids == sorted(ids)
 
 
+def test_bulk_payout_tx_ids_unique_across_tx_boundary(spark, state):
+    """A bulk payout tx with >1000 events (curationReward per voter on a
+    viral post — the catch-up scenario) must not collide with the next
+    transaction's id slot.  Regression: id = seq*1000 + ev_seq made
+    tx N's event 1000 equal tx N+1's event 0."""
+    setup = _tx(
+        spark,
+        [{"payload": {"author": "a", "permlink": "p"}, "logs": {"events": [_ev("comments", "newComment", symbol="TKN")]}}],
+    )
+    s1 = apply_l2_batch(state, setup)
+    bulk = [
+        _ev("comments", "curationReward", symbol="TKN", authorperm="@a/p",
+            quantity="0.1", account=f"curator{i:04d}")
+        for i in range(1100)
+    ]
+    rewards = _tx(
+        spark,
+        [
+            {"payload": {}, "logs": {"events": bulk}, "block": 2, "ts": T1, "tx_seq": 0},
+            {
+                "payload": {},
+                "logs": {"events": [_ev("comments", "authorReward", symbol="TKN", authorperm="@a/p", quantity="6.0", account="a")]},
+                "block": 2,
+                "ts": T1,
+                "tx_seq": 1,
+            },
+        ],
+    )
+    s2 = apply_l2_batch(s1, rewards)
+    hist = sorted(s2["account_history"].collect(), key=lambda r: r["id"])
+    assert len(hist) == 1101
+    ids = [h["id"] for h in hist]
+    assert len(set(ids)) == 1101, "ids must be unique across the tx boundary"
+    # ORDER BY id == event order: all 1100 bulk rewards precede tx 1's row
+    assert [h["account"] for h in hist[:3]] == ["curator0000", "curator0001", "curator0002"]
+    assert hist[-1]["account"] == "a" and hist[-1]["type"] == "author_reward"
+
+
+def test_event_order_slot_overflow_raises(spark, state):
+    """ev_seq >= 10000 must fail loudly (raise_error inside the id
+    expression), never silently collide."""
+    setup = _tx(
+        spark,
+        [{"payload": {"author": "a", "permlink": "p"}, "logs": {"events": [_ev("comments", "newComment", symbol="TKN")]}}],
+    )
+    s1 = apply_l2_batch(state, setup)
+    bulk = [
+        _ev("comments", "curationReward", symbol="TKN", authorperm="@a/p",
+            quantity="0.1", account=f"c{i}")
+        for i in range(10_001)
+    ]
+    rewards = _tx(spark, [{"payload": {}, "logs": {"events": bulk}, "block": 2, "ts": T1}])
+    s2 = apply_l2_batch(s1, rewards)
+    with pytest.raises(Exception, match="event-order slot overflow"):
+        s2["account_history"].collect()
+
+
 def test_error_logs_skipped(spark, state):
     txs = _tx(
         spark,

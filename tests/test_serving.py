@@ -162,3 +162,25 @@ def test_cache_hits_are_isolated_from_caller_mutation(spark):
 
     second = srv.handle("q")   # cache hit — must be pristine
     assert second == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+
+
+def test_cache_hits_are_isolated_at_nested_depth(spark):
+    """Rows come from asDict(recursive=True) and can nest dicts/lists; a
+    shallow copy would let a caller's nested annotation corrupt the cache
+    (round-3 ADVICE) — handle() must deep-copy."""
+    from distribution_engine_smt_spark.serving import QueryServer, TTLCache
+
+    clock = [0.0]
+    srv = QueryServer(TTLCache(clock=lambda: clock[0]))
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, ["x", "y"])],
+        "id int, meta map<string,int>, tags array<string>",
+    )
+    srv.register("q", lambda p: df, ttl=60)
+
+    first = srv.handle("q")
+    first[0]["meta"]["a"] = 999       # nested dict mutation
+    first[0]["tags"].append("evil")   # nested list mutation
+
+    second = srv.handle("q")          # cache hit — nested values pristine
+    assert second == [{"id": 1, "meta": {"a": 1}, "tags": ["x", "y"]}]
