@@ -1,0 +1,85 @@
+"""Stdlib-HTTP frontend over the transport-agnostic ``QueryServer`` —
+the last inch of reference parity for the read API (reference:
+``server/app.py:83-121`` Flask routes + ``run-prod-api-server.sh:6``
+4 gunicorn workers).  Flask/FastAPI are absent from this container, so the
+shim uses ``http.server.ThreadingHTTPServer`` (threaded ≙ the reference's
+worker concurrency; the underlying ``QueryServer`` TTL cache is the shared
+layer that makes concurrent readers cheap).
+
+Behavior contract mirrored from the reference:
+- route = ``GET /<endpoint>?<params>`` — endpoint names match
+  ``QueryServer.register`` names (``/state``,
+  ``/get_discussions_by_created``, ...).
+- invalid params / unknown endpoint -> HTTP 200 with ``[]`` (the reference
+  returns ``jsonify([])`` on bad input, app.py:243-247, rather than 4xx).
+- responses are ``application/json`` arrays of row objects; timestamps and
+  nested values were already wire-shaped in-plan (queries/api_edge.py).
+
+The shim is deliberately ~a screenful: everything stateful (validation,
+clamps, caching, materialization caps) lives in ``serving.QueryServer``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .serving import ParamError, QueryServer
+
+
+def _json_default(value):
+    """Row values that json.dumps can't encode natively: Decimal amounts and
+    any timestamp that skipped the in-plan wire formatting."""
+    import datetime
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    raise TypeError(f"not JSON serializable: {type(value)!r}")
+
+
+def make_handler(query_server: QueryServer):
+    """Bind a BaseHTTPRequestHandler subclass to one QueryServer."""
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "EngineShim/1.0"
+
+        def log_message(self, fmt, *args):  # quiet: tests and prod both log upstream
+            pass
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            endpoint = url.path.strip("/")
+            # flask request.args keeps the first value per key
+            params = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                rows = query_server.handle(endpoint, params)
+                status = 200
+            except ParamError:
+                rows, status = [], 200  # reference: jsonify([]) on bad input
+            except Exception:  # pragma: no cover - defensive 500
+                rows, status = [], 500
+            body = json.dumps(rows, default=_json_default).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve(
+    query_server: QueryServer, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Start the HTTP frontend on a daemon thread and return the server
+    (``server.server_address[1]`` is the bound port; pass ``port=0`` for an
+    ephemeral one).  Call ``server.shutdown()`` to stop."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(query_server))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd

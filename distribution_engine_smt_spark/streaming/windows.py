@@ -81,6 +81,68 @@ def run_tumbling_stream(
     )
 
 
+SESSION_GAP = "30 minutes"
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Per (user, session): event count + span, sessions defined by
+    ``F.session_window`` with a 30-minute inactivity gap — the same gap as
+    the batch ``pipeline.temporal.sessionize``.
+
+    Semantic note (documented, not a bug): ``session_window`` starts a new
+    session when an event lands AT exactly last_ts + gap, while the batch
+    lag-based formulation keeps it (``gap > threshold`` starts new).  The
+    two disagree only on microsecond-exact 30:00.000000 gaps, which real
+    event streams don't produce; the drain-equals-batch test asserts
+    equality against BOTH formulations on the test corpus.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("start_ts"),
+            F.col("w.end").alias("end_ts"),
+            "n_events",
+        )
+    )
+
+
+def run_sessionize_stream(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "session_counts",
+    output_mode: str = "complete",
+):
+    """Streaming twin of ``pipeline.temporal.sessionize``: file source ->
+    watermark -> session-window agg -> memory sink.  Session windows are
+    the one windowed aggregation whose state Spark must MERGE as rows
+    arrive (a late event can fuse two open sessions), so this is the
+    canonical stateful-session deployment shape: watermark bounds how long
+    a session can stay open to merging, and once the watermark passes
+    session_end + gap the session is final and its state evicted (in
+    update/append mode; ``complete`` retains all state — test plumbing,
+    same caveat as ``run_tumbling_stream``).
+    """
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = session_counts(raw.withWatermark("ts", WATERMARK))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_dedup(
     spark,
     source_dir: str,

@@ -4,6 +4,7 @@ config, :237-247 limit parsing, :83 /state)."""
 
 from __future__ import annotations
 
+import json
 from datetime import datetime
 from decimal import Decimal
 
@@ -162,6 +163,47 @@ def test_cache_hits_are_isolated_from_caller_mutation(spark):
 
     second = srv.handle("q")   # cache hit — must be pristine
     assert second == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+
+
+# ---------------------------------------------------------------------------
+# HTTP shim e2e (reference: server/app.py:83-121 routes; :243-247 bad input
+# -> jsonify([]))
+# ---------------------------------------------------------------------------
+def test_http_shim_serves_reference_wire_shape(spark):
+    import urllib.request
+
+    from distribution_engine_smt_spark.http_shim import serve
+
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [("@a/p", "a", datetime.utcnow(), "tag1", None, True, False, "TKN",
+          Decimal(0), None, None, Decimal(0), Decimal(0), 1.0, 1.0, 0,
+          Decimal(0), "t", "d", 0, "", "", 0.0, False)],
+        schemas.POSTS,
+    )
+    httpd = serve(build_state_server(state))
+    port = httpd.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                assert r.headers["Content-Type"] == "application/json"
+                return r.status, json.loads(r.read().decode())
+
+        # happy path: one post page, wire fields present
+        status, rows = get("/get_discussions_by_created?token=tkn&limit=10")
+        assert status == 200 and len(rows) == 1
+        assert rows[0]["authorperm"] == "@a/p"
+        # bad input (missing token) -> 200 + [] like the reference
+        status, rows = get("/get_discussions_by_created")
+        assert status == 200 and rows == []
+        # unknown endpoint -> 200 + []
+        status, rows = get("/no_such_endpoint")
+        assert status == 200 and rows == []
+        # /state with no checkpoints -> []
+        status, rows = get("/state")
+        assert status == 200 and rows == []
+    finally:
+        httpd.shutdown()
 
 
 def test_cache_hits_are_isolated_at_nested_depth(spark):

@@ -71,6 +71,54 @@ def test_streaming_dedup_keeps_one_per_content_hash(spark, tmp_path):
     assert len(kept) == len(batch_hashes)          # and exactly once
 
 
+def test_stream_sessionize_matches_batch_twin(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.temporal import sessionize
+    from distribution_engine_smt_spark.streaming.windows import (
+        run_sessionize_stream,
+        session_counts,
+    )
+
+    # batch twin #1: same session_window column logic over the static table
+    ev = (
+        spark.read.parquet(os.path.join(SF_DIR_ORACLE, "events.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    batch = {
+        (r["user_id"], r["start_ts"]): (r["end_ts"], r["n_events"])
+        for r in session_counts(ev).collect()
+    }
+    assert batch
+
+    src = os.path.join(SF_DIR_ORACLE, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tmp_path / "sess_stream"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "events.parquet")
+    q = run_sessionize_stream(
+        spark, str(stream_dir), raw_schema, str(tmp_path / "ckpt4"),
+        query_name="sess_test",
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["start_ts"]): (r["end_ts"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    assert streamed == batch
+
+    # batch twin #2: the lag-based sessionize operator (the oracled query)
+    # agrees on session STRUCTURE — no exact-boundary gaps in the corpus,
+    # so per-user session counts and event multisets are identical
+    lag_based = sessionize(spark, SF_DIR_ORACLE).collect()
+    assert len(lag_based) == len(streamed)
+    from collections import Counter
+
+    assert Counter((r["user_id"], r["n_events"]) for r in lag_based) == Counter(
+        (u, n) for (u, _), (_, n) in streamed.items()
+    )
+
+
 def test_stream_range_join_matches_batch_twin(spark, tmp_path):
     from distribution_engine_smt_spark.pipeline.temporal import range_join_events
     from distribution_engine_smt_spark.streaming.windows import run_range_join_stream
