@@ -14,6 +14,8 @@ Behavior contract mirrored from the reference:
   returns ``jsonify([])`` on bad input, app.py:243-247, rather than 4xx).
 - responses are ``application/json`` arrays of row objects; timestamps and
   nested values were already wire-shaped in-plan (queries/api_edge.py).
+  Endpoints registered ``single_row=True`` (``/state``) emit one JSON object,
+  matching the reference's ``jsonify(data)`` of a dict (app.py:107-119).
 
 The shim is deliberately ~a screenful: everything stateful (validation,
 clamps, caching, materialization caps) lives in ``serving.QueryServer``.
@@ -21,25 +23,11 @@ clamps, caching, materialization caps) lives in ``serving.QueryServer``.
 
 from __future__ import annotations
 
-import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from .serving import ParamError, QueryServer
-
-
-def _json_default(value):
-    """Row values that json.dumps can't encode natively: Decimal amounts and
-    any timestamp that skipped the in-plan wire formatting."""
-    import datetime
-    import decimal
-
-    if isinstance(value, decimal.Decimal):
-        return float(value)
-    if isinstance(value, (datetime.datetime, datetime.date)):
-        return value.isoformat()
-    raise TypeError(f"not JSON serializable: {type(value)!r}")
 
 
 def make_handler(query_server: QueryServer):
@@ -54,16 +42,22 @@ def make_handler(query_server: QueryServer):
         def do_GET(self):  # noqa: N802 (http.server API)
             url = urlparse(self.path)
             endpoint = url.path.strip("/")
-            # flask request.args keeps the first value per key
-            params = {k: v[0] for k, v in parse_qs(url.query).items()}
+            # flask request.args keeps the first value per key, and keeps
+            # blank values (?tag= means tag="", not "no tag param")
+            params = {
+                k: v[0]
+                for k, v in parse_qs(url.query, keep_blank_values=True).items()
+            }
             try:
-                rows = query_server.handle(endpoint, params)
+                # handle_json returns the cached wire string — a hit does
+                # zero per-row Python work in the request thread
+                body_str = query_server.handle_json(endpoint, params)
                 status = 200
             except ParamError:
-                rows, status = [], 200  # reference: jsonify([]) on bad input
+                body_str, status = "[]", 200  # reference: jsonify([]) on bad input
             except Exception:  # pragma: no cover - defensive 500
-                rows, status = [], 500
-            body = json.dumps(rows, default=_json_default).encode("utf-8")
+                body_str, status = "[]", 500
+            body = body_str.encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

@@ -82,7 +82,10 @@ def get_discussions_by_created(
         & (F.col("main_post") == main_post)
         & (F.col("created") >= F.lit(cutoff))
     )
-    if tag:
+    # `is not None`, not truthiness: the reference applies the tag clause for
+    # tag="" too (post_storage.py:178 `if tag is not None`; Flask passes
+    # blank query values through), so ?tag= filters to tags containing ""
+    if tag is not None:
         df = df.filter(F.array_contains(F.split(F.col("tags"), ","), tag))
     if anchor_ts is not None:
         df = df.filter(F.col("created") <= F.lit(anchor_ts))
@@ -123,7 +126,7 @@ def get_discussions_by_score(
             (F.col("promoted") > 0)
             & (F.col("last_payout") == F.lit(datetime(1970, 1, 1)))
         )
-    if tag:
+    if tag is not None:  # matches reference's tag="" semantics (see by_created)
         df = df.filter(F.array_contains(F.split(F.col("tags"), ","), tag))
     if anchor_authorperm:
         anchor = posts.filter(

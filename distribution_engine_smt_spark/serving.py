@@ -17,13 +17,26 @@ answered entirely from cache between 3 s stream ticks.
 
 from __future__ import annotations
 
-import copy
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+
+
+def json_default(value):
+    """Row values json.dumps can't encode natively: Decimal amounts and any
+    timestamp that skipped the in-plan wire formatting."""
+    import datetime
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    raise TypeError(f"not JSON serializable: {type(value)!r}")
 
 # reference TTLs (seconds): default 300 (app.py:46), /info 60 (app.py:125),
 # trending tags / staked accounts 86400 (app.py:357,875)
@@ -77,12 +90,20 @@ class _Entry:
 
 class TTLCache:
     """(endpoint, params) -> materialized result with per-entry TTL.
-    The clock is injectable so expiry is unit-testable without sleeping."""
+    The clock is injectable so expiry is unit-testable without sleeping.
+
+    Thread-safe: the HTTP shim serves from a ThreadingHTTPServer (like the
+    reference's 4 gunicorn workers, run-prod-api-server.sh:6), so get/put/
+    evict race without a lock — two threads expiring the same key would
+    double-del (KeyError), and eviction iterating while another thread
+    inserts would raise RuntimeError. One plain Lock; the critical sections
+    are dict ops on at most max_entries items, never Spark work."""
 
     def __init__(self, clock: Callable[[], float] = time.monotonic, max_entries: int = 10_000):
         self._clock = clock
         self._max = max_entries
         self._data: dict[str, _Entry] = {}
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
@@ -92,21 +113,24 @@ class TTLCache:
         return endpoint + "?" + json.dumps(params, sort_keys=True, default=str)
 
     def get(self, key: str):
-        e = self._data.get(key)
-        if e is None or e.expires_at <= self._clock():
-            if e is not None:
-                del self._data[key]
-            self.misses += 1
-            return None
-        self.hits += 1
-        return e.value
+        with self._lock:
+            e = self._data.get(key)
+            if e is None or e.expires_at <= self._clock():
+                if e is not None:
+                    del self._data[key]
+                self.misses += 1
+                return None
+            self.hits += 1
+            return e.value
 
     def put(self, key: str, value, ttl: float) -> None:
-        if len(self._data) >= self._max:
-            self._evict()
-        self._data[key] = _Entry(self._clock() + ttl, value)
+        with self._lock:
+            if len(self._data) >= self._max:
+                self._evict_locked()
+            self._data[key] = _Entry(self._clock() + ttl, value)
 
-    def _evict(self) -> None:
+    def _evict_locked(self) -> None:
+        # caller holds self._lock
         now = self._clock()
         expired = [k for k, e in self._data.items() if e.expires_at <= now]
         for k in expired:
@@ -116,22 +140,29 @@ class TTLCache:
             del self._data[k]
 
     def invalidate(self, prefix: str | None = None) -> None:
-        if prefix is None:
-            self._data.clear()
-        else:
-            for k in [k for k in self._data if k.startswith(prefix)]:
-                del self._data[k]
+        with self._lock:
+            if prefix is None:
+                self._data.clear()
+            else:
+                for k in [k for k in self._data if k.startswith(prefix)]:
+                    del self._data[k]
 
 
 @dataclass
 class Endpoint:
     """One served query: handler(params) -> DataFrame, plus cache TTL and
     the declared params it accepts (unknown params are rejected early so a
-    typo'd param never silently returns page 1 of everything)."""
+    typo'd param never silently returns page 1 of everything).
+
+    ``single_row=True`` emits the first row as one JSON object instead of an
+    array — the reference's ``/state`` wire shape (server/app.py:83-121
+    ``jsonify(data)`` of a dict, not a list); ``{}`` when the query is empty.
+    """
 
     handler: Callable[[dict], DataFrame]
     ttl: float = DEFAULT_TTL
     params: tuple[str, ...] = ()
+    single_row: bool = False
 
 
 class QueryServer:
@@ -150,13 +181,21 @@ class QueryServer:
         self._endpoints: dict[str, Endpoint] = {}
 
     def register(self, name: str, handler: Callable[[dict], DataFrame],
-                 ttl: float = DEFAULT_TTL, params: tuple[str, ...] = ()) -> None:
-        self._endpoints[name] = Endpoint(handler, ttl, params)
+                 ttl: float = DEFAULT_TTL, params: tuple[str, ...] = (),
+                 single_row: bool = False) -> None:
+        self._endpoints[name] = Endpoint(handler, ttl, params, single_row)
 
     def endpoints(self) -> list[str]:
         return sorted(self._endpoints)
 
-    def handle(self, name: str, params: dict | None = None) -> list[dict]:
+    def handle_json(self, name: str, params: dict | None = None) -> str:
+        """Serve an endpoint as its final JSON wire string.
+
+        The cache stores the serialized string, not row dicts: a hit is a
+        single immutable-string return — zero per-row Python work and
+        corruption-proof by construction (an HTTP frontend writes the string
+        straight to the socket; the reference re-serializes per request via
+        jsonify, so caching post-serialization strictly dominates)."""
         params = params or {}
         ep = self._endpoints.get(name)
         if ep is None:
@@ -168,15 +207,20 @@ class QueryServer:
         key = self.cache.key(name, params)
         cached = self.cache.get(key)
         if cached is not None:
-            # deep-copy rows on every hit: rows come from
-            # asDict(recursive=True) and can nest dicts/lists, so a caller
-            # annotating a nested field through a shallow copy would corrupt
-            # the cached entry for later requests within the TTL
-            return copy.deepcopy(cached)
+            return cached
         df = ep.handler(params)
         rows = [r.asDict(recursive=True) for r in df.limit(2 * MAX_LIMIT).collect()]
-        self.cache.put(key, rows, ep.ttl)
-        return copy.deepcopy(rows)
+        payload: Any = (rows[0] if rows else {}) if ep.single_row else rows
+        body = json.dumps(payload, default=json_default)
+        self.cache.put(key, body, ep.ttl)
+        return body
+
+    def handle(self, name: str, params: dict | None = None):
+        """Serve an endpoint as Python objects (list of row dicts; a single
+        dict for ``single_row`` endpoints). Decoded fresh from the cached
+        JSON string each call, so callers can mutate freely without
+        corrupting the cache."""
+        return json.loads(self.handle_json(name, params))
 
 
 def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = None) -> QueryServer:
@@ -196,6 +240,7 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         lambda p: get_state_lag(state),
         ttl=3,  # refreshes with the stream tick; effectively uncached
         params=(),
+        single_row=True,  # reference /state is one JSON object (app.py:107-119)
     )
     srv.register(
         "get_discussions_by_created",

@@ -120,7 +120,9 @@ def test_build_state_server_serves_state_and_pages(spark):
     assert len(rows) == 1 and rows[0]["authorperm"] == "@a/p"
     with pytest.raises(ParamError):
         srv.handle("get_discussions_by_created", {})  # token required
-    assert srv.handle("state") == []  # no checkpoints yet
+    # /state is a single object (reference app.py:107-119 jsonify(dict));
+    # {} when no checkpoints exist yet
+    assert srv.handle("state") == {}
 
 
 # ---------------------------------------------------------------------------
@@ -199,11 +201,60 @@ def test_http_shim_serves_reference_wire_shape(spark):
         # unknown endpoint -> 200 + []
         status, rows = get("/no_such_endpoint")
         assert status == 200 and rows == []
-        # /state with no checkpoints -> []
+        # /state is an object (reference jsonify(dict)); {} with no checkpoints
         status, rows = get("/state")
-        assert status == 200 and rows == []
+        assert status == 200 and rows == {}
+        # blank param values survive parsing (?tag= -> tag="", like Flask's
+        # request.args), rather than being dropped to "no tag filter"
+        status, rows = get("/get_discussions_by_created?token=tkn&tag=&limit=10")
+        assert status == 200 and rows == []  # tag="" matches no post
     finally:
         httpd.shutdown()
+
+
+def test_ttl_cache_is_thread_safe_under_churn():
+    """ThreadingHTTPServer shares one TTLCache across handler threads
+    (round-3 ADVICE): concurrent get-on-expired (double-del KeyError) and
+    evict-while-insert (dict-changed-size RuntimeError) must not raise."""
+    import threading
+
+    now = [0.0]
+    cache = TTLCache(clock=lambda: now[0], max_entries=64)
+    errors = []
+
+    def churn(tid):
+        try:
+            for i in range(2000):
+                k = f"k{i % 100}"
+                cache.put(k, f"v{tid}", ttl=0.5)
+                cache.get(k)
+                if i % 50 == 0:
+                    now[0] += 0.3  # roll time so entries expire mid-churn
+                if i % 400 == 0:
+                    cache.invalidate("k1")
+        except Exception as e:  # pragma: no cover - the failure being tested
+            errors.append(e)
+
+    threads = [threading.Thread(target=churn, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+
+def test_cache_stores_wire_string_hits_do_no_row_work(spark):
+    """The cache holds the serialized JSON string (round-3 verdict #4): a
+    hit returns the identical immutable str object — zero per-row work."""
+    clock = [0.0]
+    srv = QueryServer(TTLCache(clock=lambda: clock[0]))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    srv.register("q", lambda p: df, ttl=60)
+
+    s1 = srv.handle_json("q")
+    s2 = srv.handle_json("q")
+    assert isinstance(s1, str) and s1 is s2  # same cached object, no copy
+    assert json.loads(s1) == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
 
 
 def test_cache_hits_are_isolated_at_nested_depth(spark):
