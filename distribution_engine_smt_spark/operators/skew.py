@@ -15,25 +15,51 @@ does not:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT = "__salt"
 
+# Session conf governing the ingestion folds' salting (see hot_key_aggregate).
+SALT_BUCKETS_CONF = "spark.engine.skew.saltBuckets"
+DEFAULT_SALT_BUCKETS = 16
+
+AggSpec = dict[str, tuple[Union[str, Column], str]]
+
+
+def _agg_exprs(aggs: AggSpec) -> tuple[list[Column], list[Column]]:
+    """Build (partial, final) aggregate expression lists for a two-phase
+    decomposable aggregation. ``aggs`` maps output column -> (input, fn)
+    with fn in {'sum', 'count', 'min', 'max'} and input a column name, a
+    Column expression (conditional sums etc.), or '*' for count."""
+    partial_cols: list[Column] = []
+    final_cols: list[Column] = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            src = F.lit(1) if isinstance(col, str) and col == "*" else col
+            partial_cols.append(F.count(src).alias(out))
+            final_cols.append(F.sum(out).alias(out))
+        elif fn in ("sum", "min", "max"):
+            partial_cols.append(getattr(F, fn)(col).alias(out))
+            final_cols.append(getattr(F, fn)(out).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    return partial_cols, final_cols
+
 
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, tuple[str, str]],
-    buckets: int = 16,
+    aggs: AggSpec,
+    buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
-    ``aggs`` maps output column -> (input column, fn) with fn in
-    {'sum', 'count', 'min', 'max'} (the decomposable aggregates; avg is
-    sum/count at the call site). Example::
+    ``aggs`` maps output column -> (input column or Column expression, fn)
+    with fn in {'sum', 'count', 'min', 'max'} (the decomposable aggregates;
+    avg is sum/count at the call site). Example::
 
         salted_aggregate(votes, ["authorperm", "token"],
                          {"rshares_sum": ("rshares", "sum"),
@@ -41,27 +67,39 @@ def salted_aggregate(
     """
     keys = list(keys)
     salted = df.withColumn(SALT, (F.rand(seed=42) * buckets).cast("int"))
-
-    partial_cols = []
-    final_cols = []
-    for out, (col, fn) in aggs.items():
-        if fn == "count":
-            partial_cols.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(out))
-            final_cols.append(F.sum(out).alias(out))
-        elif fn == "sum":
-            partial_cols.append(F.sum(col).alias(out))
-            final_cols.append(F.sum(out).alias(out))
-        elif fn == "min":
-            partial_cols.append(F.min(col).alias(out))
-            final_cols.append(F.min(out).alias(out))
-        elif fn == "max":
-            partial_cols.append(F.max(col).alias(out))
-            final_cols.append(F.max(out).alias(out))
-        else:
-            raise ValueError(f"non-decomposable aggregate: {fn}")
-
+    partial_cols, final_cols = _agg_exprs(aggs)
     partial = salted.groupBy(*keys, SALT).agg(*partial_cols)
     return partial.groupBy(*keys).agg(*final_cols)
+
+
+def hot_key_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: AggSpec,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Ingestion-fold aggregation with skew salting on by default.
+
+    The hot-key folds (vote deltas, reply counters, reward accumulation —
+    processors/l1.py, l2.py) group by authorperm: one viral post at 100 TB
+    sends every one of its votes/replies through a single reducer under a
+    plain ``groupBy``. This routes them through :func:`salted_aggregate`.
+
+    ``buckets=None`` reads the session conf ``spark.engine.skew.saltBuckets``
+    (default {default}); ``<= 1`` (via arg or conf) selects the plain
+    single-phase plan. The switch is a session conf rather than a per-batch
+    row-count threshold deliberately: counting the batch to decide would
+    cost a driver-side job per micro-batch, while the salted plan's overhead
+    on a small batch is one extra exchange carrying at most
+    ``distinct_keys x buckets`` pre-aggregated rows — noise. Salting is
+    therefore always-on; flip the conf to 1 to A/B the plain plan.
+    """.format(default=DEFAULT_SALT_BUCKETS)
+    if buckets is None:
+        buckets = int(df.sparkSession.conf.get(SALT_BUCKETS_CONF, str(DEFAULT_SALT_BUCKETS)))
+    if buckets <= 1:
+        partial_cols, _ = _agg_exprs(aggs)
+        return df.groupBy(*list(keys)).agg(*partial_cols)
+    return salted_aggregate(df, keys, aggs, buckets)
 
 
 def salted_broadcast_left(

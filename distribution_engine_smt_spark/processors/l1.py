@@ -33,6 +33,7 @@ from ..functions import (
 )
 from ..functions.dmp import fold_body_edits
 from ..operators import additive_merge, delete_by_keys, merge_upsert
+from ..operators.skew import hot_key_aggregate
 
 # Every state table apply_l1_batch (and the runner on its behalf) can write.
 # The streaming runner derives its touched-partition scoping from this: a
@@ -210,13 +211,18 @@ def apply_comments(
     )
 
     # children counters: +1 per processed reply op on every parent row
-    # (comment_processor_for_engine.py:160-196 — edits count too)
+    # (comment_processor_for_engine.py:160-196 — edits count too).
+    # Salted two-phase count: a viral post's reply flood would otherwise
+    # funnel through one reducer (operators/skew.py rationale). Computed
+    # once, applied to both posts and post_metadata below.
     replies = enriched.filter(
         (~F.col("main_post")) & F.col("parent_authorperm").isNotNull()
     )
-    parent_counts = replies.groupBy(
-        F.col("parent_authorperm").alias("authorperm")
-    ).agg(F.count("*").cast("int").alias("children"))
+    parent_counts = hot_key_aggregate(
+        replies.select(F.col("parent_authorperm").alias("authorperm")),
+        ["authorperm"],
+        {"children": ("*", "count")},
+    ).withColumn("children", F.col("children").cast("int"))
     parent_exists = parent_counts.join(
         new_posts.select("authorperm").distinct(), "authorperm", "left_semi"
     )
@@ -282,11 +288,8 @@ def apply_comments(
         seq_col="seq",
         update_cols=["body", "json_metadata", "tags", "parent_authorperm", "depth", "url"],
     )
-    # parent metadata children counter
-    meta_parent_counts = replies.groupBy(
-        F.col("parent_authorperm").alias("authorperm")
-    ).agg(F.count("*").cast("int").alias("children"))
-    meta_parent_exists = meta_parent_counts.join(
+    # parent metadata children counter — same fold as parent_counts above
+    meta_parent_exists = parent_counts.join(
         new_meta.select("authorperm"), "authorperm", "left_semi"
     )
     new_meta = additive_merge(

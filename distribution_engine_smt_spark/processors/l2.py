@@ -33,6 +33,7 @@ from ..functions import memo_to_authorperm, score
 from ..functions.scoring import SCORE_TIMESCALE_HOT, SCORE_TIMESCALE_TREND
 from ..functions.timeutils import add_days
 from ..operators import additive_merge, merge_upsert
+from ..operators.skew import hot_key_aggregate
 
 # Every state table apply_l2_batch (and the runner on its behalf) can write —
 # the runner's touched-partition scoping skips partitioned/bucketed tables
@@ -375,11 +376,17 @@ def apply_votes(
         "timestamp",
         "seq",
     )
-    per_post = deltas.groupBy("authorperm", "token").agg(
-        F.sum("rshares_delta").cast(_NUM).alias("vote_rshares"),
-        F.max("timestamp").alias("last_vote_ts"),
-        F.max("seq").alias("seq"),
-    )
+    # salted two-phase fold: a viral post's entire vote batch would land on
+    # one reducer under a plain groupBy (operators/skew.py rationale)
+    per_post = hot_key_aggregate(
+        deltas,
+        ["authorperm", "token"],
+        {
+            "vote_rshares": ("rshares_delta", "sum"),
+            "last_vote_ts": ("timestamp", "max"),
+            "seq": ("seq", "max"),
+        },
+    ).withColumn("vote_rshares", F.col("vote_rshares").cast(_NUM))
     # only posts that exist get the running sum + rescore
     per_post = per_post.join(
         posts.select("authorperm", "token"), ["authorperm", "token"], "left_semi"
@@ -442,18 +449,33 @@ def apply_rewards(
         "seq",
         "ev_seq",
     )
-    per_post = parsed.groupBy("authorperm", "token").agg(
-        F.sum("q").cast(_NUM).alias("total_payout_value"),
-        F.sum(F.when(F.col("event") == "curationReward", F.col("q"))).cast(_NUM).alias(
-            "curator_payout_value"
-        ),
-        F.sum(F.when(F.col("event") == "beneficiaryReward", F.col("q")))
-        .cast("long")
-        .alias("beneficiaries_payout_value"),
-        F.max("timestamp").alias("last_payout"),
-        F.max(F.when(F.col("event") == "authorReward", F.lit(1)).otherwise(F.lit(0))).alias(
-            "had_author_reward"
-        ),
+    # salted two-phase fold (same hot-authorperm rationale as apply_votes):
+    # all five aggregates are decomposable, conditional sums included
+    per_post = hot_key_aggregate(
+        parsed,
+        ["authorperm", "token"],
+        {
+            "total_payout_value": ("q", "sum"),
+            "curator_payout_value": (
+                F.when(F.col("event") == "curationReward", F.col("q")), "sum"
+            ),
+            "beneficiaries_payout_value": (
+                F.when(F.col("event") == "beneficiaryReward", F.col("q")), "sum"
+            ),
+            "last_payout": ("timestamp", "max"),
+            "had_author_reward": (
+                F.when(F.col("event") == "authorReward", F.lit(1)).otherwise(F.lit(0)),
+                "max",
+            ),
+        },
+    ).select(
+        "authorperm",
+        "token",
+        F.col("total_payout_value").cast(_NUM).alias("total_payout_value"),
+        F.col("curator_payout_value").cast(_NUM).alias("curator_payout_value"),
+        F.col("beneficiaries_payout_value").cast("long").alias("beneficiaries_payout_value"),
+        "last_payout",
+        "had_author_reward",
     )
     new_posts = additive_merge(
         posts,

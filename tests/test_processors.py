@@ -505,3 +505,69 @@ def test_refresh_follows_keeps_mute_when_pair_in_fetched(spark):
     assert out[("u", "kept")] == 1
     assert out[("u", "new")] == 1
     assert out[("u", "dropped")] == 0
+
+
+# --- skew-salted hot-key folds ----------------------------------------------
+# One viral post receiving ~all votes/replies in a batch must not funnel
+# through a single reducer: the folds route through
+# operators/skew.py hot_key_aggregate (two-phase, partial on (key, salt)).
+
+def test_viral_post_vote_fold_is_salted_and_correct(spark, state):
+    n_voters = 120
+    rows = [
+        {"payload": {"author": "alice", "permlink": "p1"},
+         "logs": {"events": [_ev("comments", "newComment", symbol="TKN")]},
+         "ts": T0},
+        {"payload": {"author": "bob", "permlink": "p2"},
+         "logs": {"events": [_ev("comments", "newComment", symbol="TKN")]},
+         "ts": T0, "tx_seq": 1},
+    ]
+    # the viral batch: every voter hits @alice/p1
+    for i in range(n_voters):
+        rows.append({
+            "payload": {"author": "alice", "permlink": "p1",
+                        "voter": f"v{i}", "weight": 10000},
+            "logs": {"events": [_ev("comments", "newVote", symbol="TKN",
+                                    rshares=str(10 + i))]},
+            "ts": T1, "tx_seq": 2 + i,
+        })
+    rows.append({  # control: one vote on the quiet post
+        "payload": {"author": "bob", "permlink": "p2", "voter": "z",
+                    "weight": 10000},
+        "logs": {"events": [_ev("comments", "newVote", symbol="TKN",
+                                rshares="7")]},
+        "ts": T1, "tx_seq": 2 + n_voters,
+    })
+    out = apply_l2_batch(state, _tx(spark, rows))
+    # the salted exchange is in the lineage: partial agg on (key, __salt)
+    assert "__salt" in out["posts"]._jdf.queryExecution().toString()
+    posts = {r["authorperm"]: r for r in out["posts"].collect()}
+    assert posts["@alice/p1"]["vote_rshares"] == Decimal(
+        sum(10 + i for i in range(n_voters))
+    )
+    assert posts["@bob/p2"]["vote_rshares"] == Decimal(7)
+
+
+def test_viral_reply_flood_children_fold_is_salted_and_correct(spark, state):
+    state = _seed_post(spark, state)
+    n = 80
+    reply_rows = [
+        (f"@u{i}/r", f"u{i}", T1, None, None, False, False, "TKN", Decimal(0),
+         None, None, Decimal(0), Decimal(0), 0.0, 0.0, 0, Decimal(0), None,
+         None, 0, "alice", "p1", 0.0, False)
+        for i in range(n)
+    ]
+    state["posts"] = state["posts"].unionByName(
+        spark.createDataFrame(reply_rows, schemas.POSTS)
+    )
+    ops = _l1(spark, [
+        {"type": "comment", "author": f"u{i}", "permlink": "r",
+         "parent_author": "alice", "parent_permlink": "p1",
+         "body": "reply", "json_metadata": "{}", "op_seq": i}
+        for i in range(n)
+    ])
+    out = apply_l1_batch(state, ops)
+    assert "__salt" in out["posts"]._jdf.queryExecution().toString()
+    posts = {r["authorperm"]: r for r in out["posts"].collect()}
+    assert posts["@alice/p1"]["children"] == n
+    assert posts["@u0/r"]["children"] == 0

@@ -74,3 +74,56 @@ def test_staked_accounts_filters_zero_stake(spark):
 def test_paged_source_empty(spark):
     df = paged_source(spark, lambda l, o: [], "account string, symbol string, stake double")
     assert df.isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# hot_key_aggregate: the conf-gated salting the ingestion folds route through
+# ---------------------------------------------------------------------------
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_hot_key_aggregate_salts_by_default_and_obeys_conf(spark):
+    from distribution_engine_smt_spark.operators.skew import (
+        SALT_BUCKETS_CONF,
+        hot_key_aggregate,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    aggs = {"s": ("v", "sum"), "n": ("*", "count")}
+
+    salted = hot_key_aggregate(df, ["k"], aggs)
+    assert "__salt" in _plan(salted)  # two-phase: partial on (k, __salt)
+
+    spark.conf.set(SALT_BUCKETS_CONF, "1")
+    try:
+        plain = hot_key_aggregate(df, ["k"], aggs)
+        assert "__salt" not in _plan(plain)
+    finally:
+        spark.conf.unset(SALT_BUCKETS_CONF)
+
+    # identical results either way
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_hot_key_aggregate_supports_column_expressions(spark):
+    from distribution_engine_smt_spark.operators.skew import hot_key_aggregate
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("a", "x", 4.0), ("b", "x", 8.0)],
+        "k string, tag string, v double",
+    )
+    got = {
+        r["k"]: (r["x_sum"], r["mx"])
+        for r in hot_key_aggregate(
+            df,
+            ["k"],
+            {
+                "x_sum": (F.when(F.col("tag") == "x", F.col("v")), "sum"),
+                "mx": ("v", "max"),
+            },
+        ).collect()
+    }
+    assert got == {"a": (5.0, 4.0), "b": (8.0, 8.0)}
