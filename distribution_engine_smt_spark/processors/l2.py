@@ -164,22 +164,21 @@ def _skip(df: DataFrame, present: bool | None) -> bool:
     return (not present) if present is not None else df.isEmpty()
 
 
-def apply_l2_batch(
-    state: dict[str, DataFrame], txs: DataFrame
-) -> dict[str, DataFrame]:
-    """Apply one batch of L2 transactions in event order."""
+def _ok_txs(txs: DataFrame) -> DataFrame:
+    """Sequence + parse the tx log and apply the error-log gate (reference:
+    custom_json_processor.py:50-66, engine_comments_contract_processor.py:33,42).
+    Map-only, so it works on batch and streaming frames alike."""
     txs = txs.withColumn("seq", _seq()).withColumn(
         "parsed_logs", F.from_json(F.col("logs"), _EVENTS_SCHEMA)
     )
-    # error-log gate (reference: custom_json_processor.py:50-66,
-    # engine_comments_contract_processor.py:33,42)
-    ok = txs.filter(
+    return txs.filter(
         F.col("parsed_logs").isNull() | F.col("parsed_logs.errors").isNull()
     )
-    flags = _batch_flags(ok)
-    comments_txs = ok.filter(F.col("contract") == "comments")
 
-    events = (
+
+def _explode_events(comments_txs: DataFrame) -> DataFrame:
+    """One row per comments-contract event, coordinates (seq, ev_seq)."""
+    return (
         comments_txs.filter(F.col("parsed_logs.events").isNotNull())
         .select(
             "seq",
@@ -205,6 +204,39 @@ def apply_l2_batch(
             F.concat(F.lit("@"), _payload("author"), F.lit("/"), _payload("permlink")),
         )
     )
+
+
+def parse_l2_events(txs: DataFrame) -> DataFrame:
+    """Raw tx rows -> exploded comments-contract event rows. Shared by the
+    batch path (apply_l2_batch) and the continuous vote-fold stream
+    (streaming/runner.run_l2_vote_stream); every step is map-only."""
+    return _explode_events(_ok_txs(txs).filter(F.col("contract") == "comments"))
+
+
+def parse_vote_rows(events: DataFrame) -> DataFrame:
+    """newVote/updateVote events -> one row per vote op:
+    (authorperm, voter, token, rshares, percent, timestamp, seq) with seq
+    the unique event order (engine_comments_contract_processor.py:75-115)."""
+    v = events.filter(F.col("event").isin("newVote", "updateVote"))
+    return v.select(
+        F.col("payload_authorperm").alias("authorperm"),
+        _payload("voter").alias("voter"),
+        F.col("symbol").alias("token"),
+        F.col("rshares").cast(_NUM).alias("rshares"),
+        _payload("weight", "short").alias("percent"),
+        "timestamp",
+        _event_order().alias("seq"),
+    )
+
+
+def apply_l2_batch(
+    state: dict[str, DataFrame], txs: DataFrame
+) -> dict[str, DataFrame]:
+    """Apply one batch of L2 transactions in event order."""
+    ok = _ok_txs(txs)
+    flags = _batch_flags(ok)
+    comments_txs = ok.filter(F.col("contract") == "comments")
+    events = _explode_events(comments_txs)
 
     state = apply_mutes(state, comments_txs, present=flags["mutes"])
     state = apply_new_comments(state, events, present=flags["new_comments"])
@@ -343,19 +375,10 @@ def apply_new_comments(
 def apply_votes(
     state: dict[str, DataFrame], events: DataFrame, present: bool | None = None
 ) -> dict[str, DataFrame]:
-    v = events.filter(F.col("event").isin("newVote", "updateVote"))
-    if _skip(v, present):
+    parsed = parse_vote_rows(events)
+    if _skip(parsed, present):
         return state
     votes, posts = state["votes"], state["posts"]
-    parsed = v.select(
-        F.col("payload_authorperm").alias("authorperm"),
-        _payload("voter").alias("voter"),
-        F.col("symbol").alias("token"),
-        F.col("rshares").cast(_NUM).alias("rshares"),
-        _payload("weight", "short").alias("percent"),
-        "timestamp",
-        _event_order().alias("seq"),
-    )
 
     # last vote per (authorperm, token, voter) in the batch
     w = Window.partitionBy("authorperm", "token", "voter").orderBy(F.desc("seq"))

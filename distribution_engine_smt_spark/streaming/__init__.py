@@ -4,6 +4,7 @@ from .runner import (
     l2_alignment_bound,
     run_l1_stream,
     run_l2_stream,
+    run_l2_vote_stream,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "l2_alignment_bound",
     "run_l1_stream",
     "run_l2_stream",
+    "run_l2_vote_stream",
 ]

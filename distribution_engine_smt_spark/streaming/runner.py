@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from .. import schemas, tables
 from ..processors import apply_l1_batch, apply_l2_batch
+from .stateful import vote_delta_stream
 
 HEAD_DELAY_SECONDS = 15  # reference: stream_blocks.py:82
 
@@ -446,6 +447,45 @@ class DualStreamRunner:
         self.save_state(new_state, touched_partitions=touched)
         self._save_holdback("l2", parked)
 
+    def apply_vote_delta_batch(self, deltas: DataFrame, batch_id: int) -> None:
+        """Sink for the continuous vote-fold mode (run_l2_vote_stream, ST7):
+        one micro-batch of per-voter rshares deltas from the engine state
+        store -> per-post additive merge into posts.
+
+        The per-voter last-rshares lives INSIDE the streaming state store
+        (streaming/stateful.py), so unlike apply_votes this sink never
+        re-reads the votes table to compute deltas. Scope: this mode
+        maintains the posts.vote_rshares running totals only — the votes
+        table rows and trend/hot rescoring stay with the batch path
+        (reference semantic ST7/A6:
+        engine_comments_contract_processor.py:80-115)."""
+        if deltas.isEmpty():
+            return
+        state = self.load_state()
+        from ..operators import additive_merge
+        from .stateful import sum_vote_deltas
+
+        per_post = sum_vote_deltas(deltas).withColumnRenamed(
+            "rshares_delta", "vote_rshares"
+        )
+        # only posts that exist get the running sum (apply_votes parity)
+        per_post = per_post.join(
+            state["posts"].select("authorperm", "token"),
+            ["authorperm", "token"],
+            "left_semi",
+        ).localCheckpoint(eager=True)  # cut lineage: used for tokens AND merge
+        tokens = [r["token"] for r in per_post.select("token").distinct().collect()]
+        if not tokens:
+            return
+        out = dict(state)
+        out["posts"] = additive_merge(
+            state["posts"], per_post, ["authorperm", "token"],
+            add_cols=["vote_rshares"],
+        )
+        # this sink writes exactly one table; stage/swap only the touched
+        # token partitions of posts
+        self.save_state(out, only=["posts"], touched_partitions={"posts": tokens})
+
 
 def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     return (
@@ -485,6 +525,43 @@ def run_l2_stream(
     stream = _file_stream(runner.spark, source_path, schemas.TXS_L2)
     writer = stream.writeStream.foreachBatch(runner.process_l2_batch).option(
         "checkpointLocation", os.path.join(runner.root, "checkpoints", "l2")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**(trigger or {"processingTime": "3 seconds"}))
+    return writer.start()
+
+
+def run_l2_vote_stream(
+    runner: DualStreamRunner,
+    source_path: str,
+    trigger: dict | None = None,
+    available_now: bool = False,
+    ttl: bool = False,
+):
+    """Optional continuous vote-fold mode (ST7): the same L2 tx-log files,
+    but newVote/updateVote events flow through the engine-managed
+    per-(post, voter) state (streaming/stateful.vote_delta_stream) instead
+    of the re-derive-vs-stored-votes batch fold. Per-voter deltas are
+    additive-merged into posts by apply_vote_delta_batch.
+
+    Runs on its own checkpoint (``checkpoints/l2votes``) so it can coexist
+    with — or replace — the vote half of the batch L2 stream; don't run both
+    against the same state dir or votes double-count. ``ttl=True`` arms the
+    cashout-window state expiry (processing-time trigger only — see
+    vote_delta_stream)."""
+    from ..processors.l2 import parse_l2_events, parse_vote_rows
+
+    stream = _file_stream(runner.spark, source_path, schemas.TXS_L2)
+    votes = parse_vote_rows(parse_l2_events(stream)).select(
+        "authorperm", "token", "voter", "rshares", "seq"
+    )
+    deltas = vote_delta_stream(votes, ttl=ttl)
+    writer = (
+        deltas.writeStream.foreachBatch(runner.apply_vote_delta_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(runner.root, "checkpoints", "l2votes"))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -87,3 +87,92 @@ def test_viral_post_state_stays_per_voter(spark, tmp_path):
     ])
     _run_stream(spark, src, tmp_path / "ckpt-viral", totals)
     assert totals[("@hot/post", "T")] == Decimal(n + 4)
+
+
+# ---------------------------------------------------------------------------
+# runner-path drain-equals-batch: the continuous vote-fold mode
+# (run_l2_vote_stream -> apply_vote_delta_batch) must land the same
+# posts.vote_rshares totals as the batch L2 stream over the same tx log
+# ---------------------------------------------------------------------------
+def _seed_posts_state(spark, root):
+    from datetime import datetime
+
+    from distribution_engine_smt_spark import schemas, tables
+    from distribution_engine_smt_spark.streaming import DualStreamRunner
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    runner = DualStreamRunner(spark, str(root))
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    rows = [
+        (ap, ap[1:].split("/")[0], t0, None, None, True, False, "TKN",
+         Decimal(0), None, None, Decimal(0), Decimal(0), 0.0, 0.0, 0,
+         Decimal(0), None, None, 0, "", "", 0.0, False)
+        for ap in ("@alice/p1", "@bob/p2")
+    ]
+    state["posts"] = spark.createDataFrame(rows, schemas.POSTS)
+    runner.save_state(state)
+    return runner
+
+
+def _l2_vote_row(block, tx_seq, author, permlink, voter, rshares):
+    return {
+        "blockNumber": block,
+        "timestamp": "2024-01-01T12:00:00",
+        "tx_seq": tx_seq,
+        "contract": "comments",
+        "action": "vote",
+        "sender": voter,
+        "transactionId": f"t{block}-{tx_seq}",
+        "payload": json.dumps(
+            {"author": author, "permlink": permlink, "voter": voter, "weight": 10000}
+        ),
+        "logs": json.dumps(
+            {"events": [{"contract": "comments", "event": "newVote",
+                         "data": {"symbol": "TKN", "rshares": str(rshares)}}]}
+        ),
+    }
+
+
+def test_runner_vote_stream_drain_equals_batch(spark, tmp_path):
+    from datetime import datetime
+
+    from distribution_engine_smt_spark.streaming import (
+        run_l2_stream,
+        run_l2_vote_stream,
+    )
+
+    src = tmp_path / "txs"
+    src.mkdir()
+    _write(src / "b1.json", [
+        _l2_vote_row(1, 0, "alice", "p1", "v1", 100),
+        _l2_vote_row(1, 1, "alice", "p1", "v2", 50),
+        _l2_vote_row(1, 2, "alice", "p1", "v3", 25),
+        _l2_vote_row(1, 3, "bob", "p2", "z", 7),
+    ])
+    _write(src / "b2.json", [
+        _l2_vote_row(2, 0, "alice", "p1", "v1", 10),   # replaces v1's 100
+        _l2_vote_row(2, 1, "alice", "p1", "v4", 5),
+    ])
+
+    def totals(runner):
+        return {
+            r["authorperm"]: r["vote_rshares"]
+            for r in runner.load_state()["posts"].collect()
+        }
+
+    # batch path (process_l2_batch: re-derive deltas vs stored votes)
+    batch_runner = _seed_posts_state(spark, tmp_path / "batch")
+    q = run_l2_stream(batch_runner, str(src), available_now=True)
+    q.awaitTermination(180)
+    batch_totals = totals(batch_runner)
+
+    # continuous path (vote_delta_stream state store -> additive merge)
+    stream_runner = _seed_posts_state(spark, tmp_path / "stream")
+    q = run_l2_vote_stream(stream_runner, str(src), available_now=True)
+    q.awaitTermination(180)
+    stream_totals = totals(stream_runner)
+
+    assert batch_totals == stream_totals == {
+        "@alice/p1": Decimal(10 + 50 + 25 + 5),
+        "@bob/p2": Decimal(7),
+    }
