@@ -179,18 +179,6 @@ def register_views(tables: dict[str, DataFrame]) -> None:
         df.createOrReplaceTempView(name)
 
 
-def delta_lake_available() -> bool:
-    """True when the delta-spark package (and its jars) are importable.
-    Not baked into this container; the Delta backend below is the drop-in
-    production path when it is."""
-    try:
-        from delta.tables import DeltaTable  # noqa: F401
-
-        return True
-    except Exception:
-        return False
-
-
 def merge_into_partitioned(
     spark: SparkSession,
     root: str,
@@ -198,7 +186,6 @@ def merge_into_partitioned(
     delta: DataFrame,
     keys: list[str] | None = None,
     seq_col: str | None = None,
-    backend: str = "parquet",
 ) -> list:
     """Partition-scoped upsert: merge ``delta`` into the on-disk table
     touching ONLY the partitions (e.g. tokens) present in the delta.
@@ -207,13 +194,13 @@ def merge_into_partitioned(
     and rewrites 3 partition directories, not the table. Requires the table
     to be disk-partitioned (PARTITION_COLUMNS).
 
-    Backends:
-    - ``parquet`` (default): read touched partitions, last-writer-wins
-      merge, dynamic partition overwrite. No extra dependencies.
-    - ``delta``: transactional ``MERGE INTO`` via delta-spark when
-      installed (``delta_lake_available()``); the partition-pruning
-      predicate keeps the merge scoped to touched partitions and the
-      transaction log replaces the runner's journaled directory swap.
+    The backend is pure Spark: read touched partitions, last-writer-wins
+    merge (operators/merge.merge_upsert), dynamic partition overwrite — no
+    dependencies beyond parquet, and batch-level idempotence comes from the
+    runner's journaled swap + block high-water mark. On a deployment with a
+    lakehouse format (Delta/Iceberg), a transactional ``MERGE INTO`` with a
+    partition-pruning predicate slots in at this same call site; the repo
+    ships only the dependency-free path since that is the one it can test.
 
     Returns the list of touched partition values (for logging/metrics).
     """
@@ -234,11 +221,6 @@ def merge_into_partitioned(
         delta = delta.withColumn(pcol, bucket_expr(name))
     else:
         pcol = part_cols[0]
-
-    if backend == "delta":
-        return _merge_into_delta(spark, root, name, delta, keys, seq_col, pcol)
-    if backend != "parquet":
-        raise ValueError(f"unknown backend: {backend}")
 
     touched = [r[0] for r in delta.select(pcol).distinct().collect()]
     if not touched:
@@ -275,63 +257,4 @@ def merge_into_partitioned(
         writer.write.mode("overwrite").partitionBy(pcol).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    return touched
-
-
-def _merge_into_delta(
-    spark: SparkSession,
-    root: str,
-    name: str,
-    delta_df: DataFrame,
-    keys: list[str],
-    seq_col: str | None,
-    pcol: str,
-) -> list:
-    """Transactional variant of merge_into_partitioned on Delta Lake.
-
-    MERGE INTO with an explicit partition-pruning predicate: Delta rewrites
-    only the files of touched partitions and the commit is atomic, so the
-    batch-level idempotence story (runner HWM) gets table-level ACID under
-    it for free. Keeps the same last-writer-wins contract: the delta frame
-    is first reduced to one row per key (highest seq wins)."""
-    import os
-
-    from delta.tables import DeltaTable
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from . import schemas as _schemas
-
-    path = os.path.join(root, name)
-    if seq_col and seq_col in delta_df.columns:
-        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
-        delta_df = (
-            delta_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-    delta_df = conform(delta_df, name)
-    if pcol == BUCKET_COL:
-        delta_df = delta_df.withColumn(pcol, bucket_expr(name))
-    touched = [r[0] for r in delta_df.select(pcol).distinct().collect()]
-    if not touched:
-        return []  # empty delta: a 't.<pcol> IN ()' merge condition would
-        # be a ParseException; mirror the parquet backend's no-op
-
-    if not DeltaTable.isDeltaTable(spark, path):
-        (delta_df.write.format("delta").partitionBy(pcol).mode("overwrite").save(path))
-        return touched
-
-    tgt = DeltaTable.forPath(spark, path).alias("t")
-    cond = " AND ".join([f"t.{k} <=> s.{k}" for k in keys])
-    # partition pruning: restrict the scan to touched partition values
-    # (bucket values are ints; string-quoting them is still valid SQL)
-    vals = ", ".join(f"'{v}'" for v in touched)
-    cond = f"t.{pcol} IN ({vals}) AND {cond}"
-    (
-        tgt.merge(delta_df.alias("s"), cond)
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
     return touched

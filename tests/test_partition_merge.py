@@ -78,36 +78,14 @@ def test_merge_rejects_unpartitioned_table(spark, tmp_path):
         merge_into_partitioned(spark, str(tmp_path), "follows", delta)
 
 
-def test_delta_backend_merge(spark, tmp_path):
-    """Same contract on the Delta Lake backend (transactional MERGE INTO).
-    delta-spark is not baked into this container; the test runs wherever it
-    is installed and documents the gated production path."""
-    import pytest
-
-    if not tables.delta_lake_available():
-        pytest.skip("delta-spark not installed in this container")
+def test_merge_empty_delta_is_noop(spark, tmp_path):
+    """An empty delta merges nothing and rewrites nothing."""
     root = str(tmp_path)
-    base = spark.createDataFrame(
-        [_post("@a/p1", "a", "TKN1", "one"), _post("@b/p2", "b", "TKN2", "two")],
-        schemas.POSTS,
+    base = spark.createDataFrame([_post("@a/p1", "a", "TKN1", "one")], schemas.POSTS)
+    tables.write_table(base, root, "posts")
+    before = _files(root)
+    touched = merge_into_partitioned(
+        spark, root, "posts", spark.createDataFrame([], schemas.POSTS)
     )
-    merge_into_partitioned(spark, root, "posts", base, backend="delta")
-    delta = spark.createDataFrame(
-        [_post("@a/p1", "a", "TKN1", "one-v2"), _post("@d/p4", "d", "TKN4", "four")],
-        schemas.POSTS,
-    )
-    touched = merge_into_partitioned(spark, root, "posts", delta, backend="delta")
-    assert sorted(touched) == ["TKN1", "TKN4"]
-    got = {
-        r["authorperm"]: r["title"]
-        for r in spark.read.format("delta").load(os.path.join(root, "posts")).collect()
-    }
-    assert got == {"@a/p1": "one-v2", "@b/p2": "two", "@d/p4": "four"}
-
-
-def test_unknown_backend_rejected(spark, tmp_path):
-    import pytest
-
-    df = spark.createDataFrame([_post("@a/p1", "a", "TKN1", "one")], schemas.POSTS)
-    with pytest.raises(ValueError, match="unknown backend"):
-        merge_into_partitioned(spark, str(tmp_path), "posts", df, backend="iceberg")
+    assert touched == []
+    assert _files(root) == before
