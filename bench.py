@@ -1,17 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "spread": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a small collect) so the full
-plan runs; the session is warmed with one throwaway action so JVM/codegen
-startup isn't billed to the first query.
+Each query is executed to completion (count) so the full plan runs; the
+session is warmed with one throwaway action so JVM/codegen startup isn't
+billed to the first query. Per query: 3 timed runs, ``queries`` reports the
+MEDIAN and ``spread`` the max-min across the runs — single-run numbers at
+sf0.1 swing ±0.3 s, which is indistinguishable from a real regression
+without the spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,18 +53,19 @@ def main() -> None:
     driver_queries.QUERIES["discussions_by_created"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     names = [n for n in HEADLINE if n in driver_queries.QUERIES]
     extra = [n for n in sorted(driver_queries.QUERIES) if n not in names]
     for name in names + extra:
         fn = driver_queries.QUERIES[name]
-        best = None
-        for _ in range(2):  # min of 2: damps GC/compilation jitter
+        runs = []
+        for _ in range(3):  # median of 3: GC/compilation jitter vs signal
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 4)
+        timings[name] = round(statistics.median(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
     # queries added after round 1 — excluded from the like-for-like subtotal
@@ -80,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "r01_subset_sec": r01_subset,
                 "sf": float(sf) if sf else sf_dir,
             }
