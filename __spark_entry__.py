@@ -64,9 +64,30 @@ _DRIVER_ROTATE_LAST = [
     "earliest_event_per_user",
 ]
 
+# ROTATION POLICY (standing rule, not a one-off): any query whose
+# implementation changed during the CURRENT round must sit inside the
+# driver's top-50 so this round's CORRECTNESS pass covers the change; only
+# queries green in 2+ prior rounds AND untouched this round may be rotated
+# past position 50. Update this list every round alongside the code;
+# tests/test_driver_queries.py::test_round_modified_queries_inside_driver_cap
+# enforces the placement (and that nothing listed here is simultaneously
+# rotated last).
+_ROUND_MODIFIED = [
+    # r4: tag-filter semantics aligned with the reference (tag="" filters,
+    # queries/discussions.py) — affects every discussions_* page query
+    "discussions_by_created",
+    "discussions_by_trending",
+    "discussions_by_hot",
+    "discussions_by_promoted",
+    "discussions_by_payout_keyset",
+    # r4: rewritten map-only (shuffle-free sorted-neighbor formulation)
+    "text_repetition",
+]
+
 
 def _ordered(names: list[str]) -> list[str]:
     head = [n for n in _DRIVER_PRIORITY if n in names]
+    head += [n for n in _ROUND_MODIFIED if n in names and n not in head]
     tail = [n for n in _DRIVER_ROTATE_LAST if n in names]
     mid = [n for n in names if n not in set(head) | set(tail)]
     return head + mid + tail

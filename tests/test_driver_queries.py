@@ -27,3 +27,24 @@ def test_query_matches_oracle(spark, con, name):
         pytest.skip(f"{name}: no oracle (rows-only check)")
     problems = compare(df, ORACLE_SQL[name], con)
     assert not problems, f"{name}: {problems}"
+
+
+def test_round_modified_queries_inside_driver_cap():
+    """Rotation policy (standing rule): queries whose implementation changed
+    this round must sit inside the driver's 50-query oracle cap, and must
+    not simultaneously be in the rotated-past-the-cap set. Driven from the
+    declared _ROUND_MODIFIED list in __spark_entry__.py."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    top50 = set(names[:50])
+    missing = [n for n in e._ROUND_MODIFIED if n not in top50]
+    assert not missing, f"round-modified queries outside the driver cap: {missing}"
+    overlap = set(e._ROUND_MODIFIED) & set(e._DRIVER_ROTATE_LAST)
+    assert not overlap, f"round-modified queries rotated past the cap: {overlap}"
+    # sanity: every declared name is a real query
+    unknown = [
+        n for n in e._ROUND_MODIFIED + e._DRIVER_ROTATE_LAST + e._DRIVER_PRIORITY
+        if n not in names
+    ]
+    assert not unknown, f"declared rotation names not in queries(): {unknown}"
