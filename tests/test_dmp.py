@@ -183,3 +183,48 @@ def test_fold_group_ships_by_value(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path),
     )
     assert proc.returncode == 0 and "OK" in proc.stdout, proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz vs the real library (round-3 verdict #7): the vendored
+# engine's one documented deviation (difflib fine-diff on the fuzzy path,
+# dmp_core.py header) is exactly where it could diverge on adversarial
+# edits — any container that has diff_match_patch installed proves parity;
+# this container doesn't, so the test skips cleanly.
+# ---------------------------------------------------------------------------
+def test_dmp_differential_fuzz_vs_library():
+    import random
+
+    import pytest
+
+    dmp_lib = pytest.importorskip("diff_match_patch")
+    from distribution_engine_smt_spark.functions import dmp_core
+
+    dmp = dmp_lib.diff_match_patch()
+    rng = random.Random(1234)
+    alphabet = "ab cd\nxyz0123"
+
+    def rand_text(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    for trial in range(300):
+        base = rand_text(rng.randint(0, 400))
+        edited = base
+        for _ in range(rng.randint(1, 4)):  # human-scale random edit chain
+            i = rng.randint(0, len(edited)) if edited else 0
+            j = min(len(edited), i + rng.randint(0, 16))
+            edited = edited[:i] + rand_text(rng.randint(0, 16)) + edited[j:]
+        patches_text = dmp.patch_toText(dmp.patch_make(base, edited))
+        if not patches_text:
+            continue
+        apply_base = base
+        if rng.random() < 0.3 and base:  # drift: exercises the fuzzy path
+            k = rng.randint(0, len(base) - 1)
+            apply_base = base[:k] + rng.choice(alphabet) + base[k + 1:]
+        ours_text, ours_ok = dmp_core.patch_apply(
+            dmp_core.patch_from_text(patches_text), apply_base
+        )
+        lib_text, lib_ok = dmp.patch_apply(dmp.patch_fromText(patches_text), apply_base)
+        assert (ours_text, list(ours_ok)) == (lib_text, list(lib_ok)), (
+            f"trial {trial}: divergence on drifted={apply_base != base}"
+        )
