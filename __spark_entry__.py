@@ -82,6 +82,10 @@ _ROUND_MODIFIED = [
     "discussions_by_payout_keyset",
     # r4: rewritten map-only (shuffle-free sorted-neighbor formulation)
     "text_repetition",
+    # r4: NEW queries (IVF probe incl. Hamming-1 neighbor cells; per-source
+    # token-count distribution)
+    "ann_ivf_nprobe_topk",
+    "token_count_quantiles",
 ]
 
 

@@ -70,13 +70,18 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     # queries added after round 1 — excluded from the like-for-like subtotal
     # so round-over-round totals stay comparable as coverage widens
-    added_r2 = {
+    added_after_r1 = {
+        # round 2
         "pack_sequences", "stratified_sample", "quality_filter", "dedup_clusters",
         "decontaminate", "text_repetition", "sessionize",
         "asof_purchase_attribution", "kmv_distinct", "tumbling_event_counts",
         "balanced_sample", "chunk_documents", "range_join_events",
+        # round 4
+        "ann_ivf_nprobe_topk", "token_count_quantiles",
     }
-    r01_subset = round(sum(v for k, v in timings.items() if k not in added_r2), 4)
+    r01_subset = round(
+        sum(v for k, v in timings.items() if k not in added_after_r1), 4
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -160,6 +160,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_nprobe_topk",
+    f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             {_BUCKET_SQL.format(col='embedding')} AS cell
+      FROM embeddings
+    )
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM cells e
+    JOIN (SELECT embedding, cell FROM cells WHERE vec_id = 0) q
+      ON bit_count(xor(CAST(e.cell AS BIGINT), CAST(q.cell AS BIGINT))) <= 1
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with nprobe = 1 + B neighbor cells: search the query's own
+    sign-pattern cell plus every cell at Hamming distance 1 (one flipped
+    sign bit — exactly the cells a vector near a hyperplane boundary could
+    fall into). Recovers most of the recall the single-cell probe loses
+    while still reading only 7/64 of the corpus; at production scale the
+    cell list is 7 partition-pruned reads, the bit_count condition never
+    touches the data files."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].withColumn("cell", _bucket(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .join(
+            F.broadcast(q),
+            F.bit_count(F.col("cell").bitwiseXOR(F.col("q_cell"))) <= 1,
+        )
+        .select(
+            "vec_id",
+            (dot_fold(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs: incoming batch vs corpus
 # ---------------------------------------------------------------------------

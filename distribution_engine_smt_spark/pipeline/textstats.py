@@ -172,3 +172,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus shape: per-source token-count quantiles (curation dashboards /
+# mixture rebalancing decisions run off exactly this table)
+# ---------------------------------------------------------------------------
+@register(
+    "token_count_quantiles",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           round(quantile_cont(len(string_split_regex(trim(text), '\\s+')), 0.5), 6) AS p50_tokens,
+           round(quantile_cont(len(string_split_regex(trim(text), '\\s+')), 0.9), 6) AS p90_tokens,
+           round(quantile_cont(len(string_split_regex(trim(text), '\\s+')), 0.99), 6) AS p99_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def token_count_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count distribution (p50/p90/p99, exact linear
+    interpolation — Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the (n-1)*p rank definition, so the oracle matches bit-for-bit).
+
+    Scale note: exact percentile shuffles every value to its source's
+    reducer; sources are few (single-digit) so the reduce side is wide but
+    bounded. At 100 TB swap in ``percentile_approx`` (t-digest sketch,
+    mergeable map-side, bounded memory) — same query shape, documented
+    accuracy trade."""
+    t = _t(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text"))).cast("double")
+    pct = F.percentile(n_tok, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), pct.alias("__p"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("__p")[0], 6).alias("p50_tokens"),
+            F.round(F.col("__p")[1], 6).alias("p90_tokens"),
+            F.round(F.col("__p")[2], 6).alias("p99_tokens"),
+        )
+        .orderBy(F.col("source").asc())
+    )
