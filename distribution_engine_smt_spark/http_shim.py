@@ -48,6 +48,15 @@ def make_handler(query_server: QueryServer):
                 k: v[0]
                 for k, v in parse_qs(url.query, keep_blank_values=True).items()
             }
+            # the reference's path-param routes (app.py:287 /@<account>,
+            # :314 /@<account>/<permlink>) map onto flat endpoints
+            if endpoint.startswith("@"):
+                parts = endpoint[1:].split("/", 1)
+                if len(parts) == 1:
+                    endpoint, params["account"] = "get_account", parts[0]
+                else:
+                    endpoint = "get_post"
+                    params["account"], params["permlink"] = parts
             try:
                 # handle_json returns the cached wire string — a hit does
                 # zero per-row Python work in the request thread

@@ -106,17 +106,20 @@ def get_discussions_by_score(
     anchor_authorperm: str | None = None,
     hive_select: str = "include",
     now: datetime | None = None,
+    main_post: bool = True,
 ) -> DataFrame:
     """by_trending / by_hot / by_promoted / by_payout (reference:
     engine/post_storage.py:360-401, server/app.py:642-709). Keyset bound via
-    scalar aggregate broadcast (J8)."""
+    scalar aggregate broadcast (J8). ``main_post=False`` is the
+    get_comment_discussions_by_payout variant (reference:
+    post_storage.py main_post flag threaded from app.py:642)."""
     assert score_key in SCORE_KEYS, score_key
     now = now or _now()
     cutoff = now - timedelta(days=30)
     posts = state["posts"]
     df = posts.filter(
         (F.col("token") == token.upper())
-        & (F.col("main_post") == F.lit(True))
+        & (F.col("main_post") == F.lit(main_post))
         & (F.col("created") >= F.lit(cutoff))
     )
     if score_key == "promoted":

@@ -223,16 +223,37 @@ class QueryServer:
         return json.loads(self.handle_json(name, params))
 
 
+def require_param(params: dict, key: str) -> str:
+    value = params.get(key)
+    if not value:
+        raise ParamError(f"{key} is required")
+    return str(value)
+
+
 def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = None) -> QueryServer:
-    """Wire the standard endpoints over a loaded state dict — the /state
-    route plus the discussion pages served straight from the query library
-    (reference routes: app.py:83 /state, :599 by_created, :687 trending,
-    :697 hot, :875 trending_tags)."""
+    """Wire the FULL endpoint surface over a loaded state dict — every
+    reference route the engine indexes (SURVEY.md §2.11; reference:
+    server/app.py:83-962). Out of engine scope and so not served:
+    /get_staked_accounts (live RPC paged scan, S10 adapter in sources.py)
+    and the reward-pool RPC half of /info (S9); /config covers the indexed
+    part of /info."""
     from .queries import get_state_lag
+    from .queries.accounts import (
+        get_account_history,
+        get_account_map,
+        get_post_with_votes,
+        get_token_config,
+    )
     from .queries.discussions import (
+        get_discussions_by_blog,
+        get_discussions_by_comments,
         get_discussions_by_created,
+        get_discussions_by_feed,
+        get_discussions_by_replies,
         get_discussions_by_score,
     )
+    from .queries.social import get_follow_count, get_following, get_trending_tags
+    from .queries.thread import get_thread
 
     srv = QueryServer(cache)
     srv.register(
@@ -243,6 +264,12 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         single_row=True,  # reference /state is one JSON object (app.py:107-119)
     )
     srv.register(
+        "config",  # indexed part of /info + /config (app.py:125-222)
+        lambda p: get_token_config(state, p.get("token")),
+        ttl=60,
+        params=("token",),
+    )
+    srv.register(
         "get_discussions_by_created",
         lambda p: get_discussions_by_created(
             state, require_token(p), tag=p.get("tag"),
@@ -251,19 +278,90 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         ttl=DEFAULT_TTL,
         params=("token", "tag", "limit"),
     )
-    for route, score_key in (
-        ("trending", "score_trend"),
-        ("hot", "score_hot"),
-        ("promoted", "promoted"),
-        ("payout", "total_payout_value"),
+    for route, score_key, main in (
+        ("get_discussions_by_trending", "score_trend", True),
+        ("get_discussions_by_hot", "score_hot", True),
+        ("get_discussions_by_promoted", "promoted", True),
+        ("get_discussions_by_payout", "total_payout_value", True),
+        ("get_comment_discussions_by_payout", "total_payout_value", False),
     ):
         srv.register(
-            f"get_discussions_by_{route}",
-            lambda p, sk=score_key: get_discussions_by_score(
+            route,
+            lambda p, sk=score_key, mp=main: get_discussions_by_score(
                 state, require_token(p), sk, tag=p.get("tag"),
-                limit=clamp_limit(p.get("limit")),
+                limit=clamp_limit(p.get("limit")), main_post=mp,
             ),
             ttl=DEFAULT_TTL,
             params=("token", "tag", "limit"),
         )
+    for route, fn in (
+        ("get_discussions_by_blog", get_discussions_by_blog),
+        ("get_feed", get_discussions_by_feed),
+        ("get_discussions_by_comments", get_discussions_by_comments),
+        ("get_discussions_by_replies", get_discussions_by_replies),
+    ):
+        srv.register(
+            route,
+            lambda p, f=fn: f(
+                state, require_token(p), require_param(p, "account"),
+                limit=clamp_limit(p.get("limit")),
+            ),
+            ttl=DEFAULT_TTL,
+            params=("token", "account", "limit"),
+        )
+    srv.register(
+        "get_thread",  # app.py:497-531
+        lambda p: get_thread(state, require_token(p), require_param(p, "authorperm")),
+        ttl=DEFAULT_TTL,
+        params=("token", "authorperm"),
+    )
+    srv.register(
+        "get_account_history",  # app.py:225-284
+        lambda p: get_account_history(
+            state, require_token(p), account=p.get("account"),
+            author=p.get("author"), type_filter=p.get("type"),
+            limit=clamp_limit(p.get("limit")), offset=parse_offset(p.get("offset")),
+        ),
+        ttl=DEFAULT_TTL,
+        params=("token", "account", "author", "type", "limit", "offset"),
+    )
+    srv.register(
+        "get_account",  # /@<account> (app.py:287-311); shim maps the path
+        lambda p: get_account_map(state, require_param(p, "account")),
+        ttl=DEFAULT_TTL,
+        params=("account",),
+    )
+    srv.register(
+        "get_post",  # /@<account>/<permlink> (app.py:314-353); shim-mapped
+        lambda p: get_post_with_votes(
+            state, require_token(p),
+            f"@{require_param(p, 'account')}/{require_param(p, 'permlink')}",
+        ),
+        ttl=DEFAULT_TTL,
+        params=("token", "account", "permlink"),
+    )
+    srv.register(
+        "get_trending_tags",  # app.py:875 — 24 h cache like the reference
+        lambda p: get_trending_tags(
+            state, require_token(p), limit=clamp_limit(p.get("limit")),
+        ),
+        ttl=86400,
+        params=("token", "limit"),
+    )
+    srv.register(
+        "get_follow_count",  # app.py (A4)
+        lambda p: get_follow_count(state, require_param(p, "account")),
+        ttl=DEFAULT_TTL,
+        params=("account",),
+        single_row=True,
+    )
+    srv.register(
+        "get_following",
+        lambda p: get_following(
+            state, require_param(p, "account"), start_name=p.get("start"),
+            limit=clamp_limit(p.get("limit"), default=100),
+        ),
+        ttl=DEFAULT_TTL,
+        params=("account", "start", "limit"),
+    )
     return srv

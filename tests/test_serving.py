@@ -212,6 +212,65 @@ def test_http_shim_serves_reference_wire_shape(spark):
         httpd.shutdown()
 
 
+def test_full_endpoint_surface_served(spark):
+    """Every indexed reference route (SURVEY §2.11) is registered and
+    servable over HTTP, including the /@account path-param routes."""
+    import urllib.request
+
+    from distribution_engine_smt_spark.http_shim import serve
+
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [("@a/p", "a", datetime.utcnow(), datetime.utcnow(), None, True, False,
+          "TKN", Decimal(0), None, None, Decimal(0), Decimal(0), 1.0, 1.0, 0,
+          Decimal(0), "t", "d", 0, "", "", 0.0, False)],
+        schemas.POSTS,
+    )
+    srv = build_state_server(state)
+    assert set(srv.endpoints()) == {
+        "state", "config",
+        "get_discussions_by_created", "get_discussions_by_trending",
+        "get_discussions_by_hot", "get_discussions_by_promoted",
+        "get_discussions_by_payout", "get_comment_discussions_by_payout",
+        "get_discussions_by_blog", "get_feed",
+        "get_discussions_by_comments", "get_discussions_by_replies",
+        "get_thread", "get_account_history", "get_account", "get_post",
+        "get_trending_tags", "get_follow_count", "get_following",
+    }
+
+    httpd = serve(srv)
+    port = httpd.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read().decode())
+
+        # path-param routes map onto flat endpoints
+        status, rows = get("/@a")
+        assert status == 200 and rows == []  # accounts table empty
+        status, rows = get("/@a/p?token=tkn")
+        assert status == 200 and len(rows) == 1
+        assert rows[0]["authorperm"] == "@a/p" and rows[0]["vote_count"] == 0
+        # single-object endpoints
+        status, obj = get("/get_follow_count?account=a")
+        assert status == 200
+        assert (obj["following_count"], obj["follower_count"]) == (0, 0)
+        # representative list endpoints across the families
+        for path in (
+            "/config",
+            "/get_thread?token=tkn&authorperm=@a/p",
+            "/get_account_history?token=tkn&account=a",
+            "/get_trending_tags?token=tkn",
+            "/get_following?account=a",
+            "/get_feed?token=tkn&account=a",
+            "/get_comment_discussions_by_payout?token=tkn",
+        ):
+            status, rows = get(path)
+            assert status == 200 and isinstance(rows, list), path
+    finally:
+        httpd.shutdown()
+
+
 def test_ttl_cache_is_thread_safe_under_churn():
     """ThreadingHTTPServer shares one TTLCache across handler threads
     (round-3 ADVICE): concurrent get-on-expired (double-del KeyError) and
