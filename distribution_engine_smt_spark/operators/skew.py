@@ -86,14 +86,14 @@ def hot_key_aggregate(
     plain ``groupBy``. This routes them through :func:`salted_aggregate`.
 
     ``buckets=None`` reads the session conf ``spark.engine.skew.saltBuckets``
-    (default {default}); ``<= 1`` (via arg or conf) selects the plain
-    single-phase plan. The switch is a session conf rather than a per-batch
-    row-count threshold deliberately: counting the batch to decide would
-    cost a driver-side job per micro-batch, while the salted plan's overhead
-    on a small batch is one extra exchange carrying at most
+    (default 16); ``<= 1`` (via arg or conf) selects the plain single-phase
+    plan. The switch is a session conf rather than a per-batch row-count
+    threshold deliberately: counting the batch to decide would cost a
+    driver-side job per micro-batch, while the salted plan's overhead on a
+    small batch is one extra exchange carrying at most
     ``distinct_keys x buckets`` pre-aggregated rows — noise. Salting is
     therefore always-on; flip the conf to 1 to A/B the plain plan.
-    """.format(default=DEFAULT_SALT_BUCKETS)
+    """
     if buckets is None:
         buckets = int(df.sparkSession.conf.get(SALT_BUCKETS_CONF, str(DEFAULT_SALT_BUCKETS)))
     if buckets <= 1:

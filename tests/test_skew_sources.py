@@ -127,3 +127,43 @@ def test_hot_key_aggregate_supports_column_expressions(spark):
         ).collect()
     }
     assert got == {"a": (5.0, 4.0), "b": (8.0, 8.0)}
+
+
+def test_hot_key_aggregate_property_matches_plain(spark):
+    """Property: for arbitrary skewed inputs, the salted two-phase fold is
+    value-identical to a plain groupBy across all four decomposable
+    aggregate kinds (hypothesis drives the distributions)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from distribution_engine_smt_spark.operators.skew import hot_key_aggregate
+
+    rows_st = st.lists(
+        st.tuples(
+            st.sampled_from(["hot", "hot", "hot", "warm", "cold"]),  # skewed keys
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=rows_st)
+    def run(rows):
+        df = spark.createDataFrame(rows, "k string, v int")
+        aggs = {
+            "s": ("v", "sum"), "n": ("*", "count"),
+            "mn": ("v", "min"), "mx": ("v", "max"),
+        }
+        got = {r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+               for r in hot_key_aggregate(df, ["k"], aggs, buckets=4).collect()}
+        from pyspark.sql import functions as F
+
+        exp = {r["k"]: (r["s"], r["n"], r["mn"], r["mx"])
+               for r in df.groupBy("k").agg(
+                   F.sum("v").alias("s"), F.count("*").alias("n"),
+                   F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+        assert got == exp
+
+    run()
