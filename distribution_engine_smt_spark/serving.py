@@ -244,6 +244,7 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         get_post_with_votes,
         get_token_config,
     )
+    from .queries.api_edge import format_discussion_rows
     from .queries.discussions import (
         get_discussions_by_blog,
         get_discussions_by_comments,
@@ -269,12 +270,14 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         ttl=60,
         params=("token",),
     )
+    # every discussion page goes through the api_edge wire shaping, like
+    # the reference's format_feed_data per-row pass (app.py:380-447)
     srv.register(
         "get_discussions_by_created",
-        lambda p: get_discussions_by_created(
+        lambda p: format_discussion_rows(get_discussions_by_created(
             state, require_token(p), tag=p.get("tag"),
             limit=clamp_limit(p.get("limit")),
-        ),
+        )),
         ttl=DEFAULT_TTL,
         params=("token", "tag", "limit"),
     )
@@ -287,9 +290,11 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
     ):
         srv.register(
             route,
-            lambda p, sk=score_key, mp=main: get_discussions_by_score(
-                state, require_token(p), sk, tag=p.get("tag"),
-                limit=clamp_limit(p.get("limit")), main_post=mp,
+            lambda p, sk=score_key, mp=main: format_discussion_rows(
+                get_discussions_by_score(
+                    state, require_token(p), sk, tag=p.get("tag"),
+                    limit=clamp_limit(p.get("limit")), main_post=mp,
+                )
             ),
             ttl=DEFAULT_TTL,
             params=("token", "tag", "limit"),
@@ -302,10 +307,10 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
     ):
         srv.register(
             route,
-            lambda p, f=fn: f(
+            lambda p, f=fn: format_discussion_rows(f(
                 state, require_token(p), require_param(p, "account"),
                 limit=clamp_limit(p.get("limit")),
-            ),
+            )),
             ttl=DEFAULT_TTL,
             params=("token", "account", "limit"),
         )

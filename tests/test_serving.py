@@ -191,10 +191,15 @@ def test_http_shim_serves_reference_wire_shape(spark):
                 assert r.headers["Content-Type"] == "application/json"
                 return r.status, json.loads(r.read().decode())
 
-        # happy path: one post page, wire fields present
+        # happy path: one post page, wire fields present — the api_edge
+        # shaping splits authorperm and ISO-formats timestamps like the
+        # reference's format_feed_data (app.py:380-447)
         status, rows = get("/get_discussions_by_created?token=tkn&limit=10")
         assert status == 200 and len(rows) == 1
         assert rows[0]["authorperm"] == "@a/p"
+        assert rows[0]["author"] == "a" and rows[0]["permlink"] == "p"
+        assert rows[0]["hive"] is False
+        assert "T" in rows[0]["created"]  # ISO wire format, not raw timestamp
         # bad input (missing token) -> 200 + [] like the reference
         status, rows = get("/get_discussions_by_created")
         assert status == 200 and rows == []
