@@ -644,9 +644,11 @@ def apply_promotions(
         .filter(F.col("quantity").isNotNull() & (F.col("authorperm") != ""))
         .join(promoted_accounts, ["token", "to_account"], "inner")
     )
-    per_post = parsed.groupBy("authorperm", "token").agg(
-        F.sum("quantity").cast(_NUM).alias("promoted")
-    )
+    # salted fold like votes/rewards: one heavily-promoted post must not
+    # funnel every transfer through a single reducer
+    per_post = hot_key_aggregate(
+        parsed, ["authorperm", "token"], {"promoted": ("quantity", "sum")}
+    ).withColumn("promoted", F.col("promoted").cast(_NUM))
     # only existing (authorperm, token) rows are promoted
     per_post = per_post.join(
         posts.select("authorperm", "token"), ["authorperm", "token"], "left_semi"
