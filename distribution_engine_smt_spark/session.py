@@ -41,5 +41,15 @@ def get_spark(app_name: str = "distribution-engine-smt-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split parquet scans finer than the 128 MB default: the test-scale
+        # files are a few hundred MB, which otherwise yields ~3 scan tasks
+        # on 32 cores (measured: trending_tags ran its whole scan+explode on
+        # 3 tasks). 16 MB -> tens of tasks locally; on a real cluster revert
+        # to the default via SPARK_GRAFT_MAX_PARTITION_BYTES — at 100 TB a
+        # 16 MB split would mean millions of scan tasks.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     return builder.getOrCreate()
