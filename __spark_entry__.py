@@ -51,7 +51,10 @@ _DRIVER_PRIORITY = [
     "tumbling_event_counts",
     "range_join_events",
 ]
-# double-green (r1+r2) simple scalar shapes — safest to rotate past the cap
+# multi-round-green simple shapes — safest to rotate past the cap. With 61
+# registered queries and a 50-query driver cap, exactly 11 must sit here so
+# the cut is EXPLICIT (chosen stable queries) rather than whatever lands at
+# positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
     "prefix_select",
     "authorperm_codec",
@@ -62,6 +65,9 @@ _DRIVER_ROTATE_LAST = [
     "segment_nation_counts",
     "reward_curves",
     "earliest_event_per_user",
+    # added r4 (green r2+r3, untouched this round): map-only text scans
+    "text_fingerprint",
+    "text_token_counts",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose

@@ -48,3 +48,10 @@ def test_round_modified_queries_inside_driver_cap():
         if n not in names
     ]
     assert not unknown, f"declared rotation names not in queries(): {unknown}"
+    # the cut must be explicit: everything NOT rotated out fits the cap, so
+    # adding a query forces a deliberate rotation choice here
+    n_inside = len(names) - len(e._DRIVER_ROTATE_LAST)
+    assert n_inside <= 50, (
+        f"{n_inside} queries inside the 50-query driver cap; extend "
+        "_DRIVER_ROTATE_LAST with stable multi-round-green queries"
+    )
