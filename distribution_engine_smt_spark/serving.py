@@ -270,16 +270,48 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         ttl=60,
         params=("token",),
     )
+    def _start_authorperm(p: dict) -> str | None:
+        """Keyset-pagination anchor from start_author/start_permlink — the
+        reference rejects one without the other (app.py:616-619 jsonify([]))."""
+        sa, sp = p.get("start_author"), p.get("start_permlink")
+        if sa is None and sp is None:
+            return None
+        if not sa or not sp:
+            raise ParamError("start_author and start_permlink go together")
+        return f"@{sa}/{sp}"
+
+    def _anchor_ts(token: str, p: dict):
+        """Resolve the anchor post's created time like the reference's
+        get_token_post pre-query (app.py:624-630); unknown anchor -> no
+        bound, matching the reference's None fallthrough."""
+        ap = _start_authorperm(p)
+        if ap is None:
+            return None
+        from pyspark.sql import functions as F
+
+        row = (
+            state["posts"]
+            .filter(
+                (F.col("token") == token)
+                & F.col("authorperm").isin(ap, f"h{ap}")
+            )
+            .select("created")
+            .first()
+        )
+        return row["created"] if row else None
+
+    _PAGE_PARAMS = ("token", "tag", "limit", "start_author", "start_permlink")
+
     # every discussion page goes through the api_edge wire shaping, like
     # the reference's format_feed_data per-row pass (app.py:380-447)
     srv.register(
         "get_discussions_by_created",
-        lambda p: format_discussion_rows(get_discussions_by_created(
-            state, require_token(p), tag=p.get("tag"),
-            limit=clamp_limit(p.get("limit")),
-        )),
+        lambda p: (lambda tok: format_discussion_rows(get_discussions_by_created(
+            state, tok, tag=p.get("tag"),
+            limit=clamp_limit(p.get("limit")), anchor_ts=_anchor_ts(tok, p),
+        )))(require_token(p)),
         ttl=DEFAULT_TTL,
-        params=("token", "tag", "limit"),
+        params=_PAGE_PARAMS,
     )
     for route, score_key, main in (
         ("get_discussions_by_trending", "score_trend", True),
@@ -294,10 +326,11 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
                 get_discussions_by_score(
                     state, require_token(p), sk, tag=p.get("tag"),
                     limit=clamp_limit(p.get("limit")), main_post=mp,
+                    anchor_authorperm=_start_authorperm(p),
                 )
             ),
             ttl=DEFAULT_TTL,
-            params=("token", "tag", "limit"),
+            params=_PAGE_PARAMS,
         )
     for route, fn in (
         ("get_discussions_by_blog", get_discussions_by_blog),
@@ -307,12 +340,12 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
     ):
         srv.register(
             route,
-            lambda p, f=fn: format_discussion_rows(f(
-                state, require_token(p), require_param(p, "account"),
-                limit=clamp_limit(p.get("limit")),
-            )),
+            lambda p, f=fn: (lambda tok: format_discussion_rows(f(
+                state, tok, require_param(p, "account"),
+                limit=clamp_limit(p.get("limit")), anchor_ts=_anchor_ts(tok, p),
+            )))(require_token(p)),
             ttl=DEFAULT_TTL,
-            params=("token", "account", "limit"),
+            params=("token", "account", "limit", "start_author", "start_permlink"),
         )
     srv.register(
         "get_thread",  # app.py:497-531

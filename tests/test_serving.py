@@ -276,6 +276,51 @@ def test_full_endpoint_surface_served(spark):
         httpd.shutdown()
 
 
+def test_served_keyset_pagination_start_params(spark):
+    """start_author/start_permlink page anchoring like the reference
+    (app.py:599-639): the anchor post's created time bounds the page, and
+    one param without the other is rejected to [] (app.py:616-619)."""
+    from datetime import timedelta
+
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+
+    def post(ap, author, created):
+        return (ap, author, created, created + timedelta(days=7), None, True,
+                False, "TKN", Decimal(0), None, None, Decimal(0), Decimal(0),
+                1.0, 1.0, 0, Decimal(0), "t", "d", 0, "", "", 0.0, False)
+
+    t0 = datetime.utcnow()
+    state["posts"] = spark.createDataFrame(
+        [post("@a/new", "a", t0),
+         post("@b/mid", "b", t0 - timedelta(hours=1)),
+         post("@c/old", "c", t0 - timedelta(hours=2))],
+        schemas.POSTS,
+    )
+    srv = build_state_server(state)
+
+    full = srv.handle("get_discussions_by_created", {"token": "TKN"})
+    assert [r["authorperm"] for r in full] == ["@a/new", "@b/mid", "@c/old"]
+
+    page2 = srv.handle(
+        "get_discussions_by_created",
+        {"token": "TKN", "start_author": "b", "start_permlink": "mid"},
+    )
+    assert [r["authorperm"] for r in page2] == ["@b/mid", "@c/old"]
+
+    with pytest.raises(ParamError):  # one start param without the other
+        srv.handle(
+            "get_discussions_by_created",
+            {"token": "TKN", "start_author": "b"},
+        )
+
+    # score-family anchor: keyset bound via the anchor post's score
+    trending = srv.handle(
+        "get_discussions_by_trending",
+        {"token": "TKN", "start_author": "b", "start_permlink": "mid"},
+    )
+    assert {r["authorperm"] for r in trending} <= {"@a/new", "@b/mid", "@c/old"}
+
+
 def test_ttl_cache_is_thread_safe_under_churn():
     """ThreadingHTTPServer shares one TTLCache across handler threads
     (round-3 ADVICE): concurrent get-on-expired (double-del KeyError) and
