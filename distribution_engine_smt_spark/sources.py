@@ -64,3 +64,29 @@ def staked_accounts(
         spark, fetch_page, "account string, symbol string, stake double"
     )
     return df.filter(F.col("stake") > min_stake).select("account", "symbol", "stake")
+
+
+def fetched_follows(
+    spark: SparkSession,
+    fetch_following: Callable[[str], Iterable[str]],
+    accounts: Iterable[str],
+) -> DataFrame:
+    """S9 follow-refresh adapter: build the authoritative (follower,
+    following) snapshot that ``processors.l1.refresh_follows`` reconciles
+    against, from any per-account fetch callable (the reference calls the
+    chain's ``get_following`` RPC per account on refresh —
+    processors/comment_processor_for_engine.py:109-126, server/app.py
+    follow-refresh path; the live transport stays out of engine scope).
+
+    The fetch loop is driver-side like ``paged_source`` (one account's list
+    at a time); accounts due for refresh per batch are few — the reference
+    gates refresh on a per-account cooldown timestamp."""
+    rows = [
+        (acct, followed)
+        for acct in accounts
+        for followed in fetch_following(acct)
+    ]
+    schema = "follower string, following string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)

@@ -167,3 +167,38 @@ def test_hot_key_aggregate_property_matches_plain(spark):
         assert got == exp
 
     run()
+
+
+def test_fetched_follows_feeds_refresh(spark):
+    """S9 end-to-end: a per-account fetch callable -> authoritative snapshot
+    -> refresh_follows reconciliation (adds, soft-removes, keeps mutes)."""
+    from distribution_engine_smt_spark.processors.l1 import refresh_follows
+    from distribution_engine_smt_spark.sources import fetched_follows
+
+    calls = []
+
+    def fetch(acct):
+        calls.append(acct)
+        return {"u": ["keep", "new"], "v": []}[acct]
+
+    snapshot = fetched_follows(spark, fetch, ["u", "v"])
+    assert calls == ["u", "v"]
+
+    follows = spark.createDataFrame(
+        [("u", "keep", 1), ("u", "stale", 1), ("u", "muted", 2)],
+        "follower string, following string, state short",
+    )
+    got = {
+        (r["follower"], r["following"]): r["state"]
+        for r in refresh_follows(follows, snapshot).collect()
+    }
+    assert got[("u", "keep")] == 1
+    assert got[("u", "new")] == 1
+    assert got[("u", "stale")] == 0   # soft-removed
+    assert got[("u", "muted")] == 2   # mutes survive
+
+
+def test_fetched_follows_empty(spark):
+    from distribution_engine_smt_spark.sources import fetched_follows
+
+    assert fetched_follows(spark, lambda a: [], ["u"]).isEmpty()
