@@ -348,10 +348,13 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
             params=("token", "account", "limit", "start_author", "start_permlink"),
         )
     srv.register(
-        "get_thread",  # app.py:497-531
-        lambda p: get_thread(state, require_token(p), require_param(p, "authorperm")),
+        "get_thread",  # app.py:497-531 — author + permlink params like the reference
+        lambda p: get_thread(
+            state, require_token(p),
+            f"@{require_param(p, 'author')}/{require_param(p, 'permlink')}",
+        ),
         ttl=DEFAULT_TTL,
-        params=("token", "authorperm"),
+        params=("token", "author", "permlink"),
     )
     srv.register(
         "get_account_history",  # app.py:225-284
@@ -394,12 +397,12 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         single_row=True,
     )
     srv.register(
-        "get_following",
+        "get_following",  # app.py:930-962 — follower param, limit default 1000
         lambda p: get_following(
-            state, require_param(p, "account"), start_name=p.get("start"),
-            limit=clamp_limit(p.get("limit"), default=100),
+            state, require_param(p, "follower"), start_name=p.get("start"),
+            limit=clamp_limit(p.get("limit"), default=1000),
         ),
         ttl=DEFAULT_TTL,
-        params=("account", "start", "limit"),
+        params=("follower", "start", "limit"),
     )
     return srv

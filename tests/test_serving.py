@@ -263,10 +263,10 @@ def test_full_endpoint_surface_served(spark):
         # representative list endpoints across the families
         for path in (
             "/config",
-            "/get_thread?token=tkn&authorperm=@a/p",
+            "/get_thread?token=tkn&author=a&permlink=p",
             "/get_account_history?token=tkn&account=a",
             "/get_trending_tags?token=tkn",
-            "/get_following?account=a",
+            "/get_following?follower=a",
             "/get_feed?token=tkn&account=a",
             "/get_comment_discussions_by_payout?token=tkn",
         ):
