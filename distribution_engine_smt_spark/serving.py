@@ -157,12 +157,15 @@ class Endpoint:
     ``single_row=True`` emits the first row as one JSON object instead of an
     array — the reference's ``/state`` wire shape (server/app.py:83-121
     ``jsonify(data)`` of a dict, not a list); ``{}`` when the query is empty.
+    A callable ``single_row(params) -> bool`` decides per request — the
+    reference's ``/config`` is an array without ``token`` and an object with
+    it (app.py:212-220).
     """
 
     handler: Callable[[dict], DataFrame]
     ttl: float = DEFAULT_TTL
     params: tuple[str, ...] = ()
-    single_row: bool = False
+    single_row: bool | Callable[[dict], bool] = False
 
 
 class QueryServer:
@@ -210,7 +213,8 @@ class QueryServer:
             return cached
         df = ep.handler(params)
         rows = [r.asDict(recursive=True) for r in df.limit(2 * MAX_LIMIT).collect()]
-        payload: Any = (rows[0] if rows else {}) if ep.single_row else rows
+        single = ep.single_row(params) if callable(ep.single_row) else ep.single_row
+        payload: Any = (rows[0] if rows else {}) if single else rows
         body = json.dumps(payload, default=json_default)
         self.cache.put(key, body, ep.ttl)
         return body
@@ -265,10 +269,12 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         single_row=True,  # reference /state is one JSON object (app.py:107-119)
     )
     srv.register(
-        "config",  # indexed part of /info + /config (app.py:125-222)
+        "config",  # indexed part of /info + /config (app.py:125-222);
+        # array without token, single object (or {}) with it (app.py:212-220)
         lambda p: get_token_config(state, p.get("token")),
         ttl=60,
         params=("token",),
+        single_row=lambda p: bool(p.get("token")),
     )
     def _start_authorperm(p: dict) -> str | None:
         """Keyset-pagination anchor from start_author/start_permlink — the

@@ -256,6 +256,12 @@ def test_full_endpoint_surface_served(spark):
         status, rows = get("/@a/p?token=tkn")
         assert status == 200 and len(rows) == 1
         assert rows[0]["authorperm"] == "@a/p" and rows[0]["vote_count"] == 0
+        # /config: array without token, object with it (reference
+        # app.py:212-220; {} for an unknown token)
+        status, rows = get("/config")
+        assert status == 200 and isinstance(rows, list)
+        status, obj = get("/config?token=nope")
+        assert status == 200 and obj == {}
         # single-object endpoints
         status, obj = get("/get_follow_count?account=a")
         assert status == 200
