@@ -68,6 +68,9 @@ _DRIVER_ROTATE_LAST = [
     # added r4 (green r2+r3, untouched this round): map-only text scans
     "text_fingerprint",
     "text_token_counts",
+    # added r5 (green r2+r3+r4, untouched this round)
+    "text_lang_id",
+    "text_quality_score",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -79,19 +82,10 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r4: tag-filter semantics aligned with the reference (tag="" filters,
-    # queries/discussions.py) — affects every discussions_* page query
-    "discussions_by_created",
-    "discussions_by_trending",
-    "discussions_by_hot",
-    "discussions_by_promoted",
-    "discussions_by_payout_keyset",
-    # r4: rewritten map-only (shuffle-free sorted-neighbor formulation)
-    "text_repetition",
-    # r4: NEW queries (IVF probe incl. Hamming-1 neighbor cells; per-source
-    # token-count distribution)
-    "ann_ivf_nprobe_topk",
-    "token_count_quantiles",
+    # r5: NEW queries — PII redaction + URL/boilerplate density (map-only
+    # regex over documents, dialect-parity-tested in tests/test_redaction.py)
+    "pii_redact",
+    "url_density",
 ]
 
 

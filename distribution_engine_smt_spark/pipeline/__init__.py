@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     decontam,
     dedup,
     multimodal,
+    redaction,
     similarity,
     temporal,
     textstats,
