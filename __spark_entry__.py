@@ -71,6 +71,8 @@ _DRIVER_ROTATE_LAST = [
     # added r5 (green r2+r3+r4, untouched this round)
     "text_lang_id",
     "text_quality_score",
+    "follow_counts",
+    "trending_tags",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -86,6 +88,9 @@ _ROUND_MODIFIED = [
     # regex over documents, dialect-parity-tested in tests/test_redaction.py)
     "pii_redact",
     "url_density",
+    # r5: NEW queries — corpus bigram mining + BM25 relevance ranking
+    "top_ngrams",
+    "bm25_search",
 ]
 
 

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     dedup,
     multimodal,
     redaction,
+    search,
     similarity,
     temporal,
     textstats,
