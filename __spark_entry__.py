@@ -73,6 +73,8 @@ _DRIVER_ROTATE_LAST = [
     "text_quality_score",
     "follow_counts",
     "trending_tags",
+    "tag_membership",
+    "reblogged_by_agg",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -91,6 +93,10 @@ _ROUND_MODIFIED = [
     # r5: NEW queries — corpus bigram mining + BM25 relevance ranking
     "top_ngrams",
     "bm25_search",
+    # r5: NEW queries — reproducible training-shard shuffle + source
+    # vocabulary-overlap matrix
+    "deterministic_shuffle",
+    "source_vocab_overlap",
 ]
 
 

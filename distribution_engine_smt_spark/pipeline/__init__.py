@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     multimodal,
     redaction,
     search,
+    shards,
     similarity,
     temporal,
     textstats,
