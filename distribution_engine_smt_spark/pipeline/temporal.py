@@ -310,3 +310,103 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("error_id", "signup_id", dt.cast("long").alias("dt_us"))
         .orderBy(F.col("error_id").asc(), F.col("signup_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection over the event stream
+# ---------------------------------------------------------------------------
+_ZS_WIN = 6  # trailing window: up to 6 PRIOR events per user
+_ZS_MIN = 3  # minimum history before a z-score is emitted
+
+_ZS_LAGS = ", ".join(
+    f"lag(value, {i}) OVER w AS l{i}" for i in range(1, _ZS_WIN + 1)
+)
+_ZS_ARR = "[" + ", ".join(f"l{i}" for i in range(_ZS_WIN, 0, -1)) + "]"
+
+
+@register(
+    "event_zscore_anomaly",
+    f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, value, {_ZS_LAGS}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    arrd AS (
+      SELECT event_id, user_id, value,
+             list_filter({_ZS_ARR}, x -> x IS NOT NULL) AS arr
+      FROM lagged
+    ),
+    stats AS (
+      SELECT event_id, user_id, value, len(arr) AS n,
+             CASE WHEN len(arr) >= {_ZS_MIN}
+                  THEN list_reduce(arr, (a, b) -> a + b) END AS s,
+             CASE WHEN len(arr) >= {_ZS_MIN}
+                  THEN list_reduce(list_transform(arr, x -> x * x),
+                                   (a, b) -> a + b) END AS s2
+      FROM arrd
+    )
+    SELECT event_id, user_id, n,
+           round((value - s / n) / sqrt((s2 - s * s / n) / (n - 1)), 6) AS z,
+           abs((value - s / n) / sqrt((s2 - s * s / n) / (n - 1))) > 2.0
+               AS is_anomaly
+    FROM stats
+    WHERE n >= {_ZS_MIN} AND (s2 - s * s / n) / (n - 1) > 0.0
+    ORDER BY event_id ASC
+    """,
+)
+def event_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score: each event scored against the mean/stddev
+    of its previous <= 6 events; |z| > 2 flags the anomaly.
+
+    Engine-parity design: windowed SUM/STDDEV aggregates accumulate in an
+    engine-specific order (Spark re-folds bounded frames, DuckDB uses
+    segment trees), so their float results are not reproducible across
+    engines. Instead the trailing frame is materialized EXPLICITLY as
+    lag(1..6) columns — pure row movement, no arithmetic — and mean/var
+    come from fixed-order left folds over that array, bit-identical in
+    both engines (the sample-variance identity (s2 - s^2/n)/(n-1) in
+    matching association order). One shuffle on user_id; the lag frame is
+    O(window) columns, independent of partition size — the plan a
+    1000-executor run wants for billions of users.
+    """
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, _ZS_WIN + 1)],
+    )
+    arr = F.filter(
+        F.array(*[F.col(f"l{i}") for i in range(_ZS_WIN, 0, -1)]),
+        lambda x: x.isNotNull(),
+    )
+    arrd = lagged.select("event_id", "user_id", "value", arr.alias("arr"))
+    n = F.size("arr")
+    fold = lambda c: F.aggregate(c, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    # 0.0 + x == x exactly for x > 0, so the init-less DuckDB fold matches
+    stats = arrd.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n"),
+        F.when(n >= _ZS_MIN, fold(F.col("arr"))).alias("s"),
+        F.when(
+            n >= _ZS_MIN, fold(F.transform(F.col("arr"), lambda x: x * x))
+        ).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        stats.where((F.col("n") >= _ZS_MIN) & (var > 0.0))
+        .select(
+            "event_id",
+            "user_id",
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy(F.col("event_id").asc())
+    )
