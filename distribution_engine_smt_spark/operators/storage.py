@@ -1,0 +1,129 @@
+"""Physical-layout maintenance for parquet state tables: small-file
+compaction and range-sorted writes with data-skipping.
+
+At 100 TB the two silent killers of scan throughput are (a) the small-file
+problem — every micro-batch merge writes a few files per partition, and a
+year of batches turns a 10 GB partition into 50k x 200 KB files whose open
+costs dwarf the reads — and (b) unsorted row groups, which force every
+query to read every row group because min/max footers span the whole key
+domain. The reference never hits either because it is a row-store behind
+Postgres (reference: engine/db_storage.py — the LSM/heap layout is the
+database's problem); a lakehouse engine must do its own maintenance.
+
+``compact_table``: bin-pack an existing parquet directory into
+``ceil(bytes / target_bytes)`` files via a shuffle-free ``coalesce`` —
+compaction must not pay a shuffle, it is pure IO — then atomically swap
+(write to sibling tmp dir, rename over). Partitioned directories compact
+each leaf partition independently, so the operation parallelizes across a
+cluster and a failed swap affects one partition.
+
+``write_range_sorted`` / ``pruned_scan_stats``: global range layout —
+``repartitionByRange`` + ``sortWithinPartitions`` — gives every output
+file a disjoint key span, so any key-range predicate prunes to the few
+row groups whose footer min/max intersects it. ``pruned_scan_stats``
+proves the skipping from the parquet footers themselves (via pyarrow):
+the fraction of row groups a range predicate must read, which is what a
+1000-executor scan's IO bill is proportional to.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # cluster default; tests use ~KBs
+
+
+def _leaf_dirs(path: str) -> list[str]:
+    """Leaf directories of a (possibly hive-partitioned) parquet tree."""
+    leaves: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        if any(f.endswith(".parquet") for f in filenames):
+            leaves.append(dirpath)
+    return leaves
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> dict[str, tuple[int, int]]:
+    """Compact every leaf partition of ``path`` to ~``target_bytes`` files.
+
+    Returns {leaf_dir: (files_before, files_after)}. Shuffle-free: each
+    leaf is read and ``coalesce(n)``-ed (narrow dependency — input splits
+    are concatenated, never redistributed), written to a tmp sibling, then
+    swapped in. Data-identical by construction; the swap is
+    rename-per-leaf so a crash leaves each partition either old or new,
+    never mixed (same staged-rename discipline as the checkpoint sink,
+    streaming/runner.py).
+    """
+    report: dict[str, tuple[int, int]] = {}
+    for leaf in _leaf_dirs(path):
+        files_before = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        total = _dir_parquet_bytes(leaf)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if len(files_before) <= n_out:
+            report[leaf] = (len(files_before), len(files_before))
+            continue
+        tmp = f"{leaf}__compact_{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(leaf).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = f"{leaf}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        files_after = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        report[leaf] = (len(files_before), len(files_after))
+    return report
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Write ``df`` with a global range layout on ``sort_cols``: file i
+    holds a contiguous, disjoint key span, sorted within. One range
+    shuffle (sampled split points, the same mechanism as a global
+    orderBy), after which every file's parquet footer min/max is narrow —
+    the write-side half of data skipping."""
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pruned_scan_stats(path: str, column: str, lo, hi) -> dict[str, int]:
+    """Row groups a ``column BETWEEN lo AND hi`` scan must read, from the
+    parquet footers alone (pyarrow) — the engine-independent measure of
+    data skipping that executor scan IO is proportional to."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    needed = 0
+    for leaf in _leaf_dirs(path):
+        for fname in os.listdir(leaf):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(leaf, fname)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[column]
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                total += 1
+                if stats is None or not stats.has_min_max:
+                    needed += 1  # no stats -> must read
+                elif not (stats.max < lo or stats.min > hi):
+                    needed += 1
+    return {"row_groups_total": total, "row_groups_needed": needed}
