@@ -78,6 +78,10 @@ def main() -> None:
         "balanced_sample", "chunk_documents", "range_join_events",
         # round 4
         "ann_ivf_nprobe_topk", "token_count_quantiles",
+        # round 5
+        "pii_redact", "url_density", "top_ngrams", "bm25_search",
+        "deterministic_shuffle", "source_vocab_overlap", "ann_sq8_topk",
+        "event_zscore_anomaly",
     }
     r01_subset = round(
         sum(v for k, v in timings.items() if k not in added_after_r1), 4
