@@ -101,16 +101,24 @@ def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir)["documents"]
+    # ONE corpus-keyed shuffle (the DISTINCT); everything after runs on the
+    # per-source vocabulary relation (|sources| x |vocab| rows, independent
+    # of corpus row count). Persist it so the self-join + sizes don't
+    # rescan the corpus. The broadcast hint fits natural-language
+    # vocabularies (1e5-1e6 tokens x tens of sources = a few hundred MB at
+    # most, usually far less); for an open-ended token domain drop the hint
+    # and the pair join becomes an ordinary equi-join shuffled on tok.
     vocab = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
         .distinct()
+        .persist()
     )
     sizes = vocab.groupBy("source").agg(F.count("*").alias("n_tok"))
     a = vocab.alias("a")
     b = vocab.alias("b")
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.source") < F.col("b.source")),
         )
