@@ -29,7 +29,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DecimalType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 DELTA_SCHEMA = StructType(
     [
@@ -126,3 +135,94 @@ def apply_vote_deltas(totals: dict, deltas_rows) -> dict:
         k = (r["authorperm"], r["token"])
         totals[k] = totals.get(k, Decimal(0)) + r["rshares_delta"]
     return totals
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of pipeline.temporal.event_zscore_anomaly
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("n", IntegerType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+# per-user state: the last <= window values, oldest..newest, serialized as
+# comma-joined repr() floats (repr round-trips doubles exactly, so the
+# streaming fold is bit-identical to the batch fold)
+ZSCORE_STATE_SCHEMA = StructType([StructField("hist", StringType())])
+
+
+def _make_zscore_fn(window: int = 6, min_n: int = 3):
+    """Per-user rolling z-score fold, closed over (window, min_n);
+    self-contained for cloudpickle-by-value shipping."""
+
+    def _fold(
+        key: Tuple[int],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import pandas as _pd
+
+        hist: list[float] = []
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                hist = [float(x) for x in packed.split(",")]
+        rows = _pd.concat(list(batches), ignore_index=True)
+        # event-time order within the micro-batch; cross-batch order is the
+        # source's responsibility (see zscore_stream docstring)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        out: dict[str, list] = {c: [] for c in ("event_id", "user_id", "n", "z", "is_anomaly")}
+        (user_id,) = key
+        for event_id, value in zip(rows["event_id"], rows["value"]):
+            n = len(hist)
+            if n >= min_n:
+                s = 0.0
+                for x in hist:
+                    s += x
+                s2 = 0.0
+                for x in hist:
+                    s2 += x * x
+                var = (s2 - s * s / n) / (n - 1)
+                if var > 0.0:
+                    z = (float(value) - s / n) / _math.sqrt(var)
+                    out["event_id"].append(int(event_id))
+                    out["user_id"].append(int(user_id))
+                    out["n"].append(n)
+                    out["z"].append(z)
+                    out["is_anomaly"].append(abs(z) > 2.0)
+            hist.append(float(value))
+            hist = hist[-window:]
+        state.update((",".join(repr(x) for x in hist),))
+        if out["event_id"]:
+            yield _pd.DataFrame(out)
+
+    return _fold
+
+
+def zscore_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuous per-user rolling z-score (twin of the batch
+    event_zscore_anomaly): state per user is the last <= 6 values — a
+    few dozen bytes, TTL-able, hash-distributed across the state store —
+    so a billion users is a billion tiny rows, never a wide window.
+
+    Emits UNROUNDED z (the batch query rounds for its oracle); the drain
+    test rounds both sides identically. Requires per-key event-time
+    monotone arrival across micro-batches (replay/log sources); a truly
+    late event would need frame reconstruction, which is the batch
+    query's job.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_zscore_fn(),
+        ZSCORE_OUT_SCHEMA,
+        ZSCORE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -176,3 +176,64 @@ def test_runner_vote_stream_drain_equals_batch(spark, tmp_path):
         "@alice/p1": Decimal(10 + 50 + 25 + 5),
         "@bob/p2": Decimal(7),
     }
+
+
+# ---------------------------------------------------------------------------
+# streaming z-score twin: drained stream == batch query, state spans batches
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_stream_drain_equals_batch(spark, tmp_path):
+    import duckdb
+
+    import distribution_engine_smt_spark.pipeline  # noqa: F401
+    from distribution_engine_smt_spark.driver_queries import QUERIES
+    from distribution_engine_smt_spark.streaming.stateful import zscore_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, value"
+        f" FROM '{sf}/events.parquet' ORDER BY ts, event_id"
+    ).fetchall()
+    # three chronological chunks: every user's history crosses batches
+    src = tmp_path / "events"
+    src.mkdir()
+    third = len(ev) // 3
+    for i, chunk in enumerate([ev[:third], ev[third : 2 * third], ev[2 * third :]]):
+        _write(
+            src / f"b{i}.json",
+            [
+                {"event_id": e, "user_id": u, "ts": t, "value": v}
+                for e, u, t, v in chunk
+            ],
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    got: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["event_id"]] = (r["user_id"], r["n"], round(r["z"], 6), r["is_anomaly"])
+
+    q = (
+        zscore_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = {
+        r["event_id"]: (r["user_id"], r["n"], r["z"], r["is_anomaly"])
+        for r in QUERIES["event_zscore_anomaly"](spark, sf).collect()
+    }
+    assert set(got) == set(batch)
+    for eid in batch:
+        assert got[eid] == batch[eid], eid
