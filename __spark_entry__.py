@@ -82,6 +82,7 @@ _DRIVER_ROTATE_LAST = [
     "reblogged_by_agg",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "balanced_sample",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -107,6 +108,8 @@ _ROUND_MODIFIED = [
     # r5: NEW queries — SQ8 quantized ANN + rolling z-score anomaly
     "ann_sq8_topk",
     "event_zscore_anomaly",
+    # r5: NEW query — unigram-LM perplexity (deterministic ordered fold)
+    "unigram_perplexity",
 ]
 
 

@@ -183,3 +183,92 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model perplexity (quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_perplexity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS ct
+      FROM tok GROUP BY doc_id, tok
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS n_tok FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok),
+    folded AS (
+      SELECT d.doc_id,
+             list(d.ct ORDER BY d.tok ASC) AS cts,
+             list(f.n_tok / t.n_total ORDER BY d.tok ASC) AS ps,
+             CAST(sum(d.ct) AS DOUBLE) AS dl
+      FROM dtf d JOIN freq f ON d.tok = f.tok CROSS JOIN tot t
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           round(exp(
+             list_reduce(
+               list_transform(range(1, len(cts) + 1),
+                              i -> CAST(cts[i] AS DOUBLE) * -ln(ps[i])),
+               (x, y) -> x + y) / dl), 6) AS ppl
+    FROM folded
+    ORDER BY doc_id ASC
+    """,
+)
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document: exp(mean token negative
+    log-probability), the classic cheap quality/outlier signal (documents
+    whose vocabulary is unlike the corpus score high).
+
+    Float parity across engines requires a DETERMINISTIC summation order
+    for the per-document fold, and groupBy-SUM of doubles has none. So
+    per-doc (token, count) pairs — exact integers — are collected, sorted
+    by token, and folded left-to-right; the DuckDB twin uses ordered
+    ``list(... ORDER BY tok)`` aggregates over the same pairs. (Same
+    pattern as the z-score lag frame: move the float arithmetic into a
+    fixed-order fold, keep the shuffled aggregation integer-only.)
+
+    Scale: two corpus-keyed shuffles — (doc_id, tok) term counts, then the
+    per-doc collect — plus the vocabulary frequency aggregate, which is
+    vocabulary-sized and broadcast back into the join. Per-doc state is
+    the distinct-terms-per-doc list, bounded by document length.
+    """
+    t = _t(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dtf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
+    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("n_tok"))
+    tot = tok.agg(F.count("*").cast("double").alias("n_total"))
+    joined = dtf.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(tot))
+    folded = joined.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("tok"),
+                    F.col("ct"),
+                    (F.col("n_tok") / F.col("n_total")).alias("p"),
+                )
+            )
+        ).alias("terms"),
+        F.sum("ct").cast("double").alias("dl"),
+    )
+    nll = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["ct"].cast("double") * -F.log(s["p"]),
+    )
+    return (
+        folded.select(
+            "doc_id", F.round(F.exp(nll / F.col("dl")), 6).alias("ppl")
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
