@@ -83,6 +83,7 @@ _DRIVER_ROTATE_LAST = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "balanced_sample",
+    "stratified_sample",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -110,6 +111,8 @@ _ROUND_MODIFIED = [
     "event_zscore_anomaly",
     # r5: NEW query — unigram-LM perplexity (deterministic ordered fold)
     "unigram_perplexity",
+    # r5: NEW query — iterative k-means, both Lloyd iterations oracled
+    "embedding_kmeans",
 ]
 
 

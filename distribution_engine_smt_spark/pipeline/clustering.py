@@ -1,0 +1,220 @@
+"""Iterative k-means over the ``embeddings`` table — the canonical
+driver-coordinated ML loop on Spark, with cross-engine deterministic math.
+
+Shape (the same one spark.ml's KMeans uses): centroids live on the DRIVER
+(k x dim doubles — trivially small); each iteration is ONE map-only
+assignment pass with the centroids baked in as literals (broadcast by
+value, no join) plus ONE shuffle — the groupBy(cid) that reduces
+per-cluster sums with map-side partial aggregation. Collecting k rows of
+65 numbers per iteration is the sanctioned driver-side step of every
+distributed k-means; the corpus is never collected.
+
+Determinism across engines (the oracle replays both iterations in SQL):
+
+* distances: fixed-order left folds of (x_j - c_j)^2 — same association
+  order both engines, bit-identical doubles;
+* argmin: explicit lowest-cid-wins CASE cascade, not min_by (whose tie
+  behavior is engine-specific);
+* centroid means: per-dimension sums in DECIMAL(20,6) — exact and
+  summation-ORDER-INDEPENDENT, unlike double sums, so the shuffled
+  reduction can't introduce nondeterminism. Scale 6 keeps the unscaled
+  sum below 2^53, where both engines' decimal->double conversions are
+  exactly the correctly-rounded division v / 10^6 (at scale 10 the
+  128-bit conversion differs by 1 ulp between engines — measured, see
+  docs/PLANS.md round-5 notes).
+
+Assumes every cluster stays non-empty across iterations (true for seeded
+real corpora; production reseeds an emptied centroid from the farthest
+point — a driver-side branch this fixed-iteration oracle can't express).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+from .similarity import DIM
+
+K = 4
+ITERS = 2
+OUT_DIMS = 4  # centroid coordinates included in the result
+
+
+def _dist_to_literal(emb, centroid: list[float]):
+    """Fixed-order fold of squared differences against a driver-side
+    centroid (list of Python doubles -> literal array)."""
+    arr = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            emb, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _argmin_case(d: list):
+    """Lowest-cid-wins argmin over k distance columns (ties -> lower cid),
+    mirrored verbatim in the oracle SQL."""
+    expr = F.lit(K - 1)
+    for i in range(K - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, K):
+            c = d[i] <= d[j]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def _dec(el):
+    return el.cast("double").cast("decimal(20,6)")
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS):
+    """Run Lloyd's algorithm; returns (assignments DataFrame, centroids).
+
+    assignments: (vec_id, cid) after the final iteration.
+    centroids: list of k lists of DIM Python floats (post-final-update
+    means are NOT applied to assignments — assignments reflect the
+    iteration-`iters` centroids, like the SQL twin).
+    """
+    emb = _t(spark, sf_dir)["embeddings"]
+    init = (
+        emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    asg = None
+    for _ in range(iters):
+        d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
+        asg = emb.select("vec_id", "embedding", _argmin_case(d).alias("cid"))
+        sums = asg.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(_dec(F.try_element_at("embedding", F.lit(j)))).alias(f"s{j}")
+                for j in range(1, DIM + 1)
+            ],
+        )
+        rows = {
+            r["cid"]: r
+            for r in sums.select(
+                "cid",
+                "n",
+                *[
+                    (F.col(f"s{j}").cast("double") / F.col("n")).alias(f"c{j}")
+                    for j in range(1, DIM + 1)
+                ],
+            ).collect()
+        }
+        if len(rows) < k:
+            raise ValueError(f"empty cluster (got {sorted(rows)}); reseed required")
+        cents = [[rows[i][f"c{j}"] for j in range(1, DIM + 1)] for i in range(k)]
+    return asg.select("vec_id", "cid"), cents
+
+
+def _dist_sql(e: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"j -> (CAST({e}[j] AS DOUBLE) - {c}[j]) * (CAST({e}[j] AS DOUBLE) - {c}[j])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _argmin_sql() -> str:
+    branches = []
+    for i in range(K - 1):
+        cond = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, K))
+        branches.append(f"WHEN {cond} THEN {i}")
+    return "CASE " + " ".join(branches) + f" ELSE {K - 1} END"
+
+
+def _sums_sql(src: str, alias: str) -> str:
+    sums = ", ".join(
+        f"sum(CAST(CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(20,6))) AS s{j}"
+        for j in range(1, DIM + 1)
+    )
+    return f"{alias} AS (SELECT cid, count(*) AS n, {sums} FROM {src} GROUP BY cid)"
+
+
+def _cent_sql(src: str, alias: str) -> str:
+    cs = ", ".join(f"CAST(s{j} AS DOUBLE) / n AS c{j}" for j in range(1, DIM + 1))
+    lst = ", ".join(f"c{j}" for j in range(1, DIM + 1))
+    return (
+        f"{alias} AS (SELECT cid, [{lst}] AS c FROM "
+        f"(SELECT cid, {cs} FROM {src}))"
+    )
+
+
+def _assign_sql(cent_src: str, a_alias: str, g_alias: str, from_init: bool) -> str:
+    if from_init:
+        sides = ", ".join(
+            f"(SELECT embedding AS c FROM embeddings WHERE vec_id = {i}) k{i}"
+            for i in range(K)
+        )
+        # init centroids are float vectors: cast inside the fold
+        dists = ", ".join(
+            "list_reduce(list_transform(generate_series(1, %d), "
+            "j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(k%d.c[j] AS DOUBLE))"
+            " * (CAST(e.embedding[j] AS DOUBLE) - CAST(k%d.c[j] AS DOUBLE))), "
+            "(x, y) -> x + y) AS d%d" % (DIM, i, i, i)
+            for i in range(K)
+        )
+    else:
+        sides = ", ".join(
+            f"(SELECT c FROM {cent_src} WHERE cid = {i}) k{i}" for i in range(K)
+        )
+        dists = ", ".join(
+            _dist_sql("e.embedding", f"k{i}.c") + f" AS d{i}" for i in range(K)
+        )
+    return (
+        f"{a_alias} AS (SELECT e.vec_id, e.embedding, {dists} "
+        f"FROM embeddings e, {sides}), "
+        f"{g_alias} AS (SELECT vec_id, embedding, {_argmin_sql()} AS cid "
+        f"FROM {a_alias})"
+    )
+
+
+_FINAL_COORDS = ", ".join(
+    f"round(CAST(sum(CAST(CAST(embedding[{j}] AS DOUBLE) AS DECIMAL(20,6)))"
+    f" AS DOUBLE) / count(*), 6) AS c{j}"
+    for j in range(1, OUT_DIMS + 1)
+)
+
+_KMEANS_SQL = f"""
+    WITH {_assign_sql("", "a0", "g1", from_init=True)},
+    {_sums_sql("g1", "s1")},
+    {_cent_sql("s1", "c1v")},
+    {_assign_sql("c1v", "a1", "g2", from_init=False)}
+    SELECT cid, count(*) AS n_members, {_FINAL_COORDS}
+    FROM g2
+    GROUP BY cid
+    ORDER BY cid ASC
+    """
+
+
+@register("embedding_kmeans", _KMEANS_SQL)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, 2 Lloyd iterations, seeded by vec_id 0..3): final
+    cluster sizes + the first 4 centroid coordinates. The DuckDB oracle
+    replays both iterations in pure SQL CTEs, so every stage — distances,
+    argmin tie-breaks, decimal mean arithmetic — is cross-checked."""
+    asg, _ = kmeans_fit(spark, sf_dir)
+    final = asg  # assignments after ITERS iterations
+    emb_el = lambda j: F.try_element_at("embedding", F.lit(j))  # noqa: E731
+    joined = _t(spark, sf_dir)["embeddings"].join(final, "vec_id")
+    return (
+        joined.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            *[
+                F.round(
+                    F.sum(_dec(emb_el(j))).cast("double") / F.count("*"), 6
+                ).alias(f"c{j}")
+                for j in range(1, OUT_DIMS + 1)
+            ],
+        )
+        .orderBy(F.col("cid").asc())
+    )
