@@ -84,6 +84,12 @@ _DRIVER_ROTATE_LAST = [
     "dedup_simhash_pairs",
     "balanced_sample",
     "stratified_sample",
+    # added r6 (green r2+r3, untouched this round): content-hash dedup pair
+    # + map-only rule cascade + map-only chunker
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "quality_filter",
+    "chunk_documents",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -113,6 +119,15 @@ _ROUND_MODIFIED = [
     "unigram_perplexity",
     # r5: NEW query — iterative k-means, both Lloyd iterations oracled
     "embedding_kmeans",
+    # r6: NEW queries — TF-IDF keywords + hybrid lexical/dense RRF retrieval
+    # (bm25_search — already listed above — was also refactored this round:
+    # scoring extracted into _bm25_scored, shared with the hybrid ranker)
+    "tfidf_keywords",
+    "rrf_hybrid_search",
+    # r6: NEW queries — dup-group-aware train/val/test split + integer-token
+    # PageRank on the customer–supplier graph
+    "leakage_free_split",
+    "graph_pagerank",
 ]
 
 

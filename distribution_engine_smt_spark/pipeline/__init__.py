@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     curation,
     decontam,
     dedup,
+    graph,
     multimodal,
     redaction,
     search,

@@ -403,6 +403,75 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# leakage-free train/val/test split: split by dup-group, not by document
+# ---------------------------------------------------------------------------
+@register(
+    "leakage_free_split",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+      FROM documents
+    ),
+    coin AS (
+      SELECT doc_id, group_rep,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef',
+                                substr(md5(CAST(group_rep AS VARCHAR)), i, 1)) - 1
+                    AS BIGINT)),
+               (a, x) -> a * 16 + x) AS hv
+      FROM g
+    )
+    SELECT doc_id, group_rep,
+           CASE WHEN hv % 10 < 8 THEN 'train'
+                WHEN hv % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM coin
+    ORDER BY doc_id ASC
+    """,
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can never leak a duplicate across
+    splits: the coin is thrown on the duplicate GROUP's representative
+    (min doc_id per content hash), not on the document, so every copy of
+    the same text lands in the same split. Splitting i.i.d. per document —
+    the common mistake — puts near-identical train/eval pairs in a corpus
+    with any duplication and inflates eval scores.
+
+    Determinism: group representative via the md5(text) window; the split
+    coin is the first 32 bits of md5(representative) — reproducible across
+    runs, engines, and incremental re-runs (adding documents never moves an
+    existing group). 80/10/10 by hv mod 10.
+
+    Scale: ONE corpus shuffle (the content-hash window; at 100 TB this is
+    the same exchange the exact-dedup pass already does, so a pipeline
+    materializes both from one shuffle). The coin and split label are
+    map-side expressions on top. Extending the group key from exact-hash
+    to near-dup cluster id (dedup_clusters) changes only the window key.
+    """
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    hv = F.conv(
+        F.substring(F.md5(F.col("group_rep").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        t["documents"]
+        .select("doc_id", F.min("doc_id").over(w).alias("group_rep"))
+        .select(
+            "doc_id",
+            "group_rep",
+            F.when(hv % 10 < 8, F.lit("train"))
+            .when(hv % 10 == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
 # capstone: the composed end-to-end curation decision per document
 # ---------------------------------------------------------------------------
 @register(

@@ -23,10 +23,10 @@ and query a corpus:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import ORACLE_SQL, _t, register
 from .textstats import tokens
 
 # ---------------------------------------------------------------------------
@@ -142,6 +142,16 @@ def _bm25_term_score(tf, dl_norm, n, df):
     """,
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document — unordered, unlimited; shared by
+    bm25_search and the RRF hybrid ranker."""
     t = _t(spark, sf_dir)
     toks = tokens(F.col("text"))
     m = t["documents"].select(
@@ -178,11 +188,240 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = score + _bm25_term_score(
             F.col(f"tf{i}").cast("double"), dl_norm, F.col("n"), F.col(f"df{i}")
         )
-    return (
-        scored.select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
+    return scored.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-k terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS ct
+      FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dtf GROUP BY tok
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT d.doc_id, d.tok,
+             round(CAST(d.ct AS DOUBLE)
+                   * ln(CAST(n.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)),
+                   6) AS tfidf
+      FROM dtf d JOIN df f ON d.tok = f.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok ASC) AS rk
+      FROM scored
     )
+    SELECT doc_id, tok, tfidf, rk
+    FROM ranked
+    WHERE rk <= {TFIDF_TOP_K}
+    ORDER BY doc_id ASC, rk ASC
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k keywords per document by TF-IDF — the standard per-document
+    topical signature a curation pipeline materializes for tagging,
+    clustering, and search-index building.
+
+    Float parity: the score is computed PER ROW (one ln, one multiply —
+    no order-dependent aggregation anywhere; the shuffled aggregates carry
+    exact integers only), rounded to 6 decimals, and the per-doc ranking
+    orders by the ROUNDED score with the token string as tie-breaker, so
+    both engines rank identically even if a raw score sat on a rounding
+    boundary.
+
+    Scale: two corpus-keyed shuffles — the (doc_id, tok) term-frequency
+    groupBy and the per-doc ranking window (both partition on doc_id after
+    the first; Spark reuses the hash partitioning). The document-frequency
+    table is vocabulary-sized and broadcast back into the join; the n_docs
+    scalar is a 1-row broadcast. Per-doc window state is bounded by the
+    distinct-terms count of one document.
+    """
+    t = _t(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dtf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
+    df = dtf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = t["documents"].agg(F.count("*").alias("n_docs"))
+    scored = (
+        dtf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("ct").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .orderBy(F.col("doc_id").asc(), F.col("rk").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # standard RRF dampening constant
+RRF_DEPTH = 50  # how deep each ranker's list goes
+RRF_OUT = 20
+
+
+def _bm25_scored_sql() -> str:
+    """The bm25_search scoring SQL minus the final ORDER/LIMIT (shared by
+    the hybrid oracle so both queries score identically)."""
+    return ORACLE_SQL["bm25_search"].rsplit("ORDER BY", 1)[0]
+
+
+@register(
+    "rrf_hybrid_search",
+    None,  # assigned below — needs the bm25 oracle text registered first
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion: the BM25
+    ranking (terms {terms}) and the embedding-cosine ranking (query vector
+    vec_id=0, joined on doc_id = vec_id) each contribute 1/(K + rank);
+    documents appearing in only one list keep that single term.
+
+    Float parity: ranks are exact integers; each RRF term is a single
+    correctly-rounded double division, and the fusion is a fixed TWO-term
+    sum (lexical + dense, in that order) — no order-dependent aggregation.
+    Rounded to 6 decimals for the output and the final ordering.
+
+    Scale: each ranker ends in TakeOrdered({depth}) — corpus-sized scans,
+    k-sized results. The fusion full-outer join runs on two {depth}-row
+    frames on the driver-adjacent single partition; cost is O(k), not
+    O(corpus). The rankers themselves reuse the audited bm25_search /
+    ann_topk_bruteforce plans (one scan each, no wide shuffle).
+    """
+    t = _t(spark, sf_dir)
+    # lexical side: bm25 top-RRF_DEPTH with rank. TakeOrdered(k) first, then
+    # the rank window runs on the k-row frame — never a corpus-wide
+    # single-partition window.
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("r_lex"),
+        )
+    )
+    # dense side: cosine vs query vec 0, top-RRF_DEPTH with rank
+    from .similarity import dot_fold
+
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    dense_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (F.col("norm") * F.col("q_norm"))
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+    )
+    dense = dense_scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
+        .alias("r_dense"),
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_lex").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_dense").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_OUT)
+    )
+    return fused
+
+
+rrf_hybrid_search.__doc__ = rrf_hybrid_search.__doc__.format(
+    terms=BM25_TERMS, depth=RRF_DEPTH
+)
+
+# The oracle reuses the bm25_search scoring text verbatim (stripped of its
+# ORDER/LIMIT tail) so lexical scores are identical by construction, and the
+# similarity module's fixed-order fold for the dense side.
+from .similarity import _cos_sql  # noqa: E402  (registered module, no cycle)
+
+ORACLE_SQL["rrf_hybrid_search"] = f"""
+    WITH lexs AS (
+      {_bm25_scored_sql()}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+      FROM lexs
+    ),
+    denses AS (
+      SELECT e.vec_id AS doc_id,
+             {_cos_sql('e.embedding', 'q.embedding')} AS cos
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    ),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_dense
+      FROM denses
+    )
+    SELECT doc_id,
+           round(COALESCE(1.0 / ({RRF_K} + CAST(l.r_lex AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + CAST(d.r_dense AS DOUBLE)), 0.0),
+                 6) AS rrf
+    FROM (SELECT * FROM lex WHERE r_lex <= {RRF_DEPTH}) l
+    FULL OUTER JOIN (SELECT * FROM dense WHERE r_dense <= {RRF_DEPTH}) d
+      USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {RRF_OUT}
+    """
 
 
 # ---------------------------------------------------------------------------
