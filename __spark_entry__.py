@@ -90,6 +90,10 @@ _DRIVER_ROTATE_LAST = [
     "dedup_exact_keep_first",
     "quality_filter",
     "chunk_documents",
+    "set_diff_reconcile",
+    "account_history_page",
+    "multimodal_metadata_stats",
+    "decontaminate",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -128,6 +132,13 @@ _ROUND_MODIFIED = [
     # PageRank on the customer–supplier graph
     "leakage_free_split",
     "graph_pagerank",
+    # r6: NEW queries — corpus-audit family (lang-ID confusion matrix,
+    # curriculum quality deciles, embedding peakedness outliers) + exact-
+    # substring duplicated-span measurement
+    "langid_confusion",
+    "curriculum_buckets",
+    "embedding_outliers",
+    "substring_dup_spans",
 ]
 
 

@@ -4,6 +4,7 @@ multimodal column plumbing. Importing this package registers the extension
 queries into the central driver query registry."""
 
 from . import (  # noqa: F401
+    audit,
     clustering,
     curation,
     decontam,

@@ -1,0 +1,238 @@
+"""Corpus-audit operators: the queries a training-data team runs to judge
+a corpus before committing GPU-hours to it — classifier disagreement
+matrices, curriculum difficulty bucketing, and embedding-space outlier
+screens.
+
+Determinism designs used here (established patterns, see docs/PLANS.md):
+- ratios/scores are rounded to 6 decimals BEFORE they are used as an
+  ordering or bucketing key, so both engines bucket identically;
+- every mean/variance accumulates in DECIMAL space with the scale chosen
+  so the unscaled sum stays below 2^53 (the measured decimal→double
+  conversion-parity bound, docs/PLANS.md "Decimal-sum parity");
+- vector norms come from the fixed-order dot-product fold shared with
+  pipeline.similarity — bit-identical across engines by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+from .textstats import STOPWORDS, _STOP_SQL, tokens
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix: declared label vs heuristic prediction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH p AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x IN {_STOP_SQL}))::DOUBLE
+                       / len(string_split_regex(trim(text), '\\s+')) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p
+    GROUP BY lang, lang_pred
+    ORDER BY lang ASC, lang_pred ASC
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's declared language label and
+    the stopword-ratio language-ID heuristic (text_lang_id) — the standard
+    audit for 'how much of this corpus is mislabeled / how good is the
+    classifier'. Map-side prediction + one tiny (langs × langs) groupBy;
+    at 100 TB the aggregate output is a handful of rows regardless of
+    corpus size."""
+    t = _t(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(toks)
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            F.when(ratio >= 0.05, F.lit("en"))
+            .otherwise(F.lit("unknown"))
+            .alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("lang").asc(), F.col("lang_pred").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum bucketing: quality deciles per source
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 10
+
+
+@register(
+    "curriculum_buckets",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(0.4 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x IN {_STOP_SQL}))::DOUBLE
+                          / len(string_split_regex(trim(text), '\\s+')))
+                 + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                                / greatest(length(text), 1)),
+                   6) AS quality
+      FROM documents
+    ),
+    b AS (
+      SELECT source, quality,
+             ntile({N_BUCKETS}) OVER (PARTITION BY source
+                                      ORDER BY quality ASC, doc_id ASC) AS bucket
+      FROM q
+    )
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(quality) AS q_min,
+           max(quality) AS q_max
+    FROM b
+    GROUP BY source, bucket
+    ORDER BY source ASC, bucket ASC
+    """,
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality deciles — the bucketing a curriculum-learning
+    schedule trains through (low→high quality) and a mixture tuner reweights
+    by. Reuses the text_quality_score blend; the score is ROUNDED before
+    the ntile ordering so both engines rank identically, with doc_id as the
+    unique tie-break (ntile is deterministic given a total order).
+
+    Scale: one shuffle partitioned by source for the ntile window, then the
+    per-(source, bucket) rollup reuses the same partitioning. min/max of
+    doubles are order-independent, so no decimal machinery is needed."""
+    t = _t(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(toks)
+    punct_ratio = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    ).cast("double") / F.greatest(F.length(F.col("text")), F.lit(1))
+    quality = F.round(
+        F.lit(0.4) * F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", quality.alias("quality"))
+        .withColumn("bucket", F.ntile(N_BUCKETS).over(w))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+        )
+        .orderBy(F.col("source").asc(), F.col("bucket").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier screen: peakedness z-score in decimal-moment space
+# ---------------------------------------------------------------------------
+
+PEAK_SCALE = "decimal(12,6)"  # peak < 1.0 → ≤ 10^6 unscaled per row
+OUT_TOP = 20
+
+
+@register(
+    "embedding_outliers",
+    f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                       AS DECIMAL(12,6)) AS DOUBLE) AS peak
+      FROM embeddings
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS cnt,
+             CAST(sum(CAST(peak AS DECIMAL(12,6))) AS DOUBLE) AS sum_p,
+             CAST(sum(CAST(peak AS DECIMAL(12,6))
+                      * CAST(peak AS DECIMAL(12,6))) AS DOUBLE) AS sum_sq
+      FROM n
+    )
+    SELECT vec_id,
+           round(peak, 6) AS peak,
+           round((peak - sum_p / cnt)
+                 / sqrt(sum_sq / cnt - (sum_p / cnt) * (sum_p / cnt)), 6) AS z
+    FROM n, s
+    ORDER BY abs((peak - sum_p / cnt)
+                 / sqrt(sum_sq / cnt - (sum_p / cnt) * (sum_p / cnt))) DESC,
+             vec_id ASC
+    LIMIT {OUT_TOP}
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} embedding outliers by PEAKEDNESS z-score (max |component|)
+    — the screen that catches corrupt vectors (one-hot-ish encodes,
+    truncated writes, NaN-adjacent junk) before they poison an ANN index or
+    a clustering run. Norms carry no signal on this corpus (the embeddings
+    are unit-normalized — norm stddev ≈ 4e-8), so the screen uses the
+    component distribution's peak, which is scale-free on normalized
+    vectors and has real variance.
+
+    Parity design: the peak is an exact per-row comparison chain (no
+    accumulation), QUANTIZED to DECIMAL(12,6); mean/variance accumulate in
+    decimal space — sums and products of DECIMAL(12,6) are exact and
+    commutative, and the unscaled square total stays below 2^53 (the
+    decimal→double conversion-parity bound, docs/PLANS.md) up to ~10^7
+    unit-normalized vectors; drop the square's scale for a larger corpus.
+    The z expression then evaluates identically on both engines.
+
+    Scale: one corpus scan + ONE single-row stats aggregate broadcast back
+    over the scan (bm25's corpus-stats shape); TakeOrdered keeps the top
+    {top} — no wide shuffle anywhere."""
+    t = _t(spark, sf_dir)
+    peak = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+        .cast(PEAK_SCALE)
+        .cast("double")
+    )
+    n = t["embeddings"].select("vec_id", peak.alias("peak"))
+    dec = F.col("peak").cast(PEAK_SCALE)
+    s = n.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum(dec).cast("double").alias("sum_p"),
+        F.sum(dec * dec).cast("double").alias("sum_sq"),
+    )
+    mean = F.col("sum_p") / F.col("cnt")
+    z = (F.col("peak") - mean) / F.sqrt(
+        F.col("sum_sq") / F.col("cnt") - mean * mean
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .select(
+            F.col("vec_id"),
+            F.round(F.col("peak"), 6).alias("peak"),
+            F.round(z, 6).alias("z"),
+            F.abs(z).alias("_absz"),
+        )
+        .orderBy(F.col("_absz").desc(), F.col("vec_id").asc())
+        .limit(OUT_TOP)
+        .drop("_absz")
+    )
+
+
+embedding_outliers.__doc__ = embedding_outliers.__doc__.format(top=OUT_TOP)

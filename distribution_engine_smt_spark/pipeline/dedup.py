@@ -468,3 +468,89 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
         .orderBy(F.col("keep_doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication spans: windowed content hashes
+# ---------------------------------------------------------------------------
+
+SPAN_WIN = 40  # window width in characters
+SPAN_STRIDE = 20  # hop between windows
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, md5(substr(text, i * {SPAN_STRIDE} + 1, {SPAN_WIN})) AS h
+      FROM documents,
+           unnest(generate_series(0,
+             CAST(floor((n_chars - {SPAN_WIN}) / {SPAN_STRIDE}.0) AS BIGINT))) t(i)
+      WHERE n_chars >= {SPAN_WIN}
+    ),
+    shared AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE s.h IS NOT NULL) AS BIGINT) AS n_dup_windows,
+           round(count(*) FILTER (WHERE s.h IS NOT NULL)::DOUBLE / count(*), 6)
+             AS dup_frac
+    FROM w LEFT JOIN shared s ON w.h = s.h
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id ASC
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication measurement (the windowed-hash
+    approximation of suffix-array substring dedup, à la 'Deduplicating
+    Training Data Makes Language Models Better'): every {win}-char window at
+    {stride}-char stride is content-hashed; a window whose hash occurs in
+    ≥2 DISTINCT documents is a duplicated span. Reported per document as a
+    duplicated-window fraction — the signal used to strip boilerplate
+    headers/footers and licence blocks that exact- and near-dup passes
+    (whole-document granularity) cannot see.
+
+    Scale: the window explode is map-side (≈ n_chars/{stride} rows per
+    doc); ONE shuffle keyed by window hash builds the shared-hash set
+    (HAVING ≥2 distinct docs — same inverted-index shape as the shingle
+    pass); the count-back join is hash-keyed on the same exchange. At
+    100 TB the shared set is the duplicated fraction only, orders of
+    magnitude smaller than the window stream; a broadcast bloom filter of
+    it short-circuits the join when it fits."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].where(F.col("n_chars") >= SPAN_WIN)
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((n_chars - {SPAN_WIN}) / {SPAN_STRIDE}.0) AS INT)),"
+                f" i -> md5(CAST(substring(text, i * {SPAN_STRIDE} + 1, {SPAN_WIN}) AS BINARY)))"
+            )
+        ).alias("h"),
+    )
+    shared = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("is_shared"))
+    )
+    return (
+        w.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(F.col("is_shared"), 1)).alias("n_dup_windows"),
+            F.round(
+                F.count(F.when(F.col("is_shared"), 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+substring_dup_spans.__doc__ = substring_dup_spans.__doc__.format(
+    win=SPAN_WIN, stride=SPAN_STRIDE
+)

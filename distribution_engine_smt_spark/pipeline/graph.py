@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import _t, memoize_df, register
 
 PR_BASE = 1_000_000  # initial tokens per node
 PR_KEEP = 150_000  # (1 - d) * BASE with d = 0.85
@@ -77,6 +77,7 @@ def _iter_sql(prev: str, out: str) -> str:
     LIMIT {PR_TOP}
     """,
 )
+@memoize_df
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two damped PageRank iterations over the undirected customer–supplier
     graph (an edge per distinct (customer, supplier) trading pair from

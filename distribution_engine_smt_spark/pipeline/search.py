@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..driver_queries import ORACLE_SQL, _t, register
+from ..driver_queries import ORACLE_SQL, _t, memoize_df, register
 from .textstats import tokens
 
 # ---------------------------------------------------------------------------
@@ -232,6 +232,7 @@ TFIDF_TOP_K = 3
     ORDER BY doc_id ASC, rk ASC
     """,
 )
+@memoize_df
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k keywords per document by TF-IDF — the standard per-document
     topical signature a curation pipeline materializes for tagging,
@@ -255,7 +256,10 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = t["documents"].select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    dtf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
+    # persist: dtf feeds BOTH the document-frequency aggregate and the scored
+    # join — without it the corpus is exploded and shuffled twice (the same
+    # fix dedup_ngram_jaccard needed for its shingle frame)
+    dtf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct")).persist()
     df = dtf.groupBy("tok").agg(F.count("*").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n_docs"))
     scored = (

@@ -1,0 +1,75 @@
+"""Semantic property tests for the corpus-audit operators (the DuckDB
+hash-match in test_driver_queries.py is the primary gate; these pin the
+properties the oracle can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distribution_engine_smt_spark import tables
+from distribution_engine_smt_spark.pipeline.audit import (
+    N_BUCKETS,
+    OUT_TOP,
+    curriculum_buckets,
+    embedding_outliers,
+    langid_confusion,
+)
+from distribution_engine_smt_spark.pipeline.dedup import substring_dup_spans
+
+from .conftest import SF_DIR
+
+
+def test_confusion_matrix_totals_match_corpus(spark):
+    docs = tables.load_tpch(spark, SF_DIR)["documents"]
+    out = langid_confusion(spark, SF_DIR)
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # every declared lang appears
+    assert {r["lang"] for r in out.collect()} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+
+
+def test_curriculum_buckets_are_balanced_within_one(spark):
+    out = curriculum_buckets(spark, SF_DIR).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        buckets = sorted(r["bucket"] for r in rows)
+        assert buckets == list(range(1, len(buckets) + 1))
+        assert buckets[-1] <= N_BUCKETS
+        counts = [r["n_docs"] for r in rows]
+        assert max(counts) - min(counts) <= 1, (source, counts)
+        # quality must be non-decreasing across buckets
+        ordered = sorted(rows, key=lambda r: r["bucket"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["q_max"] <= b["q_min"] or abs(a["q_max"] - b["q_min"]) < 1e-9
+
+
+def test_embedding_outliers_sorted_by_deviation(spark):
+    rows = embedding_outliers(spark, SF_DIR).collect()
+    assert len(rows) == OUT_TOP
+    zs = [abs(r["z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+
+
+def test_substring_spans_flag_exact_duplicates(spark):
+    """Documents with identical text must have every window duplicated."""
+    docs = tables.load_tpch(spark, SF_DIR)["documents"]
+    dup_docs = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
+        .where(F.col("n") >= 2)
+        .collect()
+    )
+    out = {r["doc_id"]: r for r in substring_dup_spans(spark, SF_DIR).collect()}
+    checked = 0
+    for g in dup_docs:
+        for d in g["ids"]:
+            if d in out:  # docs shorter than one window are excluded
+                assert out[d]["dup_frac"] == 1.0, (d, out[d])
+                checked += 1
+    # fractions are consistent: n_dup <= n_windows, frac in [0, 1]
+    for r in out.values():
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
