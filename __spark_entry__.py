@@ -94,6 +94,8 @@ _DRIVER_ROTATE_LAST = [
     "account_history_page",
     "multimodal_metadata_stats",
     "decontaminate",
+    "pack_sequences",
+    "dedup_clusters",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -139,6 +141,10 @@ _ROUND_MODIFIED = [
     "curriculum_buckets",
     "embedding_outliers",
     "substring_dup_spans",
+    # r6: NEW queries — multimodal resize (1→1 mapInPandas) and video
+    # frame sampling (1→N mapInPandas), both stub-decoded but fully oracled
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

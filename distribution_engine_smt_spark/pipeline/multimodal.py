@@ -160,3 +160,194 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("media_type").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# resize: 1→1 transform over the decoded frame, payload-aware
+# ---------------------------------------------------------------------------
+
+TARGET_W = 224  # the classic vision-model input square
+TARGET_H = 224
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("scale_num", IntegerType()),  # min(tw*h0, th*w0) numerator
+        StructField("out_bytes", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, tw: int = TARGET_W, th: int = TARGET_H) -> DataFrame:
+    """Arrow-batched resize plumbing: decode dims (stub), compute the
+    aspect-preserving scale, emit the resized-frame byte count. A real
+    implementation replaces the marked line with PIL ``Image.resize`` and
+    writes the resized payload; the schema/batching/no-shuffle shape is
+    identical. Integer-only math so the oracle is exact.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def one(payload: bytes):
+            if payload is None:
+                return None, None, None, 0, "error:empty"
+            digest = hashlib.md5(payload).digest()
+            w0 = 64 + digest[0] % 192
+            h0 = 64 + digest[1] % 192
+            # aspect-preserving: scale = min(tw/w0, th/h0), kept as the
+            # integer numerator min(tw*h0, th*w0) over the common w0*h0
+            # denominator so no float enters the plumbing
+            # --- real resample (PIL/ffmpeg) goes here ---
+            scale_num = min(tw * h0, th * w0)
+            out_bytes = tw * th * 3  # RGB target frame
+            return int(w0), int(h0), int(scale_num), int(out_bytes), "ok:stub"
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                w0, h0, sn, ob, st = one(row.payload)
+                rows.append((row.doc_id, row.media_type, w0, h0, sn, ob, st))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "scale_num", "out_bytes", "status",
+                ],
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(64 + {_BYTE.format(a=1, b=2)} % 192 AS INT) AS width,
+           CAST(64 + {_BYTE.format(a=3, b=4)} % 192 AS INT) AS height,
+           CAST(least({TARGET_W} * (64 + {_BYTE.format(a=3, b=4)} % 192),
+                      {TARGET_H} * (64 + {_BYTE.format(a=1, b=2)} % 192)) AS INT)
+             AS scale_num,
+           CAST({TARGET_W} * {TARGET_H} * 3 AS BIGINT) AS out_bytes,
+           'ok:stub' AS status
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY doc_id ASC
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over the media table: decode dims, aspect-preserving
+    integer scale toward {tw}x{th}, resized byte budget. mapInPandas,
+    no shuffle — throughput scales linearly with executors, and at 100 TB
+    the resized payloads write straight back out partition-local."""
+    t = _t(spark, sf_dir)
+    media = documents_as_media(t["documents"])
+    return resize_media(media).orderBy(F.col("doc_id").asc())
+
+
+multimodal_resize.__doc__ = multimodal_resize.__doc__.format(
+    tw=TARGET_W, th=TARGET_H
+)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: 1→N expansion for video payloads
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 256  # stub: one fake frame per 256 payload bytes
+FRAME_HOP = 4  # sample every 4th frame
+FRAME_CAP = 8  # at most 8 sampled frames per video
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """1→N frame sampling over video payloads via mapInPandas: each input
+    row yields a bounded set of frame rows (every {hop}th frame, capped at
+    {cap}). The stub derives the frame count from payload length and each
+    frame's content hash from (payload, index); a real sampler (pyav) emits
+    decoded frame bytes with the identical 1→N batch discipline — the Arrow
+    batch size bounds executor memory, NOT the video length, because the
+    cap applies per row before the batch is materialized.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def frames_of(doc_id: int, payload: bytes):
+            if payload is None:
+                return
+            n_frames = 1 + len(payload) // FRAME_BYTES
+            emitted = 0
+            for idx in range(0, n_frames, FRAME_HOP):
+                if emitted >= FRAME_CAP:
+                    break
+                # --- real decoder: yield the frame's pixel bytes here ---
+                h = hashlib.md5(payload + b":" + str(idx).encode()).hexdigest()
+                yield (doc_id, idx, h)
+                emitted += 1
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                rows.extend(frames_of(row.doc_id, row.payload))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5"]
+            )
+
+    return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+sample_frames.__doc__ = sample_frames.__doc__.format(hop=FRAME_HOP, cap=FRAME_CAP)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH v AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+      WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+    FROM v,
+         unnest(generate_series(0,
+                least(n_bytes // {FRAME_BYTES},
+                      ({FRAME_CAP} - 1) * {FRAME_HOP}),
+                {FRAME_HOP})) t(i)
+    ORDER BY doc_id ASC, frame_idx ASC
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling restricted to the video payloads (doc_id % 3 = 2):
+    the canonical video→training-frames expansion. See ``sample_frames``
+    for the 1→N batch discipline; the stub's md5 frame hash makes the whole
+    pipeline SQL-oracle-checkable (frame count, stride, cap, and per-frame
+    content all re-derived relationally in DuckDB)."""
+    t = _t(spark, sf_dir)
+    media = documents_as_media(t["documents"]).where(
+        F.col("media_type") == "video/mp4"
+    )
+    return sample_frames(media).orderBy(
+        F.col("doc_id").asc(), F.col("frame_idx").asc()
+    )

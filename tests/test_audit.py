@@ -73,3 +73,22 @@ def test_substring_spans_flag_exact_duplicates(spark):
     for r in out.values():
         assert 0 <= r["n_dup_windows"] <= r["n_windows"]
         assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_frame_sample_caps_and_strides(spark):
+    from distribution_engine_smt_spark.pipeline.multimodal import (
+        FRAME_CAP,
+        FRAME_HOP,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, SF_DIR).collect()
+    assert rows, "no frames sampled"
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["doc_id"] % 3 == 2  # video payloads only
+        assert r["frame_idx"] % FRAME_HOP == 0
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for d, idxs in per_doc.items():
+        assert len(idxs) <= FRAME_CAP, (d, idxs)
+        assert sorted(idxs) == list(range(0, FRAME_HOP * len(idxs), FRAME_HOP))
