@@ -96,6 +96,7 @@ _DRIVER_ROTATE_LAST = [
     "decontaminate",
     "pack_sequences",
     "dedup_clusters",
+    "multimodal_decode",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -145,6 +146,9 @@ _ROUND_MODIFIED = [
     # frame sampling (1→N mapInPandas), both stub-decoded but fully oracled
     "multimodal_resize",
     "multimodal_frame_sample",
+    # r6: NEW query — trained-IVF ANN through the k-means cells (composes
+    # the embedding_kmeans fit with the similarity probe, both re-oracled)
+    "ann_ivf_kmeans_topk",
 ]
 
 

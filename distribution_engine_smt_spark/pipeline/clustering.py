@@ -218,3 +218,76 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cid").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# trained IVF: ANN probe over the k-means cells
+# ---------------------------------------------------------------------------
+
+IVF_TOP = 10
+
+from .similarity import _cos_sql  # noqa: E402  (registered module, no cycle)
+
+_IVF_KMEANS_SQL = f"""
+    WITH {_assign_sql("", "a0", "g1", from_init=True)},
+    {_sums_sql("g1", "s1")},
+    {_cent_sql("s1", "c1v")},
+    {_assign_sql("c1v", "a1", "g2", from_init=False)},
+    q AS (SELECT embedding AS q_emb, cid AS q_cid FROM g2 WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_cos_sql('e.embedding', 'q.q_emb')} AS cos
+    FROM g2 e, q
+    WHERE e.cid = q.q_cid AND e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT {IVF_TOP}
+    """
+
+
+@register("ann_ivf_kmeans_topk", _IVF_KMEANS_SQL)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through a TRAINED coarse quantizer: the k-means fit
+    (k=4, 2 Lloyd iterations — the exact fit embedding_kmeans oracles)
+    partitions the corpus into cells; the query vector (vec_id 0) probes
+    ONLY its own cell and exact cosine reranks the members. This is real
+    IVF — learned centroids instead of ann_ivf_topk's static sign-pattern
+    quantizer — and it composes two already-oracled operators: the oracle
+    replays the full two-iteration fit in CTEs and then the probe, so the
+    training, the cell assignment, and the rerank all cross-check.
+
+    Scale: at 100 TB the assignment (cid) is the parquet partition key
+    written at index-build time, so a probe reads ~1/k of the corpus (plus
+    nprobe-1 neighbor cells for recall — same knob as ann_ivf_nprobe_topk);
+    the rerank is a TakeOrdered over one cell. The fit itself is the
+    audited embedding_kmeans plan (map-only assignment + one groupBy per
+    iteration). Locally the fit re-runs per session — two corpus passes —
+    because the centroids are driver-state, exactly as a production
+    index-build job would hold them."""
+    asg, _cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    from .similarity import dot_fold
+
+    cells = emb.join(asg, "vec_id")
+    q = (
+        cells.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            F.col("cid").alias("q_cid"),
+            F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .where((F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(IVF_TOP)
+    )

@@ -92,3 +92,22 @@ def test_frame_sample_caps_and_strides(spark):
     for d, idxs in per_doc.items():
         assert len(idxs) <= FRAME_CAP, (d, idxs)
         assert sorted(idxs) == list(range(0, FRAME_HOP * len(idxs), FRAME_HOP))
+
+
+def test_trained_ivf_agrees_with_bruteforce_on_shared_results(spark):
+    """The trained-IVF probe computes the SAME cosine as the exact
+    brute-force ranker for any vector both return, and never exceeds the
+    brute-force best."""
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        ann_ivf_kmeans_topk,
+    )
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    ivf = {r["vec_id"]: r["cos"] for r in ann_ivf_kmeans_topk(spark, SF_DIR).collect()}
+    bf = {r["vec_id"]: r["cos"] for r in ann_topk_bruteforce(spark, SF_DIR).collect()}
+    assert ivf, "IVF probe returned nothing"
+    for vid in set(ivf) & set(bf):
+        assert ivf[vid] == bf[vid]  # bit-identical fixed-order folds
+    assert max(ivf.values()) <= max(bf.values()) + 0.0
