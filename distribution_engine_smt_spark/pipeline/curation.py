@@ -450,23 +450,9 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     to near-dup cluster id (dedup_clusters) changes only the window key.
     """
     t = _t(spark, sf_dir)
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
-    hv = F.conv(
-        F.substring(F.md5(F.col("group_rep").cast("string").cast("binary")), 1, 8),
-        16,
-        10,
-    ).cast("long")
     return (
-        t["documents"]
-        .select("doc_id", F.min("doc_id").over(w).alias("group_rep"))
-        .select(
-            "doc_id",
-            "group_rep",
-            F.when(hv % 10 < 8, F.lit("train"))
-            .when(hv % 10 == 8, F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
+        split_manifest(t["documents"])
+        .select("doc_id", "group_rep", "split")
         .orderBy(F.col("doc_id").asc())
     )
 
@@ -600,3 +586,75 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", reason.alias("reason"))
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental split-manifest maintenance (the production form of the split)
+# ---------------------------------------------------------------------------
+
+
+def _split_coin(rep_col) -> "F.Column":
+    """train/val/test from the first 32 bits of md5(group representative) —
+    the same coin leakage_free_split throws."""
+    hv = F.conv(
+        F.substring(F.md5(rep_col.cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        F.when(hv % 10 < 8, F.lit("train"))
+        .when(hv % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_manifest(docs: DataFrame) -> DataFrame:
+    """Batch manifest build: (doc_id, h, group_rep, split) — the
+    leakage_free_split assignment with the content hash retained so the
+    manifest can be maintained incrementally (update_split_manifest)."""
+    w = Window.partitionBy("h")
+    return (
+        docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+        )
+        .select("doc_id", "h", F.min("doc_id").over(w).alias("group_rep"))
+        .withColumn("split", _split_coin(F.col("group_rep")))
+    )
+
+
+def update_split_manifest(manifest: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Incrementally extend a split manifest with newly arrived documents.
+
+    Invariants (what makes the split stable under growth):
+    - rows already in the manifest NEVER change — a document's fate is
+      decided once;
+    - a new document whose content hash matches an existing group joins
+      that group: same representative, same split (no eval leakage from a
+      duplicate arriving later);
+    - a genuinely new group takes rep = min(doc_id among its new members)
+      and throws the standard coin on it.
+
+    When waves arrive in doc_id order this reproduces the batch build
+    exactly (proven in tests); out-of-order arrival only pins an earlier
+    arrival as rep — the coin stays deterministic per corpus history.
+
+    Scale: the delta is hashed map-side; ONE shuffle windows the delta by
+    hash (delta-sized, not corpus-sized); membership lookups are left-anti
+    / left joins against the manifest keyed on the same hash — at 100 TB
+    the manifest is bucketed by h on disk so both joins are shuffle-free
+    on the manifest side. This is the standard grow-only dimension-merge
+    shape (operators/merge.py) applied to the split table."""
+    hashed = new_docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    fresh = hashed.join(manifest.select("doc_id"), "doc_id", "left_anti")
+    groups = manifest.select("h", "group_rep", "split").distinct()
+    joined = fresh.join(groups, "h", "left")
+    known = joined.where(F.col("split").isNotNull()).select(
+        "doc_id", "h", "group_rep", "split"
+    )
+    unknown = joined.where(F.col("split").isNull()).select("doc_id", "h")
+    w = Window.partitionBy("h")
+    new_groups = (
+        unknown.select("doc_id", "h", F.min("doc_id").over(w).alias("group_rep"))
+        .withColumn("split", _split_coin(F.col("group_rep")))
+    )
+    return manifest.unionByName(known).unionByName(new_groups)

@@ -1,0 +1,62 @@
+"""Plan-shape regression guards: pin the physical-plan properties that
+docs/PLANS.md claims for the scale-sensitive operators. These are the
+claims the 100 TB design rests on — if a refactor reintroduces a corpus-
+wide single-partition window, an unexpected cartesian product, or loses a
+partial top-k, correctness tests stay green but the operator stops
+scaling; this module is what catches that."""
+
+from __future__ import annotations
+
+import re
+
+from .conftest import SF_DIR_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    from distribution_engine_smt_spark import driver_queries
+    import distribution_engine_smt_spark.pipeline  # noqa: F401
+
+    df = driver_queries.QUERIES[name](spark, SF_DIR_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_wide_shuffles(plan: str) -> int:
+    return len(re.findall(r"hashpartitioning", plan))
+
+
+def test_tfidf_rank_filter_is_partial_topk(spark):
+    plan = _plan(spark, "tfidf_keywords")
+    assert "WindowGroupLimit" in plan  # rk<=3 pushed before the exchange
+
+
+def test_rrf_rankers_end_in_take_ordered(spark):
+    plan = _plan(spark, "rrf_hybrid_search")
+    assert "TakeOrderedAndProject" in plan
+    # the rank windows must sit above the k-row limits, never over a corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_has_no_wide_shuffle(spark):
+    plan = _plan(spark, "bm25_search")
+    assert _n_wide_shuffles(plan) == 0  # single-row stats agg + broadcast only
+
+
+def test_embedding_outliers_has_no_wide_shuffle(spark):
+    plan = _plan(spark, "embedding_outliers")
+    assert _n_wide_shuffles(plan) == 0
+
+
+def test_leakage_split_uses_single_corpus_exchange(spark):
+    plan = _plan(spark, "leakage_free_split")
+    assert _n_wide_shuffles(plan) == 1  # the md5(text) window; coin is map-side
+
+
+def test_pagerank_never_goes_cartesian(spark):
+    plan = _plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_probes_end_in_take_ordered(spark):
+    for name in ["ann_topk_bruteforce", "ann_sq8_topk", "ann_ivf_kmeans_topk"]:
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
