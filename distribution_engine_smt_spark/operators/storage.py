@@ -127,3 +127,70 @@ def pruned_scan_stats(path: str, column: str, lo, hi) -> dict[str, int]:
                 elif not (stats.max < lo or stats.min > hi):
                     needed += 1
     return {"row_groups_total": total, "row_groups_needed": needed}
+
+
+# ---------------------------------------------------------------------------
+# IVF index materialization: cluster cell as the physical partition key
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(spark, sf_dir: str, out_dir: str):
+    """Materialize the trained-IVF layout: embeddings written to parquet
+    PARTITIONED BY their k-means cell, which is what turns
+    ``ann_ivf_kmeans_topk``'s "a probe reads ~1/k of the corpus" from a
+    plan note into an I/O fact — the cell filter becomes a partition
+    filter, and Spark never opens the other cells' files.
+
+    Returns the centroids (driver-side k x dim floats) — the only state a
+    prober needs besides the index path. At 100 TB this is the index-build
+    job: one k-means fit + one partitioned write; rebuilds are per-cell
+    replaceable (overwrite a cell directory, not the index).
+    """
+    from ..pipeline.clustering import kmeans_fit
+    from ..tables import load_tpch
+
+    asg, cents = kmeans_fit(spark, sf_dir)
+    emb = load_tpch(spark, sf_dir)["embeddings"]
+    (
+        emb.join(asg, "vec_id")
+        .repartition("cid")  # one writer group per cell -> no file spray
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out_dir)
+    )
+    return cents
+
+
+def probe_ivf_index(spark, index_dir: str, centroids, q_vec, top: int = 10):
+    """Probe the materialized index: assign the query to its nearest
+    centroid DRIVER-SIDE (k distance computations on one vector), then scan
+    ONLY that cell via the partition filter and exact-cosine rerank.
+
+    The returned DataFrame's plan carries ``PartitionFilters: [cid = q]``;
+    tests assert via ``inputFiles()`` that untouched cells are never read."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline.similarity import dot_fold
+
+    # driver-side coarse assignment (exactly what a vector-DB router does)
+    def d2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    q_cid = min(range(len(centroids)), key=lambda i: (d2(q_vec, centroids[i]), i))
+    q_norm = sum(float(x) * float(x) for x in q_vec) ** 0.5
+    q_arr = F.array(*[F.lit(float(x)) for x in q_vec])
+    cell = spark.read.parquet(index_dir).where(F.col("cid") == q_cid)
+    return (
+        cell.select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), q_arr)
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.lit(q_norm)
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(top)
+    )

@@ -82,3 +82,52 @@ def test_unsorted_write_does_not_prune(spark, tmp_path):
     df.repartition(8).write.mode("overwrite").parquet(path)
     stats = storage.pruned_scan_stats(path, "key", 10, 20)
     assert stats["row_groups_needed"] == stats["row_groups_total"]
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The materialized IVF layout must make a probe an I/O fact: only the
+    query's cell directory is read, and the pruned probe returns exactly
+    what the inline (full-scan) trained-IVF query returns."""
+    import os
+
+    from distribution_engine_smt_spark.operators.storage import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        ann_ivf_kmeans_topk,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    from .conftest import SF_DIR
+
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(spark, SF_DIR, idx)
+    # every cell materialized as its own partition directory
+    cells = sorted(d for d in os.listdir(idx) if d.startswith("cid="))
+    assert len(cells) == len(cents)
+
+    q_vec = [
+        float(x)
+        for x in load_tpch(spark, SF_DIR)["embeddings"]
+        .where("vec_id = 0")
+        .first()["embedding"]
+    ]
+    # top=11: the probe's list includes the query vector itself (cos 1.0),
+    # which the inline query excludes — one extra row keeps 10 comparable
+    probe = probe_ivf_index(spark, idx, cents, q_vec, top=11)
+    # the cell filter must reach the scan as a PARTITION filter (directory
+    # pruning), not a post-scan data filter — that is the 1/k I/O claim.
+    # (inputFiles() lists the relation pre-pruning, so inspect the plan.)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "cid" in pf[1].split("]", 1)[0]
+
+    got = [(r["vec_id"], r["cos"]) for r in probe.collect() if r["vec_id"] != 0]
+    want = [
+        (r["vec_id"], r["cos"]) for r in ann_ivf_kmeans_topk(spark, SF_DIR).collect()
+    ]
+    # the probe includes the query vector itself (cos 1.0) which the query
+    # version excludes; after dropping it the rankings must agree exactly
+    assert got[: len(want)] == want
