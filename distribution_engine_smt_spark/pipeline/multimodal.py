@@ -351,3 +351,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media).orderBy(
         F.col("doc_id").asc(), F.col("frame_idx").asc()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: decode media as it arrives
+# ---------------------------------------------------------------------------
+
+
+def run_media_decode_stream(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "media_decode",
+):
+    """Streaming ingest-time decode: file source → documents_as_media →
+    Arrow-batched decode → memory sink (append mode; the decode is
+    STATELESS, so no watermark/state store is involved and each
+    micro-batch's throughput is the batch operator's).
+
+    This is the deployment shape for media preprocessing: payloads are
+    decoded once on arrival and the decoded metadata lands in the feature
+    table; the batch operator (multimodal_decode) is the backfill. The
+    drain-equals-batch test proves the two paths agree row-for-row."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    decoded = decode_media(documents_as_media(raw))
+    return (
+        decoded.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

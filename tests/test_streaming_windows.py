@@ -144,3 +144,32 @@ def test_stream_range_join_matches_batch_twin(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rj_test").collect()
     }
     assert streamed == batch
+
+
+def test_stream_media_decode_matches_batch_twin(spark, tmp_path):
+    import os
+
+    from distribution_engine_smt_spark.pipeline.multimodal import (
+        multimodal_decode,
+        run_media_decode_stream,
+    )
+
+    src = os.path.join(SF_DIR_ORACLE, "documents.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tmp_path / "media_stream"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "wave1.parquet")
+    q = run_media_decode_stream(
+        spark, str(stream_dir), raw_schema, str(tmp_path / "ckpt_media"),
+        query_name="md_test",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["media_type"], r["n_bytes"], r["width"], r["height"], r["status"])
+        for r in spark.sql("SELECT * FROM md_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["media_type"], r["n_bytes"], r["width"], r["height"], r["status"])
+        for r in multimodal_decode(spark, SF_DIR_ORACLE).collect()
+    }
+    assert streamed == batch
