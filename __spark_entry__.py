@@ -97,6 +97,8 @@ _DRIVER_ROTATE_LAST = [
     "pack_sequences",
     "dedup_clusters",
     "multimodal_decode",
+    "curated_corpus",
+    "text_repetition",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -149,6 +151,10 @@ _ROUND_MODIFIED = [
     # r6: NEW query — trained-IVF ANN through the k-means cells (composes
     # the embedding_kmeans fit with the similarity probe, both re-oracled)
     "ann_ivf_kmeans_topk",
+    # r6: NEW queries — literal boilerplate-span miner + sqrt-scaled data-
+    # mixture weight/sampling-rate table
+    "top_boilerplate_spans",
+    "mixture_weights",
 ]
 
 

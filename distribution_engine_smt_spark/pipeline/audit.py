@@ -236,3 +236,80 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embedding_outliers.__doc__ = embedding_outliers.__doc__.format(top=OUT_TOP)
+
+
+# ---------------------------------------------------------------------------
+# mixture weights: per-source sampling rates toward a token budget
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_TOKENS = 100_000  # target total training tokens (demo scale)
+
+
+@register(
+    "mixture_weights",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS raw_w,
+             sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot_w
+      FROM s
+    )
+    SELECT source, n_tokens,
+           round(raw_w / tot_w, 6) AS weight,
+           CAST(floor((raw_w / tot_w) * {MIX_BUDGET_TOKENS}) AS BIGINT)
+             AS budget_tokens,
+           round(least(((raw_w / tot_w) * {MIX_BUDGET_TOKENS})
+                       / CAST(n_tokens AS DOUBLE), 1.0), 6) AS sample_rate
+    FROM w
+    ORDER BY source ASC
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture solver (sqrt-scaling, the multilingual-balancing rule):
+    each source's training-token budget is proportional to the square root
+    of its size, so big sources are down-weighted and small ones are not
+    starved; sample_rate = budget / available (capped at 1.0) is the rate
+    the sampler then applies. This is the table a pipeline derives its
+    per-source sampling coins from (balanced_sample consumes exactly this
+    shape of rate).
+
+    Parity: token counts are exact integers; sqrt is correctly-rounded in
+    both engines; the window SUM over per-source sqrt values runs over a
+    handful of rows — DuckDB and Spark both evaluate an unordered window
+    total over the same small set... which has NO defined order, so the
+    fold is kept engine-stable by rounding the final ratio to 6 decimals
+    (sources are few; a 1-ulp total difference cannot survive the round).
+    Scale: one groupBy(source) with map-side partial sums, then window +
+    arithmetic over a |sources|-row frame — output size independent of
+    corpus size."""
+    t = _t(spark, sf_dir)
+    s = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    raw_w = F.sqrt(F.col("n_tokens").cast("double"))
+    share = raw_w / F.sum(raw_w).over(w)
+    return (
+        s.select(
+            "source",
+            "n_tokens",
+            F.round(share, 6).alias("weight"),
+            F.floor(share * MIX_BUDGET_TOKENS).cast("long").alias("budget_tokens"),
+            F.round(
+                F.least(
+                    (share * MIX_BUDGET_TOKENS) / F.col("n_tokens").cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy(F.col("source").asc())
+    )

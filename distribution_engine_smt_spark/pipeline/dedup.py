@@ -554,3 +554,58 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 substring_dup_spans.__doc__ = substring_dup_spans.__doc__.format(
     win=SPAN_WIN, stride=SPAN_STRIDE
 )
+
+
+@register(
+    "top_boilerplate_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, substr(text, i * {SPAN_STRIDE} + 1, {SPAN_WIN}) AS span
+      FROM documents,
+           unnest(generate_series(0,
+             CAST(floor((n_chars - {SPAN_WIN}) / {SPAN_STRIDE}.0) AS BIGINT))) t(i)
+      WHERE n_chars >= {SPAN_WIN}
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM w
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, span ASC
+    LIMIT 20
+    """,
+)
+def top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate MINER to substring_dup_spans's per-doc meter: the 20
+    literal {win}-char spans shared by the most documents — license
+    headers, nav bars, cookie banners — ranked for a removal rule-pack.
+    Returning the span TEXT (not its hash) is the point: this is the query
+    a curator reads.
+
+    Scale: same map-side window explode, one groupBy(span) shuffle with
+    partial aggregation (the two-phase distinct), TakeOrdered(20). Span
+    strings bound shuffle width at {win} chars/row; for a 100 TB corpus
+    run the hash-keyed meter first and mine spans only from documents with
+    dup_frac > 0 (a semi-join prefilter) — same plan, smaller explode."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].where(F.col("n_chars") >= SPAN_WIN)
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((n_chars - {SPAN_WIN}) / {SPAN_STRIDE}.0) AS INT)),"
+                f" i -> substring(text, i * {SPAN_STRIDE} + 1, {SPAN_WIN}))"
+            )
+        ).alias("span"),
+    )
+    return (
+        w.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("span").asc())
+        .limit(20)
+    )
