@@ -155,6 +155,9 @@ _ROUND_MODIFIED = [
     # mixture weight/sampling-rate table
     "top_boilerplate_spans",
     "mixture_weights",
+    # r6: MODIFIED — KMV small-cardinality fallback (exact count below k);
+    # also listed in _DRIVER_PRIORITY, _ordered() dedups
+    "kmv_distinct",
 ]
 
 

@@ -176,11 +176,12 @@ def asof_attribution(ev: DataFrame) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT r.event_type, hv AS kth_hash,
-           round(({KMV_K} - 1) / (CAST(hv AS DOUBLE) / {_HEX15}.0), 4)
-             AS est_distinct,
+           CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE round(({KMV_K} - 1) / (CAST(hv AS DOUBLE) / {_HEX15}.0), 4)
+           END AS est_distinct,
            n_exact
     FROM r JOIN ex ON r.event_type = ex.event_type
-    WHERE rn = {KMV_K}
+    WHERE rn = least({KMV_K}, n_exact)
     ORDER BY r.event_type ASC
     """,
 )
@@ -205,23 +206,35 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
-    kth = (
-        d.withColumn("hv", hv)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == KMV_K)
-    )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
+    # KMV small-cardinality fallback: with fewer than k distinct values the
+    # sketch holds ALL of them and reports the exact count (the standard
+    # KMV contract) — the k-th row simply doesn't exist, so the group keys
+    # on its LAST row instead. Keeps tiny corpora (sf0.001) and sparse
+    # groups first-class instead of silently dropping them.
+    kth = (
+        d.withColumn("hv", hv)
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(exact), "event_type")
+        .filter(F.col("rn") == F.least(F.lit(KMV_K), F.col("n_exact")))
+    )
     return (
-        kth.join(F.broadcast(exact), "event_type")
-        .select(
+        kth.select(
             "event_type",
             F.col("hv").alias("kth_hash"),
-            F.round(
-                F.lit(float(KMV_K - 1)) / (F.col("hv").cast("double") / F.lit(float(_HEX15))),
-                4,
-            ).alias("est_distinct"),
+            F.when(
+                F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.lit(float(KMV_K - 1))
+                    / (F.col("hv").cast("double") / F.lit(float(_HEX15))),
+                    4,
+                )
+            )
+            .alias("est_distinct"),
             "n_exact",
         )
         .orderBy(F.col("event_type").asc())
