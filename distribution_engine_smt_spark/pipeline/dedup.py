@@ -609,3 +609,89 @@ def top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("span").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index: new batch vs indexed corpus
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the stored near-dup index for a corpus frame: the LSH band
+    table (doc_id, band, bv) and the shingle postings (doc_id, g). These
+    two tables ARE the dedup index a production pipeline persists —
+    bucketed by (band, bv) and by g respectively at 100 TB, so the probe's
+    joins are shuffle-free on the corpus side."""
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).cast("binary")
+            ).alias("bv"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    return bands, sh
+
+
+def probe_minhash_index(
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Incremental near-dup detection: verified pairs (new_id, corpus_id,
+    jaccard ≥ threshold) between an arriving batch and the INDEXED corpus
+    — the nightly-ingest shape, where re-running all-pairs dedup over the
+    whole corpus per batch would be O(corpus) instead of O(batch).
+
+    Plan: the batch is shingled and signed (batch-sized, map + one small
+    groupBy); its bands bucket-join the stored band table (collisions
+    only); exact Jaccard verification touches only candidate docs' shingle
+    postings via semi-joins. Corpus-side work is proportional to the
+    collision set, never the corpus."""
+    new_bands, new_sh = minhash_index(new_docs)
+    cand = (
+        new_bands.select(F.col("doc_id").alias("new_id"), "band", "bv")
+        .join(
+            index_bands.select(F.col("doc_id").alias("corpus_id"), "band", "bv"),
+            ["band", "bv"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+        .persist()
+    )
+    sha = new_sh.join(
+        cand.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("new_id"), "g")
+    shb = index_shingles.join(
+        cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("corpus_id"), "g")
+    common = (
+        sha.join(shb, "g")
+        .join(cand, ["new_id", "corpus_id"], "left_semi")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = new_sh.groupBy("doc_id").agg(F.count("*").alias("n1")).select(
+        F.col("doc_id").alias("new_id"), "n1"
+    )
+    s2 = index_shingles.groupBy("doc_id").agg(F.count("*").alias("n2")).select(
+        F.col("doc_id").alias("corpus_id"), "n2"
+    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(s1, "new_id")
+        .join(s2, "corpus_id")
+        .filter(jac >= threshold)
+        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.col("new_id").asc(), F.col("corpus_id").asc())
+    )
