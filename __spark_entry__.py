@@ -99,6 +99,7 @@ _DRIVER_ROTATE_LAST = [
     "multimodal_decode",
     "curated_corpus",
     "text_repetition",
+    "blog_union_minjoin",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -158,6 +159,9 @@ _ROUND_MODIFIED = [
     # r6: MODIFIED — KMV small-cardinality fallback (exact count below k);
     # also listed in _DRIVER_PRIORITY, _ordered() dedups
     "kmv_distinct",
+    # r6: NEW query — per-source Zipf-law exponent (fixed-order least-
+    # squares fold over rank-sorted points)
+    "zipf_slope",
 ]
 
 

@@ -217,3 +217,114 @@ def token_count_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per source: least-squares fit in fixed-order fold space
+# ---------------------------------------------------------------------------
+
+ZIPF_RANKS = 50  # fit over the top-50 token ranks
+
+
+@register(
+    "zipf_slope",
+    f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    ranked AS (
+      SELECT source, freq,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY freq DESC, tok ASC) AS rk
+      FROM tf
+    ),
+    pts AS (
+      SELECT source,
+             list(ln(CAST(rk AS DOUBLE)) ORDER BY rk ASC) AS xs,
+             list(ln(CAST(freq AS DOUBLE)) ORDER BY rk ASC) AS ys,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM ranked WHERE rk <= {ZIPF_RANKS}
+      GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_ranks,
+           round(
+             (n * list_reduce(list_transform(range(1, len(xs) + 1),
+                                             i -> xs[i] * ys[i]), (a, v) -> a + v)
+              - list_reduce(xs, (a, v) -> a + v)
+                * list_reduce(ys, (a, v) -> a + v))
+             / (n * list_reduce(list_transform(range(1, len(xs) + 1),
+                                               i -> xs[i] * xs[i]), (a, v) -> a + v)
+                - list_reduce(xs, (a, v) -> a + v)
+                  * list_reduce(xs, (a, v) -> a + v)),
+             6) AS slope
+    FROM pts
+    ORDER BY source ASC
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent per source: the least-squares slope of
+    ln(freq) against ln(rank) over the top-{ranks} token ranks. Natural
+    corpora sit near -1; a much flatter slope flags templated/synthetic
+    text, a much steeper one flags degenerate repetition — a cheap
+    distribution-shape audit to go with the confusion/quality screens.
+
+    Determinism: rank assignment orders by (freq DESC, tok ASC) — exact
+    integers plus a total order. The regression sums are FIXED-ORDER folds
+    over rank-sorted arrays (the perplexity pattern): Σx, Σy, Σxy, Σx²
+    all fold left-to-right in rank order in both engines, so the slope is
+    bit-identical before its final rounding.
+
+    Scale: one (source, tok) aggregation (map-side partial), a per-source
+    rank window on the vocabulary relation (vocab-sized, not corpus-
+    sized), and a {ranks}-row fold per source. Output rows = |sources|."""
+    t = _t(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("tok").asc()
+    )
+    ranked = tf.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= ZIPF_RANKS
+    )
+    pts = ranked.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rk"),
+                    F.log(F.col("rk").cast("double")).alias("x"),
+                    F.log(F.col("freq").cast("double")).alias("y"),
+                )
+            )
+        ).alias("p"),
+        F.count("*").cast("double").alias("n"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("p"), F.lit(0.0), expr)
+
+    sx = fold(lambda a, s: a + s["x"])
+    sy = fold(lambda a, s: a + s["y"])
+    sxy = fold(lambda a, s: a + s["x"] * s["y"])
+    sxx = fold(lambda a, s: a + s["x"] * s["x"])
+    slope = (F.col("n") * sxy - sx * sy) / (F.col("n") * sxx - sx * sx)
+    return (
+        pts.select(
+            "source",
+            F.col("n").cast("long").alias("n_ranks"),
+            F.round(slope, 6).alias("slope"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+zipf_slope.__doc__ = zipf_slope.__doc__.format(ranks=ZIPF_RANKS)
