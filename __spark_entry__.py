@@ -100,6 +100,7 @@ _DRIVER_ROTATE_LAST = [
     "curated_corpus",
     "text_repetition",
     "blog_union_minjoin",
+    "feed_semijoin",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -162,6 +163,9 @@ _ROUND_MODIFIED = [
     # r6: NEW query — per-source Zipf-law exponent (fixed-order least-
     # squares fold over rank-sorted points)
     "zipf_slope",
+    # r6: NEW query — Efraimidis–Spirakis weighted sampling without
+    # replacement (length-weighted md5 uniforms, round-before-rank)
+    "weighted_sample",
 ]
 
 

@@ -658,3 +658,80 @@ def update_split_manifest(manifest: DataFrame, new_docs: DataFrame) -> DataFrame
         .withColumn("split", _split_coin(F.col("group_rep")))
     )
     return manifest.unionByName(known).unionByName(new_groups)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 5  # winners kept per source
+
+
+@register(
+    "weighted_sample",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(list_reduce(list_transform(generate_series(1, 8),
+                i -> CAST(strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                     AS BIGINT)),
+                (a, x) -> a * 16 + x) AS DOUBLE) + 1.0) / {_HEX8}.0 AS coin
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source,
+             round(ln(coin) / CAST(n_chars AS DOUBLE), 6) AS es_key
+      FROM u
+    ),
+    ranked AS (
+      SELECT source, doc_id, es_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, es_key, rk
+    FROM ranked
+    WHERE rk <= {WSAMPLE_K}
+    ORDER BY source ASC, rk ASC
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
+    doc draws the deterministic md5 uniform u and competes with the key
+    ln(u)/w (monotone in u^(1/w)); the top-{k} keys per source win —
+    longer documents (w = n_chars) win proportionally more often, which is
+    the quality- or length-weighted variant of the md5-coin samplers used
+    elsewhere (stratified/balanced_sample are the unweighted cousins).
+
+    Determinism: the uniform is (first 32 md5 bits + 1)/2^32 ∈ (0, 1] — no
+    zero, so ln is finite; ln and one division are per-row single ops; the
+    key is ROUNDED before ranking (round-before-rank, the cross-engine
+    tie rule) with doc_id as the final tie-break.
+
+    Scale: map-side keys + one per-source rank window; rk ≤ {k} compiles
+    to WindowGroupLimit partial top-k before the exchange, so the shuffle
+    carries ~{k} rows per (partition, source) — the same shape as
+    tfidf_keywords. Sampling never touches a second corpus pass."""
+    t = _t(spark, sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    coin = (hv.cast("double") + F.lit(1.0)) / F.lit(float(_HEX8))
+    key = F.round(F.log(coin) / F.col("n_chars").cast("double"), 6)
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WSAMPLE_K)
+        .select("source", "doc_id", "es_key", "rk")
+        .orderBy(F.col("source").asc(), F.col("rk").asc())
+    )
+
+
+weighted_sample.__doc__ = weighted_sample.__doc__.format(k=WSAMPLE_K)
