@@ -256,15 +256,14 @@ MIX_BUDGET_TOKENS = 100_000  # target total training tokens (demo scale)
     ),
     w AS (
       SELECT source, n_tokens,
-             sqrt(CAST(n_tokens AS DOUBLE)) AS raw_w,
-             sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot_w
+             round(sqrt(CAST(n_tokens AS DOUBLE))
+                   / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS share
       FROM s
     )
     SELECT source, n_tokens,
-           round(raw_w / tot_w, 6) AS weight,
-           CAST(floor((raw_w / tot_w) * {MIX_BUDGET_TOKENS}) AS BIGINT)
-             AS budget_tokens,
-           round(least(((raw_w / tot_w) * {MIX_BUDGET_TOKENS})
+           share AS weight,
+           CAST(floor(share * {MIX_BUDGET_TOKENS}) AS BIGINT) AS budget_tokens,
+           round(least((share * {MIX_BUDGET_TOKENS})
                        / CAST(n_tokens AS DOUBLE), 1.0), 6) AS sample_rate
     FROM w
     ORDER BY source ASC
@@ -296,12 +295,16 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     raw_w = F.sqrt(F.col("n_tokens").cast("double"))
-    share = raw_w / F.sum(raw_w).over(w)
+    # round-before-use: every derived value (weight, the floor'd budget,
+    # the rate) computes from the ROUNDED share — the unordered float
+    # window total can differ by 1 ulp between engines, and floor() on an
+    # unrounded share sitting 1 ulp from an integer would diverge
+    share = F.round(raw_w / F.sum(raw_w).over(w), 6)
     return (
         s.select(
             "source",
             "n_tokens",
-            F.round(share, 6).alias("weight"),
+            share.alias("weight"),
             F.floor(share * MIX_BUDGET_TOKENS).cast("long").alias("budget_tokens"),
             F.round(
                 F.least(

@@ -83,9 +83,13 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS)
     one fit instead of re-collecting the Lloyd iterations each.
 
     assignments: (vec_id, cid) after the final iteration.
-    centroids: list of k lists of DIM Python floats (post-final-update
-    means are NOT applied to assignments — assignments reflect the
-    iteration-`iters` centroids, like the SQL twin).
+    centroids: the centroids THAT PRODUCED those assignments (the quantizer
+    of iteration `iters`) — NOT the post-final-update means. Returning the
+    assignment-time quantizer is what makes the pair internally consistent:
+    a router (probe_ivf_index) using these centroids agrees with the cell
+    layout written from the assignments. The post-final-update means are
+    iteration-`iters+1` state and belong to a longer fit. The SQL twin
+    assigns with the same iteration-`iters` centroids.
     """
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
     cached = _FIT_CACHE.get(key)
@@ -100,7 +104,9 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS)
     )
     cents = [[float(x) for x in r["embedding"]] for r in init]
     asg = None
+    assign_cents = cents
     for _ in range(iters):
+        assign_cents = cents
         d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
         asg = emb.select("vec_id", "embedding", _argmin_case(d).alias("cid"))
         sums = asg.groupBy("cid").agg(
@@ -124,7 +130,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS)
         if len(rows) < k:
             raise ValueError(f"empty cluster (got {sorted(rows)}); reseed required")
         cents = [[rows[i][f"c{j}"] for j in range(1, DIM + 1)] for i in range(k)]
-    result = (asg.select("vec_id", "cid"), cents)
+    result = (asg.select("vec_id", "cid"), assign_cents)
     _FIT_CACHE[key] = result
     return result
 

@@ -645,6 +645,7 @@ def probe_minhash_index(
     index_shingles: DataFrame,
     new_docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
+    persist_candidates: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: verified pairs (new_id, corpus_id,
     jaccard ≥ threshold) between an arriving batch and the INDEXED corpus
@@ -655,7 +656,15 @@ def probe_minhash_index(
     groupBy); its bands bucket-join the stored band table (collisions
     only); exact Jaccard verification touches only candidate docs' shingle
     postings via semi-joins. Corpus-side work is proportional to the
-    collision set, never the corpus."""
+    collision set, never the corpus.
+
+    ``persist_candidates``: the candidate frame is referenced by three
+    joins, so one-shot batch callers benefit from caching it — but a
+    caller that probes REPEATEDLY in one session (the streaming gate, one
+    probe per micro-batch) must pass False: per-call persists are only
+    released when the driver GCs the DataFrame, and pinning one candidate
+    RDD per micro-batch grows executor storage without bound. Recomputing
+    a batch-sized frame three times is the cheaper steady state."""
     new_bands, new_sh = minhash_index(new_docs)
     cand = (
         new_bands.select(F.col("doc_id").alias("new_id"), "band", "bv")
@@ -665,8 +674,9 @@ def probe_minhash_index(
         )
         .select("new_id", "corpus_id")
         .distinct()
-        .persist()
     )
+    if persist_candidates:
+        cand = cand.persist()
     sha = new_sh.join(
         cand.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("new_id"), "g")
@@ -715,12 +725,21 @@ def run_incremental_dedup_stream(
 
     At scale this is the dedup gate in front of the ingest pipeline: a
     batch's pairs decide which arriving docs are suppressed before they
-    ever reach the corpus table. Restart-safety comes from the checkpoint
-    + append-mode idempotence of the (new_id, corpus_id) keyed output."""
+    ever reach the corpus table.
+
+    Restart-safety: foreachBatch is at-least-once — a crash between a
+    successful write and the checkpoint commit REPLAYS the micro-batch —
+    so each batch writes to its own ``batch_id=N`` partition directory
+    with overwrite semantics. A replay rewrites the same directory with
+    the same deterministic pairs instead of appending duplicates; readers
+    see exactly-once output. (A plain append sink here would duplicate
+    pairs on replay; parquet has no keyed upsert to lean on.)"""
 
     def probe_batch(batch_df, batch_id: int):
-        pairs = probe_minhash_index(index_bands, index_shingles, batch_df)
-        pairs.write.mode("append").parquet(out_dir)
+        pairs = probe_minhash_index(
+            index_bands, index_shingles, batch_df, persist_candidates=False
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     raw = spark.readStream.schema(schema).parquet(source_dir)
     return (

@@ -232,15 +232,18 @@ def resize_media(media: DataFrame, tw: int = TARGET_W, th: int = TARGET_H) -> Da
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
-           CAST(64 + {_BYTE.format(a=1, b=2)} % 192 AS INT) AS width,
-           CAST(64 + {_BYTE.format(a=3, b=4)} % 192 AS INT) AS height,
-           CAST(least({TARGET_W} * (64 + {_BYTE.format(a=3, b=4)} % 192),
-                      {TARGET_H} * (64 + {_BYTE.format(a=1, b=2)} % 192)) AS INT)
-             AS scale_num,
-           CAST({TARGET_W} * {TARGET_H} * 3 AS BIGINT) AS out_bytes,
-           'ok:stub' AS status
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(64 + {_BYTE.format(a=1, b=2)} % 192 AS INT) END AS width,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(64 + {_BYTE.format(a=3, b=4)} % 192 AS INT) END AS height,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(least({TARGET_W} * (64 + {_BYTE.format(a=3, b=4)} % 192),
+                               {TARGET_H} * (64 + {_BYTE.format(a=1, b=2)} % 192))
+                     AS INT) END AS scale_num,
+           CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST({TARGET_W} * {TARGET_H} * 3 AS BIGINT) END AS out_bytes,
+           CASE WHEN text IS NULL THEN 'error:empty' ELSE 'ok:stub' END AS status
     FROM documents
-    WHERE text IS NOT NULL
     ORDER BY doc_id ASC
     """,
 )

@@ -96,9 +96,11 @@ def _bm25_term_score(tf, dl_norm, n, df):
     return idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + F.lit(BM25_K1) * dl_norm)
 
 
-@register(
-    "bm25_search",
-    f"""
+# The scoring SELECT (no ORDER/LIMIT tail) is the shared constant: the
+# bm25_search oracle appends its top-k tail, and the RRF hybrid oracle
+# embeds the same text as a CTE — identical lexical scores by construction,
+# with no string surgery on registered SQL.
+_BM25_SCORED_SQL = f"""
     WITH m AS (
       SELECT doc_id,
              len(string_split_regex(trim(text), '\\s+')) AS dl,
@@ -137,6 +139,13 @@ def _bm25_term_score(tf, dl_norm, n, df):
                                  + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl))),
            6) AS bm25
     FROM m, s
+    """
+
+
+@register(
+    "bm25_search",
+    _BM25_SCORED_SQL
+    + """
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT 20
     """,
@@ -295,9 +304,9 @@ RRF_OUT = 20
 
 
 def _bm25_scored_sql() -> str:
-    """The bm25_search scoring SQL minus the final ORDER/LIMIT (shared by
-    the hybrid oracle so both queries score identically)."""
-    return ORACLE_SQL["bm25_search"].rsplit("ORDER BY", 1)[0]
+    """The shared scoring SELECT (see _BM25_SCORED_SQL) — both the bm25
+    oracle and the hybrid oracle compose from this constant."""
+    return _BM25_SCORED_SQL
 
 
 @register(

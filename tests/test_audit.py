@@ -111,3 +111,20 @@ def test_trained_ivf_agrees_with_bruteforce_on_shared_results(spark):
     for vid in set(ivf) & set(bf):
         assert ivf[vid] == bf[vid]  # bit-identical fixed-order folds
     assert max(ivf.values()) <= max(bf.values()) + 0.0
+
+
+def test_resize_emits_error_row_for_null_payload(spark):
+    """Null payloads must surface as 'error:empty' rows (matching the
+    oracle's CASE branches), never silently disappear."""
+    from distribution_engine_smt_spark.pipeline.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"abc")), (2, "image/png", None)],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in resize_media(media).collect()}
+    assert rows[1]["status"] == "ok:stub" and rows[1]["out_bytes"] == 224 * 224 * 3
+    err = rows[2]
+    assert err["status"] == "error:empty"
+    assert err["width"] is None and err["height"] is None
+    assert err["scale_num"] is None and err["out_bytes"] == 0

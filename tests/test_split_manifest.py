@@ -41,24 +41,25 @@ def test_existing_rows_never_change_and_late_dups_join_their_group(spark):
     before = _rows(m0)
     # a late wave: re-deliveries of existing docs (must be ignored) plus
     # exact duplicates of existing content under NEW doc_ids (must join the
-    # original group and split), plus one genuinely new document
-    dups = docs.limit(5).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    # original group and split), plus one genuinely new document.
+    # Collected ONCE with a pinned order — an unordered limit() would be
+    # re-evaluated per action and could pick different rows each time.
+    base = docs.orderBy("doc_id").limit(5).collect()
+    dup_rows = [(r["doc_id"] + 1_000_000, r["text"]) for r in base]
+    redelivery_rows = [(r["doc_id"], r["text"]) for r in base[:3]]
+    novel_rows = [(2_000_000, "an entirely new document body never seen before")]
+    wave = docs.sparkSession.createDataFrame(
+        dup_rows + redelivery_rows + novel_rows, "doc_id long, text string"
     )
-    redelivery = docs.limit(3)
-    novel = docs.sparkSession.createDataFrame(
-        [(2_000_000, "an entirely new document body never seen before")],
-        "doc_id long, text string",
-    )
-    m1 = update_split_manifest(m0, dups.unionByName(redelivery).unionByName(novel))
+    m1 = update_split_manifest(m0, wave)
     after = _rows(m1)
     # invariant 1: existing rows unchanged
     for d, v in before.items():
         assert after[d] == v
     # invariant 2: each late duplicate carries its original group's rep+split
-    for r in dups.collect():
-        orig = before[r["doc_id"] - 1_000_000]
-        assert after[r["doc_id"]] == orig
+    for new_id, _text in dup_rows:
+        orig = before[new_id - 1_000_000]
+        assert after[new_id] == orig
     # invariant 3: redelivered doc_ids are not duplicated in the manifest
     assert len(after) == len(before) + 5 + 1
     # the novel doc forms its own group with itself as rep

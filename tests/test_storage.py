@@ -131,3 +131,30 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     # the probe includes the query vector itself (cos 1.0) which the query
     # version excludes; after dropping it the rankings must agree exactly
     assert got[: len(want)] == want
+
+
+def test_kmeans_fit_centroids_are_the_assignment_quantizer(spark):
+    """Self-consistency invariant behind the IVF router: routing EVERY
+    indexed vector with the returned centroids must reproduce its stored
+    cell. (A post-final-update centroid return breaks this for vectors
+    near moved boundaries — regression guard for that bug.)"""
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        _argmin_case,
+        _dist_to_literal,
+        kmeans_fit,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    from .conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    asg, cents = kmeans_fit(spark, SF_DIR)
+    emb = load_tpch(spark, SF_DIR)["embeddings"]
+    d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
+    routed = emb.select("vec_id", _argmin_case(d).alias("routed_cid"))
+    mismatch = (
+        routed.join(asg, "vec_id")
+        .where(F.col("routed_cid") != F.col("cid"))
+        .count()
+    )
+    assert mismatch == 0
