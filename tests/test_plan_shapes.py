@@ -60,3 +60,11 @@ def test_pagerank_never_goes_cartesian(spark):
 def test_ann_probes_end_in_take_ordered(spark):
     for name in ["ann_topk_bruteforce", "ann_sq8_topk", "ann_ivf_kmeans_topk"]:
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_weighted_sample_and_tfidf_rank_filters_are_partial_topk(spark):
+    for name in ["weighted_sample", "zipf_slope"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    # weighted_sample's rk<=K must push as WindowGroupLimit like tfidf's
+    assert "WindowGroupLimit" in _plan(spark, "weighted_sample")
