@@ -101,6 +101,7 @@ _DRIVER_ROTATE_LAST = [
     "text_repetition",
     "blog_union_minjoin",
     "feed_semijoin",
+    "replies_in_notin",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -166,6 +167,8 @@ _ROUND_MODIFIED = [
     # r6: NEW query — Efraimidis–Spirakis weighted sampling without
     # replacement (length-weighted md5 uniforms, round-before-rank)
     "weighted_sample",
+    # r6: NEW query — trained-IVF recall knob (probe the 2 nearest cells)
+    "ann_ivf_kmeans_nprobe",
 ]
 
 

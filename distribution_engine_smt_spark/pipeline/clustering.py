@@ -311,3 +311,80 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(IVF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# trained IVF with nprobe > 1: the recall knob
+# ---------------------------------------------------------------------------
+
+NPROBE = 2
+
+
+_IVF_NPROBE_SQL = f"""
+    WITH {_assign_sql("", "a0", "g1", from_init=True)},
+    {_sums_sql("g1", "s1")},
+    {_cent_sql("s1", "c1v")},
+    {_assign_sql("c1v", "a1", "g2", from_init=False)},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
+      FROM c1v c, q
+    ),
+    sel AS (SELECT cid FROM qd ORDER BY d ASC, cid ASC LIMIT {NPROBE})
+    SELECT e.vec_id,
+           {_cos_sql('e.embedding', 'q.q_emb')} AS cos
+    FROM g2 e JOIN sel ON e.cid = sel.cid CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT {IVF_TOP}
+    """
+
+
+@register("ann_ivf_kmeans_nprobe", _IVF_NPROBE_SQL)
+def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF probe with nprobe={n}: the query reads its {n} nearest
+    cells instead of one — the standard recall knob (a vector just across
+    a cell boundary from its true neighbors is recovered by the second
+    probe). Routing happens DRIVER-side on the cached fit's centroids:
+    plain Python floats, but the arithmetic is the same left-to-right
+    fold over exactly-widened float32 components the SQL twin runs, so
+    the selected cell set is identical by construction.
+
+    Scale: with the materialized index (build_ivf_index) this reads
+    nprobe/k of the corpus — nprobe partition directories instead of one;
+    the rerank stays a TakeOrdered over the probed cells."""
+    asg, cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q_vec = [float(x) for x in q_row["embedding"]]
+
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel = sorted(range(len(cents)), key=lambda i: (d2(cents[i]), i))[:NPROBE]
+    from .similarity import dot_fold
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    cells = emb.join(asg, "vec_id")
+    return (
+        cells.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(IVF_TOP)
+    )

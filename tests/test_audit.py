@@ -128,3 +128,18 @@ def test_resize_emits_error_row_for_null_payload(spark):
     assert err["status"] == "error:empty"
     assert err["width"] is None and err["height"] is None
     assert err["scale_num"] is None and err["out_bytes"] == 0
+
+
+def test_nprobe_trained_ivf_dominates_single_cell_probe(spark):
+    """nprobe=2 searches a superset of the single-cell probe, so its
+    ranked cosine list must dominate position-by-position."""
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        ann_ivf_kmeans_nprobe,
+        ann_ivf_kmeans_topk,
+    )
+
+    single = [r["cos"] for r in ann_ivf_kmeans_topk(spark, SF_DIR).collect()]
+    multi = [r["cos"] for r in ann_ivf_kmeans_nprobe(spark, SF_DIR).collect()]
+    assert multi and single
+    for m, s in zip(multi, single):
+        assert m >= s
