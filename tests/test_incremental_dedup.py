@@ -62,8 +62,6 @@ def test_probe_finds_exact_copies_and_verifies_jaccard(spark):
 def test_streaming_probe_matches_batch_probe(spark, tmp_path):
     """Drain-equals-batch for the ingest-time near-dup gate: the union of
     per-micro-batch probe outputs equals one batch probe of all waves."""
-    import os
-
     from distribution_engine_smt_spark.pipeline.dedup import (
         run_incremental_dedup_stream,
     )
