@@ -68,23 +68,31 @@ def main() -> None:
         spreads[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
-    # queries added after round 1 — excluded from the like-for-like subtotal
-    # so round-over-round totals stay comparable as coverage widens
-    added_after_r1 = {
-        # round 2
-        "pack_sequences", "stratified_sample", "quality_filter", "dedup_clusters",
-        "decontaminate", "text_repetition", "sessionize",
-        "asof_purchase_attribution", "kmv_distinct", "tumbling_event_counts",
-        "balanced_sample", "chunk_documents", "range_join_events",
-        # round 4
-        "ann_ivf_nprobe_topk", "token_count_quantiles",
-        # round 5
-        "pii_redact", "url_density", "top_ngrams", "bm25_search",
-        "deterministic_shuffle", "source_vocab_overlap", "ann_sq8_topk",
-        "event_zscore_anomaly",
+    # the like-for-like subtotal: the EXACT query set BENCH_r01 measured,
+    # pinned as an inclusion list so newly-added queries can never leak in
+    # and inflate the round-over-round comparison (an exclusion list did
+    # exactly that in round 6: the subtotal read +8 s while the actual
+    # common-query set was 10% faster)
+    r1_queries = {
+        "account_history_page", "ann_ivf_topk", "ann_topk_bruteforce",
+        "authorperm_codec", "blog_union_minjoin", "children_counts",
+        "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+        "dedup_exact_keep_first", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_simhash_pairs", "discussions_by_created",
+        "discussions_by_hot", "discussions_by_payout_keyset",
+        "discussions_by_promoted", "discussions_by_trending",
+        "earliest_event_per_user", "feed_semijoin", "follow_counts",
+        "json_double_decode", "json_props_sum", "latest_event_per_key",
+        "multimodal_decode", "multimodal_metadata_stats",
+        "payout_accumulation", "post_with_votes", "prefix_select",
+        "reblogged_by_agg", "recent_orders_window", "replies_in_notin",
+        "reward_curves", "segment_nation_counts", "set_diff_reconcile",
+        "supplier_visible_revenue", "tag_membership", "text_fingerprint",
+        "text_lang_id", "text_quality_score", "text_token_counts",
+        "thread_tree", "time_format_wire", "trending_tags",
     }
     r01_subset = round(
-        sum(v for k, v in timings.items() if k not in added_after_r1), 4
+        sum(v for k, v in timings.items() if k in r1_queries), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
