@@ -1,0 +1,226 @@
+"""Live JSON-RPC enrichment (SURVEY.md §2.1 S9 — the last "partial").
+
+The reference enriches missing posts over a live RPC connection with a
+bounded retry loop (processors/comment_processor_for_engine.py:110-126:
+up to 5 ``Comment(authorperm)`` attempts, then fall back to the raw op
+body) and refreshes follow lists per account (server/app.py:915,
+``acc.get_following()``). This module supplies the real transport the
+earlier adapters (``sources.paged_source`` / ``fetched_follows``) accept
+as a callable — stdlib ``urllib`` JSON-RPC 2.0, no external client
+library — plus the distributed shape the reference's single-process
+loop can't express: executor-side enrichment via ``mapInPandas``.
+
+Scale design. Enrichment keys arrive as a DataFrame; each Arrow batch
+issues BATCHED JSON-RPC calls (one POST per ``batch_size`` keys) from
+the executor that holds the partition, so 1000 executors fan out to the
+RPC tier in parallel and no key list ever collects to the driver. A
+failed key degrades to a row with ``fetch_ok = false`` (the reference's
+"use the raw op body" fallback) instead of failing the task — a retried
+Spark task would re-fetch every key in the partition against a live
+endpoint, so per-key degradation is the idempotent choice.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+RPC_ATTEMPTS = 5  # reference: cnt < 5 retry bound
+RPC_BACKOFF_S = 0.05
+
+
+def json_rpc_call(
+    url: str,
+    method: str,
+    params: Any,
+    *,
+    timeout: float = 10.0,
+    attempts: int = RPC_ATTEMPTS,
+    backoff_s: float = RPC_BACKOFF_S,
+    _urlopen=urllib.request.urlopen,
+) -> Any:
+    """One JSON-RPC 2.0 call with the reference's bounded-retry loop.
+
+    Returns the ``result`` member, or raises the last error after
+    ``attempts`` tries (linear backoff between tries — the reference
+    retries immediately; a small sleep is strictly politer)."""
+    payload = json.dumps(
+        {"jsonrpc": "2.0", "id": 1, "method": method, "params": params}
+    ).encode()
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            req = urllib.request.Request(
+                url, data=payload, headers={"Content-Type": "application/json"}
+            )
+            with _urlopen(req, timeout=timeout) as resp:
+                body = json.loads(resp.read().decode())
+            if "error" in body and body["error"] is not None:
+                raise RuntimeError(f"rpc error: {body['error']}")
+            return body.get("result")
+        except Exception as e:  # noqa: BLE001 — retry loop mirrors reference
+            last = e
+            if i + 1 < attempts:
+                time.sleep(backoff_s * (i + 1))
+    raise RuntimeError(f"rpc {method} failed after {attempts} attempts: {last}")
+
+
+def json_rpc_batch(
+    url: str,
+    method: str,
+    params_list: list[Any],
+    *,
+    timeout: float = 10.0,
+    attempts: int = RPC_ATTEMPTS,
+    backoff_s: float = RPC_BACKOFF_S,
+) -> list[Any]:
+    """Batched JSON-RPC 2.0: one POST carries ``len(params_list)`` calls,
+    results are re-ordered by id (the spec allows servers to reorder).
+    Missing ids come back as None — the caller decides the fallback."""
+    payload = json.dumps(
+        [
+            {"jsonrpc": "2.0", "id": i, "method": method, "params": p}
+            for i, p in enumerate(params_list)
+        ]
+    ).encode()
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            req = urllib.request.Request(
+                url, data=payload, headers={"Content-Type": "application/json"}
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = json.loads(resp.read().decode())
+            by_id = {
+                item.get("id"): item.get("result")
+                for item in body
+                if item.get("error") is None
+            }
+            return [by_id.get(j) for j in range(len(params_list))]
+        except Exception as e:  # noqa: BLE001
+            last = e
+            if i + 1 < attempts:
+                time.sleep(backoff_s * (i + 1))
+    raise RuntimeError(f"rpc batch {method} failed after {attempts} attempts: {last}")
+
+
+COMMENT_SCHEMA = (
+    "authorperm string, body string, json_metadata string, "
+    "parent_authorperm string, depth int, main_post boolean, fetch_ok boolean"
+)
+
+
+def enrich_comments_rpc(
+    keys: DataFrame,
+    url: str,
+    *,
+    key_col: str = "authorperm",
+    method: str = "get_content",
+    batch_size: int = 50,
+    timeout: float = 10.0,
+    attempts: int = RPC_ATTEMPTS,
+) -> DataFrame:
+    """Distributed comment enrichment (reference S9: fetch posts missing
+    from the local store — comment_processor_for_engine.py:110-126,
+    server/app.py:526 ``Comment(f"{author}/{permlink}")``).
+
+    ``keys`` is a DataFrame with a string ``key_col``; each partition's
+    Arrow batches issue batched JSON-RPC calls from the executor. Rows
+    whose fetch failed (after the bounded retry) or returned no result
+    carry ``fetch_ok = false`` and null fields — callers coalesce with
+    the raw op data exactly like the reference's fallback branch."""
+    import pandas as pd  # executor-side import
+
+    def fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vals = pdf[key_col].tolist()
+            out: list[dict] = []
+            for start in range(0, len(vals), batch_size):
+                chunk = vals[start : start + batch_size]
+                try:
+                    results = json_rpc_batch(
+                        url,
+                        method,
+                        [[k] for k in chunk],
+                        timeout=timeout,
+                        attempts=attempts,
+                    )
+                except Exception:  # noqa: BLE001 — degrade, don't fail the task
+                    results = [None] * len(chunk)
+                for k, r in zip(chunk, results):
+                    if r is None:
+                        out.append(
+                            {
+                                "authorperm": k,
+                                "body": None,
+                                "json_metadata": None,
+                                "parent_authorperm": None,
+                                "depth": None,
+                                "main_post": None,
+                                "fetch_ok": False,
+                            }
+                        )
+                    else:
+                        out.append(
+                            {
+                                "authorperm": k,
+                                "body": r.get("body"),
+                                "json_metadata": json.dumps(r["json_metadata"])
+                                if r.get("json_metadata") is not None
+                                else None,
+                                "parent_authorperm": r.get("parent_authorperm"),
+                                "depth": r.get("depth"),
+                                "main_post": r.get("main_post"),
+                                "fetch_ok": True,
+                            }
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "authorperm",
+                    "body",
+                    "json_metadata",
+                    "parent_authorperm",
+                    "depth",
+                    "main_post",
+                    "fetch_ok",
+                ],
+            )
+
+    return keys.select(key_col).mapInPandas(fetch, COMMENT_SCHEMA)
+
+
+def rpc_following_fetcher(
+    url: str, *, method: str = "get_following", timeout: float = 10.0
+) -> Callable[[str], Iterable[str]]:
+    """Live transport for ``sources.fetched_follows``: per-account follow
+    list over JSON-RPC (reference server/app.py:915
+    ``acc.get_following()``). Returns the fetch callable the existing
+    adapter accepts, so the reconcile path is unchanged."""
+
+    def fetch(account: str) -> list[str]:
+        result = json_rpc_call(url, method, [account], timeout=timeout)
+        return list(result or [])
+
+    return fetch
+
+
+def rpc_holder_pager(
+    url: str, *, method: str = "get_holder", symbol: str | None = None,
+    timeout: float = 10.0
+) -> Callable[[int, int], list[dict]]:
+    """Live transport for ``sources.paged_source`` (S10: the reference's
+    ``tokenApi.get_holder(1000, offset)`` loop, server/app.py:365-377):
+    returns the (limit, offset) page-fetch callable."""
+
+    def fetch(limit: int, offset: int) -> list[dict]:
+        params: list[Any] = [limit, offset] if symbol is None else [symbol, limit, offset]
+        result = json_rpc_call(url, method, params, timeout=timeout)
+        return list(result or [])
+
+    return fetch
