@@ -102,6 +102,8 @@ _DRIVER_ROTATE_LAST = [
     "blog_union_minjoin",
     "feed_semijoin",
     "replies_in_notin",
+    # added r7 (green r1-r3, untouched since): sentinel-equality scan
+    "discussions_by_promoted",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -169,6 +171,9 @@ _ROUND_MODIFIED = [
     "weighted_sample",
     # r6: NEW query — trained-IVF recall knob (probe the 2 nearest cells)
     "ann_ivf_kmeans_nprobe",
+    # r7: NEW query — SemDeDup (k-means cells + within-cell cosine pruning,
+    # composes the cached fit with the exact pair verify)
+    "semdedup",
 ]
 
 

@@ -388,3 +388,83 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(IVF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means cells + within-cell cosine pruning
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COSINE = 0.4  # synthetic corpus: max pair cosine ~ 0.51
+
+_SEMDEDUP_SQL = f"""
+    WITH {_assign_sql("", "a0", "g1", from_init=True)},
+    {_sums_sql("g1", "s1")},
+    {_cent_sql("s1", "c1v")},
+    {_assign_sql("c1v", "a1", "g2", from_init=False)},
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM g2 a JOIN g2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_COSINE}
+    )
+    SELECT s.vec_id, s.cid, (d.vec_id IS NULL) AS keep
+    FROM g2 s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id ASC
+    """
+
+
+@register("semdedup", _SEMDEDUP_SQL)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    inside each cluster drop every vector that has a LOWER-id neighbor with
+    cosine >= threshold — the lowest id of each semantic-duplicate group
+    survives, exactly and deterministically in both engines (no random
+    representative choice). Composes the audited, per-session-cached
+    k-means fit (the quantizer embedding_kmeans oracles) with the exact
+    pair verify the dedup family uses.
+
+    Scale: the cluster id is the blocking key — all-pairs work is confined
+    to cell interiors (the paper's own trick: k is chosen so cells hold
+    ~sqrt(N) vectors, and the pair join shuffles on cid only). Fat cells
+    compose with the sign-pattern LSH sub-buckets (dedup_embedding_lsh)
+    for a second blocking level. Norms are precomputed per side, one dot
+    fold per pair."""
+    from .similarity import dot_fold
+
+    asg, _cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    sides = emb.join(asg, "vec_id").select(
+        "vec_id",
+        "cid",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        "cid",
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        "cid",
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= SEMDEDUP_COSINE)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        sides.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+        .orderBy(F.col("vec_id").asc())
+    )

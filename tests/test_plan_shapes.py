@@ -68,3 +68,11 @@ def test_weighted_sample_and_tfidf_rank_filters_are_partial_topk(spark):
         assert "CartesianProduct" not in plan, name
     # weighted_sample's rk<=K must push as WindowGroupLimit like tfidf's
     assert "WindowGroupLimit" in _plan(spark, "weighted_sample")
+
+
+def test_semdedup_pairs_are_cell_blocked(spark):
+    plan = _plan(spark, "semdedup")
+    # the pair join must key on the k-means cell (a hash join on cid),
+    # never degenerate to an all-pairs cartesian/BNLJ over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
