@@ -102,8 +102,11 @@ _DRIVER_ROTATE_LAST = [
     "blog_union_minjoin",
     "feed_semijoin",
     "replies_in_notin",
-    # added r7 (green r1-r3, untouched since): sentinel-equality scan
+    # added r7 (green r1-r3, untouched since): sentinel-equality scan,
+    # keyset pagination, N+1-votes join
     "discussions_by_promoted",
+    "discussions_by_payout_keyset",
+    "post_with_votes",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -174,6 +177,11 @@ _ROUND_MODIFIED = [
     # r7: NEW query — SemDeDup (k-means cells + within-cell cosine pruning,
     # composes the cached fit with the exact pair verify)
     "semdedup",
+    # r7: NEW queries — cross-source near-dup overlap matrix (consumes the
+    # memoized MinHash pair stream) + fuzzy MinHash-signature
+    # decontamination (benchmark-broadcast pair scan)
+    "cross_source_dup_matrix",
+    "minhash_decontaminate",
 ]
 
 

@@ -189,3 +189,94 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(dup_chars.cast("double") / tot_chars, F.lit(0.0)), 6
         ).alias("dup_2gram_char_ratio"),
     ).orderBy(F.col("doc_id").asc())
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination: MinHash signature agreement vs the benchmark set
+# ---------------------------------------------------------------------------
+MINHASH_DECON_AGREE = 4  # flag at >= 4 of 8 agreeing components (est J >= .5)
+
+
+def _minhash_decon_sql() -> str:
+    from .dedup import N_HASHES, _SHINGLE_SQL, _SIG_COLS_SQL
+
+    agree = " + ".join(
+        f"(CASE WHEN t.m{h} = b.m{h} THEN 1 ELSE 0 END)" for h in range(N_HASHES)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+    bench AS (SELECT * FROM sig WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT * FROM sig WHERE doc_id % {BENCH_MOD} <> 0),
+    pairs AS (
+      SELECT t.doc_id, b.doc_id AS bench_id, {agree} AS n_agree
+      FROM train t CROSS JOIN bench b
+    ),
+    best AS (SELECT doc_id, max(n_agree) AS n_agree FROM pairs GROUP BY doc_id),
+    hit AS (
+      SELECT p.doc_id, p.n_agree, min(p.bench_id) AS best_match
+      FROM pairs p JOIN best ON p.doc_id = best.doc_id AND p.n_agree = best.n_agree
+      WHERE p.n_agree >= 1
+      GROUP BY p.doc_id, p.n_agree
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n_agree, 0) AS BIGINT) AS n_agree,
+           h.best_match,
+           coalesce(h.n_agree, 0) >= {MINHASH_DECON_AGREE} AS flagged
+    FROM train t LEFT JOIN hit h USING (doc_id)
+    ORDER BY doc_id ASC
+    """
+
+
+@register("minhash_decontaminate", _minhash_decon_sql())
+def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination via MinHash signature agreement — catches
+    paraphrased/partially-edited benchmark leakage the exact-8-gram pass
+    misses. Per training doc: the max number of agreeing signature
+    components against any benchmark doc (n_agree/8 estimates Jaccard),
+    the lowest-id benchmark doc achieving it, and a flag at est J >= 0.5.
+
+    Scale: signatures are one groupBy pass (shared machinery with
+    dedup_minhash_lsh); the BENCHMARK signature table is tiny by
+    construction (eval suites, not corpus), so the pair scan is a
+    broadcast nested loop over 8 fixed-width comparisons per pair —
+    map-only against the corpus, one doc_id shuffle for the max. The
+    argmax is decomposed as max + min-id-at-max (both order-independent
+    aggregates), never an engine-specific max_by."""
+    from .dedup import N_HASHES, minhash_signature
+
+    sig = minhash_signature(spark, sf_dir)
+    bench = sig.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        *[F.col(f"m{h}").alias(f"b{h}") for h in range(N_HASHES)],
+    )
+    train = sig.filter(F.col("doc_id") % BENCH_MOD != 0)
+    agree = None
+    for h in range(N_HASHES):
+        term = F.when(F.col(f"m{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    pairs = (
+        train.crossJoin(F.broadcast(bench))
+        .select("doc_id", "bench_id", agree.alias("n_agree"))
+        .persist()  # feeds both the max and the min-id-at-max passes
+    )
+    best = pairs.groupBy("doc_id").agg(F.max("n_agree").alias("n_agree"))
+    hit = (
+        pairs.join(best, ["doc_id", "n_agree"])
+        .filter(F.col("n_agree") >= 1)
+        .groupBy("doc_id", "n_agree")
+        .agg(F.min("bench_id").alias("best_match"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            "best_match",
+            (F.coalesce(F.col("n_agree"), F.lit(0)) >= MINHASH_DECON_AGREE).alias(
+                "flagged"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )

@@ -749,3 +749,54 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix: which sources overlap, and how much
+# ---------------------------------------------------------------------------
+_CROSS_SOURCE_SQL = f"""
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           min(p.jaccard) AS min_jaccard,
+           max(p.jaccard) AS max_jaccard
+    FROM ({_MINHASH_LSH_SQL}) p
+    JOIN documents da ON p.d1 = da.doc_id
+    JOIN documents db ON p.d2 = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_a ASC, source_b ASC
+"""
+
+
+@register("cross_source_dup_matrix", _CROSS_SOURCE_SQL)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus audit: near-duplicate pair counts BETWEEN sources (the
+    "how much does crawl A overlap crawl B" table that drives dedup-order
+    and mixture decisions). Consumes the memoized MinHash-LSH pair stream,
+    so in-session it costs two joins beyond the dedup run itself.
+
+    Scale: the near-dup pair set is orders of magnitude smaller than the
+    corpus, so the PAIRS broadcast into the doc->source lookups (never the
+    reverse — documents is the 100 TB side); min/max aggregates are
+    summation-order-independent, keeping the matrix bit-stable across
+    partitionings."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "source")
+    wa = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")).join(
+        F.broadcast(pairs), "d1"
+    )
+    wb = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")).join(
+        F.broadcast(wa), "d2"
+    )
+    return (
+        wb.groupBy(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy(F.col("source_a").asc(), F.col("source_b").asc())
+    )
