@@ -224,3 +224,53 @@ def rpc_holder_pager(
         return list(result or [])
 
     return fetch
+
+
+def run_enrichment_stream(
+    spark,
+    source_dir: str,
+    url: str,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "rpc_enrich",
+    key_col: str = "authorperm",
+    batch_size: int = 50,
+    timeout: float = 10.0,
+    attempts: int = RPC_ATTEMPTS,
+    output_dir: str | None = None,
+):
+    """Streaming enrichment: file source of keys → executor-side batched
+    RPC fetch → memory sink (append; the fetch is STATELESS, so no
+    watermark/state store — each micro-batch runs the batch operator's
+    exact mapInPandas stage).
+
+    This is the deployment shape for the reference's on-demand fetch
+    (S9): keys for missing posts arrive continuously, each micro-batch
+    fans the fetch out across executors, results land in the enrichment
+    table. Replay semantics: the file source is exactly-once per FILE via
+    the checkpoint, and a re-fetched key is an idempotent read against
+    the RPC tier (same key → same row, fetch_ok may only improve), so
+    at-least-once redelivery inside a failed micro-batch is safe.
+
+    ``output_dir`` switches the sink to parquet — the DURABLE deployment
+    shape, and the only one that supports checkpoint RESUME (Spark's
+    memory sink rejects recovery from a checkpoint by design; it exists
+    for inspection, not for restartable pipelines)."""
+    keys = spark.readStream.schema(f"{key_col} string").parquet(source_dir)
+    enriched = enrich_comments_rpc(
+        keys,
+        url,
+        key_col=key_col,
+        batch_size=batch_size,
+        timeout=timeout,
+        attempts=attempts,
+    )
+    w = (
+        enriched.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if output_dir is not None:
+        return w.format("parquet").option("path", output_dir).start()
+    return w.format("memory").start()

@@ -178,3 +178,46 @@ def test_holder_pager_feeds_paged_source(spark, rpc_server):
     )
     assert df.count() == 25
     assert df.filter(F.col("stake") > 0).count() == 16  # 25 minus stake==0 rows
+
+
+def test_enrichment_stream_drains_equal_to_batch(spark, rpc_server, tmp_path):
+    """Two key waves through the checkpointed stream == one batch fetch
+    over the union of keys; the second drain must not re-emit wave 1."""
+    from distribution_engine_smt_spark.rpc import run_enrichment_stream
+
+    url, _ = rpc_server
+    src = str(tmp_path / "keys")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "enriched")
+    wave1 = ["@alice/hello", "@ghost/missing"]
+    wave2 = ["@bob/reply"]
+    spark.createDataFrame([(k,) for k in wave1], "authorperm string").write.parquet(
+        src, mode="append"
+    )
+    q = run_enrichment_stream(
+        spark, src, url, ckpt, query_name="rpc_enrich_t1", output_dir=out
+    )
+    q.awaitTermination(60)
+    got1 = spark.read.parquet(out).collect()
+    assert {r["authorperm"] for r in got1} == set(wave1)
+
+    spark.createDataFrame([(k,) for k in wave2], "authorperm string").write.parquet(
+        src, mode="append"
+    )
+    q = run_enrichment_stream(
+        spark, src, url, ckpt, query_name="rpc_enrich_t2", output_dir=out
+    )
+    q.awaitTermination(60)
+    got_all = spark.read.parquet(out).collect()
+    # resumed from checkpoint: wave 1 NOT re-fetched/re-appended
+    assert {r["authorperm"] for r in got_all} == set(wave1 + wave2)
+    assert len(got_all) == len(wave1) + len(wave2)
+
+    keys = spark.createDataFrame(
+        [(k,) for k in wave1 + wave2], "authorperm string"
+    )
+    batch = {
+        r["authorperm"]: r for r in enrich_comments_rpc(keys, url).collect()
+    }
+    for r in got_all:
+        assert r.asDict() == batch[r["authorperm"]].asDict()
