@@ -107,6 +107,9 @@ _DRIVER_ROTATE_LAST = [
     "discussions_by_promoted",
     "discussions_by_payout_keyset",
     "post_with_votes",
+    # added r7 (green r1-r3, untouched since): score-ranked top-k scans
+    "discussions_by_trending",
+    "discussions_by_hot",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -182,6 +185,11 @@ _ROUND_MODIFIED = [
     # decontamination (benchmark-broadcast pair scan)
     "cross_source_dup_matrix",
     "minhash_decontaminate",
+    # r7: NEW queries — per-dimension embedding mean/std audit (decimal-
+    # exact 64-key reduction) + n-gram novelty score (df-1 fraction over
+    # the inverted 8-gram index)
+    "embedding_dim_stats",
+    "doc_novelty",
 ]
 
 

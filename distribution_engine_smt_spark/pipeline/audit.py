@@ -316,3 +316,65 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics: the dead/degenerate-dimension screen
+# ---------------------------------------------------------------------------
+from .similarity import DIM  # noqa: E402
+
+
+@register(
+    "embedding_dim_stats",
+    f"""
+    WITH el AS (
+      SELECT j AS dim, CAST(embedding[j] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, {DIM})) t(j)
+    ),
+    s AS (
+      SELECT dim, count(*) AS n,
+             sum(CAST(v AS DECIMAL(20,6))) AS sv,
+             sum(CAST(v * v AS DECIMAL(20,6))) AS sv2
+      FROM el GROUP BY dim
+    )
+    SELECT dim, CAST(n AS BIGINT) AS n,
+           round(CAST(sv AS DOUBLE) / n, 6) AS mean,
+           round(sqrt(greatest(
+             CAST(sv2 AS DOUBLE) / n
+             - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0.0)), 6)
+             AS std
+    FROM s
+    ORDER BY dim ASC
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std over the embedding corpus — the audit that
+    catches dead dimensions (std ~ 0), un-centered features (|mean| >> 0),
+    and scale imbalance before any cosine-based pipeline runs.
+
+    Scale: posexplode is map-side; the single shuffle groups on 64 keys
+    with map-side partial DECIMAL sums (scale 6 keeps the unscaled sum
+    below 2^53 — the measured decimal→double parity bound), so the
+    reduction is exact and summation-order-independent at any
+    partitioning. Variance is clamped at 0 before sqrt so float rounding
+    can't produce NaN."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    el = emb.select(F.posexplode("embedding").alias("pos", "v0")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("v0").cast("double").alias("v")
+    )
+    dec = lambda c: c.cast("decimal(20,6)")  # noqa: E731
+    s = el.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("v"))).alias("sv"),
+        F.sum(dec(F.col("v") * F.col("v"))).alias("sv2"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("sv2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    return s.select(
+        "dim",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+    ).orderBy(F.col("dim").asc())

@@ -280,3 +280,58 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# novelty: fraction of a doc's distinct 8-grams that occur in NO other doc
+# ---------------------------------------------------------------------------
+@register(
+    "doc_novelty",
+    f"""
+    WITH g AS ({_ngram_sql(NGRAM_N)}),
+    df AS (SELECT h, count(*) AS df FROM g GROUP BY h)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM g JOIN df USING (h)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id ASC
+    """,
+)
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty score: the fraction of a document's distinct word
+    8-grams whose corpus document-frequency is exactly 1. Low novelty =
+    the document is assembled from text other documents already carry
+    (boilerplate, mirrors, template spam) even when no single pair
+    crosses a dedup threshold — the complement of the pairwise dedup
+    family.
+
+    Scale: the inverted n-gram index (explode + df count) is the same
+    one-shuffle-on-h shape as decontaminate; the df table joins back on
+    h (same key — no extra exchange under AQE) and the per-doc fold is
+    one doc_id shuffle of integer partial sums. Integer counts divide to
+    identical doubles in both engines."""
+    docs = _t(spark, sf_dir)["documents"]
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_ngrams(F.col("text"), NGRAM_N),
+                lambda g: F.md5(g.cast("binary")),
+            )
+        ).alias("h"),
+    )
+    df = grams.groupBy("h").agg(F.count("*").alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        grams.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(uniq.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
