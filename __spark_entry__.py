@@ -107,9 +107,12 @@ _DRIVER_ROTATE_LAST = [
     "discussions_by_promoted",
     "discussions_by_payout_keyset",
     "post_with_votes",
-    # added r7 (green r1-r3, untouched since): score-ranked top-k scans
+    # added r7 (green r1-r3, untouched since): score-ranked top-k scans,
+    # time-ordered top-k, per-key latest
     "discussions_by_trending",
     "discussions_by_hot",
+    "discussions_by_created",
+    "latest_event_per_key",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -190,6 +193,10 @@ _ROUND_MODIFIED = [
     # the inverted 8-gram index)
     "embedding_dim_stats",
     "doc_novelty",
+    # r7: NEW queries — quality-aware dedup survivor policy (max quality +
+    # min-id-at-max over the LSH clusters) + canonical text normalization
+    "dedup_best_representative",
+    "normalize_text",
 ]
 
 

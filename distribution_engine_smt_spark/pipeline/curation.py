@@ -735,3 +735,90 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 weighted_sample.__doc__ = weighted_sample.__doc__.format(k=WSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection: keep the best-quality member per
+# near-dup cluster (the "which copy survives dedup" policy, quality-aware)
+# ---------------------------------------------------------------------------
+def _best_rep_sql() -> str:
+    from .textstats import _STOP_SQL
+
+    quality_sql = f"""
+      SELECT doc_id,
+             round(0.4 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x IN {_STOP_SQL}))::DOUBLE
+                          / len(string_split_regex(trim(text), '\\s+')))
+                 + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                          / greatest(length(text), 1)), 6) AS quality
+      FROM documents
+    """
+    clusters_sql = _CLUSTER_SQL.format(pairs_sql=_lsh_pairs_sql())
+    return f"""
+    WITH m AS (
+      SELECT c.cluster_id, c.doc_id, q.quality
+      FROM ({clusters_sql}) c JOIN ({quality_sql}) q USING (doc_id)
+    ),
+    agg AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             max(quality) AS best_quality
+      FROM m GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_members, a.best_quality,
+           CAST(min(m.doc_id) AS BIGINT) AS best_doc
+    FROM agg a JOIN m ON m.cluster_id = a.cluster_id
+                     AND m.quality = a.best_quality
+    GROUP BY a.cluster_id, a.n_members, a.best_quality
+    ORDER BY a.cluster_id ASC
+    """
+
+
+@register("dedup_best_representative", _best_rep_sql())
+def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor policy: for each near-dup cluster
+    (connected components over the verified MinHash pairs), keep the
+    member with the highest quality score — not the arbitrary lowest id.
+    This is the policy real pipelines want: among mirrored copies, the
+    cleanest one survives.
+
+    Composes two memoized operators (dedup_clusters, text_quality_score's
+    rounded blend). The argmax is decomposed as max(quality) +
+    min(doc_id)-at-max — both order-independent aggregates, so the
+    result is engine- and partitioning-independent (quality is rounded
+    to 6 decimals BEFORE comparison; a max_by would tie-break
+    engine-specifically). Scale: clusters are a tiny fraction of the
+    corpus (only docs in near-dup pairs), so every join here is
+    broadcast-sized; the heavy lifting already happened in the LSH
+    pass."""
+    from .textstats import text_quality_score
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir)
+    m = clusters.join(quality, "doc_id")
+    agg = (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max("quality").alias("best_quality"),
+        )
+        .select(
+            F.col("cluster_id").alias("agg_cid"), "n_members", "best_quality"
+        )
+    )
+    return (
+        m.join(
+            agg,
+            (F.col("cluster_id") == F.col("agg_cid"))
+            & (F.col("quality") == F.col("best_quality")),
+        )
+        .groupBy("agg_cid", "n_members", "best_quality")
+        .agg(F.min("doc_id").cast("long").alias("best_doc"))
+        .select(
+            F.col("agg_cid").alias("cluster_id"),
+            "n_members",
+            "best_quality",
+            "best_doc",
+        )
+        .orderBy(F.col("cluster_id").asc())
+    )

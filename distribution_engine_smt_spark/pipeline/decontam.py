@@ -289,15 +289,19 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_novelty",
     f"""
     WITH g AS ({_ngram_sql(NGRAM_N)}),
-    df AS (SELECT h, count(*) AS df FROM g GROUP BY h)
-    SELECT g.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-           round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS novelty
-    FROM g JOIN df USING (h)
-    GROUP BY g.doc_id
-    ORDER BY g.doc_id ASC
+    u AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_unique
+      FROM (SELECT h, count(*) AS df, min(doc_id) AS doc_id FROM g GROUP BY h)
+      WHERE df = 1
+      GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+           round(coalesce(u.n_unique, 0)::DOUBLE / t.n_grams, 6) AS novelty
+    FROM tot t LEFT JOIN u USING (doc_id)
+    ORDER BY t.doc_id ASC
     """,
 )
 def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,11 +312,12 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses a dedup threshold — the complement of the pairwise dedup
     family.
 
-    Scale: the inverted n-gram index (explode + df count) is the same
-    one-shuffle-on-h shape as decontaminate; the df table joins back on
-    h (same key — no extra exchange under AQE) and the per-doc fold is
-    one doc_id shuffle of integer partial sums. Integer counts divide to
-    identical doubles in both engines."""
+    Scale: a df=1 gram belongs to exactly ONE document, so min(doc_id)
+    inside the df aggregation attributes it for free and the full
+    inverted index never joins back against itself (measured 3x on the
+    naive grams-join-df shape at sf0.1): one h-shuffle with partial
+    aggregation, one doc_id fold per side, one tiny left join. Integer
+    counts divide to identical doubles in both engines."""
     docs = _t(spark, sf_dir)["documents"]
     grams = docs.select(
         "doc_id",
@@ -323,15 +328,26 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    df = grams.groupBy("h").agg(F.count("*").alias("df"))
-    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-    return (
-        grams.join(df, "h")
+    per_h = grams.groupBy("h").agg(
+        F.count("*").alias("df"), F.min("doc_id").alias("doc_id")
+    )
+    uniq = (
+        per_h.filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            uniq.cast("long").alias("n_unique"),
-            F.round(uniq.cast("double") / F.count("*"), 6).alias("novelty"),
+        .agg(F.count("*").alias("n_unique"))
+    )
+    tot = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        tot.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+            F.round(
+                F.coalesce(F.col("n_unique"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
         )
         .orderBy(F.col("doc_id").asc())
     )

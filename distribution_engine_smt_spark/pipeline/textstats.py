@@ -328,3 +328,36 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 zipf_slope.__doc__ = zipf_slope.__doc__.format(ranks=ZIPF_RANKS)
+
+
+# ---------------------------------------------------------------------------
+# canonical text normalization: the first stage of every dedup/tokenize path
+# ---------------------------------------------------------------------------
+@register(
+    "normalize_text",
+    r"""
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars_norm
+    FROM documents
+    ORDER BY doc_id ASC
+    """,
+)
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase + whitespace collapse + trim) —
+    the transform exact/MinHash dedup keys on so that case and spacing
+    differences don't defeat content hashing. Map-only column expressions
+    inside codegen; at scale this fuses into whatever scan consumes it
+    (no materialization unless a downstream persists it)."""
+    t = _t(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            norm.alias("norm_text"),
+            F.length(norm).cast("long").alias("n_chars_norm"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
