@@ -113,6 +113,10 @@ _DRIVER_ROTATE_LAST = [
     "discussions_by_hot",
     "discussions_by_created",
     "latest_event_per_key",
+    # added r7 (green r1-r3, untouched since): muted-suppression join,
+    # recursive tree join
+    "supplier_visible_revenue",
+    "thread_tree",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -197,6 +201,11 @@ _ROUND_MODIFIED = [
     # min-id-at-max over the LSH clusters) + canonical text normalization
     "dedup_best_representative",
     "normalize_text",
+    # r7: NEW queries — batched ANN serving (one scan scores the whole
+    # query batch, WindowGroupLimit partial top-k) + product-quantization
+    # ANN (4-byte codes, LUT-based ADC scan, exact rerank)
+    "ann_query_batch",
+    "ann_pq_topk",
 ]
 
 

@@ -506,3 +506,251 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# batched ANN: many queries against the corpus in one pass (serving shape)
+# ---------------------------------------------------------------------------
+BATCH_Q = 8     # query batch: vec_id < BATCH_Q
+BATCH_TOP = 5   # top-k per query
+
+
+@register(
+    "ann_query_batch",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {BATCH_Q}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cos_sql('e.embedding', 'q.q_emb')} AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= {BATCH_Q}
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {BATCH_TOP}
+    ORDER BY q_id ASC, rk ASC
+    """,
+)
+def ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: a batch of query vectors scores against the
+    corpus in ONE scan (the nightly-recommendations / embedding-join
+    shape), per-query top-k via a rank window partitioned on the query id.
+
+    Scale: the QUERY BATCH broadcasts (requests are small; the corpus is
+    the 100 TB side), the corpus streams through one codegen pass
+    scoring all |Q| queries per row, and the rk <= k filter lets Spark
+    run WindowGroupLimit — a per-partition partial top-k before the
+    single q_id exchange, so the shuffle carries |Q| x k x partitions
+    rows, not |corpus| x |Q|. Compose with the IVF cell filters for
+    sub-linear scans per query."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        emb.filter(F.col("vec_id") >= BATCH_Q)
+        .withColumn(
+            "norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (F.col("norm") * F.col("q_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BATCH_TOP)
+        .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
+        .orderBy(F.col("q_id").asc(), F.col("rk").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: 4 subspaces x 4 codewords, ADC scan + exact rerank
+# ---------------------------------------------------------------------------
+PQ_S = 4                 # subspaces
+PQ_DSUB = DIM // PQ_S    # dims per subspace
+PQ_K = 4                 # codewords per subspace (seeded: vec_id 0..3)
+PQ_CAND = 50             # ADC candidates kept for exact rerank
+PQ_TOP = 10
+
+
+def _pq_dist_sql(e: str, k: int, s: int) -> str:
+    """Squared distance of e's subspace-s slice to seed k's same slice
+    (fixed-order left fold, exact float->double widening both engines)."""
+    o = s * PQ_DSUB
+    d = f"(CAST({e}[{o} + i] AS DOUBLE) - CAST(k{k}.embedding[{o} + i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {PQ_DSUB}), "
+        f"i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+def _pq_argmin_sql(ds: list[str]) -> str:
+    branches = []
+    for i in range(PQ_K - 1):
+        cond = " AND ".join(f"{ds[i]} <= {ds[j]}" for j in range(i + 1, PQ_K))
+        branches.append(f"WHEN {cond} THEN {i}")
+    return "CASE " + " ".join(branches) + f" ELSE {PQ_K - 1} END"
+
+
+def _pq_sql() -> str:
+    seeds = ", ".join(
+        f"(SELECT embedding FROM embeddings WHERE vec_id = {k}) k{k}"
+        for k in range(PQ_K)
+    )
+    lut_cols = ", ".join(
+        _pq_dist_sql("q.q_emb", k, s) + f" AS qd_{s}_{k}"
+        for s in range(PQ_S)
+        for k in range(PQ_K)
+    )
+    code_cols = ", ".join(
+        _pq_argmin_sql([_pq_dist_sql("e.embedding", k, s) for k in range(PQ_K)])
+        + f" AS c{s}"
+        for s in range(PQ_S)
+    )
+    adc = " + ".join(
+        "(CASE c{s} ".format(s=s)
+        + " ".join(f"WHEN {k} THEN qd_{s}_{k}" for k in range(PQ_K))
+        + " END)"
+        for s in range(PQ_S)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    lut AS (SELECT {lut_cols} FROM q, {seeds}),
+    codes AS (
+      SELECT e.vec_id, e.embedding, {code_cols}
+      FROM embeddings e, {seeds}
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, embedding, {adc} AS approx
+      FROM codes, lut
+      ORDER BY approx ASC, vec_id ASC
+      LIMIT {PQ_CAND}
+    )
+    SELECT c.vec_id, {_cos_sql('c.embedding', 'q.q_emb')} AS cos
+    FROM cand c, q
+    ORDER BY cos DESC, c.vec_id ASC
+    LIMIT {PQ_TOP}
+    """
+
+
+@register("ann_pq_topk", _pq_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is encoded as PQ_S=4 codes
+    (nearest of PQ_K=4 codewords per 16-dim subspace; codebooks seeded
+    from vec_id 0..3 — swap in per-subspace kmeans_fit output to train
+    them), the query precomputes a 4x4 distance LUT, and the scan ranks
+    by ADC (sum of 4 LUT lookups per row — no per-row fold at all); the
+    top PQ_CAND candidates get an exact cosine rerank.
+
+    Scale: this is the memory-bound regime's answer — at 100 TB the
+    encoded table is 4 BYTES per vector + the 16-row codebook, the ADC
+    scan reads codes only (no raw vectors), and only PQ_CAND rows fetch
+    their full embedding for the rerank. Encoding is map-only; both the
+    ADC top-candidates and the rerank end in TakeOrdered (no global
+    sort). Determinism: fixed-order subspace folds, lowest-code-wins
+    argmin, LUT addition in subspace order — bit-identical across
+    engines, ties broken on vec_id."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    seed_rows = (
+        emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    q_vec = seeds[0]  # vec_id 0 doubles as the query vector
+
+    def sub_dist(col: Column, k: int, s: int) -> Column:
+        o = s * PQ_DSUB
+        arr = F.array(*[F.lit(c) for c in seeds[k][o : o + PQ_DSUB]])
+        sub = F.slice(col, o + 1, PQ_DSUB)
+        return F.aggregate(
+            F.zip_with(
+                sub, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def py_sub_dist(k: int, s: int) -> float:
+        o = s * PQ_DSUB
+        acc = 0.0
+        for i in range(PQ_DSUB):
+            d = q_vec[o + i] - seeds[k][o + i]
+            acc = acc + d * d
+        return acc
+
+    lut = [[py_sub_dist(k, s) for k in range(PQ_K)] for s in range(PQ_S)]
+
+    def argmin_case(ds: list[Column]) -> Column:
+        expr = F.lit(PQ_K - 1)
+        for i in range(PQ_K - 2, -1, -1):
+            cond = None
+            for j in range(i + 1, PQ_K):
+                c = ds[i] <= ds[j]
+                cond = c if cond is None else (cond & c)
+            expr = F.when(cond, F.lit(i)).otherwise(expr)
+        return expr
+
+    codes = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        *[
+            argmin_case(
+                [sub_dist(F.col("embedding"), k, s) for k in range(PQ_K)]
+            ).alias(f"c{s}")
+            for s in range(PQ_S)
+        ],
+    )
+    adc = None
+    for s in range(PQ_S):
+        term = None
+        for k in range(PQ_K):
+            w = F.when(F.col(f"c{s}") == k, F.lit(lut[s][k]))
+            term = w if term is None else term.when(
+                F.col(f"c{s}") == k, F.lit(lut[s][k])
+            )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.withColumn("approx", adc)
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(PQ_CAND)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(PQ_TOP)
+    )

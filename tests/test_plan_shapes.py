@@ -76,3 +76,18 @@ def test_semdedup_pairs_are_cell_blocked(spark):
     # never degenerate to an all-pairs cartesian/BNLJ over the corpus
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_query_batch_topk_is_partial_before_exchange(spark):
+    plan = _plan(spark, "ann_query_batch")
+    # rk <= k must run as WindowGroupLimit (per-partition partial top-k)
+    # so the q_id exchange carries |Q| x k x partitions rows, not the scan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pq_stages_end_in_take_ordered(spark):
+    plan = _plan(spark, "ann_pq_topk")
+    # both the ADC candidate cut and the exact rerank are TakeOrdered,
+    # never a global sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
