@@ -117,6 +117,11 @@ _DRIVER_ROTATE_LAST = [
     # recursive tree join
     "supplier_visible_revenue",
     "thread_tree",
+    # added r7 (green r1-r3, untouched since): jaccard baseline (LSH is
+    # the scale path) + the LSH pair stream itself, whose full SQL is
+    # re-driven inside cross_source_dup_matrix / corpus_datasheet oracles
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -206,6 +211,10 @@ _ROUND_MODIFIED = [
     # ANN (4-byte codes, LUT-based ADC scan, exact rerank)
     "ann_query_batch",
     "ann_pq_topk",
+    # r7: NEW queries — sliding-window counts (batch twin of the new
+    # overlapping-window stream) + per-source dataset-card roll-up
+    "sliding_event_counts",
+    "corpus_datasheet",
 ]
 
 

@@ -378,3 +378,127 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(var), 6).alias("std"),
     ).orderBy(F.col("dim").asc())
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet: the per-source roll-up a dataset card is built from
+# ---------------------------------------------------------------------------
+def _datasheet_sql() -> str:
+    from .dedup import _MINHASH_LSH_SQL
+
+    quality = f"""
+      SELECT doc_id, source,
+             round(0.4 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> x IN {_STOP_SQL}))::DOUBLE
+                          / len(string_split_regex(trim(text), '\\s+')))
+                 + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                          / greatest(length(text), 1)), 6) AS quality,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             lang
+      FROM documents
+    """
+    return f"""
+    WITH q AS ({quality}),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_quality
+      FROM q GROUP BY source
+    ),
+    dup AS (
+      SELECT da.source, CAST(count(*) AS BIGINT) AS intra_dup_pairs
+      FROM ({_MINHASH_LSH_SQL}) p
+      JOIN documents da ON p.d1 = da.doc_id
+      JOIN documents db ON p.d2 = db.doc_id
+      WHERE da.source = db.source
+      GROUP BY da.source
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.n_langs, b.mean_quality,
+           CAST(coalesce(d.intra_dup_pairs, 0) AS BIGINT) AS intra_dup_pairs
+    FROM base b LEFT JOIN dup d ON b.source = d.source
+    ORDER BY b.source ASC
+    """
+
+
+@register("corpus_datasheet", _datasheet_sql())
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table: per source — doc count, whitespace-token
+    total, language count, decimal-exact mean quality, and the
+    within-source near-dup pair count (from the memoized MinHash stream).
+    The single query a data lead reads before signing off on a mixture.
+
+    Scale: one groupBy(source) over map-side stats (quality is the same
+    rounded blend text_quality_score oracles; the mean accumulates in
+    DECIMAL so partitioning can't move it); the dup counts ride the
+    already-computed LSH pairs broadcast against the doc->source lookup.
+    count(DISTINCT lang) rewrites to a two-phase expand under AQE — |langs|
+    per source is tiny."""
+    from .dedup import dedup_minhash_lsh
+    from .textstats import STOPWORDS, tokens as ws_tokens
+
+    docs = _t(spark, sf_dir)["documents"]
+    toks = ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double") / F.size(toks)
+    punct_ratio = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    ).cast("double") / F.greatest(F.length(F.col("text")), F.lit(1))
+    quality = F.round(
+        F.lit(0.4) * F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+    base = (
+        docs.select(
+            "source",
+            "lang",
+            quality.alias("quality"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
+        )
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src_map = docs.select("doc_id", "source")
+    wa = src_map.select(
+        F.col("doc_id").alias("d1"), F.col("source").alias("s1")
+    ).join(F.broadcast(pairs), "d1")
+    wb = src_map.select(
+        F.col("doc_id").alias("d2"), F.col("source").alias("s2")
+    ).join(F.broadcast(wa), "d2")
+    dup = (
+        wb.filter(F.col("s1") == F.col("s2"))
+        .groupBy(F.col("s1").alias("source"))
+        .agg(F.count("*").cast("long").alias("intra_dup_pairs"))
+    )
+    return (
+        base.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            "mean_quality",
+            F.coalesce(F.col("intra_dup_pairs"), F.lit(0))
+            .cast("long")
+            .alias("intra_dup_pairs"),
+        )
+        .orderBy(F.col("source").asc())
+    )

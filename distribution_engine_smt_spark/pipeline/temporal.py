@@ -423,3 +423,38 @@ def event_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows: overlapping 1 h windows on a 30 min hop, batch twin
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_event_counts",
+    """
+    SELECT ws AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events, unnest([0, 1]) t(k)
+    )
+    GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows on a 30-minute hop (each event counts in
+    exactly 2 windows) — the moving-average / rolling-rate shape; batch
+    twin of ``streaming.windows.run_sliding_stream`` (column logic shared
+    via ``sliding_counts``). Spark's F.window handles the 2x fan-out
+    internally; the oracle reconstructs it as an explicit unnest over the
+    two candidate 30-min grid starts. One (window, event_type) shuffle
+    with map-side partials; decimal sums keep it bit-identical."""
+    from ..streaming.windows import sliding_counts
+
+    ev = _t(spark, sf_dir)["events"]
+    return sliding_counts(ev).orderBy(
+        F.col("window_start").asc(), F.col("event_type").asc()
+    )

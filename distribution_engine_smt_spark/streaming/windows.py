@@ -263,3 +263,58 @@ def run_range_join_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SLIDE = "30 minutes"
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Per (sliding 1 h window with 30 min hop, event_type): count + exact
+    decimal value sum. Every event lands in exactly window/slide = 2
+    windows; starts are epoch-aligned so `window.start` equals DuckDB's
+    ``time_bucket(30 min, ts) - k*30 min`` construction."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), WINDOW, SLIDE).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sliding_stream(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "sliding_counts",
+    output_mode: str = "complete",
+):
+    """Streaming twin of ``pipeline.temporal.sliding_event_counts`` — the
+    same shape as ``run_tumbling_stream`` but with overlapping windows:
+    state holds window/slide = 2 open windows per (grid slot, event_type)
+    until the watermark passes the window END, so eviction lag is window
+    length + watermark, not slide + watermark. Same output-mode caveats
+    as the tumbling runner (complete retains all state; use update/append
+    against a keyed sink in production)."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = sliding_counts(raw.withWatermark("ts", WATERMARK))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

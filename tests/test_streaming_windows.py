@@ -173,3 +173,38 @@ def test_stream_media_decode_matches_batch_twin(spark, tmp_path):
         for r in multimodal_decode(spark, SF_DIR_ORACLE).collect()
     }
     assert streamed == batch
+
+
+def test_sliding_stream_matches_batch_twin(spark, tmp_path):
+    from distribution_engine_smt_spark.pipeline.temporal import sliding_event_counts
+    from distribution_engine_smt_spark.streaming.windows import run_sliding_stream
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_counts(spark, SF_DIR_ORACLE).collect()
+    }
+    assert batch
+    # overlap sanity: sliding windows must hold ~2x the tumbling total
+    assert sum(n for n, _ in batch.values()) == 2 * sum(
+        r["n_events"]
+        for r in tumbling_event_counts(spark, SF_DIR_ORACLE).collect()
+    )
+
+    src = os.path.join(SF_DIR_ORACLE, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream_dir = tmp_path / "events_sliding"
+    stream_dir.mkdir()
+    os.symlink(src, stream_dir / "events.parquet")
+    q = run_sliding_stream(
+        spark,
+        str(stream_dir),
+        raw_schema,
+        str(tmp_path / "ckpt_sliding"),
+        query_name="sw_test",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sw_test").collect()
+    }
+    assert streamed == batch
