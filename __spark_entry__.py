@@ -122,6 +122,13 @@ _DRIVER_ROTATE_LAST = [
     # re-driven inside cross_source_dup_matrix / corpus_datasheet oracles
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # added r7: the two ingestion-fold queries. Driver-green in ALL of
+    # r1/r2/r3 (the most of any query); their r4 salting change is proven
+    # by the viral-post skew fixtures (tests/test_skew_sources.py) and
+    # hash-checked locally every round. Rotated because the 50-slot cap
+    # must first cover the r4-r7 additions that have ZERO driver rows.
+    "children_counts",
+    "payout_accumulation",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -215,6 +222,10 @@ _ROUND_MODIFIED = [
     # overlapping-window stream) + per-source dataset-card roll-up
     "sliding_event_counts",
     "corpus_datasheet",
+    # r7: NEW queries — ordered view>click>purchase funnel (conditional-min
+    # stages on one user_id partitioning) + per-source length histogram
+    "event_funnel",
+    "length_histogram",
 ]
 
 

@@ -502,3 +502,42 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source document-length histogram (fixed 100-char buckets)
+# ---------------------------------------------------------------------------
+HIST_BUCKET_CHARS = 100
+
+
+@register(
+    "length_histogram",
+    f"""
+    SELECT source,
+           CAST(n_chars // {HIST_BUCKET_CHARS} AS BIGINT) AS bucket,
+           CAST(n_chars // {HIST_BUCKET_CHARS} * {HIST_BUCKET_CHARS} AS BIGINT)
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2, 3
+    ORDER BY source ASC, bucket ASC
+    """,
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram over fixed 100-char buckets —
+    the length-distribution audit behind truncation/packing decisions.
+    Integer floor-division bucketing is exact in both engines (no
+    float log buckets, whose 1-ulp engine differences flip boundary
+    docs); one (source, bucket) shuffle with map-side partials."""
+    docs = _t(spark, sf_dir)["documents"]
+    bucket = F.floor(F.col("n_chars") / HIST_BUCKET_CHARS).cast("long")
+    return (
+        docs.select(
+            "source",
+            bucket.alias("bucket"),
+            (bucket * HIST_BUCKET_CHARS).cast("long").alias("bucket_lo"),
+        )
+        .groupBy("source", "bucket", "bucket_lo")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.col("source").asc(), F.col("bucket").asc())
+    )

@@ -458,3 +458,82 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(ev).orderBy(
         F.col("window_start").asc(), F.col("event_type").asc()
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered view -> click -> purchase conversion per user
+# ---------------------------------------------------------------------------
+@register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_no, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY step_no ASC
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click that
+    precedes a purchase (strict event-time ordering, not mere presence) —
+    the conversion table every product-analytics engine ships.
+
+    Scale: each stage is one conditional-min aggregation keyed by
+    user_id; AQE reuses the user_id partitioning across the three
+    stages, so the funnel costs one logical shuffle plus two co-located
+    joins. min() is order-independent — no window, no sort."""
+    ev = _t(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    spark_counts = [
+        v.agg(F.count("*").alias("n")).select(
+            F.lit(1).alias("step_no"), F.lit("view").alias("step"),
+            F.col("n").cast("long").alias("n_users"),
+        ),
+        c.agg(F.count("*").alias("n")).select(
+            F.lit(2).alias("step_no"), F.lit("view>click").alias("step"),
+            F.col("n").cast("long").alias("n_users"),
+        ),
+        p.agg(F.count("*").alias("n")).select(
+            F.lit(3).alias("step_no"), F.lit("view>click>purchase").alias("step"),
+            F.col("n").cast("long").alias("n_users"),
+        ),
+    ]
+    out = spark_counts[0]
+    for f in spark_counts[1:]:
+        out = out.unionByName(f)
+    return out.orderBy(F.col("step_no").asc())
