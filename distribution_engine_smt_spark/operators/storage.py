@@ -153,9 +153,13 @@ def build_ivf_index(spark, sf_dir: str, out_dir: str):
     emb = load_tpch(spark, sf_dir)["embeddings"]
     (
         emb.join(asg, "vec_id")
+        # batch_id sub-partition: the SAME two-level layout update_ivf_index
+        # appends into (mixed partition depths break discovery); the base
+        # build is just batch "base"
+        .withColumn("batch_id", F.lit("base"))
         .repartition("cid")  # one writer group per cell -> no file spray
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy("cid", "batch_id")
         .parquet(out_dir)
     )
     return cents
@@ -193,4 +197,49 @@ def probe_ivf_index(spark, index_dir: str, centroids, q_vec, top: int = 10):
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(top)
+    )
+
+
+def update_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    centroids,
+    new_vectors: DataFrame,
+    batch_id: str,
+):
+    """Incremental IVF maintenance: route a batch of NEW vectors through
+    the STORED quantizer (the same assignment-time centroids the probe
+    router uses — router and cells stay consistent by construction) and
+    write them into the cell-partitioned layout.
+
+    Idempotence: files land under (cid, batch_id) with dynamic partition
+    overwrite, so replaying a batch after a failure overwrites its own
+    partitions instead of appending duplicates — the same at-least-once
+    discipline as the streaming partition writes. The probe's partition
+    filter on cid is untouched (batch_id is a sub-directory of the cell);
+    periodic ``compact_table`` folds small batch files back together.
+
+    At 100 TB this is the ingest path of a vector index: no refit, no
+    rewrite of existing cells — k distance literals per new vector,
+    map-only, then a partitioned write of just the batch."""
+    from ..pipeline.clustering import _dist_to_literal
+
+    d = [_dist_to_literal(F.col("embedding"), c) for c in centroids]
+    k = len(centroids)
+    argmin = F.lit(k - 1)
+    for i in range(k - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, k):
+            c = d[i] <= d[j]
+            cond = c if cond is None else (cond & c)
+        argmin = F.when(cond, F.lit(i)).otherwise(argmin)
+    assigned = new_vectors.select(
+        "vec_id", "embedding", argmin.alias("cid"), F.lit(batch_id).alias("batch_id")
+    )
+    (
+        assigned.repartition("cid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "batch_id")
+        .parquet(index_dir)
     )

@@ -158,3 +158,42 @@ def test_kmeans_fit_centroids_are_the_assignment_quantizer(spark):
         .count()
     )
     assert mismatch == 0
+
+
+def test_update_ivf_index_incremental_and_idempotent(spark, tmp_path):
+    """Incremental inserts route through the STORED quantizer (router and
+    cells agree: a copy of the query vector becomes probe-visible in the
+    query's own cell) and a replayed batch overwrites itself instead of
+    appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark.operators.storage import (
+        build_ivf_index,
+        probe_ivf_index,
+        update_ivf_index,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    from .conftest import SF_DIR
+
+    idx = str(tmp_path / "ivf_u")
+    cents = build_ivf_index(spark, SF_DIR, idx)
+    emb = load_tpch(spark, SF_DIR)["embeddings"]
+    base_count = spark.read.parquet(idx).count()
+
+    q_vec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    clone = emb.where("vec_id = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    update_ivf_index(spark, idx, cents, clone, "b1")
+    assert spark.read.parquet(idx).count() == base_count + 1
+
+    # the clone must be probe-visible: it sits in the query's own cell
+    # (router == stored assignment) and scores cos = 1 against the query
+    rows = probe_ivf_index(spark, idx, cents, q_vec, top=3).collect()
+    by_id = {r["vec_id"]: r["cos"] for r in rows}
+    assert 100000 in by_id and abs(by_id[100000] - 1.0) < 1e-12
+
+    # replaying the SAME batch_id is a no-op on counts (dynamic overwrite)
+    update_ivf_index(spark, idx, cents, clone, "b1")
+    assert spark.read.parquet(idx).count() == base_count + 1
