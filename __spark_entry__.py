@@ -129,6 +129,12 @@ _DRIVER_ROTATE_LAST = [
     # must first cover the r4-r7 additions that have ZERO driver rows.
     "children_counts",
     "payout_accumulation",
+    # added r7: zero driver rows (r5 additions; the cap is full of newer
+    # zero-row queries) but the strongest LOCAL evidence of any pair —
+    # dedicated dialect-parity fixtures (tests/test_redaction.py) plus
+    # the hash-check every round; rotated on that strength.
+    "pii_redact",
+    "url_density",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -140,10 +146,9 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r5: NEW queries — PII redaction + URL/boilerplate density (map-only
-    # regex over documents, dialect-parity-tested in tests/test_redaction.py)
-    "pii_redact",
-    "url_density",
+    # (r5's pii_redact / url_density moved to _DRIVER_ROTATE_LAST in r7:
+    # the cap filled with newer zero-row queries and that pair has the
+    # strongest local evidence — dedicated dialect-parity fixtures)
     # r5: NEW queries — corpus bigram mining + BM25 relevance ranking
     "top_ngrams",
     "bm25_search",
@@ -226,6 +231,11 @@ _ROUND_MODIFIED = [
     # stages on one user_id partitioning) + per-source length histogram
     "event_funnel",
     "length_histogram",
+    # r7: NEW queries — hard-negative mining (most-similar-below-threshold
+    # band of the batched ANN scan) + frequency-ranked vocabulary with
+    # cumulative coverage (TakeOrdered cut, windows on the K-row frame)
+    "hard_negatives",
+    "build_vocab",
 ]
 
 

@@ -754,3 +754,75 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(PQ_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: most-similar-below-threshold per query
+# ---------------------------------------------------------------------------
+HN_Q = 4      # query batch: vec_id < HN_Q
+HN_TOP = 3    # hard negatives kept per query
+
+
+@register(
+    "hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {HN_Q}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cos_sql('e.embedding', 'q.q_emb')} AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= {HN_Q}
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored WHERE cos < {NEARDUP_COSINE}
+    )
+    SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {HN_TOP}
+    ORDER BY q_id ASC, rk ASC
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per query,
+    the MOST similar corpus vectors that are still BELOW the near-dup
+    threshold — similar enough to be hard, dissimilar enough to be true
+    negatives (a near-dup used as a negative poisons the contrastive
+    loss). Same one-scan broadcast-batch plan as ann_query_batch with
+    the dup band filtered out before ranking; WindowGroupLimit keeps the
+    per-query top-k partial."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < HN_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= HN_Q)
+        .withColumn(
+            "norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (F.col("norm") * F.col("q_norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") < NEARDUP_COSINE)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HN_TOP)
+        .select("q_id", "vec_id", "cos", F.col("rk").cast("long").alias("rk"))
+        .orderBy(F.col("q_id").asc(), F.col("rk").asc())
+    )

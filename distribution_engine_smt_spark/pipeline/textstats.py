@@ -361,3 +361,69 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary builder: top-k tokens with cumulative corpus coverage
+# ---------------------------------------------------------------------------
+VOCAB_TOP = 100
+
+
+@register(
+    "build_vocab",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS ct FROM tok GROUP BY tok),
+    total AS (SELECT sum(ct) AS n FROM cnt),
+    top AS (SELECT tok, ct FROM cnt ORDER BY ct DESC, tok ASC LIMIT {VOCAB_TOP}),
+    r AS (
+      SELECT tok, ct,
+             row_number() OVER (ORDER BY ct DESC, tok ASC) AS rk,
+             sum(ct) OVER (ORDER BY ct DESC, tok ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM top
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, tok, CAST(ct AS BIGINT) AS ct,
+           round(cum::DOUBLE / total.n, 6) AS coverage
+    FROM r, total
+    ORDER BY rk ASC
+    """,
+)
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    table a tokenizer build or an OOV analysis starts from ("the top K
+    tokens cover X% of the corpus").
+
+    Scale: one token shuffle with map-side partial counts; the top-K cut
+    is TakeOrdered (never a global sort of the vocabulary); the rank and
+    cumulative-sum windows then run on the K-row frame only — a corpus-
+    wide window never exists. The (ct DESC, tok ASC) ordering is total,
+    so the integer cumulative sum is deterministic in both engines."""
+    docs = _t(spark, sf_dir)["documents"]
+    from pyspark.sql import Window
+
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+    )
+    total = cnt.agg(F.sum("ct").alias("n"))
+    top = cnt.orderBy(F.col("ct").desc(), F.col("tok").asc()).limit(VOCAB_TOP)
+    w = Window.orderBy(F.col("ct").desc(), F.col("tok").asc())
+    cum = Window.orderBy(F.col("ct").desc(), F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .withColumn("cum", F.sum("ct").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "tok",
+            F.col("ct").cast("long").alias("ct"),
+            F.round(F.col("cum").cast("double") / F.col("n"), 6).alias("coverage"),
+        )
+        .orderBy(F.col("rk").asc())
+    )
