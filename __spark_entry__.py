@@ -135,6 +135,14 @@ _DRIVER_ROTATE_LAST = [
     # the hash-check every round; rotated on that strength.
     "pii_redact",
     "url_density",
+    # added r7: zero driver rows (r5 additions) but property-tested against
+    # independent Python references (tests/test_graph_properties.py,
+    # test_shards_zscore.py) on top of the every-round hash-check; rotated
+    # on that strength to keep the cap on never-otherwise-verified queries.
+    "deterministic_shuffle",
+    "source_vocab_overlap",
+    "event_zscore_anomaly",
+    "top_ngrams",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -149,16 +157,14 @@ _ROUND_MODIFIED = [
     # (r5's pii_redact / url_density moved to _DRIVER_ROTATE_LAST in r7:
     # the cap filled with newer zero-row queries and that pair has the
     # strongest local evidence — dedicated dialect-parity fixtures)
-    # r5: NEW queries — corpus bigram mining + BM25 relevance ranking
-    "top_ngrams",
+    # (r5's top_ngrams / deterministic_shuffle / source_vocab_overlap /
+    # event_zscore_anomaly moved to _DRIVER_ROTATE_LAST in r7 — property-
+    # tested against independent Python references, strongest local
+    # evidence after pii_redact/url_density)
+    # r5: NEW query — BM25 relevance ranking
     "bm25_search",
-    # r5: NEW queries — reproducible training-shard shuffle + source
-    # vocabulary-overlap matrix
-    "deterministic_shuffle",
-    "source_vocab_overlap",
-    # r5: NEW queries — SQ8 quantized ANN + rolling z-score anomaly
+    # r5: NEW query — SQ8 quantized ANN
     "ann_sq8_topk",
-    "event_zscore_anomaly",
     # r5: NEW query — unigram-LM perplexity (deterministic ordered fold)
     "unigram_perplexity",
     # r5: NEW query — iterative k-means, both Lloyd iterations oracled
@@ -236,6 +242,12 @@ _ROUND_MODIFIED = [
     # cumulative coverage (TakeOrdered cut, windows on the K-row frame)
     "hard_negatives",
     "build_vocab",
+    # r7: NEW queries — classic OLAP surfaces: Q1-shape scan aggregate,
+    # Q5-shape star join, ROLLUP subtotal grid, fixed-category PIVOT
+    "pricing_summary",
+    "regional_revenue",
+    "sales_rollup",
+    "events_pivot",
 ]
 
 

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     dedup,
     graph,
     multimodal,
+    olap,
     redaction,
     search,
     shards,

@@ -1,0 +1,245 @@
+"""Classic OLAP surfaces over the TPC-H-ish carrier tables: scan-heavy
+aggregation (Q1 shape), a multiway star join (Q5 shape), ROLLUP subtotal
+grids, and a fixed-category PIVOT.
+
+These round out the engine's reporting surface — the query shapes a BI
+layer issues against the same warehouse the pipeline operators maintain.
+
+Determinism rules (same as everywhere else in the repo): money sums
+accumulate per-row DOUBLE arithmetic (fixed multiply order, identical
+IEEE results in both engines) cast to DECIMAL for the exact,
+summation-order-independent reduction, then round(.., 6) on the way out;
+groupings order on names, never on float aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+
+_SHIP_CUTOFF = "2000-01-01"
+
+
+# ---------------------------------------------------------------------------
+# pricing summary: the scan-dominated flag/status aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC, l_linestatus ASC
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scan-bound report: one pushed-down date filter, one
+    (returnflag, linestatus) shuffle of map-side decimal partials over a
+    handful of groups. At 100 TB this is bandwidth-limited by design —
+    the plan has nothing to mis-plan, which is why Q1 is the scan
+    benchmark. Money math: per-row double products in fixed order, cast
+    to DECIMAL for the exact reduction."""
+    li = _t(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit(_SHIP_CUTOFF).cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy(F.col("l_returnflag").asc(), F.col("l_linestatus").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# regional revenue: the star join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "regional_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name ASC, n.n_name ASC
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star join: facts (lineitem, orders) join on their keys; the
+    dimension chain customer -> nation -> region folds into ONE broadcast
+    map (collapsed before touching facts, so the fact side sees a single
+    broadcast hash join, not three). At 100 TB: lineitem⋈orders is the
+    one big shuffle (or zero if both are bucketed by orderkey); customer
+    stays broadcast-able per-token in this engine's domain — if it ever
+    isn't, it becomes the second shuffle and nation/region still ride
+    the broadcast."""
+    t = _t(spark, sf_dir)
+    dim = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+    facts = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        facts.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("r_name").asc(), F.col("n_name").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: subtotal grid over (region, nation)
+# ---------------------------------------------------------------------------
+@register(
+    "sales_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY gid ASC, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal grid: per-(region, nation), per-region, and grand-total
+    rows from ONE pass — `GROUP BY ROLLUP`, the reporting surface for
+    drill-down UIs. gid disambiguates subtotal levels from genuine NULL
+    keys (both engines compute grouping() identically). At scale ROLLUP
+    is an Expand (3 rows per input here) feeding the same partial-agg
+    shuffle as a flat groupBy; decimal sums keep subtotals exactly equal
+    to the sum of their children."""
+    t = _t(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    gid = (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("long")
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            gid.alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: per-user event-type count matrix (fixed category list)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide: one row per user, one count column per event type.
+    The category list is FIXED (declared, not discovered) — at scale a
+    discovery pivot costs an extra distinct pass and makes the output
+    schema data-dependent, so production pivots always pin the columns.
+    Compiles to a single groupBy with conditional-count partials; no
+    second pass, no shuffle beyond the user_id exchange."""
+    ev = _t(spark, sf_dir)["events"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy(F.col("user_id").asc())
