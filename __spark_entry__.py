@@ -143,6 +143,10 @@ _DRIVER_ROTATE_LAST = [
     "source_vocab_overlap",
     "event_zscore_anomaly",
     "top_ngrams",
+    # added r7: hypothesis property-test replays both PageRank iterations
+    # in independent pure Python (tests/test_graph_properties.py) on top
+    # of the every-round oracle hash-check
+    "graph_pagerank",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -174,10 +178,10 @@ _ROUND_MODIFIED = [
     # scoring extracted into _bm25_scored, shared with the hybrid ranker)
     "tfidf_keywords",
     "rrf_hybrid_search",
-    # r6: NEW queries — dup-group-aware train/val/test split + integer-token
-    # PageRank on the customer–supplier graph
+    # r6: NEW query — dup-group-aware train/val/test split
+    # (graph_pagerank moved to _DRIVER_ROTATE_LAST in r7: hypothesis
+    # property-test replays both iterations in independent Python)
     "leakage_free_split",
-    "graph_pagerank",
     # r6: NEW queries — corpus-audit family (lang-ID confusion matrix,
     # curriculum quality deciles, embedding peakedness outliers) + exact-
     # substring duplicated-span measurement
@@ -248,6 +252,9 @@ _ROUND_MODIFIED = [
     "regional_revenue",
     "sales_rollup",
     "events_pivot",
+    # r7: NEW query — 7-day trailing average (ROWS-frame window over
+    # decimal day-grain sums, frame-order-independent by construction)
+    "daily_moving_avg",
 ]
 
 

@@ -243,3 +243,68 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
     ).orderBy(F.col("user_id").asc())
+
+
+# ---------------------------------------------------------------------------
+# moving average: 7-day trailing window over daily counts (frame aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_moving_avg",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(sum(v) OVER w AS DOUBLE)
+                 / sum(n) OVER w, 6) AS avg_value_7d
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type ASC, day ASC
+    """,
+)
+def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing average event value per type — the window-FRAME
+    aggregate surface (ROWS BETWEEN), distinct from the rank windows and
+    the tumbling/sliding groupBys elsewhere.
+
+    Determinism: the frame accumulates pre-aggregated DAY rows whose
+    values are DECIMAL sums — decimal addition is exact and
+    order-independent, so the engine's internal frame-accumulation order
+    (the thing that makes float window sums engine-specific) cannot move
+    the result; the single double division happens once per output row.
+    Scale: the window partitions by event_type over day-grain rows —
+    thousands of rows per partition at any corpus size (days x types),
+    never corpus-sized."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir)["events"]
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        d.select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum("v").over(w).cast("double") / F.sum("n").over(w), 6
+            ).alias("avg_value_7d"),
+        )
+        .orderBy(F.col("event_type").asc(), F.col("day").asc())
+    )

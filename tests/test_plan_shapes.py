@@ -91,3 +91,23 @@ def test_pq_stages_end_in_take_ordered(spark):
     # never a global sort of the corpus
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_regional_revenue_dims_broadcast(spark):
+    plan = _plan(spark, "regional_revenue")
+    # the dimension chain must reach facts as broadcast hash joins; the
+    # only allowed exchange is the fact-side orderkey/group shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_is_one_expand_pass(spark):
+    plan = _plan(spark, "sales_rollup")
+    assert "Expand" in plan  # ROLLUP = Expand feeding one partial agg
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_is_single_aggregation(spark):
+    plan = _plan(spark, "events_pivot")
+    # fixed category list: one groupBy pass, no second (discovery) scan
+    assert plan.count("Scan parquet") == 1
