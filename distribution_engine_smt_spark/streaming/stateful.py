@@ -226,3 +226,90 @@ def zscore_stream(events_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel: per-user stage machine (twin of pipeline.olap/temporal
+# event_funnel batch semantics under event-time-ordered arrival)
+# ---------------------------------------------------------------------------
+FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", IntegerType()),
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+    ]
+)
+
+# per-user state: first-view / first-click-after-view / first-purchase-
+# after-click as epoch micros; -1 = not reached
+FUNNEL_STATE = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import pandas as _pd
+
+    rows = _pd.concat(list(batches), ignore_index=True)
+    if rows.empty:
+        return
+    rows = rows.sort_values("ts")
+    tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+    ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+    for t, et in zip(ts_us, rows["event_type"].tolist()):
+        if et == "view":
+            # refine first-view only while no click committed against it
+            if tv < 0 or (t < tv and tc < 0):
+                tv = t
+        elif et == "click":
+            if tv >= 0 and t > tv and (tc < 0 or (t < tc and tp < 0)):
+                tc = t
+        elif et == "purchase":
+            if tc >= 0 and t > tc and (tp < 0 or t < tp):
+                tp = t
+    state.update((tv, tc, tp))
+    stage = 3 if tp >= 0 else 2 if tc >= 0 else 1 if tv >= 0 else 0
+    yield _pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "t_view": [tv],
+            "t_click": [tc],
+            "t_purchase": [tp],
+        }
+    )
+
+
+def funnel_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuous funnel (streaming twin of ``event_funnel``): per-user
+    state machine over strictly event-time-ordered view > click >
+    purchase, emitting the user's current stage on every update.
+
+    Semantics: exact against the batch funnel when arrival respects
+    event-time order ACROSS micro-batches at stage boundaries (the
+    append-log case — files land roughly chronologically; within a batch
+    the fold sorts by event time, so any intra-batch disorder is free).
+    A stage once committed is monotone: a late earlier view cannot
+    un-commit an already-accepted click — the bounded-state price of an
+    O(1)-per-user incremental funnel; the batch operator is the exact
+    backfill, same pairing as every processor in this engine.
+
+    Scale: state is three longs per user, hash-distributed; output mode
+    update emits only users touched by the micro-batch."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -237,3 +237,61 @@ def test_zscore_stream_drain_equals_batch(spark, tmp_path):
     assert set(got) == set(batch)
     for eid in batch:
         assert got[eid] == batch[eid], eid
+
+
+def test_funnel_stream_drain_equals_batch(spark, tmp_path):
+    """Chronological waves through the per-user funnel state machine must
+    reproduce the batch funnel's per-step user counts exactly."""
+    import duckdb
+
+    import distribution_engine_smt_spark.pipeline  # noqa: F401
+    from distribution_engine_smt_spark.driver_queries import QUERIES
+    from distribution_engine_smt_spark.streaming.stateful import funnel_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, event_type"
+        f" FROM '{sf}/events.parquet' ORDER BY ts, event_id"
+    ).fetchall()
+    src = tmp_path / "events_funnel"
+    src.mkdir()
+    third = len(ev) // 3
+    for i, chunk in enumerate([ev[:third], ev[third : 2 * third], ev[2 * third :]]):
+        _write(
+            src / f"b{i}.json",
+            [
+                {"event_id": e, "user_id": u, "ts": t, "event_type": et}
+                for e, u, t, et in chunk
+            ],
+        )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    final: dict[int, int] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            final[r["user_id"]] = r["stage"]  # last update wins
+
+    q = (
+        funnel_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = {
+        r["step_no"]: r["n_users"]
+        for r in QUERIES["event_funnel"](spark, sf).collect()
+    }
+    got = {
+        1: sum(1 for s in final.values() if s >= 1),
+        2: sum(1 for s in final.values() if s >= 2),
+        3: sum(1 for s in final.values() if s >= 3),
+    }
+    assert got == batch
