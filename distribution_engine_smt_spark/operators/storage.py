@@ -222,19 +222,14 @@ def update_ivf_index(
     At 100 TB this is the ingest path of a vector index: no refit, no
     rewrite of existing cells — k distance literals per new vector,
     map-only, then a partitioned write of just the batch."""
-    from ..pipeline.clustering import _dist_to_literal
+    from ..pipeline.clustering import _argmin_case, _dist_to_literal
 
     d = [_dist_to_literal(F.col("embedding"), c) for c in centroids]
-    k = len(centroids)
-    argmin = F.lit(k - 1)
-    for i in range(k - 2, -1, -1):
-        cond = None
-        for j in range(i + 1, k):
-            c = d[i] <= d[j]
-            cond = c if cond is None else (cond & c)
-        argmin = F.when(cond, F.lit(i)).otherwise(argmin)
     assigned = new_vectors.select(
-        "vec_id", "embedding", argmin.alias("cid"), F.lit(batch_id).alias("batch_id")
+        "vec_id",
+        "embedding",
+        _argmin_case(d).alias("cid"),
+        F.lit(batch_id).alias("batch_id"),
     )
     (
         assigned.repartition("cid")
@@ -243,3 +238,43 @@ def update_ivf_index(
         .partitionBy("cid", "batch_id")
         .parquet(index_dir)
     )
+
+
+def compact_ivf_cell(
+    spark: SparkSession,
+    index_dir: str,
+    cid: int,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+):
+    """Fold ONE cell's accumulated per-batch directories into a single
+    consolidated batch partition. ``compact_table`` bin-packs within a
+    leaf directory, and each (cid, batch_id) pair is its own leaf — so
+    continuous ``update_ivf_index`` ingest needs THIS cross-batch step
+    or the cell accumulates one small directory per batch forever (the
+    exact small-file problem the module docstring warns about).
+
+    Atomic per cell: consolidated files land in a hidden sibling under a
+    fresh ``batch_id=compacted-...`` leaf, then rename over the cell
+    directory — a failed swap affects one cell, probes never see a
+    partial state. Replay caveat (standard log-compaction rule): only
+    compact batches OUTSIDE the ingest replay window — a replayed
+    pre-compaction batch_id would dynamic-overwrite into a fresh
+    directory and duplicate its rows against the consolidated files."""
+    cell = os.path.join(index_dir, f"cid={cid}")
+    df = spark.read.parquet(cell).drop("batch_id")
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(cell)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    stamp = uuid.uuid4().hex[:8]
+    tmp = os.path.join(index_dir, f".cid={cid}.compact-{stamp}")
+    df.coalesce(n_out).write.mode("overwrite").parquet(
+        os.path.join(tmp, f"batch_id=compacted-{stamp}")
+    )
+    old = f"{cell}.old-{stamp}"
+    os.rename(cell, old)
+    os.rename(tmp, cell)
+    shutil.rmtree(old)

@@ -385,15 +385,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _datasheet_sql() -> str:
     from .dedup import _MINHASH_LSH_SQL
+    from .textstats import quality_sql_expr
 
     quality = f"""
       SELECT doc_id, source,
-             round(0.4 * least(n_chars / 500.0, 1.0)
-                 + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                          x -> x IN {_STOP_SQL}))::DOUBLE
-                          / len(string_split_regex(trim(text), '\\s+')))
-                 + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-                          / greatest(length(text), 1)), 6) AS quality,
+             {quality_sql_expr()} AS quality,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
              lang
       FROM documents
@@ -438,30 +434,15 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(DISTINCT lang) rewrites to a two-phase expand under AQE — |langs|
     per source is tiny."""
     from .dedup import dedup_minhash_lsh
-    from .textstats import STOPWORDS, tokens as ws_tokens
+    from .textstats import quality_col, tokens as ws_tokens
 
     docs = _t(spark, sf_dir)["documents"]
-    toks = ws_tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_ratio = F.size(
-        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
-    ).cast("double") / F.size(toks)
-    punct_ratio = (
-        F.length(F.col("text"))
-        - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
-    ).cast("double") / F.greatest(F.length(F.col("text")), F.lit(1))
-    quality = F.round(
-        F.lit(0.4) * F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
-        + F.lit(0.3) * stop_ratio
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
-        6,
-    )
     base = (
         docs.select(
             "source",
             "lang",
-            quality.alias("quality"),
-            F.size(toks).alias("n_tokens"),
+            quality_col().alias("quality"),
+            F.size(ws_tokens(F.col("text"))).alias("n_tokens"),
         )
         .groupBy("source")
         .agg(

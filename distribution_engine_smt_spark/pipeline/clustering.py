@@ -55,12 +55,16 @@ def _dist_to_literal(emb, centroid: list[float]):
 
 
 def _argmin_case(d: list):
-    """Lowest-cid-wins argmin over k distance columns (ties -> lower cid),
-    mirrored verbatim in the oracle SQL."""
-    expr = F.lit(K - 1)
-    for i in range(K - 2, -1, -1):
+    """Lowest-index-wins argmin over len(d) distance columns (ties ->
+    lower index), mirrored verbatim in the oracle SQL. THE shared
+    tie-break contract for every quantizer in the repo (k-means cells,
+    the stored-index router, PQ codebooks) — one implementation so the
+    rule cannot drift between consumers."""
+    k = len(d)
+    expr = F.lit(k - 1)
+    for i in range(k - 2, -1, -1):
         cond = None
-        for j in range(i + 1, K):
+        for j in range(i + 1, k):
             c = d[i] <= d[j]
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(i)).otherwise(expr)

@@ -742,16 +742,10 @@ weighted_sample.__doc__ = weighted_sample.__doc__.format(k=WSAMPLE_K)
 # near-dup cluster (the "which copy survives dedup" policy, quality-aware)
 # ---------------------------------------------------------------------------
 def _best_rep_sql() -> str:
-    from .textstats import _STOP_SQL
+    from .textstats import quality_sql_expr
 
     quality_sql = f"""
-      SELECT doc_id,
-             round(0.4 * least(n_chars / 500.0, 1.0)
-                 + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                          x -> x IN {_STOP_SQL}))::DOUBLE
-                          / len(string_split_regex(trim(text), '\\s+')))
-                 + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-                          / greatest(length(text), 1)), 6) AS quality
+      SELECT doc_id, {quality_sql_expr()} AS quality
       FROM documents
     """
     clusters_sql = _CLUSTER_SQL.format(pairs_sql=_lsh_pairs_sql())

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import _t, memoize_df, register
 
 NGRAM_N = 8          # decontamination n-gram length (words)
 BENCH_MOD = 5        # doc_id % BENCH_MOD == 0 plays the held-out eval set
@@ -229,6 +229,7 @@ def _minhash_decon_sql() -> str:
 
 
 @register("minhash_decontaminate", _minhash_decon_sql())
+@memoize_df
 def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination via MinHash signature agreement — catches
     paraphrased/partially-edited benchmark leakage the exact-8-gram pass

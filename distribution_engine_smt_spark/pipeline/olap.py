@@ -252,7 +252,9 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_moving_avg",
     """
     WITH d AS (
-      SELECT event_type, date_trunc('day', ts) AS day,
+      -- CAST to TIMESTAMP: DuckDB's date_trunc('day') yields DATE while
+      -- Spark's yields timestamp — the cast keeps the twin types aligned
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              count(*) AS n,
              sum(CAST(value AS DECIMAL(18,2))) AS v
       FROM events GROUP BY 1, 2

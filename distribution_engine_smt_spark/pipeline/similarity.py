@@ -515,19 +515,53 @@ BATCH_Q = 8     # query batch: vec_id < BATCH_Q
 BATCH_TOP = 5   # top-k per query
 
 
-@register(
-    "ann_query_batch",
-    f"""
-    WITH q AS (
+def _batch_scored_sql(n_q: int) -> str:
+    """Shared CTE pair: the broadcast query batch (vec_id < n_q) scored
+    against the rest of the corpus in one scan. Single source for
+    ann_query_batch and hard_negatives, so the scoring path cannot
+    drift between the twins."""
+    return f"""q AS (
       SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-      WHERE vec_id < {BATCH_Q}
+      WHERE vec_id < {n_q}
     ),
     scored AS (
       SELECT q.q_id, e.vec_id,
              {_cos_sql('e.embedding', 'q.q_emb')} AS cos
       FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id >= {BATCH_Q}
-    ),
+      WHERE e.vec_id >= {n_q}
+    )"""
+
+
+def _batch_scores(emb: DataFrame, n_q: int) -> DataFrame:
+    """DataFrame twin of :func:`_batch_scored_sql`: (q_id, vec_id, cos)
+    with per-side norm precompute; the query batch broadcasts, the
+    corpus streams through one scan scoring all |Q| queries per row."""
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        emb.filter(F.col("vec_id") >= n_q)
+        .withColumn(
+            "norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (F.col("norm") * F.col("q_norm"))
+            ).alias("cos"),
+        )
+    )
+
+
+@register(
+    "ann_query_batch",
+    f"""
+    WITH {_batch_scored_sql(BATCH_Q)},
     ranked AS (
       SELECT q_id, vec_id, cos,
              row_number() OVER (PARTITION BY q_id
@@ -551,30 +585,9 @@ def ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     single q_id exchange, so the shuffle carries |Q| x k x partitions
     rows, not |corpus| x |Q|. Compose with the IVF cell filters for
     sub-linear scans per query."""
-    t = _t(spark, sf_dir)
-    emb = t["embeddings"]
-    q = emb.filter(F.col("vec_id") < BATCH_Q).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
     from pyspark.sql import Window
 
-    scored = (
-        emb.filter(F.col("vec_id") >= BATCH_Q)
-        .withColumn(
-            "norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        )
-        .crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (F.col("norm") * F.col("q_norm"))
-            ).alias("cos"),
-        )
-    )
+    scored = _batch_scores(_t(spark, sf_dir)["embeddings"], BATCH_Q)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -701,15 +714,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lut = [[py_sub_dist(k, s) for k in range(PQ_K)] for s in range(PQ_S)]
 
-    def argmin_case(ds: list[Column]) -> Column:
-        expr = F.lit(PQ_K - 1)
-        for i in range(PQ_K - 2, -1, -1):
-            cond = None
-            for j in range(i + 1, PQ_K):
-                c = ds[i] <= ds[j]
-                cond = c if cond is None else (cond & c)
-            expr = F.when(cond, F.lit(i)).otherwise(expr)
-        return expr
+    # the shared lowest-index-wins tie-break contract (one implementation
+    # repo-wide so the rule cannot drift between quantizer consumers)
+    from .clustering import _argmin_case as argmin_case
 
     codes = emb.filter(F.col("vec_id") != 0).select(
         "vec_id",
@@ -766,16 +773,7 @@ HN_TOP = 3    # hard negatives kept per query
 @register(
     "hard_negatives",
     f"""
-    WITH q AS (
-      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-      WHERE vec_id < {HN_Q}
-    ),
-    scored AS (
-      SELECT q.q_id, e.vec_id,
-             {_cos_sql('e.embedding', 'q.q_emb')} AS cos
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id >= {HN_Q}
-    ),
+    WITH {_batch_scored_sql(HN_Q)},
     ranked AS (
       SELECT q_id, vec_id, cos,
              row_number() OVER (PARTITION BY q_id
@@ -797,27 +795,8 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k partial."""
     from pyspark.sql import Window
 
-    emb = _t(spark, sf_dir)["embeddings"]
-    q = emb.filter(F.col("vec_id") < HN_Q).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
-    scored = (
-        emb.filter(F.col("vec_id") >= HN_Q)
-        .withColumn(
-            "norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        )
-        .crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (F.col("norm") * F.col("q_norm"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") < NEARDUP_COSINE)
+    scored = _batch_scores(_t(spark, sf_dir)["embeddings"], HN_Q).filter(
+        F.col("cos") < NEARDUP_COSINE
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

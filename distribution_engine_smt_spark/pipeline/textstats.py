@@ -93,46 +93,56 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # quality scoring: length / punctuation / stopword-ratio linear blend
 # ---------------------------------------------------------------------------
-@register(
-    "text_quality_score",
-    f"""
-    WITH q AS (
-      SELECT doc_id,
-             least(n_chars / 500.0, 1.0) AS len_component,
-             len(list_filter(string_split_regex(trim(text), '\\s+'),
-                             x -> x IN {_STOP_SQL}))::DOUBLE
-               / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
-             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-               / greatest(length(text), 1) AS punct_ratio
-      FROM documents
+def quality_sql_expr() -> str:
+    """THE quality-blend SQL fragment (rounded to 6), in terms of a
+    `documents` row's ``text``/``n_chars``. Single source shared by
+    text_quality_score, audit.corpus_datasheet, and
+    curation.dedup_best_representative — three literal copies of the
+    0.4/0.3/0.3 formula cannot stay in lockstep by hand, and any drift
+    silently breaks cross-operator quality agreement."""
+    return (
+        "round(0.4 * least(n_chars / 500.0, 1.0)"
+        " + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        f" x -> x IN {_STOP_SQL}))::DOUBLE"
+        " / len(string_split_regex(trim(text), '\\s+')))"
+        " + 0.3 * (1.0 - (length(text) -"
+        " length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE"
+        " / greatest(length(text), 1)), 6)"
     )
-    SELECT doc_id,
-           round(0.4 * len_component + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 6)
-             AS quality
-    FROM q
-    ORDER BY doc_id ASC
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir)
+
+
+def quality_col() -> "F.Column":
+    """Spark twin of :func:`quality_sql_expr` (same blend, same rounding),
+    in terms of the documents columns ``text``/``n_chars``."""
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
-        "double"
-    ) / F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double") / F.size(toks)
     punct_ratio = (
         F.length(F.col("text"))
         - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
     ).cast("double") / F.greatest(F.length(F.col("text")), F.lit(1))
     len_component = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
-    quality = (
+    return F.round(
         F.lit(0.4) * len_component
         + F.lit(0.3) * stop_ratio
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        6,
     )
+
+
+@register(
+    "text_quality_score",
+    "SELECT doc_id, "
+    + quality_sql_expr()
+    + " AS quality FROM documents ORDER BY doc_id ASC",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
     return (
         t["documents"]
-        .select("doc_id", F.round(quality, 6).alias("quality"))
+        .select("doc_id", quality_col().alias("quality"))
         .orderBy(F.col("doc_id").asc())
     )
 

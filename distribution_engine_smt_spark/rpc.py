@@ -81,7 +81,12 @@ def json_rpc_batch(
 ) -> list[Any]:
     """Batched JSON-RPC 2.0: one POST carries ``len(params_list)`` calls,
     results are re-ordered by id (the spec allows servers to reorder).
-    Missing ids come back as None — the caller decides the fallback."""
+    Missing ids come back as None — the caller decides the fallback.
+
+    Per-item ``error`` members are RETRYABLE, same as the single-call
+    path (a transient per-item rate limit must not be conflated with "no
+    such post"): a batch with any errored item is re-sent until the
+    attempt budget runs out, after which errored items degrade to None."""
     payload = json.dumps(
         [
             {"jsonrpc": "2.0", "id": i, "method": method, "params": p}
@@ -89,6 +94,7 @@ def json_rpc_batch(
         ]
     ).encode()
     last: Exception | None = None
+    best: list[Any] | None = None
     for i in range(attempts):
         try:
             req = urllib.request.Request(
@@ -101,11 +107,19 @@ def json_rpc_batch(
                 for item in body
                 if item.get("error") is None
             }
-            return [by_id.get(j) for j in range(len(params_list))]
+            best = [by_id.get(j) for j in range(len(params_list))]
+            errored = [
+                item.get("id") for item in body if item.get("error") is not None
+            ]
+            if not errored:
+                return best
+            last = RuntimeError(f"rpc batch items errored: ids {errored[:5]}")
         except Exception as e:  # noqa: BLE001
             last = e
-            if i + 1 < attempts:
-                time.sleep(backoff_s * (i + 1))
+        if i + 1 < attempts:
+            time.sleep(backoff_s * (i + 1))
+    if best is not None:
+        return best  # transport worked; errored items degrade to None
     raise RuntimeError(f"rpc batch {method} failed after {attempts} attempts: {last}")
 
 
@@ -153,7 +167,9 @@ def enrich_comments_rpc(
                 except Exception:  # noqa: BLE001 — degrade, don't fail the task
                     results = [None] * len(chunk)
                 for k, r in zip(chunk, results):
-                    if r is None:
+                    # a None OR empty-object result is "no such post" —
+                    # real endpoints return {} for deleted/missing keys
+                    if not r:
                         out.append(
                             {
                                 "authorperm": k,

@@ -48,6 +48,7 @@ HOLDERS = [{"account": f"acct{i}", "symbol": "TKN", "stake": float(i % 3)} for i
 class _RpcState:
     def __init__(self):
         self.fail_next = 0  # fail this many requests before succeeding
+        self.item_error_next = 0  # per-item JSON-RPC errors on first item
         self.requests = 0
         self.lock = threading.Lock()
 
@@ -81,11 +82,22 @@ def rpc_server():
                     self.end_headers()
                     return
             if isinstance(body, list):
-                out = [
-                    {"jsonrpc": "2.0", "id": c["id"],
-                     "result": _dispatch(c["method"], c["params"])}
-                    for c in body
-                ]
+                with state.lock:
+                    flake_first = state.item_error_next > 0
+                    if flake_first:
+                        state.item_error_next -= 1
+                out = []
+                for j, c in enumerate(body):
+                    if flake_first and j == 0:
+                        out.append(
+                            {"jsonrpc": "2.0", "id": c["id"],
+                             "error": {"code": -32603, "message": "transient"}}
+                        )
+                    else:
+                        out.append(
+                            {"jsonrpc": "2.0", "id": c["id"],
+                             "result": _dispatch(c["method"], c["params"])}
+                        )
             else:
                 out = {"jsonrpc": "2.0", "id": body["id"],
                        "result": _dispatch(body["method"], body["params"])}
@@ -133,6 +145,47 @@ def test_batch_preserves_order(rpc_server):
     assert rs[0]["body"] == "nice post"
     assert rs[1]["body"] == "hello world"
     assert rs[2] is None
+
+
+def test_batch_retries_per_item_errors(rpc_server):
+    """A transient per-item JSON-RPC error must be retried like a
+    transport failure, not conflated with a missing result."""
+    url, state = rpc_server
+    with state.lock:
+        state.item_error_next = 1
+    rs = json_rpc_batch(
+        url, "get_content", [["@alice/hello"], ["@bob/reply"]], backoff_s=0.01
+    )
+    assert rs[0]["body"] == "hello world"  # recovered on retry
+    assert rs[1]["body"] == "nice post"
+
+
+def test_batch_exhausted_item_errors_degrade_to_none(rpc_server):
+    url, state = rpc_server
+    with state.lock:
+        state.item_error_next = 99
+    rs = json_rpc_batch(
+        url, "get_content", [["@alice/hello"], ["@bob/reply"]],
+        attempts=2, backoff_s=0.01,
+    )
+    assert rs[0] is None          # errored through the attempt budget
+    assert rs[1]["body"] == "nice post"  # healthy item still returned
+    with state.lock:
+        state.item_error_next = 0
+
+
+def test_empty_object_result_is_not_found(spark, rpc_server):
+    """Endpoints that answer {} for a deleted post must not produce
+    fetch_ok=true with all-null fields."""
+    url, _ = rpc_server
+    POSTS["@deleted/post"] = {}
+    try:
+        keys = spark.createDataFrame([("@deleted/post",)], "authorperm string")
+        row = enrich_comments_rpc(keys, url).collect()[0]
+        assert row["fetch_ok"] is False
+        assert row["body"] is None
+    finally:
+        del POSTS["@deleted/post"]
 
 
 def test_enrich_comments_distributed(spark, rpc_server):

@@ -197,3 +197,52 @@ def test_update_ivf_index_incremental_and_idempotent(spark, tmp_path):
     # replaying the SAME batch_id is a no-op on counts (dynamic overwrite)
     update_ivf_index(spark, idx, cents, clone, "b1")
     assert spark.read.parquet(idx).count() == base_count + 1
+
+
+def test_compact_ivf_cell_folds_batch_dirs(spark, tmp_path):
+    """Cross-batch cell compaction: many per-batch leaves become one,
+    rows and probe results unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark.operators.storage import (
+        build_ivf_index,
+        compact_ivf_cell,
+        probe_ivf_index,
+        update_ivf_index,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    from .conftest import SF_DIR
+
+    idx = str(tmp_path / "ivf_c")
+    cents = build_ivf_index(spark, SF_DIR, idx)
+    emb = load_tpch(spark, SF_DIR)["embeddings"]
+    q_vec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    for i, off in enumerate((100000, 100001, 100002)):
+        clone = emb.where("vec_id = 0").select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding"
+        )
+        update_ivf_index(spark, idx, cents, clone, f"b{i}")
+
+    # the query's cell now holds base + 3 batch leaves
+    cells = [d for d in os.listdir(idx) if d.startswith("cid=")]
+    target = None
+    for c in cells:
+        leaves = os.listdir(os.path.join(idx, c))
+        if len([d for d in leaves if d.startswith("batch_id=")]) >= 4:
+            target = int(c.split("=")[1])
+    assert target is not None
+    before = spark.read.parquet(idx).count()
+
+    compact_ivf_cell(spark, idx, target)
+    leaves = [
+        d
+        for d in os.listdir(os.path.join(idx, f"cid={target}"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(leaves) == 1  # folded into one consolidated batch
+    assert spark.read.parquet(idx).count() == before  # data identical
+    got = {r["vec_id"] for r in probe_ivf_index(spark, idx, cents, q_vec, top=5).collect()}
+    assert {100000, 100001, 100002} & got  # clones still probe-visible
