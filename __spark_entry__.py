@@ -147,6 +147,16 @@ _DRIVER_ROTATE_LAST = [
     # in independent pure Python (tests/test_graph_properties.py) on top
     # of the every-round oracle hash-check
     "graph_pagerank",
+    # added r8: zero driver rows, but each one's core logic is REPLAYED by
+    # an in-cap query's oracle — semdedup's and ann_ivf_kmeans_topk's
+    # oracles re-drive the full two-iteration k-means fit (embedding_kmeans),
+    # ann_ivf_kmeans_topk exercises the same trained-IVF cell route as the
+    # nprobe variant, and rrf_hybrid_search re-drives the shared
+    # _bm25_scored scoring (bm25_search). All three also hash-checked
+    # locally every round (tests/test_driver_queries.py).
+    "embedding_kmeans",
+    "ann_ivf_kmeans_nprobe",
+    "bm25_search",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -165,17 +175,17 @@ _ROUND_MODIFIED = [
     # event_zscore_anomaly moved to _DRIVER_ROTATE_LAST in r7 — property-
     # tested against independent Python references, strongest local
     # evidence after pii_redact/url_density)
-    # r5: NEW query — BM25 relevance ranking
-    "bm25_search",
     # r5: NEW query — SQ8 quantized ANN
     "ann_sq8_topk",
     # r5: NEW query — unigram-LM perplexity (deterministic ordered fold)
     "unigram_perplexity",
-    # r5: NEW query — iterative k-means, both Lloyd iterations oracled
-    "embedding_kmeans",
+    # (r5's bm25_search / embedding_kmeans and r6's ann_ivf_kmeans_nprobe
+    # moved to _DRIVER_ROTATE_LAST in r8: the cap filled with the new
+    # sketch family, and those three are the only zero-row queries whose
+    # core logic an IN-cap query's oracle REPLAYS — see rotate-last notes)
     # r6: NEW queries — TF-IDF keywords + hybrid lexical/dense RRF retrieval
-    # (bm25_search — already listed above — was also refactored this round:
-    # scoring extracted into _bm25_scored, shared with the hybrid ranker)
+    # (rrf_hybrid_search consumes _bm25_scored, so its oracle re-drives the
+    # full BM25 scoring of the rotated bm25_search)
     "tfidf_keywords",
     "rrf_hybrid_search",
     # r6: NEW query — dup-group-aware train/val/test split
@@ -194,7 +204,9 @@ _ROUND_MODIFIED = [
     "multimodal_resize",
     "multimodal_frame_sample",
     # r6: NEW query — trained-IVF ANN through the k-means cells (composes
-    # the embedding_kmeans fit with the similarity probe, both re-oracled)
+    # the embedding_kmeans fit with the similarity probe, both re-oracled —
+    # its oracle replays the FULL two-iteration Lloyd fit, which is why
+    # embedding_kmeans and the nprobe variant can sit rotated past the cap)
     "ann_ivf_kmeans_topk",
     # r6: NEW queries — literal boilerplate-span miner + sqrt-scaled data-
     # mixture weight/sampling-rate table
@@ -209,8 +221,6 @@ _ROUND_MODIFIED = [
     # r6: NEW query — Efraimidis–Spirakis weighted sampling without
     # replacement (length-weighted md5 uniforms, round-before-rank)
     "weighted_sample",
-    # r6: NEW query — trained-IVF recall knob (probe the 2 nearest cells)
-    "ann_ivf_kmeans_nprobe",
     # r7: NEW query — SemDeDup (k-means cells + within-cell cosine pruning,
     # composes the cached fit with the exact pair verify)
     "semdedup",
@@ -255,6 +265,13 @@ _ROUND_MODIFIED = [
     # r7: NEW query — 7-day trailing average (ROWS-frame window over
     # decimal day-grain sums, frame-order-independent by construction)
     "daily_moving_avg",
+    # r8: NEW queries — portable mergeable-sketch family: HyperLogLog
+    # distinct (integer-exact registers via bin()/shifts), count-min
+    # heavy-hitter frequency estimates, KMV theta-sketch set operations
+    # (union / Jaccard / intersection from two bottom-k sketches)
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "kmv_set_ops",
 ]
 
 

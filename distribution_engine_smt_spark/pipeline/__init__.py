@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     search,
     shards,
     similarity,
+    sketches,
     temporal,
     textstats,
 )

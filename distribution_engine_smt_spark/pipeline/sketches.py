@@ -1,0 +1,406 @@
+"""Mergeable approximate-aggregate sketches: HyperLogLog distinct,
+count-min frequency estimation, and KMV set operations (union /
+intersection / Jaccard).
+
+These are the aggregates that replace exact COUNT(DISTINCT) / exact
+frequency tables when the key space no longer fits anywhere: the sketch
+state is fixed-size, merges associatively across partitions (max for HLL
+registers, cell-wise sum for CMS, min-merge for KMV), so every one of
+them runs as ONE map-side-combinable shuffle regardless of input size.
+The reference's Postgres DAO answers these questions with exact scans
+(e.g. the holder/balance roll-ups in its market tables); at 100 TB the
+sketch is the only shape that survives.
+
+Determinism contract (the whole point of this file's design): every
+sketch is built from md5 — the one hash both engines share — and all
+register/bucket math stays in INTEGER space (bit-length via ``bin()``,
+power-of-two sums via left shifts) until a single final float division,
+so the DuckDB oracle replays the identical sketch bit-for-bit. No
+engine-specific approx functions (approx_count_distinct / approx_top_k)
+are used precisely because their sketches are not portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..driver_queries import _t, register
+
+# --- HyperLogLog layout -----------------------------------------------------
+# 60-bit md5 prefix (15 hex chars): low P bits pick the register, the
+# remaining W_BITS form the pattern whose leading-zero run is counted.
+HLL_P = 5                      # 2^5 = 32 registers
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 60 - HLL_P        # 55 pattern bits
+HLL_RHO_MAX = HLL_W_BITS + 1   # rho for pattern == 0
+HLL_ALPHA = 0.697              # standard alpha constant for m = 32
+
+# --- count-min layout -------------------------------------------------------
+CMS_DEPTH = 4                  # independent hash rows
+CMS_WIDTH = 512                # buckets per row
+
+# --- KMV --------------------------------------------------------------------
+KMV_K = 32
+_HEX15 = 16**15
+
+# DuckDB-side md5 -> 60-bit bigint (identical to F.conv(substr(md5,1,15)))
+_DUCK_HV = (
+    "list_reduce(list_transform(generate_series(1, 15), "
+    "i -> CAST(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
+    "AS BIGINT)), (a, x) -> a * 16 + x)"
+)
+
+
+def _hv(col):
+    """Spark-side 60-bit md5 hash, bit-identical to ``_DUCK_HV``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct count per event_type
+# ---------------------------------------------------------------------------
+@register(
+    "hll_distinct",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+      SELECT event_type,
+             {_DUCK_HV.format(expr="CAST(user_id AS VARCHAR)")} AS hv
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, hv % {HLL_M} AS bucket,
+             CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - length(bin(hv // {HLL_M}))
+             END AS rho
+      FROM h
+    ),
+    reg AS (
+      SELECT event_type, bucket, max(rho) AS m_j
+      FROM r GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
+                  + (CAST({HLL_M} AS BIGINT) - count(*))
+                    * (CAST(1 AS BIGINT) << {HLL_RHO_MAX}) AS BIGINT) AS s_int
+      FROM reg GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, n_present, s_int,
+             CAST({HLL_M} AS BIGINT) - n_present AS v_empty,
+             CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+               * CAST({1 << HLL_RHO_MAX} AS DOUBLE)
+               / CAST(s_int AS DOUBLE) AS raw_e
+      FROM s
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.v_empty, e.s_int,
+           round(CASE WHEN e.raw_e <= {2.5 * HLL_M!r} AND e.v_empty > 0
+                      THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                        / CAST(e.v_empty AS DOUBLE))
+                      ELSE e.raw_e END, 2) AS est_distinct,
+           ex.n_exact
+    FROM e JOIN ex ON e.event_type = ex.event_type
+    ORDER BY e.event_type ASC
+    """,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog COUNT(DISTINCT) per event_type, replayable in any
+    engine with md5 (reference analog: the exact holder-count scans in
+    its market DAO — e.g. ``server/app.py``'s token-holder roll-ups —
+    which stop being viable past memory scale).
+
+    Register math stays integer end-to-end: bucket = low 5 hash bits,
+    rho = leading-zero count of the remaining 55 bits via ``bin()``
+    string length (both engines print unpadded binary), register = max
+    rho, and Z is accumulated as ``sum(1 << (rho_max - M_j))`` — exact
+    BIGINT — instead of the float ``sum(2^-M_j)`` whose summation order
+    would differ between engines. One float division at the end, then
+    round(2). The standard small-range linear-counting branch kicks in
+    below 2.5m when empty registers remain.
+
+    At 100 TB: per-group state is 32 registers regardless of
+    cardinality; the register build is a groupBy(group, bucket) max —
+    map-side combinable, one shuffle — and registers merge by max, so
+    the same sketch works for partial/streaming accumulation. The exact
+    count rides along to make the ~1.04/sqrt(32) error visible."""
+    ev = _t(spark, sf_dir)["events"]
+    d = ev.select("event_type", "user_id").distinct()
+    h = d.withColumn("hv", _hv(F.col("user_id").cast("string").cast("binary")))
+    r = h.select(
+        "event_type",
+        F.pmod(F.col("hv"), F.lit(HLL_M)).alias("bucket"),
+        F.when(F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"hv div {HLL_M}"))))
+        .alias("rho"),
+    )
+    reg = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    s = reg.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_present"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)"))
+            + (F.lit(HLL_M).cast("long") - F.count("*"))
+            * F.lit(1 << HLL_RHO_MAX).cast("long")
+        ).alias("s_int"),
+    )
+    e = s.select(
+        "event_type",
+        "n_present",
+        "s_int",
+        (F.lit(HLL_M).cast("long") - F.col("n_present")).alias("v_empty"),
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M * HLL_M))
+            * F.lit(float(1 << HLL_RHO_MAX))
+            / F.col("s_int").cast("double")
+        ).alias("raw_e"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    est = F.when(
+        (F.col("raw_e") <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0),
+        F.lit(HLL_M)
+        * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
+    ).otherwise(F.col("raw_e"))
+    return (
+        e.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "v_empty",
+            "s_int",
+            F.round(est, 2).alias("est_distinct"),
+            "n_exact",
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: frequency estimates for the top-20 tokens
+# ---------------------------------------------------------------------------
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+    ),
+    hashed AS (
+      SELECT tok, n_exact, j,
+             {_DUCK_HV.format(expr="'cms' || j || ':' || tok")}
+               % {CMS_WIDTH} AS bucket
+      FROM cnt, generate_series(0, {CMS_DEPTH - 1}) AS g(j)
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(sum(n_exact) AS BIGINT) AS cell
+      FROM hashed GROUP BY j, bucket
+    ),
+    top AS (
+      SELECT tok, n_exact FROM cnt
+      ORDER BY n_exact DESC, tok ASC LIMIT 20
+    )
+    SELECT t.tok, t.n_exact, CAST(min(s.cell) AS BIGINT) AS est_cms
+    FROM top t
+    JOIN hashed h ON h.tok = t.tok
+    JOIN sketch s ON s.j = h.j AND s.bucket = h.bucket
+    GROUP BY t.tok, t.n_exact
+    ORDER BY t.n_exact DESC, t.tok ASC
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens: a 4x512 cell grid of
+    salted-md5 bucket sums; a token's frequency estimate is the MIN of
+    its 4 cells (always >= the true count — the one-sided CMS error).
+    Probed here for the exact top-20 tokens so the overestimate is
+    directly visible next to the truth.
+
+    At 100 TB the sketch is the point: 2048 longs of state total,
+    cell-wise additive (mergeable across partitions/streams), built by
+    ONE map-side-combinable groupBy((j, bucket)) whatever the token
+    cardinality. Building from the per-token count frame here is
+    equivalent by associativity to adding per occurrence — same cells,
+    one fewer explode pass. Salted buckets use md5('cms<j>:' || tok),
+    portable to the DuckDB oracle."""
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_exact"))
+    buckets = F.array(
+        *[
+            F.pmod(
+                _hv(F.concat(F.lit(f"cms{j}:"), F.col("tok")).cast("binary")),
+                F.lit(CMS_WIDTH),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    hashed = cnt.select(
+        "tok", "n_exact", F.posexplode(buckets).alias("j", "bucket")
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(
+        F.sum("n_exact").cast("long").alias("cell")
+    )
+    top = cnt.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(20)
+    probe = top.select(
+        "tok", "n_exact", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cell").cast("long").alias("est_cms"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard from two sketches
+# ---------------------------------------------------------------------------
+_KMV_SET_A = "click"
+_KMV_SET_B = "purchase"
+
+
+@register(
+    "kmv_set_ops",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT {_DUCK_HV.format(expr="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE event_type = '{_KMV_SET_A}'
+    ),
+    hb AS (
+      SELECT DISTINCT {_DUCK_HV.format(expr="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE event_type = '{_KMV_SET_B}'
+    ),
+    sa AS (SELECT hv FROM ha ORDER BY hv ASC LIMIT {KMV_K}),
+    sb AS (SELECT hv FROM hb ORDER BY hv ASC LIMIT {KMV_K}),
+    u AS (
+      SELECT coalesce(sa.hv, sb.hv) AS hv,
+             CASE WHEN sa.hv IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN sb.hv IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      FROM sa FULL OUTER JOIN sb ON sa.hv = sb.hv
+    ),
+    ku AS (SELECT * FROM u ORDER BY hv ASC LIMIT {KMV_K}),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used,
+             max(hv) AS kth_hash,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_sketch_union
+      FROM ku
+    ),
+    ex AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_union_exact,
+             CAST(count(DISTINCT CASE WHEN cnt = 2 THEN user_id END)
+                  AS BIGINT) AS n_intersect_exact
+      FROM (
+        SELECT user_id, count(DISTINCT event_type) AS cnt
+        FROM events WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}')
+        GROUP BY user_id
+      )
+    )
+    SELECT agg.k_used, agg.kth_hash,
+           round(CASE WHEN agg.n_sketch_union < {KMV_K}
+                      THEN CAST(agg.k_used AS DOUBLE)
+                      ELSE ({KMV_K} - 1)
+                           / (CAST(agg.kth_hash AS DOUBLE) / {_HEX15}.0)
+                 END, 4) AS est_union,
+           round(CAST(agg.n_both AS DOUBLE)
+                 / CAST(agg.k_used AS DOUBLE), 4) AS jaccard_est,
+           round((CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE))
+                 * CASE WHEN agg.n_sketch_union < {KMV_K}
+                        THEN CAST(agg.k_used AS DOUBLE)
+                        ELSE ({KMV_K} - 1)
+                             / (CAST(agg.kth_hash AS DOUBLE) / {_HEX15}.0)
+                   END, 4) AS est_intersect,
+           ex.n_union_exact, ex.n_intersect_exact
+    FROM agg CROSS JOIN ex
+    """,
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV (bottom-k / theta) sketches: estimate
+    |A ∪ B|, Jaccard(A, B), and |A ∩ B| for two user sets (clickers vs
+    purchasers) from two 32-hash sketches — the reason theta sketches
+    exist: exact distinct-intersection over 100 TB needs a full
+    co-shuffle of both sides, while the sketch route ships 32 longs per
+    side and answers any union/intersection/difference combination
+    after the fact.
+
+    Mechanics: bottom-k md5 hashes per side (TakeOrdered — no global
+    sort), merged k-smallest of the union gives the union estimate
+    (k-1)/h_k; the fraction of those k present in BOTH sketches is an
+    unbiased Jaccard estimate; intersection = jaccard * union. Complete
+    sketches (fewer than k distinct union hashes) degrade to exact
+    counts — the standard KMV contract, keeps sf0.001 first-class. One
+    final float division per estimate, round(4), integer everywhere
+    else; exact counts ride along."""
+    ev = _t(spark, sf_dir)["events"]
+    hv = _hv(F.col("user_id").cast("string").cast("binary"))
+
+    def sketch(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+            .select(hv.alias("hv"))
+            .orderBy(F.col("hv").asc())
+            .limit(KMV_K)
+        )
+
+    sa = sketch(_KMV_SET_A).withColumn("in_a", F.lit(1))
+    sb = sketch(_KMV_SET_B).withColumn("in_b", F.lit(1))
+    u = (
+        sa.join(sb, "hv", "full_outer")
+        .select(
+            "hv",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    n_sketch_union = u.agg(
+        F.count("*").cast("long").alias("n_sketch_union")
+    )
+    ku = u.orderBy(F.col("hv").asc()).limit(KMV_K)
+    agg = ku.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    ).crossJoin(n_sketch_union)
+    both = ev.filter(
+        F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B)
+    )
+    ex = (
+        both.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("cnt"))
+        .agg(
+            F.count("*").cast("long").alias("n_union_exact"),
+            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_intersect_exact"),
+        )
+    )
+    est_union = F.when(
+        F.col("n_sketch_union") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(float(_HEX15)))
+    )
+    jacc = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return agg.crossJoin(F.broadcast(ex)).select(
+        "k_used",
+        "kth_hash",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(jacc * est_union, 4).alias("est_intersect"),
+        "n_union_exact",
+        "n_intersect_exact",
+    )

@@ -1,0 +1,81 @@
+"""Semantic tests for the mergeable-sketch family beyond the oracle
+hash-match: HLL's estimate must land within its theoretical error band,
+CMS estimates are one-sided (never below the true count), and KMV set
+operations must respect set algebra (jaccard in [0,1], intersection <=
+union, complete sketches exact)."""
+
+from __future__ import annotations
+
+import math
+
+from distribution_engine_smt_spark.pipeline.sketches import (
+    HLL_M,
+    KMV_K,
+    cms_heavy_hitters,
+    hll_distinct,
+    kmv_set_ops,
+)
+
+from .conftest import SF_DIR, SF_DIR_ORACLE
+
+
+def test_hll_estimate_within_error_band(spark):
+    rows = hll_distinct(spark, SF_DIR_ORACLE).collect()
+    assert rows, "no groups"
+    # standard error of HLL is ~1.04/sqrt(m); allow 4 sigma
+    tol = 4 * 1.04 / math.sqrt(HLL_M)
+    for r in rows:
+        assert r["n_exact"] > 0
+        rel = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+        assert rel <= tol, f"{r['event_type']}: rel error {rel:.3f} > {tol:.3f}"
+        # register-state invariants: v_empty counts unhit buckets
+        assert 0 <= r["v_empty"] <= HLL_M
+
+
+def test_hll_small_cardinality_linear_counting(spark):
+    # sf0.001 has ~15 users per type -> the linear-counting branch
+    rows = hll_distinct(spark, SF_DIR).collect()
+    for r in rows:
+        if r["n_exact"] < HLL_M and r["v_empty"] > 0:
+            expect = HLL_M * math.log(HLL_M / r["v_empty"])
+            # branch may not trigger if raw_e > 2.5m; only assert when the
+            # estimate visibly matches the linear-counting formula shape
+            if abs(r["est_distinct"] - round(expect, 2)) < 1e-9:
+                return
+    # at minimum the estimates stay positive and finite
+    assert all(r["est_distinct"] > 0 for r in rows)
+
+
+def test_cms_overestimates_only(spark):
+    rows = cms_heavy_hitters(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est_cms"] >= r["n_exact"], (
+            f"CMS underestimated {r['tok']}: {r['est_cms']} < {r['n_exact']}"
+        )
+    # top-20 ordering is by exact count desc then token asc
+    counts = [r["n_exact"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_kmv_set_ops_algebra(spark):
+    [r] = kmv_set_ops(spark, SF_DIR_ORACLE).collect()
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    assert r["est_intersect"] <= r["est_union"] + 1e-9
+    assert 1 <= r["k_used"] <= KMV_K
+    assert r["n_intersect_exact"] <= r["n_union_exact"]
+    # estimates should be in the right ballpark of the exact answers
+    assert r["est_union"] > 0
+    rel = abs(r["est_union"] - r["n_union_exact"]) / r["n_union_exact"]
+    assert rel < 1.0, f"union estimate off by {rel:.2f}x"
+
+
+def test_kmv_set_ops_exact_when_sketch_complete(spark):
+    # sf0.001: fewer than k distinct users -> sketches are complete sets,
+    # so the union estimate degrades to the exact union count
+    [r] = kmv_set_ops(spark, SF_DIR).collect()
+    if r["k_used"] < KMV_K:
+        assert r["est_union"] == float(r["n_union_exact"])
+        assert r["jaccard_est"] == (
+            round(r["n_intersect_exact"] / r["n_union_exact"], 4)
+        )
