@@ -157,6 +157,11 @@ _DRIVER_ROTATE_LAST = [
     "embedding_kmeans",
     "ann_ivf_kmeans_nprobe",
     "bm25_search",
+    # added r8: zero driver rows, but BOTH of its ingredients are replayed
+    # by in-cap oracles — the 0.4/0.3/0.3 quality blend by
+    # dedup_best_representative and the memoized MinHash pair stream by
+    # cross_source_dup_matrix; hash-checked locally every round.
+    "corpus_datasheet",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -243,10 +248,11 @@ _ROUND_MODIFIED = [
     # ANN (4-byte codes, LUT-based ADC scan, exact rerank)
     "ann_query_batch",
     "ann_pq_topk",
-    # r7: NEW queries — sliding-window counts (batch twin of the new
-    # overlapping-window stream) + per-source dataset-card roll-up
+    # r7: NEW query — sliding-window counts (batch twin of the new
+    # overlapping-window stream); its r7 sibling corpus_datasheet moved to
+    # _DRIVER_ROTATE_LAST in r8 (both of its ingredients are replayed by
+    # in-cap oracles)
     "sliding_event_counts",
-    "corpus_datasheet",
     # r7: NEW queries — ordered view>click>purchase funnel (conditional-min
     # stages on one user_id partitioning) + per-source length histogram
     "event_funnel",
@@ -272,6 +278,9 @@ _ROUND_MODIFIED = [
     "hll_distinct",
     "cms_heavy_hitters",
     "kmv_set_ops",
+    # r8: NEW query — GROUP BY CUBE cross-margin grid (ROLLUP's companion;
+    # one Expand pass, broadcast dimension chain, decimal-exact margins)
+    "segment_region_cube",
 ]
 
 

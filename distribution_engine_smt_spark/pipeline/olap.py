@@ -310,3 +310,71 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc(), F.col("day").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: full margin grid over two independent dimensions
+# ---------------------------------------------------------------------------
+@register(
+    "segment_region_cube",
+    """
+    SELECT c.c_mktsegment, r.r_name,
+           CAST(grouping(c.c_mktsegment) * 2 + grouping(r.r_name) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (c.c_mktsegment, r.r_name)
+    ORDER BY gid ASC, c_mktsegment ASC NULLS FIRST, r_name ASC NULLS FIRST
+    """,
+)
+def segment_region_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (market segment, region) — the cross-margin
+    companion to ``sales_rollup``: ROLLUP subtotals a hierarchy, CUBE
+    produces EVERY margin of two independent dimensions (cell grid +
+    per-segment row margins + per-region column margins + grand total)
+    in one pass. This is the slice-and-dice surface a BI layer asks for
+    when the dimensions don't nest.
+
+    At scale: one Expand (4 output rows per input row here) feeding a
+    single partial-agg shuffle — same cost shape as a flat groupBy times
+    the grouping-set count, never one job per margin. The dimension
+    chain folds into broadcasts before touching the fact table, gid
+    disambiguates margin rows from genuine NULL keys, and decimal sums
+    keep every margin exactly the sum of its cells."""
+    t = _t(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    gid = (F.grouping("c_mktsegment") * 2 + F.grouping("r_name")).cast("long")
+    return (
+        joined.cube("c_mktsegment", "r_name")
+        .agg(
+            gid.alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("r_name").asc_nulls_first(),
+        )
+    )

@@ -111,3 +111,27 @@ def test_pivot_is_single_aggregation(spark):
     plan = _plan(spark, "events_pivot")
     # fixed category list: one groupBy pass, no second (discovery) scan
     assert plan.count("Scan parquet") == 1
+
+
+def test_cube_is_one_expand_pass(spark):
+    plan = _plan(spark, "segment_region_cube")
+    # CUBE = ONE Expand (4 grouping sets) feeding one partial agg, never
+    # one job per margin; dimension chain reaches facts as broadcasts
+    assert plan.count("Expand") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_family_single_shuffle_shapes(spark):
+    # HLL register build: groupBy(group, bucket) max then groupBy(group) —
+    # both map-side combinable; no join of the full input against itself
+    plan = _plan(spark, "hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # the only join is broadcast (exact)
+    # CMS probe joins the tiny sketch broadcast-side
+    plan = _plan(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # KMV sketches are TakeOrdered cuts, never a global sort of the input
+    plan = _plan(spark, "kmv_set_ops")
+    assert "TakeOrderedAndProject" in plan
