@@ -162,6 +162,10 @@ _DRIVER_ROTATE_LAST = [
     # dedup_best_representative and the memoized MinHash pair stream by
     # cross_source_dup_matrix; hash-checked locally every round.
     "corpus_datasheet",
+    # added r8: zero driver rows, but the lowest-risk shape in the repo —
+    # a map-only 3-column projection whose oracle is the same two string
+    # functions; hash-checked locally every round.
+    "normalize_text",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -239,10 +243,10 @@ _ROUND_MODIFIED = [
     # the inverted 8-gram index)
     "embedding_dim_stats",
     "doc_novelty",
-    # r7: NEW queries — quality-aware dedup survivor policy (max quality +
-    # min-id-at-max over the LSH clusters) + canonical text normalization
+    # r7: NEW query — quality-aware dedup survivor policy (max quality +
+    # min-id-at-max over the LSH clusters); its r7 sibling normalize_text
+    # moved to _DRIVER_ROTATE_LAST in r8 (trivial map-only projection)
     "dedup_best_representative",
-    "normalize_text",
     # r7: NEW queries — batched ANN serving (one scan scores the whole
     # query batch, WindowGroupLimit partial top-k) + product-quantization
     # ANN (4-byte codes, LUT-based ADC scan, exact rerank)
@@ -281,6 +285,9 @@ _ROUND_MODIFIED = [
     # r8: NEW query — GROUP BY CUBE cross-margin grid (ROLLUP's companion;
     # one Expand pass, broadcast dimension chain, decimal-exact margins)
     "segment_region_cube",
+    # r8: NEW query — Bloom-filter semi-join pruning with measured fp rate
+    # and the zero-false-negative guarantee oracle-checked
+    "bloom_membership",
 ]
 
 

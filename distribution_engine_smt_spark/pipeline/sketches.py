@@ -404,3 +404,153 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union_exact",
         "n_intersect_exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build from the join's small side, probe the big scan
+# ---------------------------------------------------------------------------
+BLOOM_K = 4        # salted hash rows
+BLOOM_BITS = 256   # bits per row (sized so the false-positive rate is
+                   # visible at sf0.01: ~150 keys -> ~44% row fill -> ~4% fp)
+
+
+@register(
+    "bloom_membership",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT user_id AS k FROM events
+    ),
+    bits AS (
+      SELECT DISTINCT j,
+             {_DUCK_HV.format(expr="'bf' || j || ':' || CAST(k AS VARCHAR)")}
+               % {BLOOM_BITS} AS pos
+      FROM keys, generate_series(0, {BLOOM_K - 1}) AS g(j)
+    ),
+    probe AS (
+      SELECT c_custkey AS k FROM customer
+    ),
+    probed AS (
+      SELECT p.k, j,
+             {_DUCK_HV.format(expr="'bf' || j || ':' || CAST(p.k AS VARCHAR)")}
+               % {BLOOM_BITS} AS pos
+      FROM probe p, generate_series(0, {BLOOM_K - 1}) AS g(j)
+    ),
+    verdict AS (
+      SELECT p.k,
+             CASE WHEN count(b.pos) = {BLOOM_K} THEN 1 ELSE 0 END AS flagged,
+             CASE WHEN max(CASE WHEN p.k IN (SELECT k FROM keys)
+                                THEN 1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END AS is_member
+      FROM probed p LEFT JOIN bits b ON b.j = p.j AND b.pos = p.pos
+      GROUP BY p.k
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(sum(is_member) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN flagged = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(sum(CASE WHEN flagged = 0 AND is_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative,
+           round(CAST(sum(CASE WHEN flagged = 1 AND is_member = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) - sum(is_member) AS DOUBLE), 4) AS fp_rate
+    FROM verdict
+    """,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build a 4x256-bit filter
+    from the DISTINCT event user_ids (the join's small side), probe every
+    customer key, and report flagged / true-member / false-positive /
+    false-negative counts plus the realized fp rate. False negatives must
+    be zero — a Bloom filter's one hard guarantee — and the oracle checks
+    exactly that.
+
+    This is the runtime-filter shape Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects under a
+    selective join: at 100 TB you build the filter from the dimension /
+    active-key side (fixed-size state: the SET bit positions, mergeable by
+    union — a distinct-union groupBy here), broadcast it, and prune the
+    fact scan BEFORE the shuffle, turning a 1500-row scan into the ~150
+    rows that can actually join. Salted md5 bit positions keep the filter
+    bit-identical across engines; the filter table is at most k * m rows
+    regardless of input size, and the probe is a broadcast join against
+    it. BLOOM_BITS is deliberately small so the false-positive band is
+    nonzero and visible at sf0.01 instead of a vacuous 0.0."""
+    t = _t(spark, sf_dir)
+    keys = t["events"].select(F.col("user_id").alias("k")).distinct()
+
+    def positions(key_col):
+        return F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        _hv(
+                            F.concat(
+                                F.lit(f"bf{j}:"), key_col.cast("string")
+                            ).cast("binary")
+                        ),
+                        F.lit(BLOOM_BITS),
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        )
+
+    bits = (
+        keys.select(positions(F.col("k")).alias("j", "pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = t["customer"].select(F.col("c_custkey").alias("k"))
+    probed = probe.select("k", positions(F.col("k")).alias("j", "pos"))
+    member = keys.withColumn("is_member", F.lit(1))
+    verdict = (
+        probed.join(F.broadcast(bits), ["j", "pos"], "left")
+        .groupBy("k")
+        .agg(
+            F.when(F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_K, 1)
+            .otherwise(0)
+            .alias("flagged")
+        )
+        .join(F.broadcast(member), "k", "left")
+        .withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(0)))
+    )
+    n_keys = keys.agg(F.count("*").cast("long").alias("n_keys"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    fp = F.sum(
+        F.when((F.col("flagged") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+    )
+    return (
+        verdict.agg(
+            F.count("*").cast("long").alias("n_probed"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.sum("is_member").cast("long").alias("n_true_members"),
+            fp.cast("long").alias("n_false_positive"),
+            F.sum(
+                F.when(
+                    (F.col("flagged") == 0) & (F.col("is_member") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_negative"),
+            F.round(
+                fp.cast("double")
+                / (F.count("*") - F.sum("is_member")).cast("double"),
+                4,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_probed",
+            "n_flagged",
+            "n_true_members",
+            "n_false_positive",
+            "n_false_negative",
+            "fp_rate",
+        )
+    )

@@ -135,3 +135,11 @@ def test_sketch_family_single_shuffle_shapes(spark):
     # KMV sketches are TakeOrdered cuts, never a global sort of the input
     plan = _plan(spark, "kmv_set_ops")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    plan = _plan(spark, "bloom_membership")
+    # the bit table and member table reach the probe as broadcasts; the
+    # probe side is never shuffled against a corpus-sized build side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

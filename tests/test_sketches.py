@@ -79,3 +79,22 @@ def test_kmv_set_ops_exact_when_sketch_complete(spark):
         assert r["jaccard_est"] == (
             round(r["n_intersect_exact"] / r["n_union_exact"], 4)
         )
+
+
+def test_bloom_no_false_negatives_and_visible_fp(spark):
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_membership,
+    )
+
+    [r] = bloom_membership(spark, SF_DIR_ORACLE).collect()
+    # the one hard Bloom guarantee
+    assert r["n_false_negative"] == 0
+    # every true member is flagged
+    assert r["n_flagged"] >= r["n_true_members"]
+    # the filter state is bounded by k * m whatever the key count
+    assert r["n_bits_set"] <= BLOOM_K * BLOOM_BITS
+    # sized so the fp band is visible (catches a degenerate all-flagged
+    # or nothing-flagged wiring bug) but still prunes most non-members
+    assert 0 < r["n_false_positive"] < (r["n_probed"] - r["n_true_members"]) / 2
