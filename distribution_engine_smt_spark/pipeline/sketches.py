@@ -57,19 +57,70 @@ def _hv(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hll_registers(df: DataFrame, group_cols: list[str], key_col) -> DataFrame:
+    """HLL register table for ``key_col`` per group: (group..., bucket,
+    m_j). No pre-distinct — max(rho) absorbs duplicate keys, so this is
+    ONE map-side-combinable shuffle however often a key repeats. Registers
+    merge by max, which is exactly what a streaming update-mode agg or a
+    cross-partition combine does — shared by the batch query and
+    ``streaming.windows.run_hll_stream``."""
+    h = df.withColumn("__hv", _hv(key_col))
+    r = h.select(
+        *group_cols,
+        F.pmod(F.col("__hv"), F.lit(HLL_M)).alias("bucket"),
+        F.when(F.expr(f"__hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(
+            F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"__hv div {HLL_M}")))
+        )
+        .alias("rho"),
+    )
+    return r.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_estimate(reg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into (group..., v_empty, s_int, est_distinct).
+    Z is accumulated as an exact shifted-integer sum (engine-portable);
+    one float division at the end, round(2); standard linear-counting
+    branch below 2.5m when empty registers remain."""
+    s = reg.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_present"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)"))
+            + (F.lit(HLL_M).cast("long") - F.count("*"))
+            * F.lit(1 << HLL_RHO_MAX).cast("long")
+        ).alias("s_int"),
+    )
+    e = s.select(
+        *group_cols,
+        (F.lit(HLL_M).cast("long") - F.col("n_present")).alias("v_empty"),
+        "s_int",
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M * HLL_M))
+            * F.lit(float(1 << HLL_RHO_MAX))
+            / F.col("s_int").cast("double")
+        ).alias("raw_e"),
+    )
+    est = F.when(
+        (F.col("raw_e") <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0),
+        F.lit(HLL_M)
+        * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
+    ).otherwise(F.col("raw_e"))
+    return e.select(
+        *group_cols, "v_empty", "s_int", F.round(est, 2).alias("est_distinct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct count per event_type
 # ---------------------------------------------------------------------------
 @register(
     "hll_distinct",
     f"""
-    WITH d AS (
-      SELECT DISTINCT event_type, user_id FROM events
-    ),
-    h AS (
+    WITH h AS (
       SELECT event_type,
              {_DUCK_HV.format(expr="CAST(user_id AS VARCHAR)")} AS hv
-      FROM d
+      FROM events
     ),
     r AS (
       SELECT event_type, hv % {HLL_M} AS bucket,
@@ -133,53 +184,16 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sketch works for partial/streaming accumulation. The exact
     count rides along to make the ~1.04/sqrt(32) error visible."""
     ev = _t(spark, sf_dir)["events"]
-    d = ev.select("event_type", "user_id").distinct()
-    h = d.withColumn("hv", _hv(F.col("user_id").cast("string").cast("binary")))
-    r = h.select(
-        "event_type",
-        F.pmod(F.col("hv"), F.lit(HLL_M)).alias("bucket"),
-        F.when(F.expr(f"hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
-        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"hv div {HLL_M}"))))
-        .alias("rho"),
-    )
-    reg = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
-    s = reg.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_present"),
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)"))
-            + (F.lit(HLL_M).cast("long") - F.count("*"))
-            * F.lit(1 << HLL_RHO_MAX).cast("long")
-        ).alias("s_int"),
-    )
-    e = s.select(
-        "event_type",
-        "n_present",
-        "s_int",
-        (F.lit(HLL_M).cast("long") - F.col("n_present")).alias("v_empty"),
-        (
-            F.lit(HLL_ALPHA)
-            * F.lit(float(HLL_M * HLL_M))
-            * F.lit(float(1 << HLL_RHO_MAX))
-            / F.col("s_int").cast("double")
-        ).alias("raw_e"),
+    reg = hll_registers(
+        ev, ["event_type"], F.col("user_id").cast("string").cast("binary")
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
-    est = F.when(
-        (F.col("raw_e") <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0),
-        F.lit(HLL_M)
-        * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
-    ).otherwise(F.col("raw_e"))
     return (
-        e.join(F.broadcast(exact), "event_type")
-        .select(
-            "event_type",
-            "v_empty",
-            "s_int",
-            F.round(est, 2).alias("est_distinct"),
-            "n_exact",
-        )
+        hll_estimate(reg, ["event_type"])
+        .join(F.broadcast(exact), "event_type")
+        .select("event_type", "v_empty", "s_int", "est_distinct", "n_exact")
         .orderBy(F.col("event_type").asc())
     )
 

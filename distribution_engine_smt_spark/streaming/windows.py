@@ -318,3 +318,48 @@ def run_sliding_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_hll_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming HyperLogLog: maintain the per-(event_type, bucket)
+    register table as a live streaming aggregation — the sketch whose
+    state CANNOT grow with cardinality. A streaming exact count-distinct
+    keeps one state row per key forever; the HLL register agg keeps at
+    most groups x 32 rows no matter how many distinct users flow past,
+    and needs no watermark because the state is bounded by construction
+    ("distinct ever" semantics).
+
+    Registers merge by max, so the streaming update path IS the batch
+    fold: ``pipeline.sketches.hll_registers`` provides the identical
+    bucket/rho columns for both, and estimates are computed on read with
+    ``hll_estimate`` over the sink table (multi-level aggregation inside
+    one streaming query is unsupported — and finalizing on read is how a
+    register store is consumed in production anyway).
+
+    foreachBatch in complete mode receives the FULL register table each
+    trigger and overwrites the parquet sink — idempotent under
+    at-least-once replay; the checkpointed state store carries the
+    registers across restarts, which the two-wave resume test proves."""
+    from ..pipeline.sketches import hll_registers
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    reg = hll_registers(
+        raw, ["event_type"], F.col("user_id").cast("string").cast("binary")
+    )
+
+    def write_registers(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        reg.writeStream.foreachBatch(write_registers)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -208,3 +208,73 @@ def test_sliding_stream_matches_batch_twin(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sw_test").collect()
     }
     assert streamed == batch
+
+
+def test_hll_stream_registers_survive_restart_and_match_batch(spark, tmp_path):
+    """Two-wave drain with a checkpoint restart between waves: the
+    streaming register state must merge across waves (max-merge in the
+    state store) and finalize to exactly the batch sketch."""
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+    from distribution_engine_smt_spark.streaming.windows import run_hll_stream
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    ev = load_tpch(spark, SF_DIR_ORACLE)["events"].select("event_type", "user_id")
+    wave1 = ev.filter(F.col("user_id") % 2 == 0)
+    wave2 = ev.filter(F.col("user_id") % 2 == 1)
+
+    stream_dir = tmp_path / "hll_stream"
+    stream_dir.mkdir()
+    out_dir = str(tmp_path / "hll_registers")
+    ckpt = str(tmp_path / "hll_ckpt")
+    wave1.write.parquet(str(stream_dir / "wave1"))
+    schema = wave1.schema
+
+    def drain():
+        q = run_hll_stream(
+            spark, str(stream_dir / "*"), schema, out_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    drain()
+    regs_w1 = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_regs_w1 = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in hll_registers(
+            wave1, ["event_type"], F.col("user_id").cast("string").cast("binary")
+        ).collect()
+    }
+    assert regs_w1 == batch_regs_w1
+
+    # wave 2 lands; a NEW query on the SAME checkpoint resumes the state
+    wave2.write.parquet(str(stream_dir / "wave2"))
+    drain()
+    streamed = spark.read.parquet(out_dir)
+    batch_regs = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in hll_registers(
+            ev, ["event_type"], F.col("user_id").cast("string").cast("binary")
+        ).collect()
+    }
+    assert {
+        (r["event_type"], r["bucket"]): r["m_j"] for r in streamed.collect()
+    } == batch_regs
+
+    # finalizing the streamed registers gives the batch query's estimates
+    est_stream = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate(streamed, ["event_type"]).collect()
+    }
+    est_batch = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(spark, SF_DIR_ORACLE).collect()
+    }
+    assert est_stream == est_batch
