@@ -166,6 +166,10 @@ _DRIVER_ROTATE_LAST = [
     # a map-only 3-column projection whose oracle is the same two string
     # functions; hash-checked locally every round.
     "normalize_text",
+    # added r8: zero driver rows, but the same trivial class — map-only
+    # integer 100-char bucketing whose oracle is the same arithmetic;
+    # hash-checked locally every round.
+    "length_histogram",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -257,10 +261,10 @@ _ROUND_MODIFIED = [
     # _DRIVER_ROTATE_LAST in r8 (both of its ingredients are replayed by
     # in-cap oracles)
     "sliding_event_counts",
-    # r7: NEW queries — ordered view>click>purchase funnel (conditional-min
-    # stages on one user_id partitioning) + per-source length histogram
+    # r7: NEW query — ordered view>click>purchase funnel (conditional-min
+    # stages on one user_id partitioning); its r7 sibling length_histogram
+    # moved to _DRIVER_ROTATE_LAST in r8 (map-only integer bucketing)
     "event_funnel",
-    "length_histogram",
     # r7: NEW queries — hard-negative mining (most-similar-below-threshold
     # band of the batched ANN scan) + frequency-ranked vocabulary with
     # cumulative coverage (TakeOrdered cut, windows on the K-row frame)
@@ -288,6 +292,10 @@ _ROUND_MODIFIED = [
     # r8: NEW query — Bloom-filter semi-join pruning with measured fp rate
     # and the zero-false-negative guarantee oracle-checked
     "bloom_membership",
+    # r8: NEW query — HLL reaggregability proof: daily register rollup
+    # max-merged equals the direct single-pass sketch (also refactored
+    # hll_distinct through the shared hll_registers/hll_estimate helpers)
+    "hll_daily_merge",
 ]
 
 

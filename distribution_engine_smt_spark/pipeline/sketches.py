@@ -568,3 +568,103 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL reaggregability: daily register rollup merges to the direct sketch
+# ---------------------------------------------------------------------------
+def _duck_hll_finalize(reg_cte: str, alias: str) -> str:
+    """DuckDB finalize fragment: fold a (bucket, m_j) register CTE into a
+    single-row estimate — the SQL twin of ``hll_estimate`` with no group."""
+    return f"""
+      SELECT round(CASE WHEN raw_e <= {2.5 * HLL_M!r} AND v_empty > 0
+                        THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                          / CAST(v_empty AS DOUBLE))
+                        ELSE raw_e END, 2) AS {alias}
+      FROM (
+        SELECT CAST({HLL_M} AS BIGINT) - count(*) AS v_empty,
+               CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}
+                 * CAST({1 << HLL_RHO_MAX} AS DOUBLE)
+                 / CAST(CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
+                             + (CAST({HLL_M} AS BIGINT) - count(*))
+                               * (CAST(1 AS BIGINT) << {HLL_RHO_MAX})
+                        AS BIGINT) AS DOUBLE) AS raw_e
+        FROM {reg_cte}
+      )
+    """
+
+
+@register(
+    "hll_daily_merge",
+    f"""
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS day,
+             {_DUCK_HV.format(expr="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT day, hv % {HLL_M} AS bucket,
+             CASE WHEN hv // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - length(bin(hv // {HLL_M}))
+             END AS rho
+      FROM h
+    ),
+    daily AS (
+      SELECT day, bucket, max(rho) AS m_j FROM r GROUP BY day, bucket
+    ),
+    merged AS (
+      SELECT bucket, max(m_j) AS m_j FROM daily GROUP BY bucket
+    ),
+    direct AS (
+      SELECT bucket, max(rho) AS m_j FROM r GROUP BY bucket
+    ),
+    em AS ({_duck_hll_finalize("merged", "est_merged")}),
+    ed AS ({_duck_hll_finalize("direct", "est_direct")}),
+    nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM h),
+    ex AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+    )
+    SELECT nd.n_days, em.est_merged, ed.est_direct, ex.n_exact
+    FROM nd CROSS JOIN em CROSS JOIN ed CROSS JOIN ex
+    """,
+)
+def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason HLL wins at 100 TB: REAGGREGABILITY. Build per-day
+    register tables once (the nightly rollup), then answer any date-range
+    distinct question by max-merging the stored registers — never
+    rescanning raw events. This query proves the algebra end-to-end:
+    est_merged (daily registers max-merged) and est_direct (one pass over
+    all events) are computed independently and the oracle checks they are
+    IDENTICAL, because max is associative over any partitioning of the
+    input.
+
+    The rollup shape: one groupBy(day, bucket) pass (map-side combinable;
+    at scale, day is also the parquet partition key so the rollup is
+    incremental per day), then the merge reads days x 32 register rows —
+    kilobytes — instead of the raw corpus. An exact distinct rollup can't
+    do this: distinct counts don't add across days when users repeat."""
+    ev = _t(spark, sf_dir)["events"]
+    key = F.col("user_id").cast("string").cast("binary")
+    daily = hll_registers(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))), ["day"], key
+    )
+    merged = daily.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    direct = hll_registers(ev, [], key)
+    em = hll_estimate(merged, []).select(
+        F.col("est_distinct").alias("est_merged")
+    )
+    ed = hll_estimate(direct, []).select(
+        F.col("est_distinct").alias("est_direct")
+    )
+    nd = ev.agg(
+        F.count_distinct(F.date_trunc("day", F.col("ts")))
+        .cast("long")
+        .alias("n_days")
+    )
+    ex = ev.agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    return (
+        nd.crossJoin(F.broadcast(em))
+        .crossJoin(F.broadcast(ed))
+        .crossJoin(F.broadcast(ex))
+        .select("n_days", "est_merged", "est_direct", "n_exact")
+    )

@@ -98,3 +98,14 @@ def test_bloom_no_false_negatives_and_visible_fp(spark):
     # sized so the fp band is visible (catches a degenerate all-flagged
     # or nothing-flagged wiring bug) but still prunes most non-members
     assert 0 < r["n_false_positive"] < (r["n_probed"] - r["n_true_members"]) / 2
+
+
+def test_hll_daily_merge_is_lossless(spark):
+    from distribution_engine_smt_spark.pipeline.sketches import hll_daily_merge
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        [r] = hll_daily_merge(spark, sf).collect()
+        # max is associative over any partitioning: merging daily register
+        # tables must give EXACTLY the single-pass sketch
+        assert r["est_merged"] == r["est_direct"]
+        assert r["n_days"] >= 1
