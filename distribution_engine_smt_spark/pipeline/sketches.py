@@ -198,6 +198,37 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_bucket_array():
+    """The CMS_DEPTH salted bucket positions for column ``tok`` as an
+    array expression — md5('cms<j>:' || tok) % width, identical in the
+    DuckDB oracle."""
+    return F.array(
+        *[
+            F.pmod(
+                _hv(F.concat(F.lit(f"cms{j}:"), F.col("tok")).cast("binary")),
+                F.lit(CMS_WIDTH),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_cells(tok_df: DataFrame, weight_col: str | None = None) -> DataFrame:
+    """Count-min cell grid (j, bucket, cell) from a frame with a ``tok``
+    column: per-occurrence adds when ``weight_col`` is None (the
+    streaming path), weighted adds otherwise (the batch path over a
+    pre-counted token frame). Cells are additive, so both routes produce
+    identical grids — asserted by the streaming drain test."""
+    hashed = tok_df.select(
+        *( [weight_col] if weight_col else [] ),
+        F.posexplode(cms_bucket_array()).alias("j", "bucket"),
+    )
+    agg = (
+        F.sum(weight_col) if weight_col else F.count("*")
+    )
+    return hashed.groupBy("j", "bucket").agg(agg.cast("long").alias("cell"))
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch: frequency estimates for the top-20 tokens
 # ---------------------------------------------------------------------------
@@ -244,28 +275,17 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-side-combinable groupBy((j, bucket)) whatever the token
     cardinality. Building from the per-token count frame here is
     equivalent by associativity to adding per occurrence — same cells,
-    one fewer explode pass. Salted buckets use md5('cms<j>:' || tok),
-    portable to the DuckDB oracle."""
+    one fewer explode pass (the streaming twin
+    ``streaming.windows.run_cms_stream`` takes the per-occurrence route
+    and the drain test asserts identical cells). Salted buckets use
+    md5('cms<j>:' || tok), portable to the DuckDB oracle."""
     docs = _t(spark, sf_dir)["documents"]
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
     cnt = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_exact"))
-    buckets = F.array(
-        *[
-            F.pmod(
-                _hv(F.concat(F.lit(f"cms{j}:"), F.col("tok")).cast("binary")),
-                F.lit(CMS_WIDTH),
-            )
-            for j in range(CMS_DEPTH)
-        ]
-    )
-    hashed = cnt.select(
-        "tok", "n_exact", F.posexplode(buckets).alias("j", "bucket")
-    )
-    sketch = hashed.groupBy("j", "bucket").agg(
-        F.sum("n_exact").cast("long").alias("cell")
-    )
+    buckets = cms_bucket_array()
+    sketch = cms_cells(cnt, weight_col="n_exact")
     top = cnt.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(20)
     probe = top.select(
         "tok", "n_exact", F.posexplode(buckets).alias("j", "bucket")

@@ -363,3 +363,42 @@ def run_hll_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cms_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming count-min sketch: maintain the 4 x 512 cell grid as a
+    live aggregation over arriving documents — the ADDITIVE merge class
+    (HLL's streaming twin above is the max-merge class). State is
+    bounded at depth x width rows whatever the token cardinality, no
+    watermark needed ("frequencies ever" semantics); heavy-hitter
+    queries are answered on read by probing the sink grid, exactly like
+    the batch ``cms_heavy_hitters`` probe stage.
+
+    Same sink discipline as ``run_hll_stream``: complete-mode agg +
+    foreachBatch overwriting the parquet grid — idempotent under
+    at-least-once replay, state carried across restarts by the
+    checkpointed state store."""
+    from ..pipeline.sketches import cms_cells
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    toks = raw.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cells = cms_cells(toks)
+
+    def write_cells(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        cells.writeStream.foreachBatch(write_cells)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

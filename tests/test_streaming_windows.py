@@ -278,3 +278,45 @@ def test_hll_stream_registers_survive_restart_and_match_batch(spark, tmp_path):
         for r in hll_distinct(spark, SF_DIR_ORACLE).collect()
     }
     assert est_stream == est_batch
+
+
+def test_cms_stream_cells_survive_restart_and_match_batch(spark, tmp_path):
+    """Additive-merge twin of the HLL restart test: the streamed CMS cell
+    grid after a two-wave drain with a checkpoint restart must equal the
+    batch grid built from the full corpus in one pass."""
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import cms_cells
+    from distribution_engine_smt_spark.streaming.windows import run_cms_stream
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    docs = load_tpch(spark, SF_DIR_ORACLE)["documents"].select("doc_id", "text")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    stream_dir = tmp_path / "cms_stream"
+    stream_dir.mkdir()
+    out_dir = str(tmp_path / "cms_cells")
+    ckpt = str(tmp_path / "cms_ckpt")
+    wave1.write.parquet(str(stream_dir / "wave1"))
+    schema = wave1.schema
+
+    def drain():
+        q = run_cms_stream(spark, str(stream_dir / "*"), schema, out_dir, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    wave2.write.parquet(str(stream_dir / "wave2"))
+    drain()
+
+    streamed = {
+        (r["j"], r["bucket"]): r["cell"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    batch = {
+        (r["j"], r["bucket"]): r["cell"] for r in cms_cells(toks).collect()
+    }
+    assert streamed == batch
