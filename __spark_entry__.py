@@ -170,6 +170,11 @@ _DRIVER_ROTATE_LAST = [
     # integer 100-char bucketing whose oracle is the same arithmetic;
     # hash-checked locally every round.
     "length_histogram",
+    # added r8: zero driver rows, but the 1→1 mapInPandas stub plumbing is
+    # identical in shape to multimodal_decode (driver-green r1-r3) and it
+    # has a dedicated semantic test (tests/test_audit.py
+    # test_resize_emits_error_row_for_null_payload) + every-round hash-check.
+    "multimodal_resize",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -212,9 +217,10 @@ _ROUND_MODIFIED = [
     "curriculum_buckets",
     "embedding_outliers",
     "substring_dup_spans",
-    # r6: NEW queries — multimodal resize (1→1 mapInPandas) and video
-    # frame sampling (1→N mapInPandas), both stub-decoded but fully oracled
-    "multimodal_resize",
+    # r6: NEW query — video frame sampling (1→N mapInPandas), stub-decoded
+    # but fully oracled; its r6 sibling multimodal_resize moved to
+    # _DRIVER_ROTATE_LAST in r8 (same stub plumbing as driver-green
+    # multimodal_decode + a dedicated semantic test)
     "multimodal_frame_sample",
     # r6: NEW query — trained-IVF ANN through the k-means cells (composes
     # the embedding_kmeans fit with the similarity probe, both re-oracled —
@@ -296,6 +302,9 @@ _ROUND_MODIFIED = [
     # max-merged equals the direct single-pass sketch (also refactored
     # hll_distinct through the shared hll_registers/hll_estimate helpers)
     "hll_daily_merge",
+    # r8: NEW query — quantiles by deterministic hash-sampling (mergeable
+    # sample, integer-fraction rank positions, values selected not averaged)
+    "sampled_quantiles",
 ]
 
 

@@ -688,3 +688,127 @@ def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ex))
         .select("n_days", "est_merged", "est_direct", "n_exact")
     )
+
+
+# ---------------------------------------------------------------------------
+# quantiles by deterministic hash-sampling: sort the sample, not the corpus
+# ---------------------------------------------------------------------------
+SQ_SHIFT = 2           # keep keys with hash < 2^60 / 2^SQ_SHIFT (p = 1/4)
+_SQ_THRESHOLD = 1 << (60 - SQ_SHIFT)
+# quantiles as integer fractions — ceil(q*n) computed in INTEGER space;
+# float 0.99*n rounds differently across engines near integer boundaries
+SQ_QUANTILES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+_SQ_VALUES = ", ".join(f"('{l}', {a}, {b})" for l, a, b in SQ_QUANTILES)
+
+
+def _rank_quantiles_sql(src: str, n_col: str) -> str:
+    """DuckDB fragment: per (event_type, quantile fraction), the value at
+    ascending rank ceil(qnum*n/qden) of ``src``."""
+    return f"""
+      SELECT s.event_type, q.label,
+             s.value, s.n AS {n_col}
+      FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM {src}
+      ) s
+      JOIN (VALUES {_SQ_VALUES}) AS q(label, qnum, qden)
+        ON s.rn = (q.qnum * s.n + q.qden - 1) // q.qden
+    """
+
+
+@register(
+    "sampled_quantiles",
+    f"""
+    WITH sample AS (
+      SELECT event_type, event_id, value FROM events
+      WHERE {_DUCK_HV.format(expr="CAST(event_id AS VARCHAR)")}
+            < {_SQ_THRESHOLD}
+    ),
+    est AS ({_rank_quantiles_sql("sample", "n_sample")}),
+    exact AS ({_rank_quantiles_sql("events", "n_total")})
+    SELECT est.event_type, est.label AS q,
+           est.value AS est_value, CAST(est.n_sample AS BIGINT) AS n_sample,
+           exact.value AS exact_value, CAST(exact.n_total AS BIGINT) AS n_total
+    FROM est JOIN exact
+      ON est.event_type = exact.event_type AND est.label = exact.label
+    ORDER BY est.event_type ASC, q ASC
+    """,
+)
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantiles by deterministic hash-sampling: keep the
+    rows whose md5(event_id) falls below a fixed threshold (p = 1/4) and
+    take exact rank-quantiles of the SAMPLE — the corpus is never
+    globally sorted. Hash-sampling is the property that makes this a
+    sketch: the sample is deterministic and MERGEABLE (the sample of a
+    union is the union of the samples — no coordination, no RNG state),
+    so partitions/streams/days sample independently and combine.
+
+    Exact quantiles of the full data ride along for the error to be
+    visible. Rank positions are computed as ceil(qnum*n/qden) in INTEGER
+    fraction space — float 0.99*n lands on either side of an integer
+    boundary depending on the engine's literal type, which is exactly
+    the class of bug the oracle exists to catch. Values are selected,
+    never averaged, so no float arithmetic touches the output.
+
+    At 100 TB: the sample path sorts n*p rows per group (a per-group
+    window over the sample only); the exact rider is the thing you STOP
+    computing at scale. The tunable SQ_SHIFT trades sample size for
+    rank error like a KLL/t-digest accuracy knob — those sketches beat
+    sampling asymptotically but their state is not engine-portable, so
+    they cannot be oracle-checked."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir)["events"].select("event_type", "event_id", "value")
+    qdf = spark.createDataFrame(
+        SQ_QUANTILES, "label string, qnum int, qden int"
+    )
+
+    def rank_quantiles(df: DataFrame, n_name: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        return (
+            ranked.join(F.broadcast(qdf))
+            .filter(
+                F.col("rn")
+                == F.expr("(qnum * n + qden - 1) div qden").cast("int")
+            )
+            .select(
+                "event_type",
+                "label",
+                "value",
+                F.col("n").cast("long").alias(n_name),
+            )
+        )
+
+    sample = ev.filter(
+        _hv(F.col("event_id").cast("string").cast("binary")) < _SQ_THRESHOLD
+    )
+    est = rank_quantiles(sample, "n_sample").withColumnsRenamed(
+        {"value": "est_value"}
+    )
+    exact = rank_quantiles(ev, "n_total").withColumnsRenamed(
+        {"value": "exact_value"}
+    )
+    return (
+        est.join(exact, ["event_type", "label"])
+        .select(
+            "event_type",
+            F.col("label").alias("q"),
+            "est_value",
+            "n_sample",
+            "exact_value",
+            "n_total",
+        )
+        .orderBy(F.col("event_type").asc(), F.col("q").asc())
+    )

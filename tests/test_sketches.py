@@ -109,3 +109,26 @@ def test_hll_daily_merge_is_lossless(spark):
         # tables must give EXACTLY the single-pass sketch
         assert r["est_merged"] == r["est_direct"]
         assert r["n_days"] >= 1
+
+
+def test_sampled_quantiles_error_bounded(spark):
+    from distribution_engine_smt_spark.pipeline.sketches import sampled_quantiles
+
+    rows = sampled_quantiles(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # the sample is a real subset
+        assert 0 < r["n_sample"] < r["n_total"]
+        # rank error of p-sampling is O(1/sqrt(n_sample)) in quantile
+        # space; translate loosely into value space via a generous band
+        assert abs(r["est_value"] - r["exact_value"]) <= max(
+            0.35 * abs(r["exact_value"]), 1.0
+        ), f"{r['event_type']}/{r['q']}: {r['est_value']} vs {r['exact_value']}"
+    # p50 <= p90 <= p99 within every group, for both estimate and truth
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["q"]] = r
+    for t, qs in by_type.items():
+        assert set(qs) == {"p50", "p90", "p99"}
+        assert qs["p50"]["est_value"] <= qs["p90"]["est_value"] <= qs["p99"]["est_value"]
+        assert qs["p50"]["exact_value"] <= qs["p90"]["exact_value"] <= qs["p99"]["exact_value"]
