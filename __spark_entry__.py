@@ -175,6 +175,11 @@ _DRIVER_ROTATE_LAST = [
     # has a dedicated semantic test (tests/test_audit.py
     # test_resize_emits_error_row_for_null_payload) + every-round hash-check.
     "multimodal_resize",
+    # added r8: zero driver rows, but each has a dedicated semantic test in
+    # tests/test_audit.py (curriculum bucket balance within one; substring
+    # spans flag planted exact duplicates) + every-round hash-check.
+    "curriculum_buckets",
+    "substring_dup_spans",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -210,13 +215,12 @@ _ROUND_MODIFIED = [
     # (graph_pagerank moved to _DRIVER_ROTATE_LAST in r7: hypothesis
     # property-test replays both iterations in independent Python)
     "leakage_free_split",
-    # r6: NEW queries — corpus-audit family (lang-ID confusion matrix,
-    # curriculum quality deciles, embedding peakedness outliers) + exact-
-    # substring duplicated-span measurement
+    # r6: NEW queries — corpus-audit family (lang-ID confusion matrix +
+    # embedding peakedness outliers); their r6 siblings curriculum_buckets
+    # and substring_dup_spans moved to _DRIVER_ROTATE_LAST in r8 (each has
+    # a dedicated semantic test in tests/test_audit.py)
     "langid_confusion",
-    "curriculum_buckets",
     "embedding_outliers",
-    "substring_dup_spans",
     # r6: NEW query — video frame sampling (1→N mapInPandas), stub-decoded
     # but fully oracled; its r6 sibling multimodal_resize moved to
     # _DRIVER_ROTATE_LAST in r8 (same stub plumbing as driver-green
@@ -305,6 +309,12 @@ _ROUND_MODIFIED = [
     # r8: NEW query — quantiles by deterministic hash-sampling (mergeable
     # sample, integer-fraction rank positions, values selected not averaged)
     "sampled_quantiles",
+    # r8: NEW queries — TPC-H Q3 shape (filtered-dim broadcast chain, one
+    # fact shuffle, TakeOrdered top-10) + correlated scalar subquery
+    # decorrelated into a broadcast aggregate (cross-multiplied decimal
+    # compare so no row flips sides on a float-mean ulp)
+    "shipping_priority",
+    "above_nation_avg_balance",
 ]
 
 

@@ -378,3 +378,146 @@ def segment_region_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shipping priority: the join -> group -> top-k reporting shape (TPC-H Q3)
+# ---------------------------------------------------------------------------
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-01-01"
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact join -> group
+    -> top-10. The classic "urgent unshipped orders" report, completing
+    the OLAP set alongside Q1 (pricing_summary) and Q5
+    (regional_revenue).
+
+    Plan shape that must survive 100x: the segment filter cuts customer
+    to ~1/5 BEFORE it broadcasts; orders carries its date filter into
+    the scan (pushed), joins the filtered-customer broadcast, and only
+    then meets lineitem (the only corpus-sized table) — so the single
+    fact-side shuffle is the l_orderkey group. The final cut is
+    TakeOrderedAndProject on (revenue DESC, date, orderkey), never a
+    global sort. Revenue is exact decimal; the deterministic orderkey
+    tiebreak makes the top-10 stable across engines."""
+    t = _t(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar subquery, decorrelated: above-nation-average balances
+# ---------------------------------------------------------------------------
+@register(
+    "above_nation_avg_balance",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           round(CAST((SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey) AS DOUBLE)
+                 / (SELECT count(*) FROM customer c3
+                    WHERE c3.c_nationkey = c.c_nationkey), 4) AS nation_avg
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+          * (SELECT count(*) FROM customer c3
+             WHERE c3.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c.c_custkey ASC
+    """,
+)
+def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("balance above my nation's average"),
+    written the way every engine must EXECUTE it: decorrelated into one
+    per-nation aggregate broadcast back onto the row stream. The oracle
+    keeps the correlated form, so this pair checks that the manual
+    decorrelation is semantically identical to the subquery.
+
+    Determinism: the comparison is cross-multiplied into decimal space
+    (balance * count > sum) instead of comparing against a float mean —
+    decimal compare is exact, so no row can flip sides on a 1-ulp
+    engine difference; the displayed nation_avg does one rounded float
+    division per row. At scale the aggregate side is 25 rows —
+    broadcast — and the row side is one scan, no self-join shuffle; a
+    naive per-row subquery execution would be O(n) scans, which is the
+    reference's N+1 lookup pattern (queries/accounts J6) writ large."""
+    t = _t(spark, sf_dir)
+    per_nation = (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+            F.count("*").alias("bal_n"),
+        )
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(per_nation), "c_nationkey")
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("bal_n")
+            > F.col("bal_sum")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            F.round(
+                F.col("bal_sum").cast("double") / F.col("bal_n"), 4
+            ).alias("nation_avg"),
+        )
+        .orderBy(F.col("c_custkey").asc())
+    )

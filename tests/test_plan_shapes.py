@@ -143,3 +143,20 @@ def test_bloom_probe_is_broadcast(spark):
     # probe side is never shuffled against a corpus-sized build side
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q3_broadcast_chain_and_takeordered(spark):
+    plan = _plan(spark, "shipping_priority")
+    # filtered dims broadcast; the only fact-side exchange is the group;
+    # the top-10 is TakeOrdered, never a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decorrelated_subquery_is_broadcast_aggregate(spark):
+    plan = _plan(spark, "above_nation_avg_balance")
+    # the per-nation aggregate reaches the row stream as a broadcast —
+    # no per-row subquery execution, no self-join shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
