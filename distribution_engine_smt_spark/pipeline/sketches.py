@@ -41,8 +41,9 @@ CMS_DEPTH = 4                  # independent hash rows
 CMS_WIDTH = 512                # buckets per row
 
 # --- KMV --------------------------------------------------------------------
-KMV_K = 32
-_HEX15 = 16**15
+# same sketch family as temporal.kmv_distinct: one k and one hash-scale
+# definition, so the two KMV queries can never silently desynchronize
+from .temporal import _HEX15, KMV_K  # noqa: E402
 
 # DuckDB-side md5 -> 60-bit bigint (identical to F.conv(substr(md5,1,15)))
 _DUCK_HV = (
@@ -198,19 +199,25 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cms_bucket_array():
-    """The CMS_DEPTH salted bucket positions for column ``tok`` as an
-    array expression — md5('cms<j>:' || tok) % width, identical in the
-    DuckDB oracle."""
+def salted_positions(col, prefix: str, depth: int, width: int):
+    """Array of ``depth`` salted md5 bucket positions for a string
+    column: md5('<prefix><j>:' || col) % width — the one definition of
+    the cross-engine salt format, shared by the CMS grid and the Bloom
+    filter (and mirrored by their DuckDB oracles)."""
     return F.array(
         *[
             F.pmod(
-                _hv(F.concat(F.lit(f"cms{j}:"), F.col("tok")).cast("binary")),
-                F.lit(CMS_WIDTH),
+                _hv(F.concat(F.lit(f"{prefix}{j}:"), col).cast("binary")),
+                F.lit(width),
             )
-            for j in range(CMS_DEPTH)
+            for j in range(depth)
         ]
     )
+
+
+def cms_bucket_array():
+    """The CMS_DEPTH salted bucket positions for column ``tok``."""
+    return salted_positions(F.col("tok"), "cms", CMS_DEPTH, CMS_WIDTH)
 
 
 def cms_cells(tok_df: DataFrame, weight_col: str | None = None) -> DataFrame:
@@ -328,8 +335,7 @@ _KMV_SET_B = "purchase"
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS k_used,
              max(hv) AS kth_hash,
-             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-             (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_sketch_union
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
       FROM ku
     ),
     ex AS (
@@ -343,7 +349,7 @@ _KMV_SET_B = "purchase"
       )
     )
     SELECT agg.k_used, agg.kth_hash,
-           round(CASE WHEN agg.n_sketch_union < {KMV_K}
+           round(CASE WHEN agg.k_used < {KMV_K}
                       THEN CAST(agg.k_used AS DOUBLE)
                       ELSE ({KMV_K} - 1)
                            / (CAST(agg.kth_hash AS DOUBLE) / {_HEX15}.0)
@@ -351,7 +357,7 @@ _KMV_SET_B = "purchase"
            round(CAST(agg.n_both AS DOUBLE)
                  / CAST(agg.k_used AS DOUBLE), 4) AS jaccard_est,
            round((CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE))
-                 * CASE WHEN agg.n_sketch_union < {KMV_K}
+                 * CASE WHEN agg.k_used < {KMV_K}
                         THEN CAST(agg.k_used AS DOUBLE)
                         ELSE ({KMV_K} - 1)
                              / (CAST(agg.kth_hash AS DOUBLE) / {_HEX15}.0)
@@ -381,11 +387,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = _hv(F.col("user_id").cast("string").cast("binary"))
 
     def sketch(event_type: str) -> DataFrame:
+        # distinct AFTER hashing (on hv, matching the oracle's DISTINCT hv):
+        # a prefix collision between two user_ids must collapse to one slot
+        # in both engines, not consume two here and one there
         return (
             ev.filter(F.col("event_type") == event_type)
-            .select("user_id")
-            .distinct()
             .select(hv.alias("hv"))
+            .distinct()
             .orderBy(F.col("hv").asc())
             .limit(KMV_K)
         )
@@ -400,15 +408,15 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
         )
     )
-    n_sketch_union = u.agg(
-        F.count("*").cast("long").alias("n_sketch_union")
-    )
+    # incomplete union sketch iff fewer than K rows survived the cut:
+    # k_used = min(|u|, K), so k_used < K exactly when |u| < K — no
+    # separate count over u needed
     ku = u.orderBy(F.col("hv").asc()).limit(KMV_K)
     agg = ku.agg(
         F.count("*").cast("long").alias("k_used"),
         F.max("hv").alias("kth_hash"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
-    ).crossJoin(n_sketch_union)
+    )
     both = ev.filter(
         F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B)
     )
@@ -423,7 +431,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est_union = F.when(
-        F.col("n_sketch_union") < KMV_K, F.col("k_used").cast("double")
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
     ).otherwise(
         F.lit(float(KMV_K - 1))
         / (F.col("kth_hash").cast("double") / F.lit(float(_HEX15)))
@@ -517,19 +525,7 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def positions(key_col):
         return F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        _hv(
-                            F.concat(
-                                F.lit(f"bf{j}:"), key_col.cast("string")
-                            ).cast("binary")
-                        ),
-                        F.lit(BLOOM_BITS),
-                    )
-                    for j in range(BLOOM_K)
-                ]
-            )
+            salted_positions(key_col.cast("string"), "bf", BLOOM_K, BLOOM_BITS)
         )
 
     bits = (
@@ -640,7 +636,7 @@ def _duck_hll_finalize(reg_cte: str, alias: str) -> str:
     ),
     em AS ({_duck_hll_finalize("merged", "est_merged")}),
     ed AS ({_duck_hll_finalize("direct", "est_direct")}),
-    nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM h),
+    nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM daily),
     ex AS (
       SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
     )
@@ -676,11 +672,9 @@ def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = hll_estimate(direct, []).select(
         F.col("est_distinct").alias("est_direct")
     )
-    nd = ev.agg(
-        F.count_distinct(F.date_trunc("day", F.col("ts")))
-        .cast("long")
-        .alias("n_days")
-    )
+    # day count read off the kilobyte-sized register table (a day appears
+    # in `daily` iff it has >= 1 event) — not a fourth scan of events
+    nd = daily.agg(F.count_distinct("day").cast("long").alias("n_days"))
     ex = ev.agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
     return (
         nd.crossJoin(F.broadcast(em))

@@ -320,6 +320,32 @@ def run_sliding_stream(
     )
 
 
+def _run_sketch_stream(spark, source_dir, schema, out_dir, checkpoint_dir, build):
+    """Shared bounded-state sketch-stream discipline: file source ->
+    ``build(raw)`` (a streaming aggregation whose state is bounded by the
+    sketch layout, no watermark — "ever" semantics) -> complete-mode
+    foreachBatch that OVERWRITES the parquet sink with the full sketch
+    each trigger. Overwrite makes at-least-once replay idempotent, and
+    the checkpointed state store carries the sketch across restarts (the
+    two-wave resume tests prove drained state ≡ the batch sketch).
+    Estimates/probes are computed on read over the sink table —
+    multi-level aggregation inside one streaming query is unsupported,
+    and finalize-on-read is how a sketch store is consumed anyway."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+
+    def write_sketch(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        build(raw)
+        .writeStream.foreachBatch(write_sketch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_hll_stream(
     spark,
     source_dir: str,
@@ -331,37 +357,22 @@ def run_hll_stream(
     register table as a live streaming aggregation — the sketch whose
     state CANNOT grow with cardinality. A streaming exact count-distinct
     keeps one state row per key forever; the HLL register agg keeps at
-    most groups x 32 rows no matter how many distinct users flow past,
-    and needs no watermark because the state is bounded by construction
-    ("distinct ever" semantics).
-
+    most groups x 32 rows no matter how many distinct users flow past.
     Registers merge by max, so the streaming update path IS the batch
-    fold: ``pipeline.sketches.hll_registers`` provides the identical
-    bucket/rho columns for both, and estimates are computed on read with
-    ``hll_estimate`` over the sink table (multi-level aggregation inside
-    one streaming query is unsupported — and finalizing on read is how a
-    register store is consumed in production anyway).
-
-    foreachBatch in complete mode receives the FULL register table each
-    trigger and overwrites the parquet sink — idempotent under
-    at-least-once replay; the checkpointed state store carries the
-    registers across restarts, which the two-wave resume test proves."""
+    fold — ``pipeline.sketches.hll_registers`` provides the identical
+    bucket/rho columns for both; finalize with ``hll_estimate`` on
+    read."""
     from ..pipeline.sketches import hll_registers
 
-    raw = spark.readStream.schema(schema).parquet(source_dir)
-    reg = hll_registers(
-        raw, ["event_type"], F.col("user_id").cast("string").cast("binary")
-    )
-
-    def write_registers(batch_df, batch_id: int):
-        batch_df.write.mode("overwrite").parquet(out_dir)
-
-    return (
-        reg.writeStream.foreachBatch(write_registers)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_sketch_stream(
+        spark,
+        source_dir,
+        schema,
+        out_dir,
+        checkpoint_dir,
+        lambda raw: hll_registers(
+            raw, ["event_type"], F.col("user_id").cast("string").cast("binary")
+        ),
     )
 
 
@@ -374,31 +385,21 @@ def run_cms_stream(
 ):
     """Streaming count-min sketch: maintain the 4 x 512 cell grid as a
     live aggregation over arriving documents — the ADDITIVE merge class
-    (HLL's streaming twin above is the max-merge class). State is
-    bounded at depth x width rows whatever the token cardinality, no
-    watermark needed ("frequencies ever" semantics); heavy-hitter
+    (``run_hll_stream`` is the max class). State is bounded at
+    depth x width rows whatever the token cardinality; heavy-hitter
     queries are answered on read by probing the sink grid, exactly like
-    the batch ``cms_heavy_hitters`` probe stage.
-
-    Same sink discipline as ``run_hll_stream``: complete-mode agg +
-    foreachBatch overwriting the parquet grid — idempotent under
-    at-least-once replay, state carried across restarts by the
-    checkpointed state store."""
+    the batch ``cms_heavy_hitters`` probe stage."""
     from ..pipeline.sketches import cms_cells
 
-    raw = spark.readStream.schema(schema).parquet(source_dir)
-    toks = raw.select(
-        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
-    )
-    cells = cms_cells(toks)
-
-    def write_cells(batch_df, batch_id: int):
-        batch_df.write.mode("overwrite").parquet(out_dir)
-
-    return (
-        cells.writeStream.foreachBatch(write_cells)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_sketch_stream(
+        spark,
+        source_dir,
+        schema,
+        out_dir,
+        checkpoint_dir,
+        lambda raw: cms_cells(
+            raw.select(
+                F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+            )
+        ),
     )
