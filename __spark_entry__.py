@@ -180,6 +180,10 @@ _DRIVER_ROTATE_LAST = [
     # spans flag planted exact duplicates) + every-round hash-check.
     "curriculum_buckets",
     "substring_dup_spans",
+    # added r8: zero driver rows, but a dedicated semantic test pins the
+    # confusion-matrix totals to the corpus (tests/test_audit.py
+    # test_confusion_matrix_totals_match_corpus) + every-round hash-check.
+    "langid_confusion",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -215,11 +219,10 @@ _ROUND_MODIFIED = [
     # (graph_pagerank moved to _DRIVER_ROTATE_LAST in r7: hypothesis
     # property-test replays both iterations in independent Python)
     "leakage_free_split",
-    # r6: NEW queries — corpus-audit family (lang-ID confusion matrix +
-    # embedding peakedness outliers); their r6 siblings curriculum_buckets
-    # and substring_dup_spans moved to _DRIVER_ROTATE_LAST in r8 (each has
-    # a dedicated semantic test in tests/test_audit.py)
-    "langid_confusion",
+    # r6: NEW query — embedding peakedness outliers; its r6 siblings
+    # langid_confusion, curriculum_buckets and substring_dup_spans moved to
+    # _DRIVER_ROTATE_LAST in r8 (each has a dedicated semantic test in
+    # tests/test_audit.py)
     "embedding_outliers",
     # r6: NEW query — video frame sampling (1→N mapInPandas), stub-decoded
     # but fully oracled; its r6 sibling multimodal_resize moved to
@@ -315,6 +318,9 @@ _ROUND_MODIFIED = [
     # compare so no row flips sides on a float-mean ulp)
     "shipping_priority",
     "above_nation_avg_balance",
+    # r8: NEW query — per-hour HLL distinct (the dashboard windowed-sketch
+    # shape; registers merge upward across grains, streaming twin proven)
+    "hourly_hll_distinct",
 ]
 
 

@@ -403,3 +403,35 @@ def run_cms_stream(
             )
         ),
     )
+
+
+def run_hourly_hll_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Windowed streaming HLL: per-(hour, bucket) registers as a live
+    aggregation — the continuous form of the dashboard distinct-per-hour
+    query (``pipeline.sketches.hourly_hll_distinct`` is the batch/
+    backfill twin). State is 32 registers per hour seen: bounded per
+    window by construction; over an unbounded horizon a production
+    deployment groups on ``F.window`` with a watermark + update-mode
+    keyed sink so closed hours evict (same trade documented on
+    ``run_tumbling_stream``) — the availableNow drain here retains all
+    hours, which is what the drain-equals-batch test compares."""
+    from ..pipeline.sketches import hll_registers
+
+    return _run_sketch_stream(
+        spark,
+        source_dir,
+        schema,
+        out_dir,
+        checkpoint_dir,
+        lambda raw: hll_registers(
+            raw.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+            ["hour"],
+            F.col("user_id").cast("string").cast("binary"),
+        ),
+    )

@@ -320,3 +320,52 @@ def test_cms_stream_cells_survive_restart_and_match_batch(spark, tmp_path):
         (r["j"], r["bucket"]): r["cell"] for r in cms_cells(toks).collect()
     }
     assert streamed == batch
+
+
+def test_hourly_hll_stream_matches_batch_twin(spark, tmp_path):
+    """Windowed-register variant of the HLL restart test: streamed
+    per-hour registers across a two-wave drain finalize to exactly the
+    batch hourly estimates."""
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        hll_estimate,
+        hourly_hll_distinct,
+    )
+    from distribution_engine_smt_spark.streaming.windows import (
+        run_hourly_hll_stream,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    ev = load_tpch(spark, SF_DIR_ORACLE)["events"].select(
+        "event_id", "ts", "user_id"
+    )
+    wave1 = ev.filter(F.col("event_id") % 2 == 0)
+    wave2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    stream_dir = tmp_path / "hhll_stream"
+    stream_dir.mkdir()
+    out_dir = str(tmp_path / "hhll_registers")
+    ckpt = str(tmp_path / "hhll_ckpt")
+    wave1.write.parquet(str(stream_dir / "wave1"))
+    schema = wave1.schema
+
+    def drain():
+        q = run_hourly_hll_stream(
+            spark, str(stream_dir / "*"), schema, out_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    drain()
+    wave2.write.parquet(str(stream_dir / "wave2"))
+    drain()
+
+    est_stream = {
+        r["hour"]: r["est_distinct"]
+        for r in hll_estimate(spark.read.parquet(out_dir), ["hour"]).collect()
+    }
+    est_batch = {
+        r["hour"]: r["est_distinct"]
+        for r in hourly_hll_distinct(spark, SF_DIR_ORACLE).collect()
+    }
+    assert est_stream == est_batch
