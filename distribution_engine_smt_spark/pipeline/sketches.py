@@ -335,35 +335,46 @@ _KMV_SET_B = "purchase"
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS k_used,
              max(hv) AS kth_hash,
-             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+             CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_b_only
       FROM ku
+    ),
+    eu AS (
+      SELECT agg.*,
+             CASE WHEN k_used < {KMV_K}
+                  THEN CAST(k_used AS DOUBLE)
+                  ELSE ({KMV_K} - 1)
+                       / (CAST(kth_hash AS DOUBLE) / {_HEX15}.0)
+             END AS est_u
+      FROM agg
     ),
     ex AS (
       SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_union_exact,
              CAST(count(DISTINCT CASE WHEN cnt = 2 THEN user_id END)
-                  AS BIGINT) AS n_intersect_exact
+                  AS BIGINT) AS n_intersect_exact,
+             CAST(count(DISTINCT CASE WHEN has_b = 0 THEN user_id END)
+                  AS BIGINT) AS n_a_minus_b_exact
       FROM (
-        SELECT user_id, count(DISTINCT event_type) AS cnt
+        SELECT user_id, count(DISTINCT event_type) AS cnt,
+               max(CASE WHEN event_type = '{_KMV_SET_B}' THEN 1 ELSE 0 END)
+                 AS has_b
         FROM events WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}')
         GROUP BY user_id
       )
     )
-    SELECT agg.k_used, agg.kth_hash,
-           round(CASE WHEN agg.k_used < {KMV_K}
-                      THEN CAST(agg.k_used AS DOUBLE)
-                      ELSE ({KMV_K} - 1)
-                           / (CAST(agg.kth_hash AS DOUBLE) / {_HEX15}.0)
-                 END, 4) AS est_union,
-           round(CAST(agg.n_both AS DOUBLE)
-                 / CAST(agg.k_used AS DOUBLE), 4) AS jaccard_est,
-           round((CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE))
-                 * CASE WHEN agg.k_used < {KMV_K}
-                        THEN CAST(agg.k_used AS DOUBLE)
-                        ELSE ({KMV_K} - 1)
-                             / (CAST(agg.kth_hash AS DOUBLE) / {_HEX15}.0)
-                   END, 4) AS est_intersect,
-           ex.n_union_exact, ex.n_intersect_exact
-    FROM agg CROSS JOIN ex
+    SELECT eu.k_used, eu.kth_hash,
+           round(eu.est_u, 4) AS est_union,
+           round(CAST(eu.n_both AS DOUBLE)
+                 / CAST(eu.k_used AS DOUBLE), 4) AS jaccard_est,
+           round(CAST(eu.n_both AS DOUBLE) / CAST(eu.k_used AS DOUBLE)
+                 * eu.est_u, 4) AS est_intersect,
+           round(CAST(eu.n_a_only AS DOUBLE) / CAST(eu.k_used AS DOUBLE)
+                 * eu.est_u, 4) AS est_a_minus_b,
+           round(CAST(eu.n_b_only AS DOUBLE) / CAST(eu.k_used AS DOUBLE)
+                 * eu.est_u, 4) AS est_b_minus_a,
+           ex.n_union_exact, ex.n_intersect_exact, ex.n_a_minus_b_exact
+    FROM eu CROSS JOIN ex
     """,
 )
 def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +389,9 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mechanics: bottom-k md5 hashes per side (TakeOrdered — no global
     sort), merged k-smallest of the union gives the union estimate
     (k-1)/h_k; the fraction of those k present in BOTH sketches is an
-    unbiased Jaccard estimate; intersection = jaccard * union. Complete
+    unbiased Jaccard estimate, and the one-sided fractions give the set
+    DIFFERENCES the same way — intersection / A\\B / B\\A are all
+    fraction * union, which is the whole theta-sketch API. Complete
     sketches (fewer than k distinct union hashes) degrade to exact
     counts — the standard KMV contract, keeps sf0.001 first-class. One
     final float division per estimate, round(4), integer everywhere
@@ -416,18 +429,32 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("k_used"),
         F.max("hv").alias("kth_hash"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b"))
+        .cast("long")
+        .alias("n_b_only"),
     )
     both = ev.filter(
         F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B)
     )
     ex = (
         both.groupBy("user_id")
-        .agg(F.count_distinct("event_type").alias("cnt"))
+        .agg(
+            F.count_distinct("event_type").alias("cnt"),
+            F.max(
+                F.when(F.col("event_type") == _KMV_SET_B, 1).otherwise(0)
+            ).alias("has_b"),
+        )
         .agg(
             F.count("*").cast("long").alias("n_union_exact"),
             F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
             .cast("long")
             .alias("n_intersect_exact"),
+            F.sum(F.when(F.col("has_b") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a_minus_b_exact"),
         )
     )
     est_union = F.when(
@@ -436,15 +463,21 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(KMV_K - 1))
         / (F.col("kth_hash").cast("double") / F.lit(float(_HEX15)))
     )
-    jacc = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+
+    def frac(col_name: str):
+        return F.col(col_name).cast("double") / F.col("k_used").cast("double")
+
     return agg.crossJoin(F.broadcast(ex)).select(
         "k_used",
         "kth_hash",
         F.round(est_union, 4).alias("est_union"),
-        F.round(jacc, 4).alias("jaccard_est"),
-        F.round(jacc * est_union, 4).alias("est_intersect"),
+        F.round(frac("n_both"), 4).alias("jaccard_est"),
+        F.round(frac("n_both") * est_union, 4).alias("est_intersect"),
+        F.round(frac("n_a_only") * est_union, 4).alias("est_a_minus_b"),
+        F.round(frac("n_b_only") * est_union, 4).alias("est_b_minus_a"),
         "n_union_exact",
         "n_intersect_exact",
+        "n_a_minus_b_exact",
     )
 
 

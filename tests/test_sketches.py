@@ -64,6 +64,15 @@ def test_kmv_set_ops_algebra(spark):
     assert r["est_intersect"] <= r["est_union"] + 1e-9
     assert 1 <= r["k_used"] <= KMV_K
     assert r["n_intersect_exact"] <= r["n_union_exact"]
+    # the three disjoint fractions partition the union sketch, so their
+    # estimates must sum back to the union estimate (up to rounding)
+    assert (
+        abs(
+            r["est_intersect"] + r["est_a_minus_b"] + r["est_b_minus_a"]
+            - r["est_union"]
+        )
+        < 0.01
+    )
     # estimates should be in the right ballpark of the exact answers
     assert r["est_union"] > 0
     rel = abs(r["est_union"] - r["n_union_exact"]) / r["n_union_exact"]
