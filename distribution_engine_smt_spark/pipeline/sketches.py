@@ -917,3 +917,42 @@ def hourly_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", "est_distinct", "n_exact")
         .orderBy(F.col("hour").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# register store: day-partitioned sketch parquet, range reads prune partitions
+# ---------------------------------------------------------------------------
+def build_hll_register_store(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Materialize the daily HLL register tables as a parquet store
+    PARTITIONED BY day (ISO string) — the nightly-rollup artifact
+    ``hll_daily_merge`` reasons about, actually written. Each partition
+    holds <= 32 rows; rewriting one day is idempotent (dynamic overwrite
+    of that day's directory is the production move; a full overwrite
+    here keeps the demo deterministic)."""
+    ev = _t(spark, sf_dir)["events"]
+    daily = hll_registers(
+        ev.withColumn(
+            "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        ),
+        ["day"],
+        F.col("user_id").cast("string").cast("binary"),
+    )
+    daily.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+
+
+def range_distinct_estimate(
+    spark: SparkSession, store_dir: str, start_day: str, end_day: str
+) -> DataFrame:
+    """Distinct-users estimate for [start_day, end_day) answered from the
+    register store alone: the day filter is a PARTITION filter (ISO
+    strings compare lexicographically), so the scan touches only the
+    requested days' directories — kilobytes — and never the raw events.
+    Registers max-merge across the surviving days; ``hll_daily_merge``
+    proves the merge is lossless vs the direct sketch."""
+    reg = (
+        spark.read.parquet(store_dir)
+        .filter((F.col("day") >= start_day) & (F.col("day") < end_day))
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return hll_estimate(reg, [])

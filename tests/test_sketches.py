@@ -141,3 +141,49 @@ def test_sampled_quantiles_error_bounded(spark):
         assert set(qs) == {"p50", "p90", "p99"}
         assert qs["p50"]["est_value"] <= qs["p90"]["est_value"] <= qs["p99"]["est_value"]
         assert qs["p50"]["exact_value"] <= qs["p90"]["exact_value"] <= qs["p99"]["exact_value"]
+
+
+def test_register_store_prunes_partitions_and_matches_direct(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        build_hll_register_store,
+        hll_estimate,
+        hll_registers,
+        range_distinct_estimate,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    store = str(tmp_path / "hll_store")
+    build_hll_register_store(spark, SF_DIR_ORACLE, store)
+
+    start, end = "2024-02-01", "2024-03-01"
+    ev = load_tpch(spark, SF_DIR_ORACLE)["events"]
+    in_range = ev.filter(
+        (F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd") >= start)
+        & (F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd") < end)
+    )
+    if in_range.isEmpty():  # corpus time range moved — pick its first month
+        first = ev.agg(F.min(F.date_trunc("day", F.col("ts")))).collect()[0][0]
+        start = first.strftime("%Y-%m-01")
+        end = (first.replace(day=28) + __import__("datetime").timedelta(days=7)).strftime("%Y-%m-01")
+        in_range = ev.filter(
+            (F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd") >= start)
+            & (F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd") < end)
+        )
+    assert not in_range.isEmpty()
+
+    est_df = range_distinct_estimate(spark, store, start, end)
+    # the day range must reach the scan as a PARTITION filter (pruned
+    # directories), not a post-scan predicate over all days
+    plan = est_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "day#" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    [stored] = est_df.collect()
+    direct_reg = hll_registers(
+        in_range, [], F.col("user_id").cast("string").cast("binary")
+    )
+    [direct] = hll_estimate(direct_reg, []).collect()
+    assert stored["est_distinct"] == direct["est_distinct"]
+    assert stored["s_int"] == direct["s_int"]
