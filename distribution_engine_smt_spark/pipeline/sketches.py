@@ -746,6 +746,49 @@ def _rank_quantiles_sql(src: str, n_col: str) -> str:
     """
 
 
+def quantile_sample_predicate():
+    """The deterministic sampling predicate: md5(event_id) under the
+    fixed threshold keeps p = 1/2^SQ_SHIFT of rows. Shared by the batch
+    query and the sample store so both select the identical rows."""
+    return (
+        _hv(F.col("event_id").cast("string").cast("binary")) < _SQ_THRESHOLD
+    )
+
+
+def rank_quantiles(spark: SparkSession, df: DataFrame, n_name: str) -> DataFrame:
+    """Per-(event_type, quantile fraction): the value at ascending rank
+    ceil(qnum*n/qden) of ``df`` — integer-fraction positions, values
+    selected never averaged. One per-group sort window; at scale you run
+    this over a SAMPLE, never the corpus."""
+    from pyspark.sql import Window
+
+    qdf = spark.createDataFrame(
+        SQ_QUANTILES, "label string, qnum int, qden int"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = df.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.join(F.broadcast(qdf))
+        .filter(
+            F.col("rn") == F.expr("(qnum * n + qden - 1) div qden").cast("int")
+        )
+        .select(
+            "event_type",
+            "label",
+            "value",
+            F.col("n").cast("long").alias(n_name),
+        )
+    )
+
+
 @register(
     "sampled_quantiles",
     f"""
@@ -786,45 +829,12 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank error like a KLL/t-digest accuracy knob — those sketches beat
     sampling asymptotically but their state is not engine-portable, so
     they cannot be oracle-checked."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir)["events"].select("event_type", "event_id", "value")
-    qdf = spark.createDataFrame(
-        SQ_QUANTILES, "label string, qnum int, qden int"
-    )
-
-    def rank_quantiles(df: DataFrame, n_name: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(
-            F.col("value").asc(), F.col("event_id").asc()
-        )
-        wn = Window.partitionBy("event_type")
-        ranked = df.select(
-            "event_type",
-            "value",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wn).alias("n"),
-        )
-        return (
-            ranked.join(F.broadcast(qdf))
-            .filter(
-                F.col("rn")
-                == F.expr("(qnum * n + qden - 1) div qden").cast("int")
-            )
-            .select(
-                "event_type",
-                "label",
-                "value",
-                F.col("n").cast("long").alias(n_name),
-            )
-        )
-
-    sample = ev.filter(
-        _hv(F.col("event_id").cast("string").cast("binary")) < _SQ_THRESHOLD
-    )
-    est = rank_quantiles(sample, "n_sample").withColumnsRenamed(
+    sample = ev.filter(quantile_sample_predicate())
+    est = rank_quantiles(spark, sample, "n_sample").withColumnsRenamed(
         {"value": "est_value"}
     )
-    exact = rank_quantiles(ev, "n_total").withColumnsRenamed(
+    exact = rank_quantiles(spark, ev, "n_total").withColumnsRenamed(
         {"value": "exact_value"}
     )
     return (
@@ -956,3 +966,41 @@ def range_distinct_estimate(
         .agg(F.max("m_j").alias("m_j"))
     )
     return hll_estimate(reg, [])
+
+
+# ---------------------------------------------------------------------------
+# sample store: day-partitioned hash sample, range quantiles prune partitions
+# ---------------------------------------------------------------------------
+def build_quantile_sample_store(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Materialize the deterministic hash sample as a parquet store
+    PARTITIONED BY day — the quantile companion of
+    ``build_hll_register_store``. Because the sampling predicate is a
+    pure hash threshold, the union of per-day samples IS the sample of
+    any day range (no coordination, no reweighting), so stored samples
+    answer range-quantile questions exactly as a fresh sample would.
+    Per-day volume is n_day / 2^SQ_SHIFT rows; each day rewrites
+    idempotently."""
+    ev = _t(spark, sf_dir)["events"].select(
+        "event_type", "event_id", "value", "ts"
+    )
+    sample = ev.filter(quantile_sample_predicate()).withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    sample.drop("ts").write.mode("overwrite").partitionBy("day").parquet(
+        out_dir
+    )
+
+
+def range_quantile_estimate(
+    spark: SparkSession, store_dir: str, start_day: str, end_day: str
+) -> DataFrame:
+    """Per-type quantile estimates for [start_day, end_day) answered from
+    the sample store alone: the day range is a PARTITION filter, the rank
+    window sorts only the surviving sample rows, and the result equals
+    rank-quantiles of a directly-drawn sample of that range (hash
+    sampling commutes with union — the store test asserts the equality
+    row-for-row)."""
+    sample = spark.read.parquet(store_dir).filter(
+        (F.col("day") >= start_day) & (F.col("day") < end_day)
+    )
+    return rank_quantiles(spark, sample, "n_sample")

@@ -187,3 +187,43 @@ def test_register_store_prunes_partitions_and_matches_direct(spark, tmp_path):
     [direct] = hll_estimate(direct_reg, []).collect()
     assert stored["est_distinct"] == direct["est_distinct"]
     assert stored["s_int"] == direct["s_int"]
+
+
+def test_sample_store_prunes_partitions_and_matches_direct(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        build_quantile_sample_store,
+        quantile_sample_predicate,
+        range_quantile_estimate,
+        rank_quantiles,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    store = str(tmp_path / "sample_store")
+    build_quantile_sample_store(spark, SF_DIR_ORACLE, store)
+
+    ev = load_tpch(spark, SF_DIR_ORACLE)["events"]
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    days = sorted(
+        r[0] for r in ev.select(day.alias("d")).distinct().collect()
+    )
+    start, end = days[0], days[len(days) // 2]  # first half of the range
+
+    est_df = range_quantile_estimate(spark, store, start, end)
+    plan = est_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    stored = {
+        (r["event_type"], r["label"]): (r["value"], r["n_sample"])
+        for r in est_df.collect()
+    }
+    direct_sample = ev.filter((day >= start) & (day < end)).filter(
+        quantile_sample_predicate()
+    )
+    direct = {
+        (r["event_type"], r["label"]): (r["value"], r["n_sample"])
+        for r in rank_quantiles(spark, direct_sample, "n_sample").collect()
+    }
+    assert stored == direct
+    assert stored  # non-degenerate range
