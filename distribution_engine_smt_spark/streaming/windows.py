@@ -435,3 +435,53 @@ def run_hourly_hll_stream(
             F.col("user_id").cast("string").cast("binary"),
         ),
     )
+
+
+def run_sample_store_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming maintainer for the quantile sample store: the hash
+    threshold is a STATELESS filter, so sample maintenance needs no
+    aggregation state at all — each micro-batch's surviving rows land in
+    their day partitions. Hash sampling commutes with union, so the
+    incrementally-built store is identical to a batch rebuild
+    (drain-equals-batch test), and range reads keep pruning partitions.
+
+    Replay-safety: foreachBatch is at-least-once, and an append sink
+    would duplicate sample rows on replay; writing each batch's days via
+    dynamic partition overwrite is idempotent only per-batch-boundary,
+    so each batch writes to batch-scoped subdirectories of each day
+    (day=<d>/batch_id=<n>) — a replay rewrites the same subdirectory
+    with the same deterministic rows. Readers glob the day level and
+    see exactly-once data."""
+    from ..pipeline.sketches import quantile_sample_predicate
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    sample = raw.filter(quantile_sample_predicate()).select(
+        "event_type",
+        "event_id",
+        "value",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+
+    def write_batch(batch_df, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("day", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return (
+        sample.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -369,3 +369,63 @@ def test_hourly_hll_stream_matches_batch_twin(spark, tmp_path):
         for r in hourly_hll_distinct(spark, SF_DIR_ORACLE).collect()
     }
     assert est_stream == est_batch
+
+
+def test_sample_store_stream_equals_batch_store(spark, tmp_path):
+    """The incrementally-maintained sample store (two waves, checkpoint
+    restart between) holds exactly the batch-built store's rows, and
+    range quantiles over it match the batch answer."""
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        quantile_sample_predicate,
+        rank_quantiles,
+    )
+    from distribution_engine_smt_spark.streaming.windows import (
+        run_sample_store_stream,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    ev = load_tpch(spark, SF_DIR_ORACLE)["events"].select(
+        "event_type", "event_id", "value", "ts"
+    )
+    wave1 = ev.filter(F.col("event_id") % 2 == 0)
+    wave2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    stream_dir = tmp_path / "ss_stream"
+    stream_dir.mkdir()
+    out_dir = str(tmp_path / "ss_store")
+    ckpt = str(tmp_path / "ss_ckpt")
+    wave1.write.parquet(str(stream_dir / "wave1"))
+    schema = wave1.schema
+
+    def drain():
+        q = run_sample_store_stream(
+            spark, str(stream_dir / "*"), schema, out_dir, ckpt
+        )
+        q.awaitTermination(120)
+
+    drain()
+    wave2.write.parquet(str(stream_dir / "wave2"))
+    drain()
+
+    stored = spark.read.parquet(out_dir)
+    batch_sample = ev.filter(quantile_sample_predicate())
+    assert {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in stored.collect()
+    } == {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in batch_sample.collect()
+    }
+
+    # quantiles computed over the streamed store match the batch sample
+    streamed_q = {
+        (r["event_type"], r["label"]): r["value"]
+        for r in rank_quantiles(spark, stored, "n").collect()
+    }
+    batch_q = {
+        (r["event_type"], r["label"]): r["value"]
+        for r in rank_quantiles(spark, batch_sample, "n").collect()
+    }
+    assert streamed_q == batch_q
