@@ -1004,3 +1004,65 @@ def range_quantile_estimate(
         (F.col("day") >= start_day) & (F.col("day") < end_day)
     )
     return rank_quantiles(spark, sample, "n_sample")
+
+
+# ---------------------------------------------------------------------------
+# CMS store: day-partitioned cell grids, range heavy-hitter probes sum-merge
+# ---------------------------------------------------------------------------
+def build_cms_store(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Materialize per-day CMS cell grids as a day-partitioned parquet
+    store — the third merge class materialized (HLL registers max-merge,
+    hash samples union-merge, CMS cells SUM-merge). Documents have no
+    timestamp, so the synthetic day key is doc_id-derived; a real corpus
+    uses its ingest date. Each day's grid is <= depth x width rows."""
+    docs = _t(spark, sf_dir)["documents"]
+    toks = docs.select(
+        # deterministic synthetic ingest day: 100 docs per day
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") / 100).cast("int")
+        )
+        .cast("string")
+        .alias("day"),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    cells = (
+        toks.select("day", F.posexplode(cms_bucket_array()).alias("j", "bucket"))
+        .groupBy("day", "j", "bucket")
+        .agg(F.count("*").cast("long").alias("cell"))
+    )
+    cells.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+
+
+def range_token_frequency_estimate(
+    spark: SparkSession,
+    store_dir: str,
+    tokens: list[str],
+    start_day: str,
+    end_day: str,
+) -> DataFrame:
+    """Frequency estimates for ``tokens`` over [start_day, end_day)
+    answered from the cell store alone: the day range prunes partitions,
+    the surviving grids SUM-merge cell-wise (CMS additivity), and each
+    probe token reads its depth cells for the min — identical to a grid
+    built fresh over the range (the store test asserts it). One-sided
+    error (est >= truth) is preserved by the merge."""
+    merged = (
+        spark.read.parquet(store_dir)
+        .filter((F.col("day") >= start_day) & (F.col("day") < end_day))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )
+    probe = (
+        spark.createDataFrame([(t,) for t in tokens], "tok string")
+        .select("tok", F.posexplode(cms_bucket_array()).alias("j", "bucket"))
+    )
+    return (
+        probe.join(F.broadcast(merged), ["j", "bucket"], "left")
+        .groupBy("tok")
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+        .orderBy(F.col("tok").asc())
+    )

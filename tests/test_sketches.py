@@ -227,3 +227,50 @@ def test_sample_store_prunes_partitions_and_matches_direct(spark, tmp_path):
     }
     assert stored == direct
     assert stored  # non-degenerate range
+
+
+def test_cms_store_prunes_partitions_and_matches_direct(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        build_cms_store,
+        range_token_frequency_estimate,
+    )
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    store = str(tmp_path / "cms_store")
+    build_cms_store(spark, SF_DIR_ORACLE, store)
+
+    docs = load_tpch(spark, SF_DIR_ORACLE)["documents"]
+    day = (
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") / 100).cast("int")
+        ).cast("string")
+    )
+    days = sorted(r[0] for r in docs.select(day.alias("d")).distinct().collect())
+    start, end = days[0], days[len(days) // 2]
+
+    # probe the 5 most frequent tokens of the in-range slice
+    in_range = docs.filter((day >= start) & (day < end))
+    toks = in_range.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("tok").asc())
+        .limit(5)
+        .collect()
+    )
+    probe_tokens = [r["tok"] for r in top]
+    truth = {r["tok"]: r["count"] for r in top}
+
+    est_df = range_token_frequency_estimate(spark, store, probe_tokens, start, end)
+    plan = est_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    est = {r["tok"]: r["est_count"] for r in est_df.collect()}
+    assert set(est) == set(probe_tokens)
+    for t in probe_tokens:
+        # sum-merged store preserves the one-sided CMS guarantee
+        assert est[t] >= truth[t]
