@@ -313,3 +313,72 @@ def funnel_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch as engine-managed state: the min-merge class
+# ---------------------------------------------------------------------------
+KMV_SKETCH_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("k_used", IntegerType()),
+        StructField("kth_hash", LongType()),
+    ]
+)
+
+# state per group: the <= k smallest 60-bit hashes, kept sorted
+KMV_STATE_SCHEMA = StructType(
+    [StructField("hvs", StringType())]  # comma-joined longs: tiny, portable
+)
+
+
+def _make_kmv_fold(k: int):
+    """Per-key bottom-k merge. Hashes are computed ENGINE-side (the md5
+    column twin) before this operator, so the Python fold is pure integer
+    min-merge — it can't drift from the batch sketch's hash. Closure
+    ships by value (no repo imports on executors)."""
+
+    def _fold(
+        key: Tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        rows = _pd.concat(list(batches), ignore_index=True)
+        if rows.empty:
+            return
+        incoming = set(int(v) for v in rows["hv"])
+        held = (
+            set(int(v) for v in state.get[0].split(",") if v)
+            if state.exists
+            else set()
+        )
+        merged = sorted(held | incoming)[:k]
+        state.update((",".join(str(v) for v in merged),))
+        yield _pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "k_used": [len(merged)],
+                "kth_hash": [merged[-1]],
+            }
+        )
+
+    return _fold
+
+
+def kmv_sketch_stream(hashed_stream: DataFrame, k: int) -> DataFrame:
+    """hashed_stream(event_type, hv) -> per-type bottom-k sketch summary
+    after each micro-batch (update mode). State per key is <= k longs —
+    the min-merge sketch class as engine-managed state, completing the
+    streaming trio (HLL registers max-merge, CMS cells sum-merge). The
+    ESTIMATE is computed on read from (k_used, kth_hash) with the same
+    Spark round() expression as the batch query, so the Python fold
+    stays purely integer and cannot introduce float drift."""
+    return hashed_stream.groupBy("event_type").applyInPandasWithState(
+        _make_kmv_fold(k),
+        outputStructType=KMV_SKETCH_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

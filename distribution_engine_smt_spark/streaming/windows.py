@@ -485,3 +485,46 @@ def run_sample_store_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_kmv_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int,
+):
+    """Streaming KMV bottom-k (min-merge class): engine-side md5 hashing
+    feeds the ``applyInPandasWithState`` fold
+    (``stateful.kmv_sketch_stream``); each micro-batch emits the updated
+    keys' sketch summaries. Update mode means a batch carries only the
+    keys it touched, so the sink is per-key DYNAMIC partition overwrite
+    (event_type = the partition): touched keys rewrite deterministically
+    (replay-safe), untouched keys keep their last summary — a keyed
+    upsert built from parquet primitives."""
+    from ..pipeline.sketches import _hv
+    from .stateful import kmv_sketch_stream
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    hashed = raw.select(
+        "event_type",
+        _hv(F.col("user_id").cast("string").cast("binary")).alias("hv"),
+    )
+    sketch = kmv_sketch_stream(hashed, k)
+
+    def write_batch(batch_df, batch_id: int):
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("event_type")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return (
+        sketch.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -295,3 +295,62 @@ def test_funnel_stream_drain_equals_batch(spark, tmp_path):
         3: sum(1 for s in final.values() if s >= 3),
     }
     assert got == batch
+
+
+def test_kmv_stream_matches_batch_sketch(spark, tmp_path):
+    """Min-merge streaming trio-completer: the per-type bottom-k state
+    after a two-wave drain with a checkpoint restart equals the batch KMV
+    sketch — same kth hash, and the same estimate once finalized with the
+    batch query's round() expression."""
+    import pyspark.sql.functions as F
+
+    from distribution_engine_smt_spark.pipeline.temporal import (
+        KMV_K,
+        _HEX15,
+        kmv_distinct,
+    )
+    from distribution_engine_smt_spark.streaming.windows import run_kmv_stream
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_tpch(spark, sf)["events"].select("event_type", "user_id")
+    wave1 = ev.filter(F.col("user_id") % 2 == 0)
+    wave2 = ev.filter(F.col("user_id") % 2 == 1)
+
+    stream_dir = tmp_path / "kmv_stream"
+    stream_dir.mkdir()
+    out_dir = str(tmp_path / "kmv_sketch")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    wave1.write.parquet(str(stream_dir / "wave1"))
+    schema = wave1.schema
+
+    def drain():
+        q = run_kmv_stream(
+            spark, str(stream_dir / "*"), schema, out_dir, ckpt, KMV_K
+        )
+        q.awaitTermination(120)
+
+    drain()
+    wave2.write.parquet(str(stream_dir / "wave2"))
+    drain()
+
+    streamed = spark.read.parquet(out_dir)
+    # finalize with the same Spark expression the batch query uses
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(KMV_K - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(float(_HEX15))),
+            4,
+        )
+    )
+    got = {
+        r["event_type"]: (r["kth_hash"], r["est"])
+        for r in streamed.select("event_type", "kth_hash", est.alias("est")).collect()
+    }
+    want = {
+        r["event_type"]: (r["kth_hash"], r["est_distinct"])
+        for r in kmv_distinct(spark, sf).collect()
+    }
+    assert got == want
