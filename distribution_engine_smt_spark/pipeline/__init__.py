@@ -1,6 +1,8 @@
 """Large-scale training-data-pipeline extensions (beyond the reference
 surface, driver-mandated): deduplication, similarity search, text analysis,
-multimodal column plumbing. Importing this package registers the extension
+multimodal column plumbing, classic OLAP reporting shapes, and the
+portable mergeable-sketch family (HLL / count-min / KMV / Bloom /
+hash-sampled quantiles). Importing this package registers the extension
 queries into the central driver query registry."""
 
 from . import (  # noqa: F401

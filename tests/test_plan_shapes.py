@@ -160,3 +160,16 @@ def test_decorrelated_subquery_is_broadcast_aggregate(spark):
     # no per-row subquery execution, no self-join shuffle
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hourly_hll_and_quantiles_have_no_blowups(spark):
+    # windowed registers: two map-side-combinable aggs, no joins of the
+    # corpus against itself
+    plan = _plan(spark, "hourly_hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # quantiles: the only unconditioned join is the bounded 3-row literal
+    # quantile-fraction frame (broadcast); nothing corpus-sized crosses
+    plan = _plan(spark, "sampled_quantiles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 3-row fraction frame
