@@ -28,162 +28,130 @@ def entry(spark: SparkSession) -> DataFrame:
     return driver_queries.discussions_by_created(spark, "/root/testdata/sf0.001")
 
 
-# The round-2 driver run recorded CORRECTNESS rows for exactly the first 50
-# entries of ``queries()`` in registration order (r1 registered 45 and all 45
-# ran), i.e. the harness caps the oracle pass at 50 queries per round.  Nine
-# operators (ann_*, dedup_embedding_*, sessionize, asof, kmv, tumbling,
-# range_join) therefore never got a driver row despite hash-matching the
-# local DuckDB replica (tests/test_driver_queries.py).  We can't raise the
-# driver's cap, so we rotate: the never-driver-verified queries go FIRST,
-# and queries that were green in BOTH r1 and r2 (simple scalar-function
-# shapes, least likely to regress silently) are rotated past position 50.
+# The driver caps its oracle pass at 50 queries per round (observed in r2;
+# see docs/PLANS.md "Driver 50-query cap"), so we rotate: queries with ZERO
+# driver rows across r1-r4 run FIRST (retiring the verification debt VERDICT
+# r4 flagged), then this round's modified queries, then the once-verified
+# r4 additions, and multi-round-green untouched queries rotate past the cap.
 # Every query keeps its oracle and stays hash-checked locally each round
-# regardless of position.  See docs/PLANS.md "Driver 50-query cap".
+# regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # never driver-verified — run first. The round-4 driver pass produced no
-    # CORRECTNESS_r04.json, so the two queries ADDED in round 4 still have
-    # zero driver rows; everything else has at least one green row (r1-r3).
-    "ann_ivf_nprobe_topk",
+    # --- zero driver rows in r1-r4 (VERDICT r4 "What's missing" #3) +
+    # --- quantile_error_audit (new this round): the top-18 slots
+    "normalize_text",
+    "langid_confusion",
+    "curriculum_buckets",
+    "substring_dup_spans",
+    "corpus_datasheet",
+    "length_histogram",
+    "embedding_kmeans",
+    "ann_ivf_kmeans_nprobe",
+    "graph_pagerank",
+    "multimodal_resize",
+    "pii_redact",
+    "url_density",
+    "top_ngrams",
+    "bm25_search",
+    "deterministic_shuffle",
+    "source_vocab_overlap",
+    "event_zscore_anomaly",
+    "quantile_error_audit",
+    # --- exactly one driver row (green r4), untouched this round: fill
+    # --- the remaining head slots so each gets a second round of evidence
     "token_count_quantiles",
-    # single driver row so far (r3 only) — keep early
+    "zipf_slope",
+    "build_vocab",
+    "embedding_outliers",
+    "mixture_weights",
+    "ann_ivf_nprobe_topk",
+    "ann_sq8_topk",
+    "ann_query_batch",
+    "ann_pq_topk",
+    "hard_negatives",
+    "embedding_dim_stats",
+    "top_boilerplate_spans",
+    "ann_ivf_kmeans_topk",
+    "semdedup",
+    "leakage_free_split",
+    "doc_novelty",
+    "weighted_sample",
+    "multimodal_frame_sample",
+    "pricing_summary",
+    "regional_revenue",
+]
+# multi-round-green (1-3 driver rows each) AND untouched this round —
+# rotated past the cap. With 118 registered queries and the 50-slot cap,
+# exactly 68 sit here so the cut is EXPLICIT (chosen stable queries)
+# rather than whatever lands at positions 51+ of registration order.
+_DRIVER_ROTATE_LAST = [
+    "discussions_by_created",
+    "discussions_by_trending",
+    "discussions_by_hot",
+    "discussions_by_payout_keyset",
+    "discussions_by_promoted",
+    "trending_tags",
+    "blog_union_minjoin",
+    "feed_semijoin",
+    "replies_in_notin",
+    "reblogged_by_agg",
+    "latest_event_per_key",
+    "thread_tree",
+    "follow_counts",
+    "account_history_page",
+    "earliest_event_per_user",
+    "set_diff_reconcile",
+    "supplier_visible_revenue",
+    "tag_membership",
+    "children_counts",
+    "payout_accumulation",
+    "json_props_sum",
+    "recent_orders_window",
+    "authorperm_codec",
+    "segment_nation_counts",
+    "post_with_votes",
+    "prefix_select",
+    "reward_curves",
+    "time_format_wire",
+    "json_double_decode",
+    "text_token_counts",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "pack_sequences",
+    "stratified_sample",
+    "quality_filter",
+    "balanced_sample",
+    "chunk_documents",
+    "decontaminate",
+    "text_repetition",
+    "curated_corpus",
+    "multimodal_decode",
+    "multimodal_metadata_stats",
+    "sales_rollup",
+    "events_pivot",
+    "daily_moving_avg",
+    "segment_region_cube",
+    "shipping_priority",
+    "above_nation_avg_balance",
+    "rrf_hybrid_search",
+    "unigram_perplexity",
     "sessionize",
     "asof_purchase_attribution",
     "kmv_distinct",
     "tumbling_event_counts",
     "range_join_events",
-]
-# multi-round-green simple shapes — safest to rotate past the cap. With 61
-# registered queries and a 50-query driver cap, exactly 11 must sit here so
-# the cut is EXPLICIT (chosen stable queries) rather than whatever lands at
-# positions 51+ of registration order.
-_DRIVER_ROTATE_LAST = [
-    "prefix_select",
-    "authorperm_codec",
-    "time_format_wire",
-    "json_double_decode",
-    "json_props_sum",
-    "recent_orders_window",
-    "segment_nation_counts",
-    "reward_curves",
-    "earliest_event_per_user",
-    # added r4 (green r2+r3, untouched this round): map-only text scans
-    "text_fingerprint",
-    "text_token_counts",
-    # added r5 (green r2+r3+r4, untouched this round)
-    "text_lang_id",
-    "text_quality_score",
-    "follow_counts",
-    "trending_tags",
-    "tag_membership",
-    "reblogged_by_agg",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "balanced_sample",
-    "stratified_sample",
-    # added r6 (green r2+r3, untouched this round): content-hash dedup pair
-    # + map-only rule cascade + map-only chunker
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "quality_filter",
-    "chunk_documents",
-    "set_diff_reconcile",
-    "account_history_page",
-    "multimodal_metadata_stats",
-    "decontaminate",
-    "pack_sequences",
-    "dedup_clusters",
-    "multimodal_decode",
-    "curated_corpus",
-    "text_repetition",
-    "blog_union_minjoin",
-    "feed_semijoin",
-    "replies_in_notin",
-    # added r7 (green r1-r3, untouched since): sentinel-equality scan,
-    # keyset pagination, N+1-votes join
-    "discussions_by_promoted",
-    "discussions_by_payout_keyset",
-    "post_with_votes",
-    # added r7 (green r1-r3, untouched since): score-ranked top-k scans,
-    # time-ordered top-k, per-key latest
-    "discussions_by_trending",
-    "discussions_by_hot",
-    "discussions_by_created",
-    "latest_event_per_key",
-    # added r7 (green r1-r3, untouched since): muted-suppression join,
-    # recursive tree join
-    "supplier_visible_revenue",
-    "thread_tree",
-    # added r7 (green r1-r3, untouched since): jaccard baseline (LSH is
-    # the scale path) + the LSH pair stream itself, whose full SQL is
-    # re-driven inside cross_source_dup_matrix / corpus_datasheet oracles
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    # added r7: the two ingestion-fold queries. Driver-green in ALL of
-    # r1/r2/r3 (the most of any query); their r4 salting change is proven
-    # by the viral-post skew fixtures (tests/test_skew_sources.py) and
-    # hash-checked locally every round. Rotated because the 50-slot cap
-    # must first cover the r4-r7 additions that have ZERO driver rows.
-    "children_counts",
-    "payout_accumulation",
-    # added r7: zero driver rows (r5 additions; the cap is full of newer
-    # zero-row queries) but the strongest LOCAL evidence of any pair —
-    # dedicated dialect-parity fixtures (tests/test_redaction.py) plus
-    # the hash-check every round; rotated on that strength.
-    "pii_redact",
-    "url_density",
-    # added r7: zero driver rows (r5 additions) but property-tested against
-    # independent Python references (tests/test_graph_properties.py,
-    # test_shards_zscore.py) on top of the every-round hash-check; rotated
-    # on that strength to keep the cap on never-otherwise-verified queries.
-    "deterministic_shuffle",
-    "source_vocab_overlap",
-    "event_zscore_anomaly",
-    "top_ngrams",
-    # added r7: hypothesis property-test replays both PageRank iterations
-    # in independent pure Python (tests/test_graph_properties.py) on top
-    # of the every-round oracle hash-check
-    "graph_pagerank",
-    # added r8: zero driver rows, but each one's core logic is REPLAYED by
-    # an in-cap query's oracle — semdedup's and ann_ivf_kmeans_topk's
-    # oracles re-drive the full two-iteration k-means fit (embedding_kmeans),
-    # ann_ivf_kmeans_topk exercises the same trained-IVF cell route as the
-    # nprobe variant, and rrf_hybrid_search re-drives the shared
-    # _bm25_scored scoring (bm25_search). All three also hash-checked
-    # locally every round (tests/test_driver_queries.py).
-    "embedding_kmeans",
-    "ann_ivf_kmeans_nprobe",
-    "bm25_search",
-    # added r8: zero driver rows, but BOTH of its ingredients are replayed
-    # by in-cap oracles — the 0.4/0.3/0.3 quality blend by
-    # dedup_best_representative and the memoized MinHash pair stream by
-    # cross_source_dup_matrix; hash-checked locally every round.
-    "corpus_datasheet",
-    # added r8: zero driver rows, but the lowest-risk shape in the repo —
-    # a map-only 3-column projection whose oracle is the same two string
-    # functions; hash-checked locally every round.
-    "normalize_text",
-    # added r8: zero driver rows, but the same trivial class — map-only
-    # integer 100-char bucketing whose oracle is the same arithmetic;
-    # hash-checked locally every round.
-    "length_histogram",
-    # added r8: zero driver rows, but the 1→1 mapInPandas stub plumbing is
-    # identical in shape to multimodal_decode (driver-green r1-r3) and it
-    # has a dedicated semantic test (tests/test_audit.py
-    # test_resize_emits_error_row_for_null_payload) + every-round hash-check.
-    "multimodal_resize",
-    # added r8: zero driver rows, but each has a dedicated semantic test in
-    # tests/test_audit.py (curriculum bucket balance within one; substring
-    # spans flag planted exact duplicates) + every-round hash-check.
-    "curriculum_buckets",
-    "substring_dup_spans",
-    # added r8: zero driver rows, but a dedicated semantic test pins the
-    # confusion-matrix totals to the corpus (tests/test_audit.py
-    # test_confusion_matrix_totals_match_corpus) + every-round hash-check.
-    "langid_confusion",
+    "sliding_event_counts",
+    "event_funnel",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "kmv_set_ops",
+    "hll_daily_merge",
+    "hourly_hll_distinct",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -195,132 +163,29 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # (r5's pii_redact / url_density moved to _DRIVER_ROTATE_LAST in r7:
-    # the cap filled with newer zero-row queries and that pair has the
-    # strongest local evidence — dedicated dialect-parity fixtures)
-    # (r5's top_ngrams / deterministic_shuffle / source_vocab_overlap /
-    # event_zscore_anomaly moved to _DRIVER_ROTATE_LAST in r7 — property-
-    # tested against independent Python references, strongest local
-    # evidence after pii_redact/url_density)
-    # r5: NEW query — SQ8 quantized ANN
-    "ann_sq8_topk",
-    # r5: NEW query — unigram-LM perplexity (deterministic ordered fold)
-    "unigram_perplexity",
-    # (r5's bm25_search / embedding_kmeans and r6's ann_ivf_kmeans_nprobe
-    # moved to _DRIVER_ROTATE_LAST in r8: the cap filled with the new
-    # sketch family, and those three are the only zero-row queries whose
-    # core logic an IN-cap query's oracle REPLAYS — see rotate-last notes)
-    # r6: NEW queries — TF-IDF keywords + hybrid lexical/dense RRF retrieval
-    # (rrf_hybrid_search consumes _bm25_scored, so its oracle re-drives the
-    # full BM25 scoring of the rotated bm25_search)
-    "tfidf_keywords",
-    "rrf_hybrid_search",
-    # r6: NEW query — dup-group-aware train/val/test split
-    # (graph_pagerank moved to _DRIVER_ROTATE_LAST in r7: hypothesis
-    # property-test replays both iterations in independent Python)
-    "leakage_free_split",
-    # r6: NEW query — embedding peakedness outliers; its r6 siblings
-    # langid_confusion, curriculum_buckets and substring_dup_spans moved to
-    # _DRIVER_ROTATE_LAST in r8 (each has a dedicated semantic test in
-    # tests/test_audit.py)
-    "embedding_outliers",
-    # r6: NEW query — video frame sampling (1→N mapInPandas), stub-decoded
-    # but fully oracled; its r6 sibling multimodal_resize moved to
-    # _DRIVER_ROTATE_LAST in r8 (same stub plumbing as driver-green
-    # multimodal_decode + a dedicated semantic test)
-    "multimodal_frame_sample",
-    # r6: NEW query — trained-IVF ANN through the k-means cells (composes
-    # the embedding_kmeans fit with the similarity probe, both re-oracled —
-    # its oracle replays the FULL two-iteration Lloyd fit, which is why
-    # embedding_kmeans and the nprobe variant can sit rotated past the cap)
-    "ann_ivf_kmeans_topk",
-    # r6: NEW queries — literal boilerplate-span miner + sqrt-scaled data-
-    # mixture weight/sampling-rate table
-    "top_boilerplate_spans",
-    "mixture_weights",
-    # r6: MODIFIED — KMV small-cardinality fallback (exact count below k);
-    # also listed in _DRIVER_PRIORITY, _ordered() dedups
-    "kmv_distinct",
-    # r6: NEW query — per-source Zipf-law exponent (fixed-order least-
-    # squares fold over rank-sorted points)
-    "zipf_slope",
-    # r6: NEW query — Efraimidis–Spirakis weighted sampling without
-    # replacement (length-weighted md5 uniforms, round-before-rank)
-    "weighted_sample",
-    # r7: NEW query — SemDeDup (k-means cells + within-cell cosine pruning,
-    # composes the cached fit with the exact pair verify)
-    "semdedup",
-    # r7: NEW queries — cross-source near-dup overlap matrix (consumes the
-    # memoized MinHash pair stream) + fuzzy MinHash-signature
-    # decontamination (benchmark-broadcast pair scan)
-    "cross_source_dup_matrix",
-    "minhash_decontaminate",
-    # r7: NEW queries — per-dimension embedding mean/std audit (decimal-
-    # exact 64-key reduction) + n-gram novelty score (df-1 fraction over
-    # the inverted 8-gram index)
-    "embedding_dim_stats",
-    "doc_novelty",
-    # r7: NEW query — quality-aware dedup survivor policy (max quality +
-    # min-id-at-max over the LSH clusters); its r7 sibling normalize_text
-    # moved to _DRIVER_ROTATE_LAST in r8 (trivial map-only projection)
-    "dedup_best_representative",
-    # r7: NEW queries — batched ANN serving (one scan scores the whole
-    # query batch, WindowGroupLimit partial top-k) + product-quantization
-    # ANN (4-byte codes, LUT-based ADC scan, exact rerank)
-    "ann_query_batch",
-    "ann_pq_topk",
-    # r7: NEW query — sliding-window counts (batch twin of the new
-    # overlapping-window stream); its r7 sibling corpus_datasheet moved to
-    # _DRIVER_ROTATE_LAST in r8 (both of its ingredients are replayed by
-    # in-cap oracles)
-    "sliding_event_counts",
-    # r7: NEW query — ordered view>click>purchase funnel (conditional-min
-    # stages on one user_id partitioning); its r7 sibling length_histogram
-    # moved to _DRIVER_ROTATE_LAST in r8 (map-only integer bucketing)
-    "event_funnel",
-    # r7: NEW queries — hard-negative mining (most-similar-below-threshold
-    # band of the batched ANN scan) + frequency-ranked vocabulary with
-    # cumulative coverage (TakeOrdered cut, windows on the K-row frame)
-    "hard_negatives",
-    "build_vocab",
-    # r7: NEW queries — classic OLAP surfaces: Q1-shape scan aggregate,
-    # Q5-shape star join, ROLLUP subtotal grid, fixed-category PIVOT
-    "pricing_summary",
-    "regional_revenue",
-    "sales_rollup",
-    "events_pivot",
-    # r7: NEW query — 7-day trailing average (ROWS-frame window over
-    # decimal day-grain sums, frame-order-independent by construction)
-    "daily_moving_avg",
-    # r8: NEW queries — portable mergeable-sketch family: HyperLogLog
-    # distinct (integer-exact registers via bin()/shifts), count-min
-    # heavy-hitter frequency estimates, KMV theta-sketch set operations
-    # (union / Jaccard / intersection from two bottom-k sketches)
-    "hll_distinct",
-    "cms_heavy_hitters",
-    "kmv_set_ops",
-    # r8: NEW query — GROUP BY CUBE cross-margin grid (ROLLUP's companion;
-    # one Expand pass, broadcast dimension chain, decimal-exact margins)
-    "segment_region_cube",
-    # r8: NEW query — Bloom-filter semi-join pruning with measured fp rate
-    # and the zero-false-negative guarantee oracle-checked
-    "bloom_membership",
-    # r8: NEW query — HLL reaggregability proof: daily register rollup
-    # max-merged equals the direct single-pass sketch (also refactored
-    # hll_distinct through the shared hll_registers/hll_estimate helpers)
-    "hll_daily_merge",
-    # r8: NEW query — quantiles by deterministic hash-sampling (mergeable
-    # sample, integer-fraction rank positions, values selected not averaged)
+    # r5 (this round): SimHash pair scan rewritten from an interpreted
+    # F.aggregate lambda fold to two packed-long bit_count(xor) codegen
+    # terms (the r4 13x bench regression), and its producer re-projected
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # r5: sampled_quantiles is now sample-only (the exact full-sort rider
+    # moved to the NEW quantile_error_audit query, in _DRIVER_PRIORITY);
+    # its oracle changed accordingly
     "sampled_quantiles",
-    # r8: NEW queries — TPC-H Q3 shape (filtered-dim broadcast chain, one
-    # fact shuffle, TakeOrdered top-10) + correlated scalar subquery
-    # decorrelated into a broadcast aggregate (cross-multiplied decimal
-    # compare so no row flips sides on a float-mean ulp)
-    "shipping_priority",
-    "above_nation_avg_balance",
-    # r8: NEW query — per-hour HLL distinct (the dashboard windowed-sketch
-    # shape; registers merge upward across grains, streaming twin proven)
-    "hourly_hll_distinct",
+    # r5: fp_rate denominator guarded with greatest(...,1) in BOTH engines
+    # (ADVICE: degenerate all-members probe set divided by zero)
+    "bloom_membership",
+    # r5: persist() -> tracked_persist() cache-discipline sweep (release
+    # after last consumer; bench clears between queries) touched these
+    # builders and the consumers of the memoized MinHash pair stream
+    "minhash_decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "tfidf_keywords",
+    "cross_source_dup_matrix",
+    "dedup_best_representative",
+    "dedup_clusters",
 ]
 
 

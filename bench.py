@@ -66,6 +66,12 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(statistics.median(runs), 4)
         spreads[name] = round(max(runs) - min(runs), 4)
+        # Release storage between queries: the 117-query suite otherwise
+        # accumulates every persist()ed intermediate until eviction
+        # thrashing distorts later queries (the r4 simhash/multimodal
+        # regressions). Within one query's 3 runs the cache stays warm —
+        # same timing semantics as before; across queries each starts cold.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     # the like-for-like subtotal: the EXACT query set BENCH_r01 measured,
@@ -95,16 +101,46 @@ def main() -> None:
         sum(v for k, v in timings.items() if k in r1_queries), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf else sf_dir
+    # Two output lines. The driver captures a bounded stdout tail and parses
+    # the LAST JSON line; round 4's single line (117 queries + spreads,
+    # ~7 KB) blew past that cap and the whole bench went unrecorded
+    # ("parsed": null). So: full per-query detail FIRST (for humans /
+    # BENCH_DETAIL.json), then a short (<2 KB) driver-facing summary line
+    # LAST with the headline timings only.
+    detail = {
+        "metric": "query_suite_wall_seconds_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "r01_subset_sec": r01_subset,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:  # best-effort local record; bench must still work read-only
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    # headline-15 + the perf-watchlist queries called out in VERDICT r4
+    watch = HEADLINE + [
+        "dedup_simhash", "dedup_simhash_pairs", "multimodal_decode",
+        "sampled_quantiles", "minhash_decontaminate", "graph_pagerank",
+    ]
     print(
         json.dumps(
             {
                 "metric": "query_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
+                "queries": {k: timings[k] for k in watch if k in timings},
+                "n_queries": len(timings),
                 "r01_subset_sec": r01_subset,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf_val,
             }
         )
     )

@@ -253,13 +253,21 @@ def compact_ivf_cell(
     or the cell accumulates one small directory per batch forever (the
     exact small-file problem the module docstring warns about).
 
-    Atomic per cell: consolidated files land in a hidden sibling under a
-    fresh ``batch_id=compacted-...`` leaf, then rename over the cell
-    directory — a failed swap affects one cell, probes never see a
-    partial state. Replay caveat (standard log-compaction rule): only
-    compact batches OUTSIDE the ingest replay window — a replayed
-    pre-compaction batch_id would dynamic-overwrite into a fresh
-    directory and duplicate its rows against the consolidated files."""
+    Swap discipline: consolidated files land in a hidden sibling under a
+    fresh ``batch_id=compacted-...`` leaf; the live cell is then renamed
+    to a DOT-PREFIXED retirement dir (hidden: Spark partition discovery
+    skips dot/underscore paths, so a crash mid-swap never leaves a
+    malformed ``cid=N.old-...`` value for discovery to choke on) and the
+    new dir renamed into place. The two renames are not one atomic unit:
+    a crash in the window between them leaves the cell ABSENT but both
+    hidden dirs intact — recovery is ``os.rename('.cid=N.old-<stamp>',
+    'cid=N')`` (or the .compact dir, either is complete); probes in that
+    window miss one cell's rows rather than reading partial state. A
+    failed swap affects one cell only. Replay caveat (standard
+    log-compaction rule): only compact batches OUTSIDE the ingest replay
+    window — a replayed pre-compaction batch_id would dynamic-overwrite
+    into a fresh directory and duplicate its rows against the
+    consolidated files."""
     cell = os.path.join(index_dir, f"cid={cid}")
     df = spark.read.parquet(cell).drop("batch_id")
     total = sum(
@@ -274,7 +282,8 @@ def compact_ivf_cell(
     df.coalesce(n_out).write.mode("overwrite").parquet(
         os.path.join(tmp, f"batch_id=compacted-{stamp}")
     )
-    old = f"{cell}.old-{stamp}"
+    # dot-prefixed so partition discovery ignores it if a crash strands it
+    old = os.path.join(index_dir, f".cid={cid}.old-{stamp}")
     os.rename(cell, old)
     os.rename(tmp, cell)
     shutil.rmtree(old)

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, memoize_df, register
+from ..session import tracked_persist
 
 NGRAM_N = 8          # decontamination n-gram length (words)
 BENCH_MOD = 5        # doc_id % BENCH_MOD == 0 plays the held-out eval set
@@ -256,11 +257,10 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in range(N_HASHES):
         term = F.when(F.col(f"m{h}") == F.col(f"b{h}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
-    pairs = (
+    pairs = tracked_persist(
         train.crossJoin(F.broadcast(bench))
         .select("doc_id", "bench_id", agree.alias("n_agree"))
-        .persist()  # feeds both the max and the min-id-at-max passes
-    )
+    )  # tracked: feeds both the max and the min-id-at-max passes
     best = pairs.groupBy("doc_id").agg(F.max("n_agree").alias("n_agree"))
     hit = (
         pairs.join(best, ["doc_id", "n_agree"])

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, memoize_df, register
+from ..session import tracked_persist
 
 N_HASHES = 8          # MinHash signature length
 BANDS = 4             # LSH bands (rows per band = N_HASHES // BANDS = 2)
@@ -124,7 +125,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # persist: referenced by the df-cap pass AND (via sh) sizes + both join
     # sides — without caching the shingle build re-runs 4x
-    sh_all = _shingle_df(spark, sf_dir).persist()
+    sh_all = tracked_persist(_shingle_df(spark, sf_dir))
     # stop-shingle cap: drop hot shingles (df > SHINGLE_DF_CAP) before any
     # size or intersection math — bounds every posting list the self-join
     # sees; the oracle applies the identical cap
@@ -134,7 +135,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("g")
     )
-    sh = sh_all.join(keep, "g", "left_semi").persist()
+    sh = tracked_persist(sh_all.join(keep, "g", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "g")
     b = sh.select(F.col("doc_id").alias("d2"), "g")
@@ -223,10 +224,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     With r=2 rows/band, b=4 bands, P(candidate) = 1-(1-J^2)^4 ≈ 0.68 at
     J=0.5 and > 0.99 at J=0.85 — tune N_HASHES/BANDS per corpus."""
     # one shingle pass feeds signatures, verification, and sizes
-    sh = _shingle_df(spark, sf_dir).persist()
+    sh = tracked_persist(_shingle_df(spark, sf_dir))
     # persist: the band fan-out references sig 4x and the bucket self-join
     # doubles that — without caching the signature aggregation re-runs 8x
-    sig = sh.groupBy("doc_id").agg(*_minhash_aggs()).persist()
+    sig = tracked_persist(sh.groupBy("doc_id").agg(*_minhash_aggs()))
     band_frames = [
         sig.select(
             "doc_id",
@@ -240,13 +241,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = bands.unionByName(bf)
     a = bands.select(F.col("doc_id").alias("d1"), "band", "bv")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "bv")
-    cand = (
+    cand = tracked_persist(
         a.join(b, ["band", "bv"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
-        .persist()  # referenced by two semi-joins + the final verify
-    )
+    )  # tracked: two semi-joins + the final verify consume it
     # verify only candidates: semi-join the shingle index down to candidate
     # docs BEFORE the self-join — the expensive all-pairs work happens on
     # the (tiny) LSH-collision set, which is the entire point of LSH
@@ -415,27 +415,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band (4 hex digits = 16 bits): the self-join key is the band, so only
     same-band sketches ever meet — the sketch-space analog of LSH banding.
     At 100 TB the band is the partition key and each bucket is tiny."""
-    sigs = dedup_simhash(spark, sf_dir).withColumn(
-        "band", F.substring(F.col("simhash"), 1, 4)
-    ).persist()
-    a = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band")
-    b = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band")
-    def hexval(col, i):
-        # hex char -> 0..15 via ascii ('0'-'9' -> 48-57, 'a'-'f' -> 97-102);
-        # locate() can't take a lambda-bound position, ascii math can
-        a = F.ascii(F.substring(col, i, F.lit(1)))
-        return F.when(a <= 57, a - 48).otherwise(a - 87)
-
-    hamming = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.bit_count(
-                hexval(F.col("h1"), i).bitwiseXOR(hexval(F.col("h2"), i))
-            ).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # Pack each 64-bit sketch into TWO longs (32 bits per half via
+    # conv(hex, 16, 10)) ONCE per signature, before the self-join; the
+    # per-pair hamming is then just bit_count(xor(lo)) + bit_count(xor(hi))
+    # — two whole-stage-codegen terms. The previous F.aggregate/F.transform
+    # lambda fold over 16 hex positions ran INTERPRETED per candidate pair
+    # (Spark evaluates higher-order-function lambdas outside codegen) and
+    # was this query's 13x bench regression in round 4.
+    sigs = tracked_persist(
+        dedup_simhash(spark, sf_dir).select(
+            "doc_id",
+            "simhash",
+            F.substring(F.col("simhash"), 1, 4).alias("band"),
+            F.conv(F.substring(F.col("simhash"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+            F.conv(F.substring(F.col("simhash"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+        )
     )
+    a = sigs.select(
+        F.col("doc_id").alias("d1"), F.col("lo").alias("lo1"),
+        F.col("hi").alias("hi1"), "band",
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("d2"), F.col("lo").alias("lo2"),
+        F.col("hi").alias("hi2"), "band",
+    )
+    hamming = (
+        F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+        + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+    ).cast("int")
     return (
         a.join(b, "band")
         .filter(F.col("d1") < F.col("d2"))
@@ -676,7 +687,7 @@ def probe_minhash_index(
         .distinct()
     )
     if persist_candidates:
-        cand = cand.persist()
+        cand = tracked_persist(cand)
     sha = new_sh.join(
         cand.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("new_id"), "g")

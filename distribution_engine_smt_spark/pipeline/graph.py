@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, memoize_df, register
+from ..session import tracked_persist
 
 PR_BASE = 1_000_000  # initial tokens per node
 PR_KEEP = 150_000  # (1 - d) * BASE with d = 0.85
@@ -112,7 +113,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist the edges: every iteration re-reads them, and the degree pass
     # shares the same scan
-    e = e.persist()
+    e = tracked_persist(e)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # node state carries (tokens, deg) together so an iteration is one join
     state = deg.select("src", F.lit(PR_BASE).cast("long").alias("tokens"), "deg")

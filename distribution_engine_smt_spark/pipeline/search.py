@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..driver_queries import ORACLE_SQL, _t, memoize_df, register
+from ..session import tracked_persist
 from .textstats import tokens
 
 # ---------------------------------------------------------------------------
@@ -268,7 +269,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: dtf feeds BOTH the document-frequency aggregate and the scored
     # join — without it the corpus is exploded and shuffled twice (the same
     # fix dedup_ngram_jaccard needed for its shingle frame)
-    dtf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct")).persist()
+    dtf = tracked_persist(tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct")))
     df = dtf.groupBy("tok").agg(F.count("*").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n_docs"))
     scored = (

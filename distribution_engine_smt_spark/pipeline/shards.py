@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..driver_queries import _t, register
+from ..session import tracked_persist
 from .textstats import tokens
 
 N_SHARDS = 8
@@ -108,10 +109,9 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabularies (1e5-1e6 tokens x tens of sources = a few hundred MB at
     # most, usually far less); for an open-ended token domain drop the hint
     # and the pair join becomes an ordinary equi-join shuffled on tok.
-    vocab = (
+    vocab = tracked_persist(
         docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
         .distinct()
-        .persist()
     )
     sizes = vocab.groupBy("source").agg(F.count("*").alias("n_tok"))
     a = vocab.alias("a")

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, register
+from ..session import tracked_persist
 
 DIM = 64
 NEARDUP_COSINE = 0.4  # synthetic corpus: max pair cosine ≈ 0.51
@@ -341,7 +342,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     # one scan computes all L bucket ids, posexplode emits (tbl, bucket) —
     # identical fold arithmetic to the per-table plan, minus L-1 re-scans
-    bands = (
+    bands = tracked_persist(
         emb.select(
             "vec_id",
             F.array(
@@ -349,7 +350,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bks"),
         )
         .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
-        .persist()
     )
     a = bands.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("id_new"), "tbl", "bucket"

@@ -530,7 +530,8 @@ BLOOM_BITS = 256   # bits per row (sized so the false-positive rate is
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative,
            round(CAST(sum(CASE WHEN flagged = 1 AND is_member = 0
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) - sum(is_member) AS DOUBLE), 4) AS fp_rate
+                 / CAST(greatest(count(*) - sum(is_member), 1) AS DOUBLE),
+                 4) AS fp_rate
     FROM verdict
     """,
 )
@@ -598,9 +599,14 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_false_negative"),
+            # greatest(...,1) (mirrored in the oracle): when every probed
+            # key is a member the non-member denominator is 0 and fp must
+            # be 0 too — 0/1 = 0.0 in both engines instead of NULL-vs-inf
             F.round(
                 fp.cast("double")
-                / (F.count("*") - F.sum("is_member")).cast("double"),
+                / F.greatest(
+                    F.count("*") - F.sum("is_member"), F.lit(1)
+                ).cast("double"),
                 4,
             ).alias("fp_rate"),
         )
@@ -762,8 +768,13 @@ def rank_quantiles(spark: SparkSession, df: DataFrame, n_name: str) -> DataFrame
     this over a SAMPLE, never the corpus."""
     from pyspark.sql import Window
 
-    qdf = spark.createDataFrame(
-        SQ_QUANTILES, "label string, qnum int, qden int"
+    # literal VALUES, not createDataFrame(list): the latter round-trips
+    # through a Python RDD (applySchemaToPythonRDD — a Python worker spinup
+    # per call); a 5-row constant belongs JVM-side
+    qdf = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{lb}', {qn}, {qd})" for lb, qn, qd in SQ_QUANTILES)
+        + " AS q(label, qnum, qden)"
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").asc(), F.col("event_id").asc()
@@ -797,14 +808,11 @@ def rank_quantiles(spark: SparkSession, df: DataFrame, n_name: str) -> DataFrame
       WHERE {_DUCK_HV.format(expr="CAST(event_id AS VARCHAR)")}
             < {_SQ_THRESHOLD}
     ),
-    est AS ({_rank_quantiles_sql("sample", "n_sample")}),
-    exact AS ({_rank_quantiles_sql("events", "n_total")})
-    SELECT est.event_type, est.label AS q,
-           est.value AS est_value, CAST(est.n_sample AS BIGINT) AS n_sample,
-           exact.value AS exact_value, CAST(exact.n_total AS BIGINT) AS n_total
-    FROM est JOIN exact
-      ON est.event_type = exact.event_type AND est.label = exact.label
-    ORDER BY est.event_type ASC, q ASC
+    est AS ({_rank_quantiles_sql("sample", "n_sample")})
+    SELECT event_type, label AS q,
+           value AS est_value, CAST(n_sample AS BIGINT) AS n_sample
+    FROM est
+    ORDER BY event_type ASC, q ASC
     """,
 )
 def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,19 +824,59 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     union is the union of the samples — no coordination, no RNG state),
     so partitions/streams/days sample independently and combine.
 
-    Exact quantiles of the full data ride along for the error to be
-    visible. Rank positions are computed as ceil(qnum*n/qden) in INTEGER
+    Rank positions are computed as ceil(qnum*n/qden) in INTEGER
     fraction space — float 0.99*n lands on either side of an integer
     boundary depending on the engine's literal type, which is exactly
     the class of bug the oracle exists to catch. Values are selected,
     never averaged, so no float arithmetic touches the output.
 
     At 100 TB: the sample path sorts n*p rows per group (a per-group
-    window over the sample only); the exact rider is the thing you STOP
-    computing at scale. The tunable SQ_SHIFT trades sample size for
-    rank error like a KLL/t-digest accuracy knob — those sketches beat
-    sampling asymptotically but their state is not engine-portable, so
-    they cannot be oracle-checked."""
+    window over the sample only). The tunable SQ_SHIFT trades sample
+    size for rank error like a KLL/t-digest accuracy knob — those
+    sketches beat sampling asymptotically but their state is not
+    engine-portable, so they cannot be oracle-checked. The exact-rank
+    companion (the thing you STOP computing at scale) lives in the
+    separate ``quantile_error_audit`` query so the default/benched path
+    never sorts the full corpus per group."""
+    ev = _t(spark, sf_dir)["events"].select("event_type", "event_id", "value")
+    sample = ev.filter(quantile_sample_predicate())
+    return (
+        rank_quantiles(spark, sample, "n_sample")
+        .select(
+            "event_type",
+            F.col("label").alias("q"),
+            F.col("value").alias("est_value"),
+            "n_sample",
+        )
+        .orderBy(F.col("event_type").asc(), F.col("q").asc())
+    )
+
+
+@register(
+    "quantile_error_audit",
+    f"""
+    WITH sample AS (
+      SELECT event_type, event_id, value FROM events
+      WHERE {_DUCK_HV.format(expr="CAST(event_id AS VARCHAR)")}
+            < {_SQ_THRESHOLD}
+    ),
+    est AS ({_rank_quantiles_sql("sample", "n_sample")}),
+    exact AS ({_rank_quantiles_sql("events", "n_total")})
+    SELECT est.event_type, est.label AS q,
+           est.value AS est_value, CAST(est.n_sample AS BIGINT) AS n_sample,
+           exact.value AS exact_value, CAST(exact.n_total AS BIGINT) AS n_total
+    FROM est JOIN exact
+      ON est.event_type = exact.event_type AND est.label = exact.label
+    ORDER BY est.event_type ASC, q ASC
+    """,
+)
+def quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-rank companion to ``sampled_quantiles``: estimate and
+    TRUE rank-quantile side by side so the sampling error is visible.
+    The exact half sorts every group in full (one per-group window over
+    the whole corpus) — this is an audit you run on a slice or at low SF,
+    never the production path, which is why it is a separate query from
+    the sample-only default."""
     ev = _t(spark, sf_dir)["events"].select("event_type", "event_id", "value")
     sample = ev.filter(quantile_sample_predicate())
     est = rank_quantiles(spark, sample, "n_sample").withColumnsRenamed(

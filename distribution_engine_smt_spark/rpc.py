@@ -85,41 +85,52 @@ def json_rpc_batch(
 
     Per-item ``error`` members are RETRYABLE, same as the single-call
     path (a transient per-item rate limit must not be conflated with "no
-    such post"): a batch with any errored item is re-sent until the
-    attempt budget runs out, after which errored items degrade to None."""
-    payload = json.dumps(
-        [
-            {"jsonrpc": "2.0", "id": i, "method": method, "params": p}
-            for i, p in enumerate(params_list)
-        ]
-    ).encode()
+    such post"). Successes accumulate ACROSS attempts and each retry
+    re-sends only the still-unresolved ids — an item that succeeded on
+    attempt 1 keeps its result even if a later attempt errors elsewhere,
+    and a server never sees an already-answered call twice. Items still
+    errored when the attempt budget runs out degrade to None."""
+    resolved: dict[int, Any] = {}  # id -> result, merged across attempts
+    pending = list(range(len(params_list)))
     last: Exception | None = None
-    best: list[Any] | None = None
+    transport_ok = False
     for i in range(attempts):
+        payload = json.dumps(
+            [
+                {
+                    "jsonrpc": "2.0",
+                    "id": j,
+                    "method": method,
+                    "params": params_list[j],
+                }
+                for j in pending
+            ]
+        ).encode()
         try:
             req = urllib.request.Request(
                 url, data=payload, headers={"Content-Type": "application/json"}
             )
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 body = json.loads(resp.read().decode())
-            by_id = {
-                item.get("id"): item.get("result")
-                for item in body
-                if item.get("error") is None
-            }
-            best = [by_id.get(j) for j in range(len(params_list))]
-            errored = [
-                item.get("id") for item in body if item.get("error") is not None
-            ]
-            if not errored:
-                return best
+            transport_ok = True
+            errored = []
+            for item in body:
+                if item.get("error") is None:
+                    resolved[item.get("id")] = item.get("result")
+                else:
+                    errored.append(item.get("id"))
+            # ids the server silently dropped stay pending too
+            pending = [j for j in pending if j not in resolved]
+            if not pending:
+                return [resolved.get(j) for j in range(len(params_list))]
             last = RuntimeError(f"rpc batch items errored: ids {errored[:5]}")
         except Exception as e:  # noqa: BLE001
             last = e
         if i + 1 < attempts:
             time.sleep(backoff_s * (i + 1))
-    if best is not None:
-        return best  # transport worked; errored items degrade to None
+    if transport_ok:
+        # at least one POST round-tripped; unresolved items degrade to None
+        return [resolved.get(j) for j in range(len(params_list))]
     raise RuntimeError(f"rpc batch {method} failed after {attempts} attempts: {last}")
 
 
@@ -238,6 +249,30 @@ def rpc_holder_pager(
         params: list[Any] = [limit, offset] if symbol is None else [symbol, limit, offset]
         result = json_rpc_call(url, method, params, timeout=timeout)
         return list(result or [])
+
+    return fetch
+
+
+def rpc_find_one_fetcher(
+    url: str, *, method: str = "find_one", timeout: float = 10.0,
+    attempts: int = RPC_ATTEMPTS,
+) -> Callable[[str, str, dict], Any]:
+    """Live transport for contract-table point lookups (reference:
+    server/app.py:148-150 ``engine_api.find_one("comments", "rewardPools",
+    {"_id": id})`` and the Token metadata fetch behind ``Token(symbol)``).
+    Returns ``fetch(contract, table, query) -> dict | None``; a list result
+    unwraps to its first element like the reference's isinstance-list
+    branch. Raises after the bounded retry — the caller owns degradation
+    (the /info endpoint falls back to the zero-valued predictable shape)."""
+
+    def fetch(contract: str, table: str, query: dict) -> Any:
+        result = json_rpc_call(
+            url, method, [contract, table, query],
+            timeout=timeout, attempts=attempts,
+        )
+        if isinstance(result, list):
+            return result[0] if result else None
+        return result
 
     return fetch
 

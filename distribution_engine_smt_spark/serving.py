@@ -166,6 +166,10 @@ class Endpoint:
     ttl: float = DEFAULT_TTL
     params: tuple[str, ...] = ()
     single_row: bool | Callable[[dict], bool] = False
+    # rows materialized per response; None = the 2*MAX_LIMIT page default.
+    # /get_staked_accounts overrides: the reference returns the FULL holder
+    # list (server/app.py:356-377), not a page
+    row_cap: int | None = None
 
 
 class QueryServer:
@@ -185,8 +189,8 @@ class QueryServer:
 
     def register(self, name: str, handler: Callable[[dict], DataFrame],
                  ttl: float = DEFAULT_TTL, params: tuple[str, ...] = (),
-                 single_row: bool = False) -> None:
-        self._endpoints[name] = Endpoint(handler, ttl, params, single_row)
+                 single_row: bool = False, row_cap: int | None = None) -> None:
+        self._endpoints[name] = Endpoint(handler, ttl, params, single_row, row_cap)
 
     def endpoints(self) -> list[str]:
         return sorted(self._endpoints)
@@ -212,7 +216,8 @@ class QueryServer:
         if cached is not None:
             return cached
         df = ep.handler(params)
-        rows = [r.asDict(recursive=True) for r in df.limit(2 * MAX_LIMIT).collect()]
+        capped = df.limit(ep.row_cap if ep.row_cap is not None else 2 * MAX_LIMIT)
+        rows = [r.asDict(recursive=True) for r in capped.collect()]
         single = ep.single_row(params) if callable(ep.single_row) else ep.single_row
         payload: Any = (rows[0] if rows else {}) if single else rows
         body = json.dumps(payload, default=json_default)
@@ -234,13 +239,28 @@ def require_param(params: dict, key: str) -> str:
     return str(value)
 
 
-def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = None) -> QueryServer:
+def build_state_server(
+    state: dict[str, DataFrame],
+    cache: TTLCache | None = None,
+    *,
+    fetch_holder_page: Callable[[int, int], list[dict]] | None = None,
+    find_one: Callable[[str, str, dict], dict | None] | None = None,
+) -> QueryServer:
     """Wire the FULL endpoint surface over a loaded state dict — every
     reference route the engine indexes (SURVEY.md §2.11; reference:
-    server/app.py:83-962). Out of engine scope and so not served:
-    /get_staked_accounts (live RPC paged scan, S10 adapter in sources.py)
-    and the reward-pool RPC half of /info (S9); /config covers the indexed
-    part of /info."""
+    server/app.py:83-962), plus the two live-RPC composites when their
+    transports are supplied:
+
+    - ``fetch_holder_page`` (``rpc.rpc_holder_pager``) serves
+      /get_staked_accounts (S10: paged holder scan, 24 h TTL —
+      app.py:356-377);
+    - ``find_one`` (``rpc.rpc_find_one_fetcher``) serves /info (S9: the
+      indexed token_config row composed with the live reward-pool and
+      token-metadata lookups, 60 s TTL, zero-valued predictable shape
+      when the RPC is unreachable — app.py:125-196).
+
+    Without them the server covers the indexed surface only (/config is
+    the indexed part of /info)."""
     from .queries import get_state_lag
     from .queries.accounts import (
         get_account_history,
@@ -411,4 +431,75 @@ def build_state_server(state: dict[str, DataFrame], cache: TTLCache | None = Non
         ttl=DEFAULT_TTL,
         params=("follower", "start", "limit"),
     )
+
+    if fetch_holder_page is not None:
+        from .sources import staked_accounts
+
+        def _staked(p: dict) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            spark = next(iter(state.values())).sparkSession
+            # the supplied pager is bound to the deployment's token (the
+            # reference is deployed per tribe); the token param rides in
+            # the cache key for wire compatibility (app.py:357 query_string)
+            return staked_accounts(spark, fetch_holder_page).select(
+                F.col("account").alias("name"),
+                F.col("stake").cast("decimal(38,10)").alias("staked_tokens"),
+            )
+
+        srv.register(
+            "get_staked_accounts",  # app.py:356-377 — 24 h TTL, FULL list
+            _staked,
+            ttl=86400,
+            params=("token",),
+            row_cap=10_000_000,  # reference returns every holder, unpaged
+        )
+
+    if find_one is not None:
+
+        def _info(p: dict) -> DataFrame:
+            from decimal import Decimal
+
+            spark = next(iter(state.values())).sparkSession
+            cfg = get_token_config(state, p.get("token"))
+            out = []
+            for r in cfg.collect():  # token_config is a tiny dim table
+                # the reference's "predictable shape for the frontend":
+                # zero-valued pool when config/RPC gives nothing
+                # (app.py:140-144)
+                pending, pool_val = Decimal(0), Decimal(0)
+                precision, issuer = 0, None
+                pool_id = r["reward_pool_id"]
+                if pool_id is not None:
+                    try:
+                        pool = find_one(
+                            "comments", "rewardPools", {"_id": int(pool_id)}
+                        )
+                    except Exception:  # degrade, don't fail the endpoint
+                        pool = None
+                    if isinstance(pool, dict):
+                        pending = Decimal(str(pool["pendingClaims"]))
+                        pool_val = Decimal(str(pool["rewardPool"]))
+                try:
+                    tok = find_one("tokens", "tokens", {"symbol": r["token"]})
+                except Exception:
+                    tok = None
+                if isinstance(tok, dict):
+                    precision = int(tok.get("precision", 0))
+                    issuer = tok.get("issuer")
+                out.append((r["token"], pending, pool_val, precision, issuer))
+            return spark.createDataFrame(
+                out,
+                "token string, pending_rshares decimal(38,10), "
+                "reward_pool decimal(38,10), precision int, issuer string",
+            )
+
+        srv.register(
+            "info",  # app.py:125-196 — 60 s TTL; object with token, array without
+            _info,
+            ttl=60,
+            params=("token",),
+            single_row=lambda p: bool(p.get("token")),
+        )
+
     return srv

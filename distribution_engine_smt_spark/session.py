@@ -11,11 +11,54 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+# ---------------------------------------------------------------------------
+# cache discipline: every pipeline persist() is tracked so a long-lived
+# session (the 117-query driver pass, a notebook, a service) can release
+# all of it deterministically instead of accumulating storage blocks until
+# eviction thrashes — the failure mode behind the round-4 bench regressions.
+# ---------------------------------------------------------------------------
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with session-lifetime tracking.
+
+    Use this for every pipeline intermediate that is referenced by more
+    than one downstream pass; ``release_caches`` then unpersists the lot
+    after the last consumer has materialized. A bare ``persist()`` with no
+    paired ``unpersist()`` pins the blocks for the session lifetime.
+    """
+    _TRACKED_PERSISTS.append(df.persist())
+    return df
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Unpersist every tracked intermediate, drop the memoized query plans,
+    and clear the session cache. Returns the number of tracked frames
+    released. Safe to call at any point; subsequent query calls rebuild
+    (and re-track) what they need."""
+    n = len(_TRACKED_PERSISTS)
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session died out from under the handle
+            pass
+    from . import driver_queries  # local import: session has no deps
+
+    driver_queries._DF_CACHE.clear()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    return n
 
 
 def get_spark(app_name: str = "distribution-engine-smt-spark") -> SparkSession:

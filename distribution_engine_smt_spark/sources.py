@@ -2,9 +2,11 @@
 
 The reference enriches from live RPC endpoints: paged token-holder scans
 (reference: server/app.py:356-377 — ``tokenApi.get_holder(1000, offset)``
-loop) and on-demand post/follow fetches. Live RPC is out of engine scope;
-these adapters model the pattern so the rest of the engine treats external
-data as ordinary DataFrames.
+loop) and on-demand post/follow fetches. These adapters make the rest of
+the engine treat external data as ordinary DataFrames; the live JSON-RPC
+transports live in ``rpc.py`` (``rpc_holder_pager``,
+``rpc_find_one_fetcher``) and ``serving.build_state_server`` wires them
+into the /get_staked_accounts and /info endpoints when supplied.
 
 ``paged_source`` pulls pages on the driver (the pagination protocol is
 inherently sequential) but parses/distributes rows to executors per page,

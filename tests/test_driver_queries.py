@@ -55,3 +55,31 @@ def test_round_modified_queries_inside_driver_cap():
         f"{n_inside} queries inside the 50-query driver cap; extend "
         "_DRIVER_ROTATE_LAST with stable multi-round-green queries"
     )
+
+
+def test_no_query_starves_without_driver_rows():
+    """Coverage-telemetry invariant (VERDICT r4 #8): any registered query
+    with ZERO driver oracle rows across every recorded CORRECTNESS_r*.json
+    must sit inside the current top-50, so it receives a row next round
+    instead of accruing rotation debt. Skips cleanly before the first
+    driver round."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS records yet")
+    seen: set[str] = set()
+    for f in files:
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    names = list(e.queries())
+    starved = [n for n in names[50:] if n not in seen]
+    assert not starved, (
+        "queries with zero driver rows rotated past the 50-slot cap "
+        f"(would never get driver verification): {starved}"
+    )

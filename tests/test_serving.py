@@ -392,3 +392,139 @@ def test_cache_hits_are_isolated_at_nested_depth(spark):
 
     second = srv.handle("q")          # cache hit — nested values pristine
     assert second == [{"id": 1, "meta": {"a": 1}, "tags": ["x", "y"]}]
+
+
+# ---------------------------------------------------------------------------
+# live-RPC composite endpoints: /get_staked_accounts (S10) + /info (S9)
+# against a real local HTTP JSON-RPC fixture server
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def engine_rpc_server():
+    """Minimal engine-API JSON-RPC server: get_holder pages + find_one
+    contract lookups, with a fail-first-N flake counter so degradation
+    paths are provable (reference transports: Token.get_holder,
+    engine_api.find_one)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    holders = [
+        {"account": f"acct{i}", "symbol": "TKN", "stake": float(i % 5)}
+        for i in range(2500)
+    ]
+    tables_ = {
+        ("comments", "rewardPools"): [
+            {"_id": 7, "pendingClaims": "123.4567", "rewardPool": "9876.5"}
+        ],
+        ("tokens", "tokens"): [
+            {"symbol": "TKN", "precision": 8, "issuer": "tribe-issuer"}
+        ],
+    }
+    state = {"fail_next": 0, "requests": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            with lock:
+                state["requests"] += 1
+                if state["fail_next"] > 0:
+                    state["fail_next"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+            req = body if isinstance(body, dict) else body[0]
+            method, params = req["method"], req["params"]
+            if method == "get_holder":
+                limit, offset = params
+                result = holders[offset : offset + limit]
+            elif method == "find_one":
+                contract, table, query = params
+                rows = tables_.get((contract, table), [])
+                key, val = next(iter(query.items()))
+                result = [r for r in rows if r.get(key) == val]
+            else:
+                result = None
+            out = {"jsonrpc": "2.0", "id": req.get("id"), "result": result}
+            payload = json.dumps(out if isinstance(body, dict) else [out]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", state
+    httpd.shutdown()
+
+
+def test_get_staked_accounts_served_full_list(spark, engine_rpc_server):
+    """S10 wired end-to-end (reference app.py:356-377): the endpoint pages
+    the holder scan to exhaustion (1000/page like the reference), returns
+    the FULL positive-stake list unpaged, and the 24 h TTL caches it —
+    the second call does zero RPC work."""
+    from distribution_engine_smt_spark.rpc import rpc_holder_pager
+
+    url, state = engine_rpc_server
+    tstate = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    srv = build_state_server(
+        tstate, fetch_holder_page=rpc_holder_pager(url)
+    )
+    assert "get_staked_accounts" in srv.endpoints()
+    rows = srv.handle("get_staked_accounts", {"token": "TKN"})
+    # 2500 holders, stake = i % 5 -> 4/5 have positive stake; FULL list,
+    # not a 2*MAX_LIMIT page
+    assert len(rows) == 2000
+    assert rows[0] == {"name": "acct1", "staked_tokens": 1.0}
+    n_rpc = state["requests"]
+    assert n_rpc >= 3  # 2500 holders / 1000-page = 3 pages
+    again = srv.handle("get_staked_accounts", {"token": "TKN"})
+    assert len(again) == 2000 and state["requests"] == n_rpc  # TTL cache hit
+
+
+def test_info_composes_indexed_config_with_live_reward_pool(spark, engine_rpc_server):
+    """S9 wired end-to-end (reference app.py:125-196): /info joins the
+    indexed token_config row with the live reward-pool + token-metadata
+    find_one lookups; object shape with ?token=, array without."""
+    from distribution_engine_smt_spark.rpc import rpc_find_one_fetcher
+
+    url, _ = engine_rpc_server
+    tstate = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    tstate["token_config"] = spark.createDataFrame(
+        [("TKN", 7, 50, Decimal("1.0"), Decimal("0.5"), 0, None, None, 7,
+          "tkn-acct", 5, 5, False, False)],
+        schemas.TOKEN_CONFIG,
+    )
+    srv = build_state_server(tstate, find_one=rpc_find_one_fetcher(url))
+    assert "info" in srv.endpoints()
+    obj = srv.handle("info", {"token": "TKN"})
+    assert obj["pending_rshares"] == 123.4567
+    assert obj["reward_pool"] == 9876.5
+    assert obj["precision"] == 8 and obj["issuer"] == "tribe-issuer"
+    arr = srv.handle("info")
+    assert isinstance(arr, list) and arr[0]["token"] == "TKN"
+
+
+def test_info_degrades_to_zero_shape_when_rpc_unreachable(spark):
+    """The reference's 'predictable shape for the frontend' (app.py:140-144):
+    an unreachable engine API yields zero-valued pool fields and fallback
+    precision 0 instead of a 500."""
+    from distribution_engine_smt_spark.rpc import rpc_find_one_fetcher
+
+    tstate = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    tstate["token_config"] = spark.createDataFrame(
+        [("TKN", 7, 50, Decimal("1.0"), Decimal("0.5"), 0, None, None, 7,
+          "tkn-acct", 5, 5, False, False)],
+        schemas.TOKEN_CONFIG,
+    )
+    dead = rpc_find_one_fetcher(
+        "http://127.0.0.1:9", timeout=0.2, attempts=1  # nothing listens
+    )
+    srv = build_state_server(tstate, find_one=dead)
+    obj = srv.handle("info", {"token": "TKN"})
+    assert obj["pending_rshares"] == 0 and obj["reward_pool"] == 0
+    assert obj["precision"] == 0 and obj["issuer"] is None

@@ -121,9 +121,13 @@ def test_hll_daily_merge_is_lossless(spark):
 
 
 def test_sampled_quantiles_error_bounded(spark):
-    from distribution_engine_smt_spark.pipeline.sketches import sampled_quantiles
+    # quantile_error_audit = sampled_quantiles' estimate joined with the
+    # exact full-sort rank quantile (split out of the default query in r5
+    # so the benched path never sorts the corpus); the audit is where the
+    # error bound is observable
+    from distribution_engine_smt_spark.pipeline.sketches import quantile_error_audit
 
-    rows = sampled_quantiles(spark, SF_DIR_ORACLE).collect()
+    rows = quantile_error_audit(spark, SF_DIR_ORACLE).collect()
     assert rows
     for r in rows:
         # the sample is a real subset
