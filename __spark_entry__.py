@@ -36,122 +36,138 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # --- zero driver rows in r1-r4 (VERDICT r4 "What's missing" #3) +
-    # --- quantile_error_audit (new this round): the top-18 slots
-    "normalize_text",
-    "langid_confusion",
-    "curriculum_buckets",
-    "substring_dup_spans",
+    # --- r6 modified first (store-aware pair/fit consumers — the pair
+    # --- store and k-means fit store landed this round; the driver runs
+    # --- these without stores, i.e. the fallback derivation path, while
+    # --- pytest covers the store path in tests/test_stores.py)
+    "cross_source_dup_matrix",
+    "dedup_clusters",
+    "dedup_best_representative",
     "corpus_datasheet",
-    "length_histogram",
     "embedding_kmeans",
-    "ann_ivf_kmeans_nprobe",
-    "graph_pagerank",
-    "multimodal_resize",
-    "pii_redact",
-    "url_density",
-    "top_ngrams",
-    "bm25_search",
-    "deterministic_shuffle",
-    "source_vocab_overlap",
-    "event_zscore_anomaly",
-    "quantile_error_audit",
-    # --- exactly one driver row (green r4), untouched this round: fill
-    # --- the remaining head slots so each gets a second round of evidence
-    "token_count_quantiles",
-    "zipf_slope",
-    "build_vocab",
-    "embedding_outliers",
-    "mixture_weights",
-    "ann_ivf_nprobe_topk",
-    "ann_sq8_topk",
-    "ann_query_batch",
-    "ann_pq_topk",
-    "hard_negatives",
-    "embedding_dim_stats",
-    "top_boilerplate_spans",
     "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_nprobe",
     "semdedup",
-    "leakage_free_split",
+    # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
+    # --- missing" #3): each gets its second row this round
+    "above_nation_avg_balance",
+    "bm25_search",
+    "cms_heavy_hitters",
+    "curriculum_buckets",
+    "daily_moving_avg",
+    "deterministic_shuffle",
+    "event_funnel",
+    "event_zscore_anomaly",
+    "events_pivot",
+    "graph_pagerank",
+    "hll_daily_merge",
+    "hll_distinct",
+    "hourly_hll_distinct",
+    "kmv_set_ops",
+    "langid_confusion",
+    "length_histogram",
+    "multimodal_resize",
+    "normalize_text",
+    "pii_redact",
+    "quantile_error_audit",
+    "rrf_hybrid_search",
+    "sales_rollup",
+    "segment_region_cube",
+    "shipping_priority",
+    "sliding_event_counts",
+    "source_vocab_overlap",
+    "substring_dup_spans",
+    "top_ngrams",
+    "unigram_perplexity",
+    "url_density",
+    # --- two-row queries filling the remaining head slots (preferring the
+    # --- r5-modified cohort so last round's changes get a third row)
+    "ann_ivf_nprobe_topk",
+    "ann_pq_topk",
+    "ann_query_batch",
+    "ann_sq8_topk",
+    "bloom_membership",
+    "sampled_quantiles",
+    "minhash_decontaminate",
+    "tfidf_keywords",
     "doc_novelty",
-    "weighted_sample",
-    "multimodal_frame_sample",
-    "pricing_summary",
-    "regional_revenue",
+    "leakage_free_split",
+    "hard_negatives",
+    "mixture_weights",
 ]
-# multi-round-green (1-3 driver rows each) AND untouched this round —
+# multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 118 registered queries and the 50-slot cap,
 # exactly 68 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
+    "account_history_page",
+    "ann_ivf_topk",
+    "ann_topk_bruteforce",
+    "asof_purchase_attribution",
+    "authorperm_codec",
+    "balanced_sample",
+    "blog_union_minjoin",
+    "build_vocab",
+    "children_counts",
+    "chunk_documents",
+    "curated_corpus",
+    "decontaminate",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "discussions_by_created",
-    "discussions_by_trending",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
     "discussions_by_promoted",
-    "trending_tags",
-    "blog_union_minjoin",
-    "feed_semijoin",
-    "replies_in_notin",
-    "reblogged_by_agg",
-    "latest_event_per_key",
-    "thread_tree",
-    "follow_counts",
-    "account_history_page",
+    "discussions_by_trending",
     "earliest_event_per_user",
-    "set_diff_reconcile",
-    "supplier_visible_revenue",
-    "tag_membership",
-    "children_counts",
-    "payout_accumulation",
+    "embedding_dim_stats",
+    "embedding_outliers",
+    "feed_semijoin",
+    "follow_counts",
+    "json_double_decode",
     "json_props_sum",
-    "recent_orders_window",
-    "authorperm_codec",
-    "segment_nation_counts",
+    "kmv_distinct",
+    "latest_event_per_key",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "pack_sequences",
+    "payout_accumulation",
     "post_with_votes",
     "prefix_select",
+    "pricing_summary",
+    "quality_filter",
+    "range_join_events",
+    "reblogged_by_agg",
+    "recent_orders_window",
+    "regional_revenue",
+    "replies_in_notin",
     "reward_curves",
-    "time_format_wire",
-    "json_double_decode",
-    "text_token_counts",
+    "segment_nation_counts",
+    "sessionize",
+    "set_diff_reconcile",
+    "stratified_sample",
+    "supplier_visible_revenue",
+    "tag_membership",
+    "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
-    "text_fingerprint",
-    "ann_topk_bruteforce",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "pack_sequences",
-    "stratified_sample",
-    "quality_filter",
-    "balanced_sample",
-    "chunk_documents",
-    "decontaminate",
     "text_repetition",
-    "curated_corpus",
-    "multimodal_decode",
-    "multimodal_metadata_stats",
-    "sales_rollup",
-    "events_pivot",
-    "daily_moving_avg",
-    "segment_region_cube",
-    "shipping_priority",
-    "above_nation_avg_balance",
-    "rrf_hybrid_search",
-    "unigram_perplexity",
-    "sessionize",
-    "asof_purchase_attribution",
-    "kmv_distinct",
+    "text_token_counts",
+    "thread_tree",
+    "time_format_wire",
+    "token_count_quantiles",
+    "top_boilerplate_spans",
+    "trending_tags",
     "tumbling_event_counts",
-    "range_join_events",
-    "sliding_event_counts",
-    "event_funnel",
-    "hll_distinct",
-    "cms_heavy_hitters",
-    "kmv_set_ops",
-    "hll_daily_merge",
-    "hourly_hll_distinct",
+    "weighted_sample",
+    "zipf_slope",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -163,29 +179,21 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r5 (this round): SimHash pair scan rewritten from an interpreted
-    # F.aggregate lambda fold to two packed-long bit_count(xor) codegen
-    # terms (the r4 13x bench regression), and its producer re-projected
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    # r5: sampled_quantiles is now sample-only (the exact full-sort rider
-    # moved to the NEW quantile_error_audit query, in _DRIVER_PRIORITY);
-    # its oracle changed accordingly
-    "sampled_quantiles",
-    # r5: fp_rate denominator guarded with greatest(...,1) in BOTH engines
-    # (ADVICE: degenerate all-members probe set divided by zero)
-    "bloom_membership",
-    # r5: persist() -> tracked_persist() cache-discipline sweep (release
-    # after last consumer; bench clears between queries) touched these
-    # builders and the consumers of the memoized MinHash pair stream
-    "minhash_decontaminate",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
-    "tfidf_keywords",
+    # r6 (this round): materialized derived-artifact stores landed
+    # (operators/storage.py build_dedup_pair_store / build_kmeans_fit_store,
+    # VERDICT r5 next-round #1/#2). These queries now consume
+    # dedup_pairs_with_sources (pair store when present, in-query LSH
+    # derivation otherwise):
     "cross_source_dup_matrix",
-    "dedup_best_representative",
     "dedup_clusters",
+    "dedup_best_representative",
+    "corpus_datasheet",
+    # ...and these consume kmeans_fit, which now loads a materialized fit
+    # store when one exists instead of re-running the Lloyd iterations:
+    "embedding_kmeans",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_nprobe",
+    "semdedup",
 ]
 
 

@@ -240,6 +240,184 @@ def update_ivf_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# derived-artifact stores: materialized MinHash pair table + k-means fit
+# ---------------------------------------------------------------------------
+#
+# The two most expensive derivations in the pipeline — the verified
+# MinHash-LSH near-dup pairs and the IVF k-means fit — are consumed by
+# several queries each (cross_source_dup_matrix / dedup_clusters /
+# dedup_best_representative / corpus_datasheet ride the pairs; the ANN
+# probes, semdedup and embedding_kmeans ride the fit). In-session
+# memoization only amortizes them within one process; at 100 TB (and in
+# any fresh session) the correct shape is a WRITE-ONCE STORE: the dedup
+# job materializes its pair table, the index-build job materializes its
+# quantizer, and every later consumer reads parquet instead of re-deriving
+# the chain (VERDICT r5 "next round" #1/#2). Stores are keyed by a
+# fingerprint of the source data plus the derivation parameters, so a
+# changed corpus or retuned sketch can never serve stale artifacts —
+# consumers that find no store fall back to in-query derivation.
+
+STORE_VERSION = 1
+
+
+def store_root() -> str:
+    """Root directory for materialized derived artifacts. Local default is
+    ``<repo>/.stores`` (gitignored); on a cluster point
+    ``SPARK_GRAFT_STORE_DIR`` at the lakehouse path the index-build jobs
+    own."""
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".stores",
+    )
+    return os.environ.get("SPARK_GRAFT_STORE_DIR", default)
+
+
+def _sf_fingerprint(sf_dir: str, table_files: tuple[str, ...]) -> str:
+    """Content fingerprint of the store's input tables: (size, mtime_ns)
+    of every parquet file involved. Regenerated testdata or a repointed
+    sf_dir changes the fingerprint, which changes the store path — the
+    stale store is simply never found."""
+    import hashlib
+
+    parts = [os.path.abspath(sf_dir)]
+    for t in table_files:
+        p = os.path.join(sf_dir, t)
+        if os.path.isdir(p):
+            for dp, _, fs in sorted(os.walk(p)):
+                for f in sorted(fs):
+                    if f.endswith(".parquet"):
+                        st = os.stat(os.path.join(dp, f))
+                        parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _atomic_publish(tmp: str, path: str) -> None:
+    """Publish a fully-written store directory with one rename. If a
+    concurrent builder won the race the tmp copy is discarded — both
+    builders derived the same deterministic content."""
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.isdir(path):  # lost the race to an identical build
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
+def pair_store_path(sf_dir: str) -> str:
+    from ..pipeline.dedup import BANDS, JACCARD_THRESHOLD, N_HASHES
+
+    fp = _sf_fingerprint(sf_dir, ("documents.parquet",))
+    params = f"h{N_HASHES}b{BANDS}j{JACCARD_THRESHOLD}"
+    return os.path.join(store_root(), f"pairs-v{STORE_VERSION}-{params}-{fp}")
+
+
+def build_dedup_pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the verified MinHash-LSH near-dup pairs — with both
+    sides' sources resolved — as parquet partitioned by ``s1``. This is
+    the dedup job's output table: the LSH chain (signatures, band
+    fan-out, bucket join, exact verify) runs ONCE, and every audit /
+    clustering / survivor-policy consumer thereafter reads a pair table
+    that is orders of magnitude smaller than the corpus. Partitioning by
+    source makes per-source reads (intra-source dup counts) partition-
+    pruned. Idempotent: an existing store is returned untouched; builds
+    write to a dot-prefixed sibling and publish with one atomic rename
+    (same swap discipline as ``compact_table``)."""
+    path = pair_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    from ..pipeline.dedup import dedup_minhash_lsh
+    from ..tables import load_tpch
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_tpch(spark, sf_dir)["documents"].select("doc_id", "source")
+    wa = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")).join(
+        F.broadcast(pairs), "d1"
+    )
+    wb = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")).join(
+        F.broadcast(wa), "d2"
+    )
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        wb.select("d1", "d2", "jaccard", "s2", "s1")
+        .repartition("s1")  # one writer group per partition -> no file spray
+        .write.mode("overwrite")
+        .partitionBy("s1")
+        .parquet(tmp)
+    )
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_dedup_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """Read a materialized pair store: (d1, d2, jaccard, s1, s2)."""
+    return spark.read.parquet(path).select("d1", "d2", "jaccard", "s1", "s2")
+
+
+def kmeans_store_path(sf_dir: str, k: int, iters: int) -> str:
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(store_root(), f"kmeans-v{STORE_VERSION}-k{k}i{iters}-{fp}")
+
+
+def build_kmeans_fit_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the k-means fit (VERDICT r5 #2): assignments as parquet
+    plus the assignment-time centroids as JSON (``json.dumps`` of Python
+    floats round-trips doubles exactly). A fresh session then loads the
+    quantizer in one tiny read instead of re-running the Lloyd iterations
+    — the ~6 s cold cost ann_ivf_kmeans_nprobe paid per session. The fit
+    itself already runs through ``clustering.kmeans_fit``, so router and
+    stored assignments stay consistent by construction."""
+    import json as _json
+
+    from ..pipeline.clustering import ITERS, K, kmeans_fit
+
+    path = kmeans_store_path(sf_dir, K, ITERS)
+    if os.path.isdir(path):
+        return path
+    asg, cents = kmeans_fit(spark, sf_dir)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    asg.coalesce(4).write.mode("overwrite").parquet(os.path.join(tmp, "assignments"))
+    with open(os.path.join(tmp, "centroids.json"), "w") as f:
+        _json.dump({"k": K, "iters": ITERS, "centroids": cents}, f)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def load_kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):
+    """(assignments DataFrame, centroids) from the store, or None if no
+    store exists for this corpus+params."""
+    import json as _json
+
+    path = kmeans_store_path(sf_dir, k, iters)
+    meta = os.path.join(path, "centroids.json")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as f:
+        blob = _json.load(f)
+    asg = spark.read.parquet(os.path.join(path, "assignments"))
+    return asg, [[float(x) for x in c] for c in blob["centroids"]]
+
+
+def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Build every derived-artifact store for ``sf_dir`` that doesn't
+    exist yet. bench.py runs this before the timed loop and reports the
+    cost as ``store_build_sec`` — the one-time index-build line item."""
+    return {
+        "pairs": build_dedup_pair_store(spark, sf_dir),
+        "kmeans": build_kmeans_fit_store(spark, sf_dir),
+    }
+
+
 def compact_ivf_cell(
     spark: SparkSession,
     index_dir: str,

@@ -433,7 +433,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-computed LSH pairs broadcast against the doc->source lookup.
     count(DISTINCT lang) rewrites to a two-phase expand under AQE — |langs|
     per source is tiny."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import dedup_pairs_with_sources
     from .textstats import quality_col, tokens as ws_tokens
 
     docs = _t(spark, sf_dir)["documents"]
@@ -456,14 +456,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    src_map = docs.select("doc_id", "source")
-    wa = src_map.select(
-        F.col("doc_id").alias("d1"), F.col("source").alias("s1")
-    ).join(F.broadcast(pairs), "d1")
-    wb = src_map.select(
-        F.col("doc_id").alias("d2"), F.col("source").alias("s2")
-    ).join(F.broadcast(wa), "d2")
+    wb = dedup_pairs_with_sources(spark, sf_dir)
     dup = (
         wb.filter(F.col("s1") == F.col("s2"))
         .groupBy(F.col("s1").alias("source"))

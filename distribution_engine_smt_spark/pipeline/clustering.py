@@ -99,6 +99,18 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS)
     cached = _FIT_CACHE.get(key)
     if cached is not None:
         return cached
+    # a materialized fit store (operators/storage.py build_kmeans_fit_store)
+    # replaces the Lloyd iterations with one tiny read: assignments from
+    # parquet, centroids from JSON (exact double round-trip). This is the
+    # "train once, serve many" path a fresh session takes when the
+    # index-build job already ran — the store is fingerprint-keyed to the
+    # embeddings data, so it can never serve a stale quantizer.
+    from ..operators.storage import load_kmeans_fit
+
+    stored = load_kmeans_fit(spark, sf_dir, k, iters)
+    if stored is not None:
+        _FIT_CACHE[key] = stored
+        return stored
     emb = _t(spark, sf_dir)["embeddings"]
     init = (
         emb.filter(F.col("vec_id") < k)

@@ -275,10 +275,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one self-join shuffle keyed by doc_id over the
     EDGE set (tiny relative to the corpus: only docs with a near-dup);
     localCheckpoint truncates lineage per round like operators/recursive.py.
+    The edges come from the materialized pair store when one exists
+    (dedup_pairs_with_sources), so clustering never re-derives the LSH
+    chain in a session that already ran the dedup job.
     """
-    from .dedup import dedup_minhash_lsh
+    from .dedup import dedup_pairs_with_sources
 
-    return cluster_labels(dedup_minhash_lsh(spark, sf_dir).select("d1", "d2"))
+    return cluster_labels(dedup_pairs_with_sources(spark, sf_dir).select("d1", "d2"))
 
 
 # ---------------------------------------------------------------------------

@@ -762,6 +762,37 @@ def run_incremental_dedup_stream(
     )
 
 
+def dedup_pairs_with_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs with both sides' sources resolved:
+    (d1, d2, jaccard, s1, s2).
+
+    Reads the MATERIALIZED pair store when one exists for this corpus
+    (operators/storage.py build_dedup_pair_store — the 100 TB shape: the
+    dedup job writes its pair table once, every audit/clustering/survivor
+    consumer reads parquet instead of re-deriving the LSH chain); falls
+    back to in-query derivation otherwise, so correctness never depends
+    on a store being present. The store is fingerprint-keyed to the
+    source data + sketch params, so it can't serve stale pairs. In the
+    derived path the PAIRS broadcast into the doc->source lookups (never
+    the reverse — documents is the 100 TB side)."""
+    import os
+
+    from ..operators import storage
+
+    path = storage.pair_store_path(sf_dir)
+    if os.path.isdir(path):
+        return storage.read_dedup_pairs(spark, path)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = _t(spark, sf_dir)["documents"].select("doc_id", "source")
+    wa = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")).join(
+        F.broadcast(pairs), "d1"
+    )
+    wb = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")).join(
+        F.broadcast(wa), "d2"
+    )
+    return wb.select("d1", "d2", "jaccard", "s1", "s2")
+
+
 # ---------------------------------------------------------------------------
 # cross-source duplication matrix: which sources overlap, and how much
 # ---------------------------------------------------------------------------
@@ -783,22 +814,14 @@ _CROSS_SOURCE_SQL = f"""
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus audit: near-duplicate pair counts BETWEEN sources (the
     "how much does crawl A overlap crawl B" table that drives dedup-order
-    and mixture decisions). Consumes the memoized MinHash-LSH pair stream,
-    so in-session it costs two joins beyond the dedup run itself.
+    and mixture decisions). Consumes ``dedup_pairs_with_sources`` — the
+    materialized pair store when present (one small parquet read + one
+    aggregate), the in-query LSH derivation otherwise.
 
     Scale: the near-dup pair set is orders of magnitude smaller than the
-    corpus, so the PAIRS broadcast into the doc->source lookups (never the
-    reverse — documents is the 100 TB side); min/max aggregates are
-    summation-order-independent, keeping the matrix bit-stable across
-    partitionings."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    docs = _t(spark, sf_dir)["documents"].select("doc_id", "source")
-    wa = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")).join(
-        F.broadcast(pairs), "d1"
-    )
-    wb = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")).join(
-        F.broadcast(wa), "d2"
-    )
+    corpus; min/max aggregates are summation-order-independent, keeping
+    the matrix bit-stable across partitionings."""
+    wb = dedup_pairs_with_sources(spark, sf_dir)
     return (
         wb.groupBy(
             F.least("s1", "s2").alias("source_a"),

@@ -253,6 +253,46 @@ def rpc_holder_pager(
     return fetch
 
 
+def http_get_json(
+    url: str,
+    *,
+    timeout: float = 10.0,
+    attempts: int = RPC_ATTEMPTS,
+    backoff_s: float = RPC_BACKOFF_S,
+    _urlopen=urllib.request.urlopen,
+) -> Any:
+    """Plain HTTP GET returning parsed JSON, with the same bounded-retry
+    loop as the RPC calls. The reference's config refresh is a bare
+    ``requests.get(url).json()`` (update_token_config.py:18-21); this is
+    its stdlib twin, raising after ``attempts`` tries like
+    ``response.raise_for_status()`` would on a persistent failure."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            with _urlopen(url, timeout=timeout) as resp:
+                if getattr(resp, "status", 200) >= 400:
+                    raise RuntimeError(f"http {resp.status} for {url}")
+                return json.loads(resp.read().decode())
+        except Exception as e:  # noqa: BLE001 — retry loop mirrors reference
+            last = e
+            if i + 1 < attempts:
+                time.sleep(backoff_s * (i + 1))
+    raise RuntimeError(f"GET {url} failed after {attempts} attempts: {last}")
+
+
+def rpc_config_fetcher(url: str, *, timeout: float = 10.0) -> Callable[[], list]:
+    """Live transport for ``sources.refresh_token_config``: the engine
+    config endpoint (reference update_token_config.py:17-20,
+    ``requests.get(".../config").json()`` -> list of per-token config
+    dicts). Returns the zero-arg fetch callable the adapter accepts."""
+
+    def fetch() -> list:
+        result = http_get_json(url, timeout=timeout)
+        return list(result or [])
+
+    return fetch
+
+
 def rpc_find_one_fetcher(
     url: str, *, method: str = "find_one", timeout: float = 10.0,
     attempts: int = RPC_ATTEMPTS,

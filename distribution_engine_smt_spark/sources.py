@@ -68,6 +68,59 @@ def staked_accounts(
     return df.filter(F.col("stake") > min_stake).select("account", "symbol", "stake")
 
 
+def refresh_token_config(
+    spark: SparkSession,
+    token_config: DataFrame,
+    fetch_configs: Callable[[], list],
+) -> DataFrame:
+    """Bulk token-config refresh from the engine config API (reference:
+    update_token_config.py:17-23 — GET /config, then one
+    ``table.upsert(config, ["token"])`` per row). Spark-first shape: the
+    whole payload becomes ONE delta frame and ONE set-based
+    ``merge_upsert`` keyed on ``token`` — the per-row loop collapses to a
+    single keyed merge, which is the only formulation that survives a
+    state table too big for a driver loop.
+
+    ``dataset``-faithful partial-update semantics: only the fields the API
+    payload actually carries overwrite existing columns (``update_cols``);
+    columns the payload omits keep their stored value (a dict lacking a
+    key leaves that column untouched in ``dataset.upsert``). Unknown
+    payload fields are dropped; rows without a ``token`` key are invalid
+    upserts and skipped. The live transport is
+    ``rpc.rpc_config_fetcher(url)``; tests inject a local HTTP fixture."""
+    from .operators.merge import merge_upsert
+    from .schemas import TOKEN_CONFIG
+
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, IntegerType, LongType, StructType
+
+    rows = [r for r in fetch_configs() if isinstance(r, dict) and r.get("token")]
+    if not rows:
+        return token_config
+    cols = [f.name for f in TOKEN_CONFIG.fields]
+    present = [c for c in cols if any(c in r for r in rows)]
+    sub = StructType([f for f in TOKEN_CONFIG.fields if f.name in present])
+
+    def coerce(v, dtype):
+        if v is None:
+            return None
+        if isinstance(dtype, DecimalType):
+            return Decimal(str(v))
+        if isinstance(dtype, (IntegerType, LongType)):
+            return int(v)
+        return v
+
+    delta = spark.createDataFrame(
+        [tuple(coerce(r.get(f.name), f.dataType) for f in sub.fields) for r in rows],
+        sub,
+    )
+    return merge_upsert(
+        token_config, delta, ["token"],
+        update_cols=[c for c in present if c != "token"],
+    )
+
+
 def fetched_follows(
     spark: SparkSession,
     fetch_following: Callable[[str], Iterable[str]],

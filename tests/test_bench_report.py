@@ -1,0 +1,58 @@
+"""Bench report invariants — no Spark needed.
+
+Round 4's bench went unrecorded because the single output line (117
+queries + spreads, ~7 KB) blew past the driver's bounded stdout tail.
+The fix is structural: ``bench.summarize`` builds a short summary dict
+that is printed LAST. These tests pin (a) the summary stays well under
+2 KB at full registry width even with adversarially long names/values,
+(b) it is valid JSON, and (c) cold/warm are reported per VERDICT r5
+("report run-1 as cold and median-of-warm as warm").
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_registry(n: int) -> tuple[dict, dict, dict]:
+    # worst realistic case: every watch query present, long names for the
+    # rest, large float values (xx.xxxx formats widest)
+    names = list(bench.WATCH) + [
+        f"synthetic_query_with_a_long_name_{i:03d}" for i in range(n - len(bench.WATCH))
+    ]
+    warm = {k: 99.1234 for k in names}
+    cold = {k: 99.9876 for k in names}
+    spread = {k: 12.3456 for k in names}
+    return warm, cold, spread
+
+
+def test_summary_line_parses_and_fits_driver_cap():
+    warm, cold, spread = _fake_registry(140)  # headroom over today's 118
+    detail, summary = bench.summarize(warm, cold, spread, 0.1, 12.3456)
+    line = json.dumps(summary)
+    assert json.loads(line)["metric"] == "query_suite_wall_seconds"
+    assert len(line) < 2048, f"summary line {len(line)}B >= 2KB driver cap"
+    # detail carries the full per-query cold/warm/spread maps
+    assert set(detail["queries"]) == set(warm)
+    assert set(detail["cold"]) == set(cold)
+
+
+def test_summary_reports_cold_and_store_build():
+    warm = {"q_fast": 0.1, "q_fit_heavy": 0.2, "q_mid": 0.3}
+    cold = {"q_fast": 0.12, "q_fit_heavy": 6.2, "q_mid": 1.3}
+    detail, summary = bench.summarize(warm, cold, {}, 0.1, 3.5)
+    assert summary["cold_total_sec"] == round(sum(cold.values()), 4)
+    assert summary["store_build_sec"] == 3.5
+    # worst cold-vs-warm offenders surface, cold≈warm queries don't
+    assert "q_fit_heavy" in summary["cold_top"]
+    assert "q_fast" not in summary["cold_top"]
+    assert list(summary["cold_top"])[0] == "q_fit_heavy"  # sorted by delta
+    assert detail["cold_total_sec"] == summary["cold_total_sec"]
+
+
+def test_r01_subset_is_inclusion_pinned():
+    warm = {"discussions_by_created": 1.0, "not_in_r1_set": 50.0}
+    _, summary = bench.summarize(warm, dict(warm), {}, 0.1, 0.0)
+    assert summary["r01_subset_sec"] == 1.0

@@ -1,0 +1,129 @@
+"""Derived-artifact stores (operators/storage.py): the materialized
+MinHash-LSH pair table and the k-means fit store.
+
+Proofs, following the IVF-index test discipline (test_storage.py):
+content equality store-vs-derived, consumer equality with-and-without a
+store, partition pruning from ``inputFiles()``, idempotent/atomic builds
+(dot-prefixed tmp dirs only, second build is a no-op), and the fit store
+actually SHORT-CIRCUITING the Lloyd iterations in a fresh consumer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distribution_engine_smt_spark.operators import storage
+from distribution_engine_smt_spark.pipeline import clustering
+from distribution_engine_smt_spark.pipeline.dedup import (
+    cross_source_dup_matrix,
+    dedup_minhash_lsh,
+    dedup_pairs_with_sources,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def store_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "stores")
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", d)
+    yield d
+
+
+def _pairs_key(rows):
+    return sorted((r["d1"], r["d2"], round(r["jaccard"], 6)) for r in rows)
+
+
+def test_pair_store_matches_derived(spark, store_dir):
+    derived = dedup_minhash_lsh(spark, SF_DIR).collect()
+    assert derived, "sf0.001 corpus yields no near-dup pairs; test is vacuous"
+    path = storage.build_dedup_pair_store(spark, SF_DIR)
+    stored = storage.read_dedup_pairs(spark, path).collect()
+    assert _pairs_key(stored) == _pairs_key(derived)
+    # sources resolved correctly: spot-check against the documents table
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "source")
+        .collect()
+    }
+    for r in stored:
+        assert r["s1"] == src[r["d1"]] and r["s2"] == src[r["d2"]]
+
+
+def test_pair_store_partition_pruned(spark, store_dir):
+    path = storage.build_dedup_pair_store(spark, SF_DIR)
+    df = spark.read.parquet(path)
+    one = df.select("s1").first()["s1"]
+    filtered = df.where(df["s1"] == one)
+    # the source filter must reach the scan as a PARTITION filter
+    # (directory pruning), not a post-scan data filter. (inputFiles()
+    # lists the relation pre-pruning, so inspect the plan — same proof as
+    # the IVF probe, test_storage.py.)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "s1" in pf[1].split("]", 1)[0]
+
+
+def test_consumer_equal_with_and_without_store(spark, tmp_path, monkeypatch):
+    # no store -> in-query derivation
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "empty"))
+    without = cross_source_dup_matrix(spark, SF_DIR).collect()
+    pw_without = dedup_pairs_with_sources(spark, SF_DIR).collect()
+    # store present -> parquet read path
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    storage.build_dedup_pair_store(spark, SF_DIR)
+    with_store = cross_source_dup_matrix(spark, SF_DIR).collect()
+    pw_with = dedup_pairs_with_sources(spark, SF_DIR).collect()
+    assert sorted(map(tuple, with_store)) == sorted(map(tuple, without))
+    key = lambda rows: sorted(  # noqa: E731
+        (r["d1"], r["d2"], round(r["jaccard"], 6), r["s1"], r["s2"]) for r in rows
+    )
+    assert key(pw_with) == key(pw_without)
+
+
+def test_pair_store_build_idempotent_and_atomic(spark, store_dir):
+    p1 = storage.build_dedup_pair_store(spark, SF_DIR)
+    listing = sorted(os.listdir(store_dir))
+    stamp = os.path.getmtime(p1)
+    p2 = storage.build_dedup_pair_store(spark, SF_DIR)
+    assert p2 == p1
+    assert os.path.getmtime(p1) == stamp, "second build rewrote the store"
+    assert sorted(os.listdir(store_dir)) == listing
+    # no stranded tmp dirs; anything transient must be dot-prefixed
+    assert all(not d.startswith(".") for d in listing), (
+        f"stranded dot-tmp build dirs in {listing}"
+    )
+
+
+def test_kmeans_store_roundtrip_and_short_circuit(spark, store_dir, monkeypatch):
+    clustering._FIT_CACHE.clear()
+    asg_fresh, cents_fresh = clustering.kmeans_fit(spark, SF_DIR)
+    fresh = sorted(map(tuple, asg_fresh.collect()))
+    storage.build_kmeans_fit_store(spark, SF_DIR)
+
+    # fresh "session": cache cleared, and the Lloyd path booby-trapped —
+    # if the fit doesn't come from the store, the test fails loudly
+    clustering._FIT_CACHE.clear()
+
+    def boom(*a, **k):  # pragma: no cover - only fires on regression
+        raise AssertionError("kmeans_fit re-ran Lloyd despite a fit store")
+
+    monkeypatch.setattr(clustering, "_t", boom)
+    asg_stored, cents_stored = clustering.kmeans_fit(spark, SF_DIR)
+    assert cents_stored == cents_fresh  # exact: json floats round-trip doubles
+    assert sorted(map(tuple, asg_stored.collect())) == fresh
+    clustering._FIT_CACHE.clear()  # don't leak the stored fit to other tests
+
+
+def test_fingerprint_changes_with_params_and_data(store_dir):
+    fp_doc = storage._sf_fingerprint(SF_DIR, ("documents.parquet",))
+    fp_emb = storage._sf_fingerprint(SF_DIR, ("embeddings.parquet",))
+    assert fp_doc != fp_emb
+    assert storage.pair_store_path(SF_DIR) != storage.kmeans_store_path(SF_DIR, 4, 2)
+    assert storage.kmeans_store_path(SF_DIR, 4, 2) != storage.kmeans_store_path(
+        SF_DIR, 8, 2
+    )
