@@ -762,6 +762,113 @@ def run_incremental_dedup_stream(
     )
 
 
+def run_pair_store_stream(
+    spark,
+    source_dir: str,
+    schema,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    corpus_sources: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of ``build_dedup_pair_store`` (operators/storage.py):
+    maintain the materialized near-dup PAIR STORE incrementally as
+    documents arrive, instead of rebuilding it from the full corpus.
+
+    Each micro-batch contributes every verified pair with at least one
+    side in the batch: cross pairs against the indexed corpus AND all
+    previously-ingested batches (their band/shingle postings accumulate
+    under ``{store}/bands``/``{store}/shingles`` — this is what
+    ``run_incremental_dedup_stream``'s static-index gate cannot see:
+    a wave-2 doc that duplicates a wave-1 doc), plus batch-internal
+    pairs. Output rows match the batch store's shape — canonical
+    (d1 < d2) orientation, exact Jaccard, both sides' sources — under
+    ``{store}/pairs/batch_id=N``.
+
+    Restart/replay safety (foreachBatch is at-least-once): every write
+    is an overwrite of the batch's own partition directory, and the pair
+    computation is made replay-idempotent by the ``d1 < d2`` filter +
+    distinct — on a replay whose own band postings already landed before
+    the crash, the self-probe would otherwise surface each batch pair a
+    second time as a cross pair (and each doc as a jaccard-1.0 self
+    pair). Periodic ``compact_table`` folds the per-batch files; a
+    rebuild via ``build_dedup_pair_store`` re-partitions by source."""
+    band_schema = "doc_id long, band int, bv string"
+    shingle_schema = "doc_id long, g string"
+
+    def fold_batch(batch_df, batch_id: int):
+        import os as _os
+
+        batch_docs = batch_df.select("doc_id", "text")
+        prior_b = (
+            spark.read.parquet(f"{store_dir}/bands").drop("batch_id")
+            if _os.path.isdir(f"{store_dir}/bands")
+            else spark.createDataFrame([], band_schema)
+        )
+        prior_s = (
+            spark.read.parquet(f"{store_dir}/shingles").drop("batch_id")
+            if _os.path.isdir(f"{store_dir}/shingles")
+            else spark.createDataFrame([], shingle_schema)
+        )
+        all_bands = index_bands.unionByName(prior_b)
+        all_sh = index_shingles.unionByName(prior_s)
+        cross = probe_minhash_index(
+            all_bands, all_sh, batch_docs, persist_candidates=False
+        )
+        b_bands, b_sh = minhash_index(batch_docs)
+        intra = probe_minhash_index(
+            b_bands, b_sh, batch_docs, persist_candidates=False
+        )
+        pairs = (
+            cross.unionByName(intra)
+            .select(
+                F.least("new_id", "corpus_id").alias("d1"),
+                F.greatest("new_id", "corpus_id").alias("d2"),
+                "jaccard",
+            )
+            .filter(F.col("d1") < F.col("d2"))
+            .distinct()
+        )
+        srcs = corpus_sources.select("doc_id", "source").unionByName(
+            batch_df.select("doc_id", "source")
+        )
+        prior_src_dir = f"{store_dir}/sources"
+        if _os.path.isdir(prior_src_dir):
+            srcs = srcs.unionByName(
+                spark.read.parquet(prior_src_dir).drop("batch_id")
+            )
+        wa = srcs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")).join(
+            F.broadcast(pairs), "d1"
+        )
+        wb = srcs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")).join(
+            F.broadcast(wa), "d2"
+        )
+        out = wb.select("d1", "d2", "jaccard", "s1", "s2")
+        # pairs FIRST (they must not see this batch's own postings),
+        # then this batch's index/source increments — all overwrite-keyed
+        # by batch_id so a replay rewrites rather than appends
+        out.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+        b_bands.write.mode("overwrite").parquet(
+            f"{store_dir}/bands/batch_id={batch_id}"
+        )
+        b_sh.write.mode("overwrite").parquet(
+            f"{store_dir}/shingles/batch_id={batch_id}"
+        )
+        batch_df.select("doc_id", "source").write.mode("overwrite").parquet(
+            f"{store_dir}/sources/batch_id={batch_id}"
+        )
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.select("doc_id", "text", "source")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_pairs_with_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs with both sides' sources resolved:
     (d1, d2, jaccard, s1, s2).
