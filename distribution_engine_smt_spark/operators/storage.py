@@ -361,6 +361,34 @@ def read_dedup_pairs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("d1", "d2", "jaccard", "s1", "s2")
 
 
+def cluster_store_path(sf_dir: str) -> str:
+    return pair_store_path(sf_dir) + "-clusters"
+
+
+def build_dedup_cluster_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the near-dup connected components (doc_id, cluster_id)
+    derived from the pair store. The 8-round pointer-jumping label
+    propagation is cheap per round but inherently sequential
+    (localCheckpoint per round), so a fresh session otherwise pays the
+    whole loop before any survivor-policy query answers; clusters are a
+    pure function of the pairs, so they belong in the same write-once
+    store family."""
+    path = cluster_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    from ..pipeline.curation import cluster_labels
+    from ..pipeline.dedup import dedup_pairs_with_sources
+
+    labels = cluster_labels(dedup_pairs_with_sources(spark, sf_dir).select("d1", "d2"))
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    labels.coalesce(4).write.mode("overwrite").parquet(tmp)
+    _atomic_publish(tmp, path)
+    return path
+
+
 def kmeans_store_path(sf_dir: str, k: int, iters: int) -> str:
     fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
     return os.path.join(store_root(), f"kmeans-v{STORE_VERSION}-k{k}i{iters}-{fp}")
@@ -414,6 +442,7 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     cost as ``store_build_sec`` — the one-time index-build line item."""
     return {
         "pairs": build_dedup_pair_store(spark, sf_dir),
+        "clusters": build_dedup_cluster_store(spark, sf_dir),
         "kmeans": build_kmeans_fit_store(spark, sf_dir),
     }
 

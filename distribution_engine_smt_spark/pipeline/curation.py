@@ -277,10 +277,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates lineage per round like operators/recursive.py.
     The edges come from the materialized pair store when one exists
     (dedup_pairs_with_sources), so clustering never re-derives the LSH
-    chain in a session that already ran the dedup job.
+    chain in a session that already ran the dedup job; with a CLUSTER
+    store (the labels are a pure function of the pairs) even the
+    sequential 8-round propagation is skipped — one parquet read.
     """
+    import os
+
+    from ..operators import storage
     from .dedup import dedup_pairs_with_sources
 
+    cpath = storage.cluster_store_path(sf_dir)
+    if os.path.isdir(cpath):
+        return spark.read.parquet(cpath).orderBy(F.col("doc_id").asc())
     return cluster_labels(dedup_pairs_with_sources(spark, sf_dir).select("d1", "d2"))
 
 

@@ -99,6 +99,19 @@ def test_pair_store_build_idempotent_and_atomic(spark, store_dir):
     )
 
 
+def test_cluster_store_matches_derived(spark, tmp_path, monkeypatch):
+    from distribution_engine_smt_spark.pipeline.curation import dedup_clusters
+
+    # derived path (no store) — bypass the session memo for a fresh plan
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "empty"))
+    derived = sorted(map(tuple, dedup_clusters.__wrapped__(spark, SF_DIR).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    storage.build_dedup_pair_store(spark, SF_DIR)
+    storage.build_dedup_cluster_store(spark, SF_DIR)
+    stored = sorted(map(tuple, dedup_clusters.__wrapped__(spark, SF_DIR).collect()))
+    assert stored == derived and derived
+
+
 def test_kmeans_store_roundtrip_and_short_circuit(spark, store_dir, monkeypatch):
     clustering._FIT_CACHE.clear()
     asg_fresh, cents_fresh = clustering.kmeans_fit(spark, SF_DIR)
