@@ -48,6 +48,8 @@ _DRIVER_PRIORITY = [
     "ann_ivf_kmeans_topk",
     "ann_ivf_kmeans_nprobe",
     "semdedup",
+    "dedup_minhash_lsh",
+    "minhash_decontaminate",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -88,12 +90,10 @@ _DRIVER_PRIORITY = [
     "ann_sq8_topk",
     "bloom_membership",
     "sampled_quantiles",
-    "minhash_decontaminate",
     "tfidf_keywords",
     "doc_novelty",
     "leakage_free_split",
     "hard_negatives",
-    "mixture_weights",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 118 registered queries and the 50-slot cap,
@@ -116,7 +116,6 @@ _DRIVER_ROTATE_LAST = [
     "dedup_embedding_lsh",
     "dedup_exact",
     "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -134,6 +133,7 @@ _DRIVER_ROTATE_LAST = [
     "json_props_sum",
     "kmv_distinct",
     "latest_event_per_key",
+    "mixture_weights",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
@@ -194,6 +194,10 @@ _ROUND_MODIFIED = [
     "ann_ivf_kmeans_topk",
     "ann_ivf_kmeans_nprobe",
     "semdedup",
+    # ...and the signature store landed: minhash_signature reads it when
+    # present, touching the LSH chain and the decontamination scan
+    "dedup_minhash_lsh",
+    "minhash_decontaminate",
 ]
 
 

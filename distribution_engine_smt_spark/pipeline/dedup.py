@@ -175,7 +175,20 @@ def _minhash_aggs():
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + m0..m{N-1}. One shuffle (groupBy doc_id) with partial min
-    aggregation — signature building is a single pass at any scale."""
+    aggregation — signature building is a single pass at any scale.
+
+    Reads the materialized signature store when one exists
+    (operators/storage.py build_minhash_signature_store): signatures are
+    the sketch a 100 TB dedup pipeline computes once at ingest and every
+    signature consumer (LSH banding, decontamination agreement scans)
+    reads back — the corpus-wide min-agg never re-runs per query."""
+    import os
+
+    from ..operators import storage
+
+    path = storage.signature_store_path(sf_dir)
+    if os.path.isdir(path):
+        return storage.read_minhash_signatures(spark, path)
     sh = _shingle_df(spark, sf_dir)
     return sh.groupBy("doc_id").agg(*_minhash_aggs())
 
@@ -223,11 +236,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to candidates (semi-join pushdown into the shingle index).
     With r=2 rows/band, b=4 bands, P(candidate) = 1-(1-J^2)^4 ≈ 0.68 at
     J=0.5 and > 0.99 at J=0.85 — tune N_HASHES/BANDS per corpus."""
-    # one shingle pass feeds signatures, verification, and sizes
-    sh = tracked_persist(_shingle_df(spark, sf_dir))
+    # one shingle pass feeds verification and sizes; with a materialized
+    # postings store (the stored half of the near-dup index) this is a
+    # columnar read instead of the corpus explode + array_distinct pass
+    import os as _os
+
+    from ..operators import storage as _storage
+
+    _ppath = _storage.postings_store_path(sf_dir)
+    sh = tracked_persist(
+        _storage.read_shingle_postings(spark, _ppath)
+        if _os.path.isdir(_ppath)
+        else _shingle_df(spark, sf_dir)
+    )
     # persist: the band fan-out references sig 4x and the bucket self-join
-    # doubles that — without caching the signature aggregation re-runs 8x
-    sig = tracked_persist(sh.groupBy("doc_id").agg(*_minhash_aggs()))
+    # doubles that — without caching the signature aggregation re-runs 8x.
+    # minhash_signature is store-aware: with a materialized signature
+    # store this is a parquet read, not the corpus-wide min-agg.
+    sig = tracked_persist(minhash_signature(spark, sf_dir))
     band_frames = [
         sig.select(
             "doc_id",

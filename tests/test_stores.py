@@ -99,6 +99,34 @@ def test_pair_store_build_idempotent_and_atomic(spark, store_dir):
     )
 
 
+def test_signature_store_matches_derived_and_feeds_consumers(
+    spark, tmp_path, monkeypatch
+):
+    from distribution_engine_smt_spark.pipeline.decontam import (
+        minhash_decontaminate,
+    )
+    from distribution_engine_smt_spark.pipeline.dedup import minhash_signature
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "empty"))
+    derived_sig = sorted(map(tuple, minhash_signature(spark, SF_DIR).collect()))
+    derived_pairs = _pairs_key(dedup_minhash_lsh.__wrapped__(spark, SF_DIR).collect())
+    derived_decon = sorted(
+        map(tuple, minhash_decontaminate.__wrapped__(spark, SF_DIR).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    storage.build_minhash_signature_store(spark, SF_DIR)
+    storage.build_shingle_postings_store(spark, SF_DIR)
+    assert sorted(map(tuple, minhash_signature(spark, SF_DIR).collect())) == derived_sig
+    assert (
+        _pairs_key(dedup_minhash_lsh.__wrapped__(spark, SF_DIR).collect())
+        == derived_pairs
+    )
+    assert (
+        sorted(map(tuple, minhash_decontaminate.__wrapped__(spark, SF_DIR).collect()))
+        == derived_decon
+    )
+
+
 def test_cluster_store_matches_derived(spark, tmp_path, monkeypatch):
     from distribution_engine_smt_spark.pipeline.curation import dedup_clusters
 
