@@ -50,6 +50,8 @@ _DRIVER_PRIORITY = [
     "semdedup",
     "dedup_minhash_lsh",
     "minhash_decontaminate",
+    # --- NEW this round (zero driver rows): must sit inside the cap
+    "dedup_cluster_stats",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -93,7 +95,6 @@ _DRIVER_PRIORITY = [
     "tfidf_keywords",
     "doc_novelty",
     "leakage_free_split",
-    "hard_negatives",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 118 registered queries and the 50-slot cap,
@@ -128,6 +129,7 @@ _DRIVER_ROTATE_LAST = [
     "embedding_dim_stats",
     "embedding_outliers",
     "feed_semijoin",
+    "hard_negatives",
     "follow_counts",
     "json_double_decode",
     "json_props_sum",

@@ -292,6 +292,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_labels(dedup_pairs_with_sources(spark, sf_dir).select("d1", "d2"))
 
 
+_CLUSTER_STATS_SQL = f"""
+    WITH clusters AS ({{clusters_sql}}),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id)
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY n
+    ORDER BY cluster_size ASC
+"""
+
+
+@register(
+    "dedup_cluster_stats",
+    _CLUSTER_STATS_SQL.format(
+        clusters_sql=_CLUSTER_SQL.format(pairs_sql=_lsh_pairs_sql())
+    ),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-family size histogram — the audit that decides whether dedup
+    even matters for a corpus: how many near-dup clusters of each size
+    exist and how many documents they hold (docs_removed per size bucket
+    = n_docs - n_clusters under any one-survivor policy). Rides the
+    memoized dedup_clusters — with a cluster store this is a parquet
+    read + two small aggregates; without one it derives through the pair
+    chain like every other consumer. Small-key aggregate (|distinct
+    sizes| is tiny), decimal-free, deterministic in both engines."""
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        sizes.groupBy(F.col("n").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("n").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("cluster_size").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # temperature-balanced sampling: downsample dominant languages, sqrt scaling
 # ---------------------------------------------------------------------------
