@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = [
     "minhash_decontaminate",
     # --- NEW this round (zero driver rows): must sit inside the cap
     "dedup_cluster_stats",
+    "chunk_dedup",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -94,7 +95,6 @@ _DRIVER_PRIORITY = [
     "sampled_quantiles",
     "tfidf_keywords",
     "doc_novelty",
-    "leakage_free_split",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 118 registered queries and the 50-slot cap,
@@ -135,6 +135,7 @@ _DRIVER_ROTATE_LAST = [
     "json_props_sum",
     "kmv_distinct",
     "latest_event_per_key",
+    "leakage_free_split",
     "mixture_weights",
     "multimodal_decode",
     "multimodal_frame_sample",

@@ -454,6 +454,61 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SQL = f"""
+    SELECT doc_id,
+           md5(substr(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_md5
+    FROM documents,
+         unnest(generate_series(0, CAST(greatest(length(text) - 1, 0) // {CHUNK_CHARS} AS BIGINT))) t(i)
+"""
+
+
+@register(
+    "chunk_dedup",
+    f"""
+    WITH c AS ({_CHUNK_SQL}),
+    cdf AS (SELECT chunk_md5, count(DISTINCT doc_id) AS ndocs FROM c GROUP BY chunk_md5)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cdf.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(sum(CASE WHEN cdf.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_ratio
+    FROM c JOIN cdf USING (chunk_md5)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id ASC
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication audit: the fraction of each document's
+    fixed-size chunks that also appear verbatim in ANOTHER document —
+    the partial-overlap detector between exact whole-doc dedup (misses
+    any edit) and near-dup LSH (a long doc quoting a short one can sit
+    under the Jaccard threshold). Training pipelines use this to excise
+    copy-pasted blocks rather than whole documents.
+
+    Scale: two shuffles — the chunk-hash document-frequency aggregate
+    (map-side combinable; the per-chunk payload is a 32-char md5, never
+    the text) and the df join back keyed on the same hash, then one
+    doc_id aggregate. Duplicate chunks WITHIN one doc don't count
+    (count(DISTINCT doc_id) > 1), matching the cross-document leakage
+    semantics."""
+    c = chunk_documents(spark, sf_dir).select("doc_id", "chunk_md5")
+    cdf = c.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    dup = F.when(F.col("ndocs") > 1, 1).otherwise(0)
+    return (
+        c.join(cdf, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(F.sum(dup).cast("double") / F.count("*"), 6).alias("dup_ratio"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # leakage-free train/val/test split: split by dup-group, not by document
 # ---------------------------------------------------------------------------
