@@ -53,6 +53,8 @@ _DRIVER_PRIORITY = [
     # --- NEW this round (zero driver rows): must sit inside the cap
     "dedup_cluster_stats",
     "chunk_dedup",
+    "lsh_recall_audit",
+    "ann_recall_audit",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -93,8 +95,6 @@ _DRIVER_PRIORITY = [
     "ann_sq8_topk",
     "bloom_membership",
     "sampled_quantiles",
-    "tfidf_keywords",
-    "doc_novelty",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 118 registered queries and the 50-slot cap,
@@ -164,6 +164,8 @@ _DRIVER_ROTATE_LAST = [
     "text_repetition",
     "text_token_counts",
     "thread_tree",
+    "tfidf_keywords",
+    "doc_novelty",
     "time_format_wire",
     "token_count_quantiles",
     "top_boilerplate_spans",

@@ -515,3 +515,103 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy(F.col("source").asc(), F.col("bucket").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# approximation-quality audits: LSH recall vs the exact baseline, IVF
+# recall@k vs brute force — the numbers that tune BANDS / nprobe at scale
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_sql() -> str:
+    from .dedup import _JACCARD_PAIRS_SQL, _MINHASH_LSH_SQL
+
+    # nested WITHs must sit in subquery position; "both" is reserved
+    return f"""
+    WITH truth AS (SELECT * FROM ({_JACCARD_PAIRS_SQL})),
+    lsh AS (SELECT * FROM ({_MINHASH_LSH_SQL})),
+    hits AS (SELECT t.d1, t.d2 FROM truth t JOIN lsh l ON t.d1 = l.d1 AND t.d2 = l.d2)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_baseline,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_common,
+           round((SELECT count(*) FROM hits)::DOUBLE
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """
+
+
+@register("lsh_recall_audit", _lsh_recall_sql())
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality: how many of the exact all-pairs baseline's
+    verified pairs (dedup_ngram_jaccard, stop-shingle-capped) the banded
+    MinHash-LSH pass recovers. THE number that tunes N_HASHES/BANDS per
+    corpus — at 100 TB the baseline is run on a sample and this audit
+    decides whether the banding budget holds the recall floor. The two
+    pair sets differ legitimately in both directions (the baseline caps
+    hot shingles; LSH's probabilistic banding misses near-threshold
+    pairs), so the audit reports both set sizes, the intersection, and
+    recall vs the baseline. Composes two memoized operators — with the
+    derived-artifact stores present the LSH side is a parquet read."""
+    from .dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    t = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    l = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    nb = t.agg(F.count("*").cast("long").alias("n_baseline"))
+    nl = l.agg(F.count("*").cast("long").alias("n_lsh"))
+    nc = t.join(l, ["d1", "d2"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    return nb.crossJoin(nl).crossJoin(nc).select(
+        "n_baseline",
+        "n_lsh",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.greatest(F.col("n_baseline"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    from .clustering import _IVF_NPROBE_SQL
+    from .similarity import _cos_sql
+
+    brute = f"""
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """
+    return f"""
+    WITH hit AS (
+      SELECT e.vec_id FROM ({brute}) e JOIN ({_IVF_NPROBE_SQL}) a USING (vec_id)
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM hit)::DOUBLE / 10, 6) AS recall_at_k
+    """
+
+
+@register("ann_recall_audit", _ann_recall_sql())
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality: recall@10 of the trained-IVF nprobe probe
+    against the exact brute-force ranking for the same query vector.
+    THE number that tunes nprobe (and k) per corpus: at 100 TB brute
+    force runs on a query sample and this audit decides how many cells a
+    probe must read to hold the recall target. Composes two oracled
+    operators; with the fit store present the IVF side routes through
+    the stored quantizer."""
+    from .clustering import ann_ivf_kmeans_nprobe
+    from .similarity import ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    approx = ann_ivf_kmeans_nprobe(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+    )
