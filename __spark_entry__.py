@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "semdedup",
     "dedup_minhash_lsh",
     "minhash_decontaminate",
+    "dedup_ngram_jaccard",
     # --- NEW this round (zero driver rows): must sit inside the cap
     "dedup_cluster_stats",
     "chunk_dedup",
@@ -91,7 +92,6 @@ _DRIVER_PRIORITY = [
     # --- r5-modified cohort so last round's changes get a third row)
     "ann_ivf_nprobe_topk",
     "ann_pq_topk",
-    "ann_query_batch",
     "ann_sq8_topk",
     "bloom_membership",
     "sampled_quantiles",
@@ -103,6 +103,7 @@ _DRIVER_PRIORITY = [
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
     "ann_ivf_topk",
+    "ann_query_batch",
     "ann_topk_bruteforce",
     "asof_purchase_attribution",
     "authorperm_codec",
@@ -117,7 +118,6 @@ _DRIVER_ROTATE_LAST = [
     "dedup_embedding_lsh",
     "dedup_exact",
     "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "discussions_by_created",
@@ -203,6 +203,10 @@ _ROUND_MODIFIED = [
     # present, touching the LSH chain and the decontamination scan
     "dedup_minhash_lsh",
     "minhash_decontaminate",
+    # ...and the all-pairs baseline's verified pair set is now persisted
+    # (the recall audit's counts re-executed the posting self-join per
+    # action; same memoize+persist discipline as the LSH pair stream)
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -524,6 +524,45 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     }
 
 
+def run_ivf_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_dir: str,
+    centroids,
+    checkpoint_dir: str,
+):
+    """Streaming twin of ``update_ivf_index``: the vector-index ingest
+    path as a Structured Streaming job. Each micro-batch of arriving
+    vectors routes through the STORED quantizer (router and cells stay
+    consistent — no refit) and lands under ``(cid, batch_id=stream-N)``
+    partitions with dynamic partition overwrite, so foreachBatch's
+    at-least-once replay rewrites the batch's own partitions instead of
+    appending duplicates; probes see each vector exactly once. Newly
+    written vectors are probe-visible as soon as the batch commits (the
+    probe's partition discovery lists the cell directory). Periodic
+    ``compact_ivf_cell`` folds the accumulated per-batch leaves —
+    compact only batches outside the stream's replay window (the
+    standard log-compaction rule documented there)."""
+
+    def ingest(batch_df, batch_id: int):
+        update_ivf_index(
+            spark,
+            index_dir,
+            centroids,
+            batch_df.select("vec_id", "embedding"),
+            f"stream-{batch_id}",
+        )
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_ivf_cell(
     spark: SparkSession,
     index_dir: str,

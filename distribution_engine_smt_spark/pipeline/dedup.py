@@ -148,7 +148,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
-    return (
+    # the verified pair set (output-sized, hundreds of rows) is persisted:
+    # the posting-list self-join above is the whole cost of this baseline,
+    # and every downstream action (the recall audit's counts, repeat reads
+    # of the memoized frame) would otherwise re-execute it — the same
+    # memoize+persist discipline as the MinHash pair stream
+    return tracked_persist(
         common.join(F.broadcast(s1), "d1")
         .join(F.broadcast(s2), "d2")
         .filter(jac >= JACCARD_THRESHOLD)

@@ -54,6 +54,12 @@ def release_caches(spark: SparkSession) -> int:
     from . import driver_queries  # local import: session has no deps
 
     driver_queries._DF_CACHE.clear()
+    try:  # the k-means fit memo holds DataFrames too (pipeline optional)
+        from .pipeline import clustering
+
+        clustering._FIT_CACHE.clear()
+    except ImportError:
+        pass
     try:
         spark.catalog.clearCache()
     except Exception:

@@ -56,3 +56,15 @@ def test_r01_subset_is_inclusion_pinned():
     warm = {"discussions_by_created": 1.0, "not_in_r1_set": 50.0}
     _, summary = bench.summarize(warm, dict(warm), {}, 0.1, 0.0)
     assert summary["r01_subset_sec"] == 1.0
+
+
+def test_r01_subset_names_still_registered():
+    """A renamed query would silently vanish from the round-over-round
+    subtotal (the inclusion list keeps additions out, but can't notice
+    deletions) — pin every anchor name to the live registry."""
+    from distribution_engine_smt_spark.driver_queries import QUERIES
+
+    missing = sorted(bench.R1_QUERIES - set(QUERIES))
+    assert not missing, f"r01 anchor queries missing from registry: {missing}"
+    watch_missing = sorted(set(bench.WATCH) - set(QUERIES))
+    assert not watch_missing, f"watchlist names not registered: {watch_missing}"
