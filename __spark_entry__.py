@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "chunk_dedup",
     "lsh_recall_audit",
     "ann_recall_audit",
+    "bigram_perplexity",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -92,7 +93,6 @@ _DRIVER_PRIORITY = [
     # --- r5-modified cohort so last round's changes get a third row)
     "ann_ivf_nprobe_topk",
     "ann_pq_topk",
-    "ann_sq8_topk",
     "bloom_membership",
     "sampled_quantiles",
 ]
@@ -105,6 +105,7 @@ _DRIVER_ROTATE_LAST = [
     "ann_ivf_topk",
     "ann_query_batch",
     "ann_topk_bruteforce",
+    "ann_sq8_topk",
     "asof_purchase_attribution",
     "authorperm_codec",
     "balanced_sample",

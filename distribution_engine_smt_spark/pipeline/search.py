@@ -525,3 +525,114 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model perplexity (the sharper quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS ctx
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) t(i)
+      WHERE len(ts) >= 2
+    ),
+    dbf AS (
+      SELECT doc_id, bg, ctx, CAST(count(*) AS BIGINT) AS ct
+      FROM bg GROUP BY doc_id, bg, ctx
+    ),
+    bfreq AS (SELECT bg, CAST(count(*) AS DOUBLE) AS n_bg FROM bg GROUP BY bg),
+    cfreq AS (SELECT ctx, CAST(count(*) AS DOUBLE) AS n_ctx FROM bg GROUP BY ctx),
+    folded AS (
+      SELECT d.doc_id,
+             list(d.ct ORDER BY d.bg ASC) AS cts,
+             list(b.n_bg / c.n_ctx ORDER BY d.bg ASC) AS ps,
+             CAST(sum(d.ct) AS DOUBLE) AS dl
+      FROM dbf d JOIN bfreq b USING (bg) JOIN cfreq c USING (ctx)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           round(exp(
+             list_reduce(
+               list_transform(range(1, len(cts) + 1),
+                              i -> CAST(cts[i] AS DOUBLE) * -ln(ps[i])),
+               (x, y) -> x + y) / dl), 6) AS ppl
+    FROM folded
+    ORDER BY doc_id ASC
+    """,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document: exp(mean negative log of the
+    CONDITIONAL bigram probability p(w2 | w1) = n(w1 w2) / n(w1-as-
+    context)), estimated from the corpus itself. Sharper than the
+    unigram signal: repeated boilerplate drives p(w2|w1) toward 1 and
+    perplexity toward 1, while scrambled/unnatural word order scores
+    high even when the vocabulary looks normal. Docs with fewer than two
+    tokens have no bigrams and drop out (same in both engines).
+
+    Float parity uses the unigram_perplexity pattern: shuffled
+    aggregation stays integer-exact (bigram counts), and the per-doc
+    float fold runs over bigrams SORTED lexicographically — a
+    deterministic left-to-right -ln() accumulation both engines replay
+    in the same order. Context counts derive from the bigram table (one
+    per bigram token), the standard conditional-LM denominator.
+
+    Scale: the per-(doc, bigram) aggregate and the per-doc collect are
+    corpus-keyed shuffles; the bigram and context frequency tables are
+    vocabulary-sized and broadcast. Per-doc state is bounded by distinct
+    bigrams per document."""
+    t = _t(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t["documents"].select("doc_id", toks.alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    idx = F.sequence(F.lit(1), F.size("ts") - 1)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ",
+                        F.try_element_at(F.col("ts"), i),
+                        F.try_element_at(F.col("ts"), i + 1),
+                    ).alias("bg"),
+                    F.try_element_at(F.col("ts"), i).alias("ctx"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.bg").alias("bg"), F.col("p.ctx").alias("ctx"))
+    dbf = bg.groupBy("doc_id", "bg", "ctx").agg(F.count("*").alias("ct"))
+    bfreq = bg.groupBy("bg").agg(F.count("*").cast("double").alias("n_bg"))
+    cfreq = bg.groupBy("ctx").agg(F.count("*").cast("double").alias("n_ctx"))
+    joined = dbf.join(F.broadcast(bfreq), "bg").join(F.broadcast(cfreq), "ctx")
+    folded = joined.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bg"),
+                    F.col("ct"),
+                    (F.col("n_bg") / F.col("n_ctx")).alias("p"),
+                )
+            )
+        ).alias("terms"),
+        F.sum("ct").cast("double").alias("dl"),
+    )
+    nll = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["ct"].cast("double") * -F.log(s["p"]),
+    )
+    return (
+        folded.select(
+            "doc_id", F.round(F.exp(nll / F.col("dl")), 6).alias("ppl")
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
