@@ -68,6 +68,66 @@ def staked_accounts(
     return df.filter(F.col("stake") > min_stake).select("account", "symbol", "stake")
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, source: str | None = None
+) -> DataFrame:
+    """Ingest documents from JSON-Lines — the interchange format crawl
+    dumps and dataset releases actually ship. Schema-enforced read (no
+    sampling-based inference pass: at 100 TB an inference scan doubles
+    the ingest IO), tolerant of extra fields (dropped) and missing ones
+    (NULL); ``n_chars`` is derived when absent so downstream quality/
+    length operators never branch on provenance. ``source`` stamps a
+    provenance label over whatever the file carries (a crawl batch
+    usually IS the source). PERMISSIVE mode: a malformed line becomes a
+    NULL row rather than failing the 1000-executor job; the caller's
+    quality gate drops it."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    if source is not None:
+        df = df.withColumn("source", F.lit(source))
+    return df.withColumn(
+        "n_chars",
+        F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
+    )
+
+
+def read_documents_text(
+    spark: SparkSession, path: str, source: str = "files"
+) -> DataFrame:
+    """Ingest one-document-per-file corpora (the other common shape:
+    scraped pages, transcripts, book dumps) into the documents schema.
+    ``wholetext`` keeps each file one row; doc_id is a deterministic
+    function of the file path (crc32 of the name — stable across
+    re-ingests, unlike monotonically_increasing_id whose values depend
+    on partition layout), lang left NULL for the lang-ID operator to
+    fill. File-granular parallelism: at scale the read distributes by
+    file, no driver-side listing loop."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .select(
+            F.input_file_name().alias("fname"),
+            F.col("value").alias("text"),
+        )
+    )
+    return raw.select(
+        F.crc32(F.col("fname")).cast("long").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def refresh_token_config(
     spark: SparkSession,
     token_config: DataFrame,

@@ -1,0 +1,88 @@
+"""Document ingestion adapters (sources.read_documents_jsonl /
+read_documents_text): schema-enforced JSONL and one-doc-per-file reads
+that land in the canonical documents shape, so every downstream operator
+(dedup, quality, lang-ID) runs unchanged on ingested corpora."""
+
+from __future__ import annotations
+
+import json
+
+from distribution_engine_smt_spark.sources import (
+    DOCUMENTS_SCHEMA,
+    read_documents_jsonl,
+    read_documents_text,
+)
+
+
+def test_jsonl_ingest_schema_and_derived_chars(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "crawlA",
+         "n_chars": 11, "extra_field": "dropped"},
+        {"doc_id": 2, "text": "sans n_chars", "lang": "en", "source": "crawlA"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\nnot json at all\n")
+    df = read_documents_jsonl(spark, str(p))
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert got[1]["n_chars"] == 11
+    assert got[2]["n_chars"] == len("sans n_chars")  # derived when absent
+    # permissive: the malformed line survives as a null row, not a crash
+    assert None in got and got[None]["text"] is None
+
+
+def test_jsonl_source_stamp_overrides(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    p.write_text(json.dumps({"doc_id": 7, "text": "t", "source": "orig"}))
+    df = read_documents_jsonl(spark, str(p), source="batch-2026-08")
+    assert df.first()["source"] == "batch-2026-08"
+
+
+def test_text_ingest_one_doc_per_file_and_stable_ids(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first document\nwith two lines")
+    (d / "b.txt").write_text("second document")
+    df = read_documents_text(spark, str(d), source="scrape")
+    rows = df.collect()
+    assert len(rows) == 2
+    texts = {r["text"] for r in rows}
+    assert "first document\nwith two lines" in texts  # wholetext: one row/file
+    assert all(r["source"] == "scrape" and r["lang"] is None for r in rows)
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    # ids deterministic across re-ingest (crc32 of path, not layout-dependent)
+    again = {r["text"]: r["doc_id"] for r in
+             read_documents_text(spark, str(d), source="scrape").collect()}
+    assert all(again[r["text"]] == r["doc_id"] for r in rows)
+
+
+def test_ingested_docs_feed_downstream_operators(spark, tmp_path):
+    """The ingest contract that matters: an ingested frame drives the
+    dedup machinery unchanged."""
+    from distribution_engine_smt_spark.pipeline.dedup import (
+        minhash_index,
+        probe_minhash_index,
+    )
+
+    p = tmp_path / "w.jsonl"
+    body = "one two three four five six seven eight nine ten"
+    p.write_text(
+        json.dumps({"doc_id": 100, "text": body, "source": "s"}) + "\n"
+        + json.dumps({"doc_id": 200, "text": body, "source": "s"})
+    )
+    docs = read_documents_jsonl(spark, str(p)).select("doc_id", "text")
+    bands, sh = minhash_index(docs)
+    probe = spark.createDataFrame([(300, body)], "doc_id long, text string")
+    pairs = probe_minhash_index(bands, sh, probe).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(300, 100), (300, 200)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_schema_constant_matches_driver_tables(spark):
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    from .conftest import SF_DIR
+
+    real = load_tpch(spark, SF_DIR)["documents"]
+    ingested = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    assert [f.name for f in ingested.schema.fields] == real.columns
