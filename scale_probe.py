@@ -148,6 +148,11 @@ def build_scale_dir(spark, m: int) -> str:
 def main() -> None:
     spark = get_spark("desmt-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # every scale must take the same code path for its ratio to mean
+    # anything: point the store root at a never-populated directory so
+    # scale-1 cannot silently read the repo's sf0.1 stores (bench builds
+    # them) while 3x/10x derive from scratch
+    os.environ["SPARK_GRAFT_STORE_DIR"] = os.path.join(ROOT, "no-stores")
     dirs = {1: BASE}
     for m in SCALES:
         if m != 1:
@@ -179,12 +184,50 @@ def main() -> None:
         }
         print(json.dumps({"probe": name, **results[name]}))
 
+    # ---- store-build scaling: the ingest-side half of the scale story.
+    # Each scale gets its own scoped store root; the memoized plans are
+    # dropped first so the builds compose store-aware exactly like a fresh
+    # index-build session (signatures land first, the pair build reads
+    # them). The k-means fit can legitimately fail on a perturbed corpus
+    # (empty cluster -> reseed required); that is recorded, not fatal.
+    from distribution_engine_smt_spark import driver_queries as _dq
+    from distribution_engine_smt_spark.operators import storage as _st
+
+    import shutil
+
+    store_builds: dict[str, dict] = {}
+    for m in SCALES:
+        root = os.path.join(ROOT, f"stores-x{m}")
+        shutil.rmtree(root, ignore_errors=True)  # re-runs measure real builds
+        os.environ["SPARK_GRAFT_STORE_DIR"] = root
+        _dq._DF_CACHE.clear()
+        spark.catalog.clearCache()
+        per = {}
+        for label, builder in [
+            ("signatures", _st.build_minhash_signature_store),
+            ("postings", _st.build_shingle_postings_store),
+            ("pairs", _st.build_dedup_pair_store),
+            ("clusters", _st.build_dedup_cluster_store),
+            ("kmeans", _st.build_kmeans_fit_store),
+        ]:
+            t0 = time.perf_counter()
+            try:
+                builder(spark, dirs[m])
+                per[label] = round(time.perf_counter() - t0, 4)
+            except Exception as ex:  # noqa: BLE001 — recorded, not fatal
+                per[label] = f"error: {str(ex)[:80]}"
+        store_builds[str(m)] = per
+        log_total = sum(v for v in per.values() if isinstance(v, float))
+        print(json.dumps({"store_build_scale": m, "sec": round(log_total, 2), **per}))
+    os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+
     report = {
         "metric": "scale_probe",
         "base_sf_dir": BASE,
         "scales": SCALES,
         "key_offset": OFF,
         "queries": results,
+        "store_builds": store_builds,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"),
