@@ -160,6 +160,35 @@ def test_kmeans_store_roundtrip_and_short_circuit(spark, store_dir, monkeypatch)
     clustering._FIT_CACHE.clear()  # don't leak the stored fit to other tests
 
 
+def test_stranded_build_tmp_is_invisible_to_consumers(spark, store_dir):
+    """A crash mid-build leaves only a dot-prefixed tmp dir; consumers'
+    os.path.isdir(store_path) check never sees it, so they fall back to
+    derivation instead of reading partial state."""
+    import pathlib
+
+    path = storage.pair_store_path(SF_DIR)
+    stranded = pathlib.Path(store_dir) / f".{os.path.basename(path)}.build-dead"
+    stranded.mkdir(parents=True)
+    (stranded / "part-00000.parquet").write_bytes(b"partial garbage")
+    assert not os.path.isdir(path)
+    # derivation fallback still works with the stranded dir present
+    assert dedup_pairs_with_sources(spark, SF_DIR).count() > 0
+
+
+def test_atomic_publish_loses_race_gracefully(tmp_path):
+    """Two concurrent builders derive identical content; the loser's
+    rename fails and its tmp copy is discarded, not published."""
+    winner = tmp_path / "store"
+    winner.mkdir()
+    (winner / "data.parquet").write_bytes(b"winner")
+    loser_tmp = tmp_path / ".store.build-abc"
+    loser_tmp.mkdir()
+    (loser_tmp / "data.parquet").write_bytes(b"loser")
+    storage._atomic_publish(str(loser_tmp), str(winner))
+    assert (winner / "data.parquet").read_bytes() == b"winner"
+    assert not loser_tmp.exists()
+
+
 def test_fingerprint_changes_with_params_and_data(store_dir):
     fp_doc = storage._sf_fingerprint(SF_DIR, ("documents.parquet",))
     fp_emb = storage._sf_fingerprint(SF_DIR, ("embeddings.parquet",))
