@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "lsh_recall_audit",
     "ann_recall_audit",
     "bigram_perplexity",
+    "chunk_excise",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -91,7 +92,6 @@ _DRIVER_PRIORITY = [
     "url_density",
     # --- two-row queries filling the remaining head slots (preferring the
     # --- r5-modified cohort so last round's changes get a third row)
-    "ann_ivf_nprobe_topk",
     "ann_pq_topk",
     "bloom_membership",
     "sampled_quantiles",
@@ -103,6 +103,7 @@ _DRIVER_PRIORITY = [
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
     "ann_ivf_topk",
+    "ann_ivf_nprobe_topk",
     "ann_query_batch",
     "ann_topk_bruteforce",
     "ann_sq8_topk",

@@ -509,6 +509,76 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_excise",
+    f"""
+    WITH c AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             md5(substr(text, i * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_md5
+      FROM documents,
+           unnest(generate_series(0, CAST(greatest(length(text) - 1, 0) // {CHUNK_CHARS} AS BIGINT))) t(i)
+    ),
+    own AS (SELECT chunk_md5, min(doc_id) AS owner FROM c GROUP BY chunk_md5),
+    k AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk_md5,
+             (o.owner = c.doc_id) AS kept
+      FROM c JOIN own o USING (chunk_md5)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN kept THEN chunk_md5 END, ''
+                          ORDER BY chunk_idx ASC)) AS clean_md5
+    FROM k GROUP BY doc_id
+    ORDER BY doc_id ASC
+    """,
+)
+def chunk_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation ACTION behind chunk_dedup's audit: excise duplicated
+    chunks, keeping each distinct chunk only in its canonical owner (the
+    lowest doc_id containing it — the same min-id survivor rule the
+    whole dedup family uses; the owner keeps all its occurrences, every
+    other doc loses the chunk). Per doc: chunk counts before/after and
+    ``clean_md5`` — the md5 over the KEPT chunk hashes in position order,
+    which pins the exact post-excision byte sequence in a narrow oracle
+    row without shipping text. A doc stripped of every chunk yields NULL
+    (both engines: empty aggregation input).
+
+    Scale: one chunk-hash aggregate for ownership (map-side combinable,
+    md5 payloads only), the ownership join back on the same key, one
+    doc_id fold. The rewrite itself (substr re-assembly from kept
+    indices) is map-only at write time — this query is the decision +
+    fingerprint layer a 100 TB excision job executes from."""
+    c = chunk_documents(spark, sf_dir).select("doc_id", "chunk_idx", "chunk_md5")
+    own = c.groupBy("chunk_md5").agg(F.min("doc_id").alias("owner"))
+    k = c.join(own, "chunk_md5").select(
+        "doc_id", "chunk_idx", "chunk_md5",
+        (F.col("owner") == F.col("doc_id")).alias("kept"),
+    )
+    kept_structs = F.collect_list(
+        F.when(F.col("kept"), F.struct("chunk_idx", "chunk_md5"))
+    )  # when() yields NULL for excised chunks; collect_list skips NULLs
+    folded = k.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_sort(kept_structs).alias("kept_arr"),
+    )
+    joined = F.array_join(
+        F.transform(F.col("kept_arr"), lambda s: s["chunk_md5"]), ""
+    )
+    return (
+        folded.select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(
+                F.size("kept_arr") > 0, F.md5(joined.cast("binary"))
+            ).alias("clean_md5"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # leakage-free train/val/test split: split by dup-group, not by document
 # ---------------------------------------------------------------------------
