@@ -551,16 +551,29 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), so the audit reports both set sizes, the intersection, and
     recall vs the baseline. Composes two memoized operators — with the
     derived-artifact stores present the LSH side is a parquet read."""
+    from ..session import tracked_persist
     from .dedup import dedup_minhash_lsh, dedup_ngram_jaccard
 
-    t = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    l = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    nb = t.agg(F.count("*").cast("long").alias("n_baseline"))
-    nl = l.agg(F.count("*").cast("long").alias("n_lsh"))
-    nc = t.join(l, ["d1", "d2"], "left_semi").agg(
-        F.count("*").cast("long").alias("n_common")
+    # re-register the memoized chains for caching on every call: the
+    # bench protocol clearCache()s between queries, which drops not just
+    # the blocks but the cache REGISTRATION — without re-persisting, the
+    # single aggregate below would re-derive each chain per action.
+    # (persist on an already-registered frame is a no-op.)
+    t = tracked_persist(dedup_ngram_jaccard(spark, sf_dir)).select("d1", "d2")
+    l = tracked_persist(dedup_minhash_lsh(spark, sf_dir)).select("d1", "d2")
+    # one full-outer pass references each chain exactly ONCE in the plan
+    # (separate count branches would compute the baseline chain twice
+    # per action) and yields all three counts in a single aggregate
+    j = t.withColumn("in_t", F.lit(1)).join(
+        l.withColumn("in_l", F.lit(1)), ["d1", "d2"], "full_outer"
     )
-    return nb.crossJoin(nl).crossJoin(nc).select(
+    return j.agg(
+        F.count("in_t").cast("long").alias("n_baseline"),
+        F.count("in_l").cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_t").isNotNull() & F.col("in_l").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_common"),
+    ).select(
         "n_baseline",
         "n_lsh",
         "n_common",
