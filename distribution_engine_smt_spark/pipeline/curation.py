@@ -411,6 +411,29 @@ def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_CHARS = 500
 
 
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of the chunker: (doc_id, chunk_idx, chunk_len,
+    chunk_md5) for any (doc_id, text) frame — the reusable piece the
+    batch query, the excision decision, and the streaming chunk gate all
+    share. Map-side only."""
+    n_chunks = F.greatest(F.length("text") - 1, F.lit(0)) / CHUNK_CHARS
+    idx = F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
+    exploded = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.posexplode(idx).alias("chunk_idx", "_i"),
+    )
+    piece = F.col("text").substr(
+        F.col("chunk_idx") * CHUNK_CHARS + 1, F.lit(CHUNK_CHARS)
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length(piece).alias("chunk_len"),
+        F.md5(piece.cast("binary")).alias("chunk_md5"),
+    )
+
+
 @register(
     "chunk_documents",
     f"""
@@ -432,26 +455,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the middle. Chunks are reported as (len, md5) so the oracle row stays
     narrow while still pinning the exact chunk bytes.
     """
-    t = _t(spark, sf_dir)
-    n_chunks = F.greatest(F.length("text") - 1, F.lit(0)) / CHUNK_CHARS
-    idx = F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
-    exploded = t["documents"].select(
-        "doc_id",
-        F.col("text"),
-        F.posexplode(idx).alias("chunk_idx", "_i"),
-    )
-    piece = F.col("text").substr(
-        F.col("chunk_idx") * CHUNK_CHARS + 1, F.lit(CHUNK_CHARS)
-    )
-    return (
-        exploded.select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.length(piece).alias("chunk_len"),
-            F.md5(piece.cast("binary")).alias("chunk_md5"),
-        )
-        .orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
-    )
+    return chunk_frame(
+        _t(spark, sf_dir)["documents"].select("doc_id", "text")
+    ).orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
 
 
 _CHUNK_SQL = f"""
@@ -506,6 +512,106 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup).cast("double") / F.count("*"), 6).alias("dup_ratio"),
         )
         .orderBy(F.col("doc_id").asc())
+    )
+
+
+def run_chunk_gate_stream(
+    spark,
+    source_dir: str,
+    schema,
+    corpus_chunks: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_dup_ratio: float = 0.5,
+):
+    """Streaming chunk-level dedup gate: arriving documents are admitted
+    or rejected by the fraction of their fixed-size chunks already known
+    — to the indexed corpus OR to any previously ADMITTED arrival (the
+    admitted batches' chunk hashes accumulate under ``{store}/chunks``,
+    so a wave-2 copy of a wave-1 arrival is caught; rejected docs never
+    pollute the index). Verdicts land under
+    ``{store}/verdicts/batch_id=N`` as (doc_id, n_chunks, n_dup,
+    dup_ratio, admitted).
+
+    Replay safety (foreachBatch is at-least-once): both writes overwrite
+    their own batch partition, and the known-chunk read EXCLUDES the
+    current batch's own partition — a replayed batch whose chunk hashes
+    landed before the crash would otherwise see its own content and flip
+    every verdict to rejected. Scale: the chunk set is md5 hashes only
+    (32 bytes/chunk, never text); the membership probe is one hash-keyed
+    left join with the batch side small, and the corpus side would be
+    bucketed by chunk_md5 at 100 TB."""
+
+    def gate(batch_df, batch_id: int):
+        import os as _os
+
+        ch = chunk_frame(batch_df.select("doc_id", "text")).select(
+            "doc_id", "chunk_md5"
+        )
+        known = corpus_chunks.select("chunk_md5")
+        chunks_root = f"{store_dir}/chunks"
+        if _os.path.isdir(chunks_root):
+            prior = (
+                spark.read.parquet(chunks_root)
+                .filter(F.col("batch_id").cast("string") != str(batch_id))
+                .select("chunk_md5")
+            )
+            known = known.unionByName(prior)
+        known = known.distinct().withColumn("known", F.lit(1))
+        # within-batch rule: a chunk also counts as duplicated when a
+        # LOWER-doc_id document in the same micro-batch contains it (the
+        # dedup family's min-id owner rule, single-pass deterministic —
+        # ownership ignores the owner's own verdict; an iterative
+        # within-batch adjudication would be order-dependent). Without
+        # this, two copies arriving in one batch both pass the gate.
+        batch_owner = ch.groupBy("chunk_md5").agg(
+            F.min("doc_id").alias("batch_owner")
+        )
+        dup = F.col("known").isNotNull() | (F.col("batch_owner") < F.col("doc_id"))
+        verdict = (
+            ch.join(known, "chunk_md5", "left")
+            .join(batch_owner, "chunk_md5")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_chunks"),
+                F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup"),
+            )
+            .select(
+                "doc_id",
+                "n_chunks",
+                "n_dup",
+                F.round(
+                    F.col("n_dup").cast("double") / F.col("n_chunks"), 6
+                ).alias("dup_ratio"),
+                (
+                    F.col("n_dup").cast("double") / F.col("n_chunks")
+                    < max_dup_ratio
+                ).alias("admitted"),
+            )
+        )
+        verdict.write.mode("overwrite").parquet(
+            f"{store_dir}/verdicts/batch_id={batch_id}"
+        )
+        admitted_chunks = (
+            ch.join(
+                verdict.filter(F.col("admitted")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .select("chunk_md5")
+            .distinct()
+        )
+        admitted_chunks.write.mode("overwrite").parquet(
+            f"{store_dir}/chunks/batch_id={batch_id}"
+        )
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.select("doc_id", "text")
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
