@@ -128,6 +128,21 @@ def read_documents_text(
     )
 
 
+def write_documents_jsonl(
+    df: DataFrame, path: str, partition_by: str | None = "source"
+) -> None:
+    """Export a documents frame as JSON-Lines — the sink half of the
+    ingest pair (``read_documents_jsonl`` reads what this writes, field
+    for field). Partitioned by provenance by default so per-source
+    re-exports and downstream per-source reads stay directory-pruned;
+    pass ``partition_by=None`` for a flat dump. Executor-parallel: one
+    JSONL part file per task, no driver-side serialization loop."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.json(path)
+
+
 def refresh_token_config(
     spark: SparkSession,
     token_config: DataFrame,
