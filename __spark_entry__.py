@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "ann_recall_audit",
     "bigram_perplexity",
     "chunk_excise",
+    "pq_recall_audit",
     # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
     # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
@@ -93,7 +94,6 @@ _DRIVER_PRIORITY = [
     # --- two-row queries filling the remaining head slots (preferring the
     # --- r5-modified cohort so last round's changes get a third row)
     "ann_pq_topk",
-    "bloom_membership",
     "sampled_quantiles",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
@@ -112,6 +112,7 @@ _DRIVER_ROTATE_LAST = [
     "balanced_sample",
     "blog_union_minjoin",
     "build_vocab",
+    "bloom_membership",
     "children_counts",
     "chunk_documents",
     "curated_corpus",

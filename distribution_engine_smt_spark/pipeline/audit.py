@@ -628,3 +628,47 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
     )
+
+
+def _pq_recall_sql() -> str:
+    from .similarity import _cos_sql, _pq_sql
+
+    brute = f"""
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """
+    return f"""
+    WITH hit AS (
+      SELECT e.vec_id FROM ({brute}) e JOIN ({_pq_sql()}) a USING (vec_id)
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM hit)::DOUBLE / 10, 6) AS recall_at_k
+    """
+
+
+@register("pq_recall_audit", _pq_recall_sql())
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quality — the third leg of the approximation-audit
+    trio (LSH pair recall, IVF nprobe recall@k, and now product
+    quantization): recall@10 of the ADC-scan-plus-exact-rerank pipeline
+    against brute-force cosine. THE number that sizes PQ_CAND (how many
+    ADC candidates must survive to the rerank for the recall target) —
+    4-byte codes quantize aggressively, and whether that costs recall is
+    an empirical question per corpus, not a design assumption."""
+    from .similarity import ann_pq_topk, ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    approx = ann_pq_topk(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+    )
