@@ -173,3 +173,40 @@ def test_hourly_hll_and_quantiles_have_no_blowups(spark):
     plan = _plan(spark, "sampled_quantiles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 3-row fraction frame
+
+
+def test_chunk_dedup_never_ships_text_past_scan(spark):
+    """The chunk family's scale claim: only 32-char md5 hashes move
+    through the shuffles; the text column must be consumed inside the
+    scan/project stage, never appear in an exchange's output schema."""
+    plan = _plan(spark, "chunk_dedup")
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex, f"text column crossed a shuffle: {ex}"
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_excise_hash_keyed_only(spark):
+    plan = _plan(spark, "chunk_excise")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"chunk_md5", "doc_id"}, keys
+
+
+def test_bigram_frequency_tables_broadcast(spark):
+    """The bigram/context frequency tables are vocabulary-sized and must
+    broadcast into the per-doc join — a sort-merge join here would
+    shuffle the corpus twice more."""
+    plan = _plan(spark, "bigram_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_recall_audits_are_single_aggregate_rows(spark):
+    """Audit outputs are one row; their plans must end in a plain
+    aggregate, not a global sort, and the LSH audit must reference its
+    chains through one full-outer join (no repeated chain subtrees via
+    a cross-joined count pair)."""
+    for name in ("lsh_recall_audit", "ann_recall_audit", "pq_recall_audit"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    lsh = _plan(spark, "lsh_recall_audit")
+    assert "FullOuter" in lsh or "full_outer" in lsh.lower()
