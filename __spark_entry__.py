@@ -91,17 +91,21 @@ _DRIVER_PRIORITY = [
     "top_ngrams",
     "unigram_perplexity",
     "url_density",
-    # --- two-row queries filling the remaining head slots (preferring the
-    # --- r5-modified cohort so last round's changes get a third row)
-    "ann_pq_topk",
-    "sampled_quantiles",
+    # --- NEW in the round-6 continuation (zero driver rows): must sit
+    # --- inside the cap; the 2-row r5 fillers ann_pq_topk /
+    # --- sampled_quantiles rotate out to make room (both keep their two
+    # --- green rows, and pq_recall_audit covers the PQ path this round)
+    "dup_inflation",
+    "split_leakage_audit",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 118 registered queries and the 50-slot cap,
-# exactly 68 sit here so the cut is EXPLICIT (chosen stable queries)
+# rotated past the cap. With 127 registered queries and the 50-slot cap,
+# exactly 77 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
+    "ann_pq_topk",
+    "sampled_quantiles",
     "ann_ivf_topk",
     "ann_ivf_nprobe_topk",
     "ann_query_batch",

@@ -672,3 +672,68 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-weighted duplication inflation: what dedup is worth, per source
+# ---------------------------------------------------------------------------
+@register(
+    "dup_inflation",
+    """
+    WITH d AS (
+      SELECT source, md5(text) AS h,
+             len(string_split_regex(trim(text), '\\s+')) AS nt
+      FROM documents
+    ),
+    g AS (
+      SELECT source, h, count(*) AS n_copies, min(nt) AS nt
+      FROM d GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique_docs,
+           CAST(sum(n_copies * nt) AS BIGINT) AS total_tokens,
+           CAST(sum(nt) AS BIGINT) AS unique_tokens,
+           round(CAST(sum(n_copies * nt) AS DOUBLE) / sum(nt), 6)
+             AS token_inflation
+    FROM g GROUP BY source ORDER BY source ASC
+    """,
+)
+def dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted duplication factor per source — the number that
+    prices an exact-dedup pass: total tokens the source ships vs tokens
+    surviving content-hash dedup (reference: the datasheet family around
+    server/db.py's per-table roll-ups; extension operator, no reference
+    counterpart). ``token_inflation = 1.0`` means dedup saves nothing;
+    2.0 means half the source's tokens are re-reads of text the model
+    already saw — the strongest single predictor of wasted epochs.
+
+    Scale: one (source, content-hash) shuffle with map-side partial
+    aggregation — the same exchange dedup_exact already pays, so a real
+    pipeline derives both from one pass; the per-source roll-up reduces
+    to a handful of rows. All sums are integer (exact at any partition
+    count); the only double is the final per-source ratio."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    g = d.groupBy("source", "h").agg(
+        F.count("*").alias("n_copies"), F.min("nt").alias("nt")
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique_docs"),
+            F.sum(F.col("n_copies") * F.col("nt")).cast("long").alias("total_tokens"),
+            F.sum("nt").cast("long").alias("unique_tokens"),
+            F.round(
+                F.sum(F.col("n_copies") * F.col("nt")).cast("double")
+                / F.sum("nt"),
+                6,
+            ).alias("token_inflation"),
+        )
+        .orderBy(F.col("source").asc())
+    )

@@ -1099,3 +1099,149 @@ def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cluster_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit: near-dup pairs crossing the train/val/test boundary
+# ---------------------------------------------------------------------------
+
+
+def _coin_case_sql(rep: str) -> str:
+    """DuckDB twin of _split_coin over an arbitrary representative
+    expression: first 32 bits of md5(rep) -> 80/10/10 CASE."""
+    hv = (
+        "list_reduce(list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({rep} AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+        "(a, x) -> a * 16 + x)"
+    )
+    return (
+        f"CASE WHEN {hv} % 10 < 8 THEN 'train' "
+        f"WHEN {hv} % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_leakage_sql() -> str:
+    cluster_sql = _CLUSTER_SQL.format(pairs_sql=_lsh_pairs_sql())
+    return f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    labels AS (SELECT doc_id, cluster_id FROM ({cluster_sql}) t),
+    reps AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+      FROM documents
+    ),
+    splits AS (
+      SELECT r.doc_id,
+             {_coin_case_sql('r.doc_id')} AS doc_split,
+             {_coin_case_sql('r.group_rep')} AS group_split,
+             {_coin_case_sql('coalesce(l.cluster_id, r.doc_id)')} AS cluster_split
+      FROM reps r LEFT JOIN labels l ON r.doc_id = l.doc_id
+    ),
+    j AS (
+      SELECT s1.doc_split AS ds1, s2.doc_split AS ds2,
+             s1.group_split AS gs1, s2.group_split AS gs2,
+             s1.cluster_split AS cs1, s2.cluster_split AS cs2
+      FROM pairs p
+      JOIN splits s1 ON p.d1 = s1.doc_id
+      JOIN splits s2 ON p.d2 = s2.doc_id
+    ),
+    agg AS (
+      SELECT count(*) AS n_pairs,
+             sum(CASE WHEN ds1 <> ds2 THEN 1 ELSE 0 END) AS doc_cross,
+             sum(CASE WHEN gs1 <> gs2 THEN 1 ELSE 0 END) AS group_cross,
+             sum(CASE WHEN cs1 <> cs2 THEN 1 ELSE 0 END) AS cluster_cross
+      FROM j
+    )
+    SELECT 'cluster_coin' AS method, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(cluster_cross AS BIGINT) AS n_cross,
+           round(cluster_cross::DOUBLE / n_pairs, 6) AS leak_rate FROM agg
+    UNION ALL
+    SELECT 'doc_coin', CAST(n_pairs AS BIGINT), CAST(doc_cross AS BIGINT),
+           round(doc_cross::DOUBLE / n_pairs, 6) FROM agg
+    UNION ALL
+    SELECT 'group_coin', CAST(n_pairs AS BIGINT), CAST(group_cross AS BIGINT),
+           round(group_cross::DOUBLE / n_pairs, 6) FROM agg
+    ORDER BY method ASC
+    """
+
+
+@register("split_leakage_audit", _split_leakage_sql())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many VERIFIED near-dup pairs cross the train/val/test boundary
+    under three split coins: per-document i.i.d. (``doc_coin`` — the
+    common mistake), exact-content group representative (``group_coin`` —
+    leakage_free_split's rule, immune to exact copies but not near-dups),
+    and near-dup cluster representative (``cluster_coin`` — zero leakage
+    by construction, the rule this audit motivates). The audit turns
+    "our split is leakage-free" from an assumption into a measured
+    number per split policy.
+
+    Scale: the pair set (store-aware via dedup_pairs_with_sources) is
+    orders of magnitude smaller than the corpus and is BROADCAST into the
+    split-label lookups — the corpus-sized side never reshuffles beyond
+    the content-hash window the split itself requires; cluster labels
+    come from the materialized cluster store when present. One final
+    single-row aggregate is exploded into the three method rows (integer
+    sums — exact at any partitioning)."""
+    from .dedup import dedup_pairs_with_sources
+
+    pairs = dedup_pairs_with_sources(spark, sf_dir).select("d1", "d2")
+    docs = _t(spark, sf_dir)["documents"]
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    reps = docs.select("doc_id", F.min("doc_id").over(w).alias("group_rep"))
+    labels = dedup_clusters(spark, sf_dir)
+    splits = reps.join(labels, "doc_id", "left").select(
+        "doc_id",
+        _split_coin(F.col("doc_id")).alias("doc_split"),
+        _split_coin(F.col("group_rep")).alias("group_split"),
+        _split_coin(F.coalesce(F.col("cluster_id"), F.col("doc_id"))).alias(
+            "cluster_split"
+        ),
+    )
+    s1 = splits.select(
+        F.col("doc_id").alias("d1"),
+        F.col("doc_split").alias("ds1"),
+        F.col("group_split").alias("gs1"),
+        F.col("cluster_split").alias("cs1"),
+    )
+    s2 = splits.select(
+        F.col("doc_id").alias("d2"),
+        F.col("doc_split").alias("ds2"),
+        F.col("group_split").alias("gs2"),
+        F.col("cluster_split").alias("cs2"),
+    )
+    half = s1.join(F.broadcast(pairs), "d1")
+    j = s2.join(F.broadcast(half), "d2")
+    cross = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a) != F.col(b)).cast("long")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        cross("ds1", "ds2").alias("doc_cross"),
+        cross("gs1", "gs2").alias("group_cross"),
+        cross("cs1", "cs2").alias("cluster_cross"),
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cluster_coin").alias("method"),
+                    F.col("n_pairs"),
+                    F.col("cluster_cross").alias("n_cross"),
+                ),
+                F.struct(
+                    F.lit("doc_coin").alias("method"),
+                    F.col("n_pairs"),
+                    F.col("doc_cross").alias("n_cross"),
+                ),
+                F.struct(
+                    F.lit("group_coin").alias("method"),
+                    F.col("n_pairs"),
+                    F.col("group_cross").alias("n_cross"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stacked.withColumn(
+        "leak_rate", F.round(F.col("n_cross").cast("double") / F.col("n_pairs"), 6)
+    ).orderBy(F.col("method").asc())
