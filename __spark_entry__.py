@@ -36,93 +36,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # --- r6 modified first (store-aware pair/fit consumers — the pair
-    # --- store and k-means fit store landed this round; the driver runs
-    # --- these without stores, i.e. the fallback derivation path, while
-    # --- pytest covers the store path in tests/test_stores.py)
+    # --- r7 head, in priority order:
+    # 1) zero driver rows (new this round: the width-ladder occupancy
+    #    audit, the embedding-LSH recall audit, and the sampled-baseline
+    #    LSH recall audit) — must sit in the cap
+    # 2) exactly one green row across r1-r6 — each gets its second row
+    #    (VERDICT r6 next-round #6: dup_inflation / split_leakage_audit)
+    # 3) the rest of this round's modified set (_ROUND_MODIFIED below)
+    # 4) fill to 50 with the lowest-coverage (2-row) stable queries so
+    #    coverage keeps deepening instead of re-verifying 3-row queries
+    "embedding_lsh_recall_audit",
+    "index_occupancy_audit",
+    "lsh_recall_audit_sampled",
+    "ann_recall_audit",
+    "bigram_perplexity",
+    "chunk_dedup",
+    "chunk_excise",
+    "dedup_cluster_stats",
+    "dup_inflation",
+    "lsh_recall_audit",
+    "pq_recall_audit",
+    "split_leakage_audit",
+    "ann_pq_topk",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "minhash_decontaminate",
+    "embedding_kmeans",
+    "semdedup",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_nprobe",
     "cross_source_dup_matrix",
     "dedup_clusters",
     "dedup_best_representative",
     "corpus_datasheet",
-    "embedding_kmeans",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_kmeans_nprobe",
-    "semdedup",
-    "dedup_minhash_lsh",
-    "minhash_decontaminate",
     "dedup_ngram_jaccard",
-    # --- NEW this round (zero driver rows): must sit inside the cap
-    "dedup_cluster_stats",
-    "chunk_dedup",
-    "lsh_recall_audit",
-    "ann_recall_audit",
-    "bigram_perplexity",
-    "chunk_excise",
-    "pq_recall_audit",
-    # --- exactly ONE green driver row across r1-r5 (VERDICT r5 "What's
-    # --- missing" #3): each gets its second row this round
     "above_nation_avg_balance",
-    "bm25_search",
-    "cms_heavy_hitters",
-    "curriculum_buckets",
-    "daily_moving_avg",
-    "deterministic_shuffle",
-    "event_funnel",
-    "event_zscore_anomaly",
-    "events_pivot",
-    "graph_pagerank",
-    "hll_daily_merge",
-    "hll_distinct",
-    "hourly_hll_distinct",
-    "kmv_set_ops",
-    "langid_confusion",
-    "length_histogram",
-    "multimodal_resize",
-    "normalize_text",
-    "pii_redact",
-    "quantile_error_audit",
-    "rrf_hybrid_search",
-    "sales_rollup",
-    "segment_region_cube",
-    "shipping_priority",
-    "sliding_event_counts",
-    "source_vocab_overlap",
-    "substring_dup_spans",
-    "top_ngrams",
-    "unigram_perplexity",
-    "url_density",
-    # --- NEW in the round-6 continuation (zero driver rows): must sit
-    # --- inside the cap; the 2-row r5 fillers ann_pq_topk /
-    # --- sampled_quantiles rotate out to make room (both keep their two
-    # --- green rows, and pq_recall_audit covers the PQ path this round)
-    "dup_inflation",
-    "split_leakage_audit",
-]
-# multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 127 registered queries and the 50-slot cap,
-# exactly 77 sit here so the cut is EXPLICIT (chosen stable queries)
-# rather than whatever lands at positions 51+ of registration order.
-_DRIVER_ROTATE_LAST = [
-    "account_history_page",
-    "ann_pq_topk",
-    "sampled_quantiles",
-    "ann_ivf_topk",
     "ann_ivf_nprobe_topk",
     "ann_query_batch",
-    "ann_topk_bruteforce",
     "ann_sq8_topk",
     "asof_purchase_attribution",
     "authorperm_codec",
     "balanced_sample",
-    "blog_union_minjoin",
-    "build_vocab",
     "bloom_membership",
-    "children_counts",
+    "bm25_search",
+    "build_vocab",
     "chunk_documents",
+    "cms_heavy_hitters",
     "curated_corpus",
+    "curriculum_buckets",
+    "daily_moving_avg",
     "decontaminate",
+    "deterministic_shuffle",
+    "doc_novelty",
+    "earliest_event_per_user",
+    "embedding_dim_stats",
+    "embedding_outliers",
+    "event_funnel",
+    "event_zscore_anomaly",
+    "events_pivot",
+    "graph_pagerank",
+]
+# multi-round-green (2+ driver rows each) AND untouched this round —
+# rotated past the cap. With 130 registered queries and the 50-slot cap,
+# exactly 80 sit here so the cut is EXPLICIT (chosen stable queries)
+# rather than whatever lands at positions 51+ of registration order.
+_DRIVER_ROTATE_LAST = [
+    "account_history_page",
+    "ann_ivf_topk",
+    "ann_topk_bruteforce",
+    "blog_union_minjoin",
+    "children_counts",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
     "dedup_exact",
     "dedup_exact_keep_first",
     "dedup_simhash",
@@ -132,37 +116,52 @@ _DRIVER_ROTATE_LAST = [
     "discussions_by_payout_keyset",
     "discussions_by_promoted",
     "discussions_by_trending",
-    "earliest_event_per_user",
-    "embedding_dim_stats",
-    "embedding_outliers",
     "feed_semijoin",
-    "hard_negatives",
     "follow_counts",
+    "hard_negatives",
+    "hll_daily_merge",
+    "hll_distinct",
+    "hourly_hll_distinct",
     "json_double_decode",
     "json_props_sum",
     "kmv_distinct",
+    "kmv_set_ops",
+    "langid_confusion",
     "latest_event_per_key",
     "leakage_free_split",
+    "length_histogram",
     "mixture_weights",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
+    "multimodal_resize",
+    "normalize_text",
     "pack_sequences",
     "payout_accumulation",
+    "pii_redact",
     "post_with_votes",
     "prefix_select",
     "pricing_summary",
     "quality_filter",
+    "quantile_error_audit",
     "range_join_events",
     "reblogged_by_agg",
     "recent_orders_window",
     "regional_revenue",
     "replies_in_notin",
     "reward_curves",
+    "rrf_hybrid_search",
+    "sales_rollup",
+    "sampled_quantiles",
     "segment_nation_counts",
+    "segment_region_cube",
     "sessionize",
     "set_diff_reconcile",
+    "shipping_priority",
+    "sliding_event_counts",
+    "source_vocab_overlap",
     "stratified_sample",
+    "substring_dup_spans",
     "supplier_visible_revenue",
     "tag_membership",
     "text_fingerprint",
@@ -170,14 +169,16 @@ _DRIVER_ROTATE_LAST = [
     "text_quality_score",
     "text_repetition",
     "text_token_counts",
-    "thread_tree",
     "tfidf_keywords",
-    "doc_novelty",
+    "thread_tree",
     "time_format_wire",
     "token_count_quantiles",
     "top_boilerplate_spans",
+    "top_ngrams",
     "trending_tags",
     "tumbling_event_counts",
+    "unigram_perplexity",
+    "url_density",
     "weighted_sample",
     "zipf_slope",
 ]
@@ -191,31 +192,36 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r6 (this round): materialized derived-artifact stores landed
-    # (operators/storage.py build_dedup_pair_store / build_kmeans_fit_store,
-    # VERDICT r5 next-round #1/#2). These queries now consume
-    # dedup_pairs_with_sources (pair store when present, in-query LSH
-    # derivation otherwise):
+    # r7 (this round): corpus-size-derived index widths (pipeline/params.py
+    # ladders — VERDICT r6 next-round #1) touched the RHP-LSH chain, the
+    # MinHash-LSH chain + its signature store, the all-pairs baseline
+    # (store-aware + sampled mode), and the trained-IVF family (multi-rung
+    # oracles); the PQ re-tune (8x8 subspaces, K=8, CAND=300, single-fold
+    # encoder — #2) touched ann_pq_topk/pq_recall_audit; the ADVICE
+    # zero-guards touched dup_inflation/split_leakage_audit; the occupancy,
+    # embedding-LSH-recall, and sampled-LSH-recall audits are new.
+    "ann_pq_topk",
+    "pq_recall_audit",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "minhash_decontaminate",
+    "lsh_recall_audit",
+    "ann_recall_audit",
+    "embedding_kmeans",
+    "semdedup",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_nprobe",
     "cross_source_dup_matrix",
     "dedup_clusters",
     "dedup_best_representative",
     "corpus_datasheet",
-    # ...and these consume kmeans_fit, which now loads a materialized fit
-    # store when one exists instead of re-running the Lloyd iterations:
-    "embedding_kmeans",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_kmeans_nprobe",
-    "semdedup",
-    # ...and the signature store landed: minhash_signature reads it when
-    # present, touching the LSH chain and the decontamination scan
-    "dedup_minhash_lsh",
-    "minhash_decontaminate",
-    # ...and the all-pairs baseline's verified pair set is now persisted
-    # (the recall audit's counts re-executed the posting self-join per
-    # action; same memoize+persist discipline as the LSH pair stream)
+    "dup_inflation",
+    "split_leakage_audit",
     "dedup_ngram_jaccard",
+    "embedding_lsh_recall_audit",
+    "index_occupancy_audit",
+    "lsh_recall_audit_sampled",
 ]
-
 
 def _ordered(names: list[str]) -> list[str]:
     head = [n for n in _DRIVER_PRIORITY if n in names]

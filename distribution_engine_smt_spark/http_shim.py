@@ -23,11 +23,16 @@ clamps, caching, materialization caps) lives in ``serving.QueryServer``.
 
 from __future__ import annotations
 
+import gzip
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from .serving import ParamError, QueryServer
+
+# flask-compress default: don't gzip tiny bodies (reference server/app.py:44
+# wires Compress(app); its COMPRESS_MIN_SIZE default is 500 bytes)
+GZIP_MIN_BYTES = 500
 
 
 def make_handler(query_server: QueryServer):
@@ -67,8 +72,17 @@ def make_handler(query_server: QueryServer):
             except Exception:  # pragma: no cover - defensive 500
                 body_str, status = "[]", 500
             body = body_str.encode("utf-8")
+            # wire parity with the reference's flask-compress: gzip when the
+            # client advertises support and the body clears the floor
+            accept = self.headers.get("Accept-Encoding", "")
+            gzipped = "gzip" in accept.lower() and len(body) >= GZIP_MIN_BYTES
+            if gzipped:
+                body = gzip.compress(body, compresslevel=6)
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
+            if gzipped:
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Vary", "Accept-Encoding")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

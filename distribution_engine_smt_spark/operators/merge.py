@@ -14,10 +14,18 @@ accumulators — reference: engine_comments_contract_processor.py:96-214,
 comment_processor_for_engine.py:160-196) use ``additive_merge`` instead,
 which adds deltas to existing values.
 
-Scale notes (100 TB):
-- One shuffle per merge, hash-partitioned by the upsert key — the minimum
-  possible. With the target parquet bucketed by the same key the target-side
-  shuffle disappears entirely.
+Scale notes (100 TB), plan-asserted in tests/test_plan_shapes.py
+(test_bucketed_merge_exchanges):
+- ``additive_merge`` is join-shaped (full outer on the key): with the
+  target bucketed by the merge key, the TARGET branch carries no Exchange
+  — only the (small) delta side shuffles to meet the bucketing.
+- ``merge_upsert`` is window-shaped (union + last-writer-wins rank): it
+  pays exactly ONE Exchange for the union — the minimum for a global
+  rank — and bucketing cannot remove it, because the window's required
+  distribution sits above the union, not above the scans. What bounds it
+  at scale is partition scoping, not bucketing: ``merge_into_partitioned``
+  reads/rewrites only the delta's touched partitions, so that one
+  exchange carries touched-partition rows, never the table.
 - ``merge_upsert`` is idempotent under replay when ``seq`` is derived from
   (block_num, op_seq): re-merging the same delta yields the same state
   (reference semantics ST3/ST4 — per-block transactionality + resume).

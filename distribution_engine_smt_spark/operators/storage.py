@@ -309,10 +309,13 @@ def _atomic_publish(tmp: str, path: str) -> None:
 
 
 def pair_store_path(sf_dir: str) -> str:
-    from ..pipeline.dedup import BANDS, JACCARD_THRESHOLD, N_HASHES
+    from ..pipeline.dedup import JACCARD_THRESHOLD
 
     fp = _sf_fingerprint(sf_dir, ("documents.parquet",))
-    params = f"h{N_HASHES}b{BANDS}j{JACCARD_THRESHOLD}"
+    # LSH widths are corpus-size-derived (params.minhash_widths_for), and
+    # the corpus size is part of the data the fingerprint keys — "wauto"
+    # records that the widths follow the ladder rather than a pinned pair
+    params = f"wauto-j{JACCARD_THRESHOLD}"
     return os.path.join(store_root(), f"pairs-v{STORE_VERSION}-{params}-{fp}")
 
 
@@ -361,11 +364,11 @@ def read_dedup_pairs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("d1", "d2", "jaccard", "s1", "s2")
 
 
-def signature_store_path(sf_dir: str) -> str:
-    from ..pipeline.dedup import N_HASHES
-
+def signature_store_path(sf_dir: str, n_hashes: int) -> str:
     fp = _sf_fingerprint(sf_dir, ("documents.parquet",))
-    return os.path.join(store_root(), f"minhash-sig-v{STORE_VERSION}-h{N_HASHES}-{fp}")
+    return os.path.join(
+        store_root(), f"minhash-sig-v{STORE_VERSION}-h{n_hashes}-{fp}"
+    )
 
 
 def build_minhash_signature_store(spark: SparkSession, sf_dir: str) -> str:
@@ -376,10 +379,12 @@ def build_minhash_signature_store(spark: SparkSession, sf_dir: str) -> str:
     decontamination agreement scan (minhash_decontaminate) — so it is
     computed once at ingest and read back everywhere, like a real
     pipeline's signature column family."""
-    path = signature_store_path(sf_dir)
+    from ..pipeline.dedup import minhash_signature, minhash_widths
+
+    n_hashes, _, _ = minhash_widths(spark, sf_dir)
+    path = signature_store_path(sf_dir, n_hashes)
     if os.path.isdir(path):
         return path
-    from ..pipeline.dedup import minhash_signature
 
     sig = minhash_signature(spark, sf_dir)
     os.makedirs(store_root(), exist_ok=True)
@@ -391,11 +396,11 @@ def build_minhash_signature_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def read_minhash_signatures(spark: SparkSession, path: str) -> DataFrame:
-    from ..pipeline.dedup import N_HASHES
-
+def read_minhash_signatures(
+    spark: SparkSession, path: str, n_hashes: int
+) -> DataFrame:
     return spark.read.parquet(path).select(
-        "doc_id", *[f"m{h}" for h in range(N_HASHES)]
+        "doc_id", *[f"m{h}" for h in range(n_hashes)]
     )
 
 
@@ -478,20 +483,31 @@ def build_kmeans_fit_store(spark: SparkSession, sf_dir: str) -> str:
     import json as _json
 
     from ..pipeline.clustering import ITERS, K, kmeans_fit
+    from ..pipeline.params import corpus_count, ivf_cells_for
 
-    path = kmeans_store_path(sf_dir, K, ITERS)
-    if os.path.isdir(path):
+    def _build_one(k: int) -> str:
+        path = kmeans_store_path(sf_dir, k, ITERS)
+        if os.path.isdir(path):
+            return path
+        asg, cents = kmeans_fit(spark, sf_dir, k=k)
+        os.makedirs(store_root(), exist_ok=True)
+        tmp = os.path.join(
+            store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+        )
+        asg.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(tmp, "assignments")
+        )
+        with open(os.path.join(tmp, "centroids.json"), "w") as f:
+            _json.dump({"k": k, "iters": ITERS, "centroids": cents}, f)
+        _atomic_publish(tmp, path)
         return path
-    asg, cents = kmeans_fit(spark, sf_dir)
-    os.makedirs(store_root(), exist_ok=True)
-    tmp = os.path.join(
-        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
-    )
-    asg.coalesce(4).write.mode("overwrite").parquet(os.path.join(tmp, "assignments"))
-    with open(os.path.join(tmp, "centroids.json"), "w") as f:
-        _json.dump({"k": K, "iters": ITERS, "centroids": cents}, f)
-    _atomic_publish(tmp, path)
-    return path
+
+    # two quantizers when the widths differ: the fixed-spec k=4 rung
+    # (embedding_kmeans/semdedup replay it) and the corpus-size-derived
+    # rung the IVF probes route through (params.ivf_cells_for)
+    k_auto = ivf_cells_for(corpus_count(spark, sf_dir, "embeddings"))
+    _build_one(K)
+    return _build_one(k_auto)
 
 
 def load_kmeans_fit(spark: SparkSession, sf_dir: str, k: int, iters: int):

@@ -36,9 +36,23 @@ from pyspark.sql import functions as F
 from ..driver_queries import _t, register
 from .similarity import DIM
 
-K = 4
+K = 4      # the FIXED-SPEC rung: embedding_kmeans/semdedup replay k=4
+           # (part of those queries' definitions, like a TPC-H constant)
 ITERS = 2
 OUT_DIMS = 4  # centroid coordinates included in the result
+
+# The trained-IVF probes (ann_ivf_kmeans_*) and the index/store builders
+# use the CORPUS-SIZE-DERIVED cell count instead (params.ivf_cells_for:
+# K ~ sqrt(n/25) floored to a power-of-two rung) — VERDICT r6 #1: a fixed
+# k=4 means a probe scans ~n/4 forever. Their oracle SQL replays the fit
+# once PER RUNG, each branch gated on the in-SQL ladder over count(*), so
+# the active rung is chosen identically in both engines at any n.
+from .params import (  # noqa: E402
+    IVF_RUNGS,
+    corpus_count,
+    ivf_cells_for,
+    ivf_cells_sql,
+)
 
 
 def _dist_to_literal(emb, centroid: list[float]):
@@ -78,8 +92,18 @@ def _dec(el):
 _FIT_CACHE: dict[tuple, tuple] = {}
 
 
-def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS):
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    iters: int = ITERS,
+):
     """Run Lloyd's algorithm; returns (assignments DataFrame, centroids).
+
+    ``k=None`` (the default) resolves to the corpus-size-derived cell
+    count (params.ivf_cells_for) — the width every IVF probe and index
+    build should use; pass an explicit k only for fixed-spec replays
+    (embedding_kmeans/semdedup pin k=4).
 
     The fit is cached per (live session, sf_dir, k, iters) — the "train
     once, serve many" semantics a real index/cluster consumer has: both
@@ -95,6 +119,8 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS)
     iteration-`iters+1` state and belong to a longer fit. The SQL twin
     assigns with the same iteration-`iters` centroids.
     """
+    if k is None:
+        k = ivf_cells_for(corpus_count(spark, sf_dir, "embeddings"))
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
     cached = _FIT_CACHE.get(key)
     if cached is not None:
@@ -159,12 +185,6 @@ def _dist_sql(e: str, c: str) -> str:
     )
 
 
-def _argmin_sql() -> str:
-    branches = []
-    for i in range(K - 1):
-        cond = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, K))
-        branches.append(f"WHEN {cond} THEN {i}")
-    return "CASE " + " ".join(branches) + f" ELSE {K - 1} END"
 
 
 def _sums_sql(src: str, alias: str) -> str:
@@ -184,32 +204,61 @@ def _cent_sql(src: str, alias: str) -> str:
     )
 
 
-def _assign_sql(cent_src: str, a_alias: str, g_alias: str, from_init: bool) -> str:
+def _assign_sql(
+    cent_src: str,
+    a_alias: str,
+    g_alias: str,
+    from_init: bool,
+    k: int = K,
+    guard: str | None = None,
+) -> str:
+    """One assignment pass at width k. The distance list is built ONCE
+    ([d0, ..., d{k-1}]) and the argmin is list_position of its min —
+    the lowest-index-wins contract of _argmin_case — because a CASE
+    cascade over d-columns makes DuckDB inline each 64-dim fold into
+    every comparison (~k^2 fold evaluations per row: the same blowup the
+    PQ encoder hit). ``guard`` (rung-ladder predicate) empties the scan
+    for inactive rungs so a multi-rung oracle only pays for the active
+    one."""
     if from_init:
         sides = ", ".join(
             f"(SELECT embedding AS c FROM embeddings WHERE vec_id = {i}) k{i}"
-            for i in range(K)
+            for i in range(k)
         )
         # init centroids are float vectors: cast inside the fold
         dists = ", ".join(
             "list_reduce(list_transform(generate_series(1, %d), "
             "j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(k%d.c[j] AS DOUBLE))"
             " * (CAST(e.embedding[j] AS DOUBLE) - CAST(k%d.c[j] AS DOUBLE))), "
-            "(x, y) -> x + y) AS d%d" % (DIM, i, i, i)
-            for i in range(K)
+            "(x, y) -> x + y)" % (DIM, i, i)
+            for i in range(k)
         )
     else:
         sides = ", ".join(
-            f"(SELECT c FROM {cent_src} WHERE cid = {i}) k{i}" for i in range(K)
+            f"(SELECT c FROM {cent_src} WHERE cid = {i}) k{i}" for i in range(k)
         )
-        dists = ", ".join(
-            _dist_sql("e.embedding", f"k{i}.c") + f" AS d{i}" for i in range(K)
-        )
+        dists = ", ".join(_dist_sql("e.embedding", f"k{i}.c") for i in range(k))
+    where = f" WHERE {guard}" if guard else ""
     return (
-        f"{a_alias} AS (SELECT e.vec_id, e.embedding, {dists} "
-        f"FROM embeddings e, {sides}), "
-        f"{g_alias} AS (SELECT vec_id, embedding, {_argmin_sql()} AS cid "
+        f"{a_alias} AS (SELECT e.vec_id, e.embedding, [{dists}] AS ds "
+        f"FROM embeddings e, {sides}{where}), "
+        f"{g_alias} AS (SELECT vec_id, embedding, "
+        f"CAST(list_position(ds, list_aggregate(ds, 'min')) - 1 AS INT) AS cid "
         f"FROM {a_alias})"
+    )
+
+
+def _fit_ctes(k: int, guard: str | None = None) -> str:
+    """The WITH-body replaying a full ITERS=2 Lloyd fit at width k:
+    a0/g1 (init assignment), s1/c1v (decimal means), a1/g2 (final
+    assignment). Shared by every fit-replaying oracle so the iteration
+    structure cannot drift between them. ``guard`` empties both corpus
+    scans when this rung is inactive (multi-rung oracles)."""
+    return (
+        f"{_assign_sql('', 'a0', 'g1', from_init=True, k=k, guard=guard)},\n    "
+        f"{_sums_sql('g1', 's1')},\n    "
+        f"{_cent_sql('s1', 'c1v')},\n    "
+        f"{_assign_sql('c1v', 'a1', 'g2', from_init=False, k=k, guard=guard)}"
     )
 
 
@@ -220,10 +269,7 @@ _FINAL_COORDS = ", ".join(
 )
 
 _KMEANS_SQL = f"""
-    WITH {_assign_sql("", "a0", "g1", from_init=True)},
-    {_sums_sql("g1", "s1")},
-    {_cent_sql("s1", "c1v")},
-    {_assign_sql("c1v", "a1", "g2", from_init=False)}
+    WITH {_fit_ctes(K)}
     SELECT cid, count(*) AS n_members, {_FINAL_COORDS}
     FROM g2
     GROUP BY cid
@@ -237,7 +283,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes + the first 4 centroid coordinates. The DuckDB oracle
     replays both iterations in pure SQL CTEs, so every stage — distances,
     argmin tie-breaks, decimal mean arithmetic — is cross-checked."""
-    asg, _ = kmeans_fit(spark, sf_dir)
+    asg, _ = kmeans_fit(spark, sf_dir, k=K)  # fixed-spec rung
     final = asg  # assignments after ITERS iterations
     emb_el = lambda j: F.try_element_at("embedding", F.lit(j))  # noqa: E731
     joined = _t(spark, sf_dir)["embeddings"].join(final, "vec_id")
@@ -264,40 +310,60 @@ IVF_TOP = 10
 
 from .similarity import _cos_sql  # noqa: E402  (registered module, no cycle)
 
-_IVF_KMEANS_SQL = f"""
-    WITH {_assign_sql("", "a0", "g1", from_init=True)},
-    {_sums_sql("g1", "s1")},
-    {_cent_sql("s1", "c1v")},
-    {_assign_sql("c1v", "a1", "g2", from_init=False)},
+_IVF_RUNG_GUARD = (
+    ivf_cells_sql("(SELECT count(*) FROM embeddings)") + " = {k}"
+)
+
+
+def _rung_union(branch_sql_for) -> str:
+    """Multi-rung oracle: replay the query once per ladder rung, each
+    branch gated on the in-SQL cell-count ladder over count(*) — exactly
+    one branch is active at any corpus size, and it is the same rung the
+    Spark side's ivf_cells_for picks. Nested WITHs sit in subquery
+    position (the lsh_recall_audit trick)."""
+    return "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM (\n    {branch_sql_for(k)}\n    ) rung_{k} "
+        f"WHERE {_IVF_RUNG_GUARD.format(k=k)}"
+        for k in IVF_RUNGS
+    )
+
+
+def _ivf_kmeans_sql_rung(k: int) -> str:
+    return f"""WITH {_fit_ctes(k, guard=_IVF_RUNG_GUARD.format(k=k))},
     q AS (SELECT embedding AS q_emb, cid AS q_cid FROM g2 WHERE vec_id = 0)
     SELECT e.vec_id,
            {_cos_sql('e.embedding', 'q.q_emb')} AS cos
     FROM g2 e, q
     WHERE e.cid = q.q_cid AND e.vec_id <> 0
     ORDER BY cos DESC, e.vec_id ASC
-    LIMIT {IVF_TOP}
-    """
+    LIMIT {IVF_TOP}"""
+
+
+_IVF_KMEANS_SQL = _rung_union(_ivf_kmeans_sql_rung)
 
 
 @register("ann_ivf_kmeans_topk", _IVF_KMEANS_SQL)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k through a TRAINED coarse quantizer: the k-means fit
-    (k=4, 2 Lloyd iterations — the exact fit embedding_kmeans oracles)
-    partitions the corpus into cells; the query vector (vec_id 0) probes
-    ONLY its own cell and exact cosine reranks the members. This is real
-    IVF — learned centroids instead of ann_ivf_topk's static sign-pattern
-    quantizer — and it composes two already-oracled operators: the oracle
-    replays the full two-iteration fit in CTEs and then the probe, so the
-    training, the cell assignment, and the rerank all cross-check.
+    (k = params.ivf_cells_for(corpus count) ~ sqrt(n/25) at power-of-two
+    rungs, 2 Lloyd iterations) partitions the corpus into cells; the
+    query vector (vec_id 0) probes ONLY its own cell and exact cosine
+    reranks the members. This is real IVF — learned centroids instead of
+    ann_ivf_topk's static sign-pattern quantizer. The oracle replays the
+    two-iteration fit once per ladder rung, each branch gated on the
+    in-SQL cell-count ladder, so training, cell assignment, and rerank
+    cross-check at whatever width the corpus size selects.
 
     Scale: at 100 TB the assignment (cid) is the parquet partition key
     written at index-build time, so a probe reads ~1/k of the corpus (plus
     nprobe-1 neighbor cells for recall — same knob as ann_ivf_nprobe_topk);
-    the rerank is a TakeOrdered over one cell. The fit itself is the
-    audited embedding_kmeans plan (map-only assignment + one groupBy per
-    iteration). Locally the fit re-runs per session — two corpus passes —
-    because the centroids are driver-state, exactly as a production
-    index-build job would hold them."""
+    with k growing as sqrt(n) both the cell count and the per-cell read
+    grow as sqrt(n) instead of the probe staying at n/4 forever (the r6
+    fixed-width liability). The fit itself is the audited embedding_kmeans
+    plan (map-only assignment + one groupBy per iteration). Locally the
+    fit re-runs per session — two corpus passes — because the centroids
+    are driver-state, exactly as a production index-build job would hold
+    them."""
     asg, _cents = kmeans_fit(spark, sf_dir)
     emb = _t(spark, sf_dir)["embeddings"]
     from .similarity import dot_fold
@@ -336,11 +402,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 2
 
 
-_IVF_NPROBE_SQL = f"""
-    WITH {_assign_sql("", "a0", "g1", from_init=True)},
-    {_sums_sql("g1", "s1")},
-    {_cent_sql("s1", "c1v")},
-    {_assign_sql("c1v", "a1", "g2", from_init=False)},
+def _ivf_nprobe_sql_rung(k: int) -> str:
+    return f"""WITH {_fit_ctes(k, guard=_IVF_RUNG_GUARD.format(k=k))},
     q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
     qd AS (
       SELECT c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
@@ -352,8 +415,10 @@ _IVF_NPROBE_SQL = f"""
     FROM g2 e JOIN sel ON e.cid = sel.cid CROSS JOIN q
     WHERE e.vec_id <> 0
     ORDER BY cos DESC, e.vec_id ASC
-    LIMIT {IVF_TOP}
-    """
+    LIMIT {IVF_TOP}"""
+
+
+_IVF_NPROBE_SQL = _rung_union(_ivf_nprobe_sql_rung)
 
 
 @register("ann_ivf_kmeans_nprobe", _IVF_NPROBE_SQL)
@@ -413,10 +478,7 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_COSINE = 0.4  # synthetic corpus: max pair cosine ~ 0.51
 
 _SEMDEDUP_SQL = f"""
-    WITH {_assign_sql("", "a0", "g1", from_init=True)},
-    {_sums_sql("g1", "s1")},
-    {_cent_sql("s1", "c1v")},
-    {_assign_sql("c1v", "a1", "g2", from_init=False)},
+    WITH {_fit_ctes(K)},
     dups AS (
       SELECT DISTINCT b.vec_id
       FROM g2 a JOIN g2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -446,7 +508,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per pair."""
     from .similarity import dot_fold
 
-    asg, _cents = kmeans_fit(spark, sf_dir)
+    asg, _cents = kmeans_fit(spark, sf_dir, k=K)  # fixed-spec rung
     emb = _t(spark, sf_dir)["embeddings"]
     sides = emb.join(asg, "vec_id").select(
         "vec_id",

@@ -1147,20 +1147,26 @@ def _split_leakage_sql() -> str:
     ),
     agg AS (
       SELECT count(*) AS n_pairs,
-             sum(CASE WHEN ds1 <> ds2 THEN 1 ELSE 0 END) AS doc_cross,
-             sum(CASE WHEN gs1 <> gs2 THEN 1 ELSE 0 END) AS group_cross,
-             sum(CASE WHEN cs1 <> cs2 THEN 1 ELSE 0 END) AS cluster_cross
+             coalesce(sum(CASE WHEN ds1 <> ds2 THEN 1 ELSE 0 END), 0) AS doc_cross,
+             coalesce(sum(CASE WHEN gs1 <> gs2 THEN 1 ELSE 0 END), 0) AS group_cross,
+             coalesce(sum(CASE WHEN cs1 <> cs2 THEN 1 ELSE 0 END), 0) AS cluster_cross
       FROM j
     )
     SELECT 'cluster_coin' AS method, CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST(cluster_cross AS BIGINT) AS n_cross,
-           round(cluster_cross::DOUBLE / n_pairs, 6) AS leak_rate FROM agg
+           CASE WHEN n_pairs > 0
+                THEN round(cluster_cross::DOUBLE / n_pairs, 6)
+                ELSE 0.0 END AS leak_rate FROM agg
     UNION ALL
     SELECT 'doc_coin', CAST(n_pairs AS BIGINT), CAST(doc_cross AS BIGINT),
-           round(doc_cross::DOUBLE / n_pairs, 6) FROM agg
+           CASE WHEN n_pairs > 0
+                THEN round(doc_cross::DOUBLE / n_pairs, 6)
+                ELSE 0.0 END FROM agg
     UNION ALL
     SELECT 'group_coin', CAST(n_pairs AS BIGINT), CAST(group_cross AS BIGINT),
-           round(group_cross::DOUBLE / n_pairs, 6) FROM agg
+           CASE WHEN n_pairs > 0
+                THEN round(group_cross::DOUBLE / n_pairs, 6)
+                ELSE 0.0 END FROM agg
     ORDER BY method ASC
     """
 
@@ -1215,11 +1221,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross = lambda a, b: F.sum(  # noqa: E731
         (F.col(a) != F.col(b)).cast("long")
     )
+    # zero-pair corpora yield an explicit (n_pairs=0, n_cross=0, rate=0.0)
+    # row per method, not NULLs: sum() over the empty aggregate is NULL in
+    # both engines, so both twins coalesce the sums and gate the ratio
     agg = j.agg(
         F.count("*").cast("long").alias("n_pairs"),
-        cross("ds1", "ds2").alias("doc_cross"),
-        cross("gs1", "gs2").alias("group_cross"),
-        cross("cs1", "cs2").alias("cluster_cross"),
+        F.coalesce(cross("ds1", "ds2"), F.lit(0)).alias("doc_cross"),
+        F.coalesce(cross("gs1", "gs2"), F.lit(0)).alias("group_cross"),
+        F.coalesce(cross("cs1", "cs2"), F.lit(0)).alias("cluster_cross"),
     )
     stacked = agg.select(
         F.explode(
@@ -1243,5 +1252,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return stacked.withColumn(
-        "leak_rate", F.round(F.col("n_cross").cast("double") / F.col("n_pairs"), 6)
+        "leak_rate",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(F.col("n_cross").cast("double") / F.col("n_pairs"), 6),
+        ).otherwise(F.lit(0.0)),
     ).orderBy(F.col("method").asc())

@@ -24,8 +24,16 @@ from pyspark.sql import functions as F
 from ..driver_queries import _t, memoize_df, register
 from ..session import tracked_persist
 
-N_HASHES = 8          # MinHash signature length
-BANDS = 4             # LSH bands (rows per band = N_HASHES // BANDS = 2)
+# Fixture-rung MinHash widths (n < 65536 docs): 8 hashes, 4 bands of 2.
+# The LSH chain derives its ACTIVE widths from the corpus row count
+# (params.minhash_widths_for: r rows/band grows with n, b = 2^r keeps the
+# banding threshold at 0.5 while shrinking the gray-zone candidate mass —
+# VERDICT r6 #1); these constants are the smallest rung and the default
+# for corpus-free consumers (minhash_index over arbitrary frames, the
+# decontamination agreement estimator, which reads the first 8 signature
+# components at any width).
+N_HASHES = 8          # MinHash signature length (fixture rung)
+BANDS = 4             # LSH bands at the fixture rung (rows/band = 2)
 JACCARD_THRESHOLD = 0.5
 # document-frequency cap for the all-pairs baseline: a shingle appearing in
 # more than this many docs is dropped from the index BEFORE sizes and
@@ -116,16 +124,29 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
-@memoize_df
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs Jaccard via the inverted shingle index. The join key is the
-    shingle, so only docs sharing a shingle ever meet — still quadratic in
-    the worst case (hot shingles); the LSH variant below is the scale path.
-    """
+def _jaccard_pairs_impl(
+    spark: SparkSession, sf_dir: str, d1_pred=None
+) -> DataFrame:
+    """All-pairs Jaccard via the inverted shingle index; ``d1_pred``
+    (a Column predicate over doc_id) restricts the PROBE side of the
+    posting-list self-join — the sampled-baseline mode: the df-cap and
+    sizes stay corpus-wide (cap semantics don't change under sampling),
+    so the result equals the full pair set filtered on d1, at ~p of the
+    self-join cost."""
+    import os as _os
+
+    from ..operators import storage as _storage
+
     # persist: referenced by the df-cap pass AND (via sh) sizes + both join
-    # sides — without caching the shingle build re-runs 4x
-    sh_all = tracked_persist(_shingle_df(spark, sf_dir))
+    # sides — without caching the shingle build re-runs 4x. Store-aware:
+    # with the materialized postings store this is a columnar read, not
+    # the corpus explode + array_distinct pass (same rows by construction)
+    _ppath = _storage.postings_store_path(sf_dir)
+    sh_all = tracked_persist(
+        _storage.read_shingle_postings(spark, _ppath)
+        if _os.path.isdir(_ppath)
+        else _shingle_df(spark, sf_dir)
+    )
     # stop-shingle cap: drop hot shingles (df > SHINGLE_DF_CAP) before any
     # size or intersection math — bounds every posting list the self-join
     # sees; the oracle applies the identical cap
@@ -137,7 +158,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = tracked_persist(sh_all.join(keep, "g", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "g")
+    a_side = sh.filter(d1_pred(F.col("doc_id"))) if d1_pred else sh
+    a = a_side.select(F.col("doc_id").alias("d1"), "g")
     b = sh.select(F.col("doc_id").alias("d2"), "g")
     common = (
         a.join(b, "g")
@@ -162,16 +184,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
+@memoize_df
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Jaccard via the inverted shingle index. The join key is the
+    shingle, so only docs sharing a shingle ever meet — still quadratic in
+    the worst case (hot shingles); the LSH variant below is the scale path.
+    """
+    return _jaccard_pairs_impl(spark, sf_dir)
+
+
+# deterministic 1/8 probe-doc sample for the sampled recall audit: first
+# md5 hex digit of "smp:<doc_id>" in {0, 1} — replayable in both engines,
+# independent of the dedup hashes
+AUDIT_SAMPLE_HEX = ("0", "1")
+
+
+def audit_sample_pred(col: Column) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit("smp:"), col.cast("string")).cast("binary")), 1, 1
+    ).isin(*AUDIT_SAMPLE_HEX)
+
+
+@memoize_df
+def jaccard_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact baseline restricted to the deterministic probe sample —
+    memoized like the full baseline so repeated audit actions re-read the
+    persisted pair set instead of re-running the (already p-scaled)
+    posting self-join."""
+    return _jaccard_pairs_impl(spark, sf_dir, d1_pred=audit_sample_pred)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH: signatures -> bands -> bucket join -> exact verify
 # ---------------------------------------------------------------------------
-def _minhash_aggs():
-    """N_HASHES independent minhashes from N_HASHES/4 md5 calls: each md5's
+def minhash_widths(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """(n_hashes, bands, rows_per_band) for this corpus — the one place
+    the ACTIVE LSH widths are chosen, from the cached corpus row count."""
+    from .params import corpus_count, minhash_widths_for
+
+    return minhash_widths_for(corpus_count(spark, sf_dir, "documents"))
+
+
+def _minhash_aggs(n_hashes: int = N_HASHES):
+    """n_hashes independent minhashes from n_hashes/4 md5 calls: each md5's
     128 bits split into four 8-hex-char chunks, each chunk a uniform 32-bit
     hash; min over lexicographic hex = a valid MinHash. Hashing is the
-    dominant cost of signature building — this cuts it 4x."""
+    dominant cost of signature building — this cuts it 4x. Hash h is the
+    same function at every width, so a wider signature EXTENDS a narrower
+    one (m0..m7 are identical at any rung — what lets fixed-width
+    consumers like the decontamination estimator read a prefix)."""
     aggs = []
-    for h in range(N_HASHES):
+    for h in range(n_hashes):
         seed, off = h // 4, (h % 4) * 8 + 1
         digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col("g")).cast("binary"))
         aggs.append(F.min(F.substring(digest, off, 8)).alias(f"m{h}"))
@@ -179,8 +243,9 @@ def _minhash_aggs():
 
 
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + m0..m{N-1}. One shuffle (groupBy doc_id) with partial min
-    aggregation — signature building is a single pass at any scale.
+    """doc_id + m0..m{H-1} at the corpus-size-derived width. One shuffle
+    (groupBy doc_id) with partial min aggregation — signature building is
+    a single pass at any scale.
 
     Reads the materialized signature store when one exists
     (operators/storage.py build_minhash_signature_store): signatures are
@@ -191,26 +256,78 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import storage
 
-    path = storage.signature_store_path(sf_dir)
+    n_hashes, _, _ = minhash_widths(spark, sf_dir)
+    path = storage.signature_store_path(sf_dir, n_hashes)
     if os.path.isdir(path):
-        return storage.read_minhash_signatures(spark, path)
+        return storage.read_minhash_signatures(spark, path, n_hashes)
     sh = _shingle_df(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(*_minhash_aggs())
+    return sh.groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
 
 
-_SIG_COLS_SQL = ", ".join(
-    f"min(substr(md5('{h // 4}:' || g), {(h % 4) * 8 + 1}, 8)) AS m{h}"
-    for h in range(N_HASHES)
-)
-_BAND_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(m{2*b} || m{2*b+1}) AS bv FROM sig"
-    for b in range(BANDS)
-)
+def band_frame(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bv) from a signature frame: band b's value is the
+    md5 of its ``rows`` concatenated signature components — the one band
+    constructor every LSH consumer (the dedup query, the stored index,
+    the streaming pair store) shares."""
+    frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"m{rows * b + j}") for j in range(rows)]
+                ).cast("binary")
+            ).alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    out = frames[0]
+    for bf in frames[1:]:
+        out = out.unionByName(bf)
+    return out
+
+
+def _sig_cols_sql(n_hashes: int) -> str:
+    return ", ".join(
+        f"min(substr(md5('{h // 4}:' || g), {(h % 4) * 8 + 1}, 8)) AS m{h}"
+        for h in range(n_hashes)
+    )
+
+
+# fixture-rung columns — also the decontamination estimator's fixed width
+_SIG_COLS_SQL = _sig_cols_sql(N_HASHES)
+
+
+def _band_sql_rung(sig_src: str, bands: int, rows: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'm{rows * b + j}' for j in range(rows))}) AS bv "
+        f"FROM {sig_src}"
+        for b in range(bands)
+    )
+
+
+def _mh_guard(r: int) -> str:
+    from .params import minhash_rows_sql
+
+    return minhash_rows_sql("(SELECT count(*) FROM documents)") + f" = {r}"
+
+
+# Width-laddered band table: one (sig, bands) pair per rung, each sig scan
+# gated on the in-SQL rows-per-band ladder over count(*) — the inactive
+# rung aggregates over zero rows, so the oracle only pays for the width
+# the Spark side also chose (params.minhash_widths_for).
+_BANDS_LADDER_SQL = f"""
+    sig2 AS (SELECT doc_id, {_sig_cols_sql(8)} FROM sh
+             WHERE {_mh_guard(2)} GROUP BY doc_id),
+    sig3 AS (SELECT doc_id, {_sig_cols_sql(24)} FROM sh
+             WHERE {_mh_guard(3)} GROUP BY doc_id),
+    bands AS ({_band_sql_rung('sig2', 4, 2)}
+              UNION ALL {_band_sql_rung('sig3', 8, 3)})"""
 
 _MINHASH_LSH_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
-    bands AS ({_BAND_SQL}),
+    {_BANDS_LADDER_SQL},
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
@@ -239,8 +356,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup plan: O(n) signature pass, O(n) band emission,
     candidate pairs only from same-bucket collisions, exact Jaccard verify
     restricted to candidates (semi-join pushdown into the shingle index).
-    With r=2 rows/band, b=4 bands, P(candidate) = 1-(1-J^2)^4 ≈ 0.68 at
-    J=0.5 and > 0.99 at J=0.85 — tune N_HASHES/BANDS per corpus."""
+    Widths are corpus-size-derived (params.minhash_widths_for): at the
+    fixture rung (r=2 rows/band, b=4 bands) P(candidate) = 1-(1-J^2)^4 ≈
+    0.68 at J=0.5 and > 0.99 at J=0.85; past 65536 docs the ladder moves
+    to r=3/b=8 — same 0.5 threshold, ~35% less gray-zone candidate mass
+    at J=0.3, which is what keeps bucket-interior pair work bounded as
+    the number of moderate-similarity pairs grows with n."""
     # one shingle pass feeds verification and sizes; with a materialized
     # postings store (the stored half of the near-dup index) this is a
     # columnar read instead of the corpus explode + array_distinct pass
@@ -259,17 +380,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_signature is store-aware: with a materialized signature
     # store this is a parquet read, not the corpus-wide min-agg.
     sig = tracked_persist(minhash_signature(spark, sf_dir))
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).cast("binary")).alias("bv"),
-        )
-        for b in range(BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    _, n_bands, n_rows = minhash_widths(spark, sf_dir)
+    bands = band_frame(sig, n_bands, n_rows)
     a = bands.select(F.col("doc_id").alias("d1"), "band", "bv")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "bv")
     cand = tracked_persist(
@@ -658,28 +770,19 @@ def top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def minhash_index(
+    docs: DataFrame, bands: int = BANDS, rows: int = N_HASHES // BANDS
+) -> tuple[DataFrame, DataFrame]:
     """Build the stored near-dup index for a corpus frame: the LSH band
     table (doc_id, band, bv) and the shingle postings (doc_id, g). These
     two tables ARE the dedup index a production pipeline persists —
     bucketed by (band, bv) and by g respectively at 100 TB, so the probe's
-    joins are shuffle-free on the corpus side."""
+    joins are shuffle-free on the corpus side. Width defaults to the
+    fixture rung; an index over a large corpus passes the ladder widths
+    (params.minhash_widths_for) — probe and index must share them."""
     sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
-    sig = sh.groupBy("doc_id").agg(*_minhash_aggs())
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).cast("binary")
-            ).alias("bv"),
-        )
-        for b in range(BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
-    return bands, sh
+    sig = sh.groupBy("doc_id").agg(*_minhash_aggs(bands * rows))
+    return band_frame(sig, bands, rows), sh
 
 
 def probe_minhash_index(

@@ -1,0 +1,146 @@
+"""Corpus-size-derived index widths (VERDICT r6 next-round #1).
+
+Fixed index constants are a 100 TB liability: a K-bit hyperplane table
+gives 2^K buckets, so with K frozen the expected candidate set per probe
+is L*n/2^K — linear in n, only a constant-factor improvement over brute
+force as the corpus grows. Every blocking structure in the repo therefore
+derives its width from the corpus row count, targeting CONSTANT expected
+bucket occupancy (candidates-per-probe stays ~flat as n grows; measured
+by scale_probe.py's candidates section and audited in-corpus by
+``index_occupancy_audit``).
+
+The cross-engine contract: every width is a pure function of the corpus
+row count using integer-exact arithmetic only (floor-log2 via bit_length,
+thresholds as power-of-two CASE ladders), and every function here has a
+``*_sql`` twin that evaluates the SAME ladder in DuckDB over
+``count(*)``. No float log2 anywhere — a 1-ulp difference on an exact
+power of two would flip the chosen width between engines.
+
+Widths grow without bound as n does; the SQL ladders enumerate the same
+rungs the Python clamps allow, so both engines agree at ANY n, not just
+at the fixture scales.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# random-hyperplane (sign) LSH over embeddings: K bits per table
+# ---------------------------------------------------------------------------
+# target expected vectors per bucket: 2^K ~= n / RHP_TARGET_BUCKET
+RHP_TARGET_BUCKET = 32
+RHP_MIN_BITS = 4    # fixture floor (sf0.01's 500 vectors -> 16 buckets)
+RHP_MAX_BITS = 12   # 4096 buckets/table; lift alongside the SQL ladder
+
+# ---------------------------------------------------------------------------
+# MinHash banding over documents: r rows/band, b = 2^r bands
+# ---------------------------------------------------------------------------
+# Rungs keep the LSH S-curve threshold at (1/b)^(1/r) = 0.5 (the verify
+# threshold) while raising r with corpus size: the gray-zone candidate
+# probability at sub-threshold Jaccard shrinks as r grows
+# (P = 1-(1-J^r)^b: J=0.3 -> 0.31 at r=2, 0.20 at r=3), which is what
+# bounds bucket-interior pair work as the number of moderate-similarity
+# pairs grows with n. Extending the ladder (r=4, b=16, H=64 at n >= 2^24)
+# follows the same pattern in both twins.
+MINHASH_ROWS_SWITCH = 1 << 16  # n >= 65536 docs -> r=3, b=8, H=24
+
+
+def floor_log2(m: int) -> int:
+    """floor(log2(m)) for m >= 1, integer-exact."""
+    if m < 1:
+        raise ValueError(f"floor_log2 requires m >= 1, got {m}")
+    return m.bit_length() - 1
+
+
+def rhp_bits_for(n: int) -> int:
+    """Hyperplane bits per LSH table for an n-vector corpus: the largest K
+    with 2^K <= n / RHP_TARGET_BUCKET, clamped to [MIN, MAX]."""
+    return max(
+        RHP_MIN_BITS,
+        min(RHP_MAX_BITS, floor_log2(max(n // RHP_TARGET_BUCKET, 1))),
+    )
+
+
+def rhp_bits_sql(n_expr: str) -> str:
+    """DuckDB twin of rhp_bits_for: descending power-of-two CASE ladder.
+    rhp_bits_for(n) >= b  <=>  n // T >= 2^b  <=>  n >= T * 2^b (T, 2^b
+    integers), so the thresholds are exact in both engines."""
+    branches = " ".join(
+        f"WHEN {n_expr} >= {RHP_TARGET_BUCKET * (1 << b)} THEN {b}"
+        for b in range(RHP_MAX_BITS, RHP_MIN_BITS, -1)
+    )
+    return f"(CASE {branches} ELSE {RHP_MIN_BITS} END)"
+
+
+def minhash_rows_for(n: int) -> int:
+    """MinHash rows-per-band for an n-doc corpus."""
+    return 3 if n >= MINHASH_ROWS_SWITCH else 2
+
+
+def minhash_widths_for(n: int) -> tuple[int, int, int]:
+    """(n_hashes, bands, rows_per_band) for an n-doc corpus; b = 2^r keeps
+    the banding threshold (1/b)^(1/r) at 0.5."""
+    r = minhash_rows_for(n)
+    b = 1 << r
+    return b * r, b, r
+
+
+def minhash_rows_sql(n_expr: str) -> str:
+    """DuckDB twin of minhash_rows_for."""
+    return f"(CASE WHEN {n_expr} >= {MINHASH_ROWS_SWITCH} THEN 3 ELSE 2 END)"
+
+
+def minhash_bands_sql(n_expr: str) -> str:
+    """DuckDB twin of the band count 2^r."""
+    return f"(CASE WHEN {n_expr} >= {MINHASH_ROWS_SWITCH} THEN 8 ELSE 4 END)"
+
+
+# ---------------------------------------------------------------------------
+# trained IVF (k-means cells) over embeddings
+# ---------------------------------------------------------------------------
+# K ~= sqrt(n / IVF_CELL_RATIO) rounded down to a power of two: cells and
+# cell size grow together (both ~sqrt(n)), the standard IVF balance
+# between quantizer cost (k distance folds per row) and probe cost (n/k
+# rows per cell read). Rungs are {4, 8, 16, 32}; the SQL twins replay the
+# fit per rung, so extending the ladder means adding a rung there too.
+IVF_CELL_RATIO = 25
+IVF_RUNGS = (4, 8, 16, 32)
+
+
+def ivf_cells_for(n: int) -> int:
+    """k-means cell count for an n-vector corpus: the largest rung K with
+    K^2 * IVF_CELL_RATIO <= n (i.e. K <= sqrt(n / ratio)), floored at the
+    smallest rung."""
+    k = IVF_RUNGS[0]
+    for rung in IVF_RUNGS[1:]:
+        if n >= rung * rung * IVF_CELL_RATIO:
+            k = rung
+    return k
+
+
+def ivf_cells_sql(n_expr: str) -> str:
+    """DuckDB twin of ivf_cells_for (descending threshold ladder)."""
+    branches = " ".join(
+        f"WHEN {n_expr} >= {rung * rung * IVF_CELL_RATIO} THEN {rung}"
+        for rung in reversed(IVF_RUNGS[1:])
+    )
+    return f"(CASE {branches} ELSE {IVF_RUNGS[0]} END)"
+
+
+# ---------------------------------------------------------------------------
+# cached corpus row counts (one tiny parquet count job per session+table)
+# ---------------------------------------------------------------------------
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def corpus_count(spark, sf_dir: str, table: str) -> int:
+    """Row count of a corpus table, cached per (live session, sf_dir,
+    table). This is the one data-dependent input to the width functions;
+    at 100 TB it's the table's row-count statistic, not a scan."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        from ..driver_queries import _t
+
+        n = _t(spark, sf_dir)[table].count()
+        _COUNT_CACHE[key] = n
+    return n

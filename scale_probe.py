@@ -145,6 +145,239 @@ def build_scale_dir(spark, m: int) -> str:
     return path
 
 
+def _percentiles(vals: list[float]) -> dict:
+    s = sorted(vals)
+    if not s:
+        return {}
+    p = lambda q: s[min(len(s) - 1, int(round(q * (len(s) - 1))))]  # noqa: E731
+    return {"n": len(s), "p50": p(0.5), "p95": p(0.95), "max": s[-1]}
+
+
+def _seed_posts_rows(n: int, n_tokens: int = 10):
+    """Synthetic posts rows (schemas.POSTS order) spread over n_tokens."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    return [
+        (
+            f"@u{i}/p{i}", f"u{i}", t0, None, None, True, False,
+            f"TKN{i % n_tokens}", Decimal(0), None, None, Decimal(0),
+            Decimal(0), 0.0, 0.0, 0, Decimal(0), None, None, 0, "", "",
+            0.0, False,
+        )
+        for i in range(n)
+    ]
+
+
+def _vote_tx(block, tx_seq, author, permlink, voter, rshares, token):
+    import json as _json
+
+    return {
+        "blockNumber": block,
+        "timestamp": "2024-01-01T12:00:00",
+        "tx_seq": tx_seq,
+        "contract": "comments",
+        "action": "vote",
+        "sender": voter,
+        "transactionId": f"t{block}-{tx_seq}",
+        "payload": _json.dumps(
+            {"author": author, "permlink": permlink, "voter": voter,
+             "weight": 10000}
+        ),
+        "logs": _json.dumps(
+            {"events": [{"contract": "comments", "event": "newVote",
+                         "data": {"symbol": token, "rshares": str(rshares)}}]}
+        ),
+    }
+
+
+def _write_vote_log(path: str, n_blocks: int, votes_per_block: int,
+                    post_count: int) -> None:
+    """n_blocks json files, each votes_per_block votes against token TKN0
+    posts (authorperm ids i % 10 == 0) — the delta always touches ONE of
+    the 10 token partitions, whatever the state size."""
+    import json as _json
+
+    os.makedirs(path, exist_ok=True)
+    for b in range(n_blocks):
+        rows = []
+        for v in range(votes_per_block):
+            i = ((b * votes_per_block + v) * 10) % post_count  # token TKN0
+            rows.append(
+                _vote_tx(b + 1, v, f"u{i}", f"p{i}", f"v{b}_{v}", 100, "TKN0")
+            )
+        with open(os.path.join(path, f"b{b + 1}.json"), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+
+def _drain_vote_stream(spark, root: str, src: str, post_rows: int):
+    """Seed posts state, drain the continuous vote fold, return per-batch
+    trigger durations (ms) from the streaming progress log."""
+    import shutil
+
+    from distribution_engine_smt_spark import schemas, tables
+    from distribution_engine_smt_spark.streaming import (
+        DualStreamRunner,
+        run_l2_vote_stream,
+    )
+
+    shutil.rmtree(root, ignore_errors=True)
+    runner = DualStreamRunner(spark, root)
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        _seed_posts_rows(post_rows), schemas.POSTS
+    )
+    runner.save_state(state)
+    q = run_l2_vote_stream(runner, src, available_now=True)
+    q.awaitTermination(600)
+    return [
+        p["durationMs"]["triggerExecution"]
+        for p in q.recentProgress
+        if p.get("numInputRows", 0) > 0
+    ]
+
+
+def probe_candidates(spark, dirs: dict[int, str]) -> dict:
+    """Bucket occupancy + candidates-per-probe at every scale — the
+    measurement that proves the params.* width ladders hold (a fixed
+    width shows cand_per_probe growing ~linearly with n; the ladder
+    should hold it ~flat)."""
+    from distribution_engine_smt_spark import driver_queries as _dq
+
+    out: dict[str, dict] = {}
+    for m in SCALES:
+        _dq._DF_CACHE.clear()
+        spark.catalog.clearCache()
+        try:
+            rows = _dq.QUERIES["index_occupancy_audit"](spark, dirs[m]).collect()
+            out[str(m)] = {
+                r["structure"]: {
+                    "n_items": r["n_items"],
+                    "width": r["width"],
+                    "max_bucket": r["max_bucket"],
+                    "cand_per_probe": r["cand_per_probe"],
+                }
+                for r in rows
+            }
+        except Exception as ex:  # noqa: BLE001 — recorded, not fatal
+            out[str(m)] = {"error": str(ex)[:120]}
+        print(json.dumps({"candidates_scale": m, **out[str(m)]}))
+    top = str(max(SCALES))
+    for s, stats in out.get(top, {}).items():
+        base = out.get("1", {}).get(s)
+        if isinstance(stats, dict) and base and "cand_per_probe" in stats:
+            stats[f"ratio_{top}x_vs_1x"] = round(
+                stats["cand_per_probe"] / max(base["cand_per_probe"], 1e-9), 2
+            )
+    return out
+
+
+def probe_ingest(spark) -> dict:
+    """Ingest scaling (VERDICT r6 #4): drain a FIXED vote-tx log through
+    the continuous vote fold against 1x/3x/10x posts state. The delta
+    touches one token partition of ten, so per-batch cost should track
+    the touched partition (~state/10), NOT the full state rewrite —
+    the partition-scoped save_state claim (tables.py merge path)."""
+    base_posts = 4000
+    src = os.path.join(ROOT, "ingest-txs")
+    if not os.path.isdir(src):
+        _write_vote_log(src, n_blocks=5, votes_per_block=60,
+                        post_count=base_posts)
+    out: dict[str, dict] = {}
+    for m in SCALES:
+        root = os.path.join(ROOT, f"ingest-x{m}")
+        durs = _drain_vote_stream(spark, root, src, base_posts * m)
+        out[str(m)] = {
+            "posts_rows": base_posts * m,
+            "batch_ms": _percentiles(durs),
+        }
+        print(json.dumps({"ingest_scale": m, **out[str(m)]}))
+    return out
+
+
+def probe_streaming(spark) -> dict:
+    """Micro-batch latency at 1x/10x OP-RATE (VERDICT r6 #7) for the two
+    continuous operators: the L2 vote fold and the incremental pair
+    store. The reference cadence is one block every 3 s (BASELINE.md) —
+    p95 per micro-batch must sit comfortably under that."""
+    out: dict[str, dict] = {}
+    # --- vote fold: votes-per-block 60 (1x) vs 600 (10x), fixed state
+    for rate, vpb in (("1", 60), ("10", 600)):
+        src = os.path.join(ROOT, f"stream-txs-r{rate}")
+        if not os.path.isdir(src):
+            _write_vote_log(src, n_blocks=5, votes_per_block=vpb,
+                            post_count=4000)
+        root = os.path.join(ROOT, f"stream-votes-r{rate}")
+        durs = _drain_vote_stream(spark, root, src, 4000)
+        out[f"l2_vote_stream_rate_{rate}x"] = {
+            "votes_per_block": vpb, "batch_ms": _percentiles(durs),
+        }
+        print(json.dumps({"stream": f"votes_{rate}x", **out[f"l2_vote_stream_rate_{rate}x"]}))
+    # --- pair store: docs-per-wave 30 (1x) vs 300 (10x) against the
+    # sf0.1 corpus index; waves drained one at a time (wall per wave)
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F401  (local alias)
+
+    from distribution_engine_smt_spark.pipeline.dedup import (
+        minhash_index,
+        run_pair_store_stream,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load_tpch(spark, BASE)["documents"]
+    index_bands, index_sh = minhash_index(docs)
+    index_bands = index_bands.localCheckpoint(eager=True)
+    index_sh = index_sh.localCheckpoint(eager=True)
+    corpus_sources = docs.select("doc_id", "source").localCheckpoint(eager=True)
+    corpus_rows = (
+        docs.select("doc_id", "text", "source").orderBy("doc_id").limit(1000).collect()
+    )
+    schema = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    ).schema
+    for rate, dpw in (("1", 30), ("10", 300)):
+        work = os.path.join(ROOT, f"stream-pairs-r{rate}")
+        shutil.rmtree(work, ignore_errors=True)
+        src = os.path.join(work, "incoming")
+        store = os.path.join(work, "store")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(src, exist_ok=True)
+        wave_secs = []
+        for w in range(3):
+            rows = corpus_rows[dpw * w : dpw * (w + 1)]
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [r["doc_id"] + 10_000_000 + w * 100_000 for r in rows],
+                            pa.int64(),
+                        ),
+                        "text": pa.array([r["text"] for r in rows], pa.string()),
+                        "source": pa.array([r["source"] for r in rows], pa.string()),
+                    }
+                ),
+                os.path.join(src, f"wave{w}.parquet"),
+            )
+            t0 = _time.perf_counter()
+            q = run_pair_store_stream(
+                spark, src, schema, index_bands, index_sh,
+                corpus_sources, store, ckpt,
+            )
+            q.awaitTermination(600)
+            wave_secs.append(round(_time.perf_counter() - t0, 3))
+        out[f"pair_store_stream_rate_{rate}x"] = {
+            "docs_per_wave": dpw,
+            "wave_sec": wave_secs,
+        }
+        print(json.dumps({"stream": f"pairs_{rate}x", **out[f"pair_store_stream_rate_{rate}x"]}))
+    return out
+
+
 def main() -> None:
     spark = get_spark("desmt-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -184,6 +417,10 @@ def main() -> None:
         }
         print(json.dumps({"probe": name, **results[name]}))
 
+    # ---- width-ladder occupancy: candidates-per-probe must stay ~flat
+    # (still under the no-stores root so every scale derives identically)
+    candidates = probe_candidates(spark, dirs)
+
     # ---- store-build scaling: the ingest-side half of the scale story.
     # Each scale gets its own scoped store root; the memoized plans are
     # dropped first so the builds compose store-aware exactly like a fresh
@@ -221,13 +458,20 @@ def main() -> None:
         print(json.dumps({"store_build_scale": m, "sec": round(log_total, 2), **per}))
     os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
 
+    # ---- ingest + streaming latency (VERDICT r6 #4/#7)
+    ingest = probe_ingest(spark)
+    streaming = probe_streaming(spark)
+
     report = {
         "metric": "scale_probe",
         "base_sf_dir": BASE,
         "scales": SCALES,
         "key_offset": OFF,
         "queries": results,
+        "candidates_per_probe": candidates,
         "store_builds": store_builds,
+        "ingest": ingest,
+        "streaming": streaming,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"),

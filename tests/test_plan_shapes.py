@@ -210,3 +210,59 @@ def test_recall_audits_are_single_aggregate_rows(spark):
         assert "CartesianProduct" not in plan, name
     lsh = _plan(spark, "lsh_recall_audit")
     assert "FullOuter" in lsh or "full_outer" in lsh.lower()
+
+
+def test_bucketed_merge_exchanges(spark):
+    """merge.py's header claims, verified against real plans (VERDICT r6
+    #5): (a) additive_merge over a target bucketed on the merge key reads
+    the bucketed layout with NO Exchange on the target branch — only the
+    delta side shuffles; (b) merge_upsert (union + rank window) pays
+    exactly ONE Exchange, and bucketing cannot remove it (the window's
+    required distribution sits above the union)."""
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark.operators.merge import (
+        additive_merge,
+        merge_upsert,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    spark.sql("DROP TABLE IF EXISTS plan_bucketed_merge_target")
+    df.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(
+        "plan_bucketed_merge_target"
+    )
+    try:
+        target = spark.table("plan_bucketed_merge_target")
+        delta = spark.range(50).select(
+            F.col("id").alias("k"), F.lit(999).alias("v")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            add_plan = (
+                additive_merge(target, delta, ["k"], add_cols=["v"])
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            up_plan = (
+                merge_upsert(target, delta, ["k"])
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # (a) join-shaped merge: bucketed scan, single Exchange on the
+        # DELTA branch only — the Exchange must sit below the join's
+        # delta side, i.e. exactly one in the whole plan, and the target
+        # FileScan reports the bucketed layout
+        assert "Bucketed: true" in add_plan
+        assert add_plan.count("Exchange") == 1
+        # the exchange partitions the delta's key attr, not the target's:
+        # target branch is Sort-over-FileScan with no Exchange between
+        target_branch = add_plan.split("FullOuter")[1].split("+- Sort")[0]
+        assert "Exchange" not in target_branch
+        # (b) window-shaped merge: exactly one union-wide Exchange
+        assert up_plan.count("Exchange") == 1
+        assert "WindowGroupLimit" in up_plan  # rank-1 filter stays partial
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plan_bucketed_merge_target")
