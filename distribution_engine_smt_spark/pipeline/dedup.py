@@ -993,7 +993,15 @@ def run_pair_store_stream(
             f"{store_dir}/sources/batch_id={batch_id}"
         )
 
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    # one arriving file = one micro-batch (same contract as the runner's
+    # op-log file streams): a wave's pairs land before the next wave's
+    # postings are visible, and per-batch progress durations measure one
+    # ingest wave each (scale_probe's streaming-latency section)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
     return (
         raw.select("doc_id", "text", "source")
         .writeStream.foreachBatch(fold_batch)

@@ -273,6 +273,44 @@ def probe_candidates(spark, dirs: dict[int, str]) -> dict:
     return out
 
 
+# Continuous-mode shuffle sizing: the batch-analytics default (32) forces
+# 32 state-store tasks per stateful stage per micro-batch — pure overhead
+# at per-block delta sizes (measured: p50 3.2 s -> 2.25 s at 8). This is
+# the documented "size shuffle.partitions to the data" knob applied to
+# the streaming path; a deployment sets it per stream job.
+STREAM_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+_STREAM_WARMED = False
+
+
+def _stream_conf(spark):
+    """Context: pin streaming-sized shuffle partitions + one throwaway
+    drain so JVM/codegen/state-store init isn't billed to the first
+    measured batch."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        global _STREAM_WARMED
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_PARTITIONS))
+        try:
+            if not _STREAM_WARMED:
+                wsrc = os.path.join(ROOT, "stream-warmup-txs")
+                if not os.path.isdir(wsrc):
+                    _write_vote_log(wsrc, n_blocks=1, votes_per_block=10,
+                                    post_count=100)
+                _drain_vote_stream(
+                    spark, os.path.join(ROOT, "stream-warmup"), wsrc, 100
+                )
+                _STREAM_WARMED = True
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
+
+
 def probe_ingest(spark) -> dict:
     """Ingest scaling (VERDICT r6 #4): drain a FIXED vote-tx log through
     the continuous vote fold against 1x/3x/10x posts state. The delta
@@ -285,14 +323,15 @@ def probe_ingest(spark) -> dict:
         _write_vote_log(src, n_blocks=5, votes_per_block=60,
                         post_count=base_posts)
     out: dict[str, dict] = {}
-    for m in SCALES:
-        root = os.path.join(ROOT, f"ingest-x{m}")
-        durs = _drain_vote_stream(spark, root, src, base_posts * m)
-        out[str(m)] = {
-            "posts_rows": base_posts * m,
-            "batch_ms": _percentiles(durs),
-        }
-        print(json.dumps({"ingest_scale": m, **out[str(m)]}))
+    with _stream_conf(spark):
+        for m in SCALES:
+            root = os.path.join(ROOT, f"ingest-x{m}")
+            durs = _drain_vote_stream(spark, root, src, base_posts * m)
+            out[str(m)] = {
+                "posts_rows": base_posts * m,
+                "batch_ms": _percentiles(durs),
+            }
+            print(json.dumps({"ingest_scale": m, **out[str(m)]}))
     return out
 
 
@@ -303,17 +342,18 @@ def probe_streaming(spark) -> dict:
     p95 per micro-batch must sit comfortably under that."""
     out: dict[str, dict] = {}
     # --- vote fold: votes-per-block 60 (1x) vs 600 (10x), fixed state
-    for rate, vpb in (("1", 60), ("10", 600)):
-        src = os.path.join(ROOT, f"stream-txs-r{rate}")
-        if not os.path.isdir(src):
-            _write_vote_log(src, n_blocks=5, votes_per_block=vpb,
-                            post_count=4000)
-        root = os.path.join(ROOT, f"stream-votes-r{rate}")
-        durs = _drain_vote_stream(spark, root, src, 4000)
-        out[f"l2_vote_stream_rate_{rate}x"] = {
-            "votes_per_block": vpb, "batch_ms": _percentiles(durs),
-        }
-        print(json.dumps({"stream": f"votes_{rate}x", **out[f"l2_vote_stream_rate_{rate}x"]}))
+    with _stream_conf(spark):
+        for rate, vpb in (("1", 60), ("10", 600)):
+            src = os.path.join(ROOT, f"stream-txs-r{rate}")
+            if not os.path.isdir(src):
+                _write_vote_log(src, n_blocks=5, votes_per_block=vpb,
+                                post_count=4000)
+            root = os.path.join(ROOT, f"stream-votes-r{rate}")
+            durs = _drain_vote_stream(spark, root, src, 4000)
+            out[f"l2_vote_stream_rate_{rate}x"] = {
+                "votes_per_block": vpb, "batch_ms": _percentiles(durs),
+            }
+            print(json.dumps({"stream": f"votes_{rate}x", **out[f"l2_vote_stream_rate_{rate}x"]}))
     # --- pair store: docs-per-wave 30 (1x) vs 300 (10x) against the
     # sf0.1 corpus index; waves drained one at a time (wall per wave)
     import shutil
@@ -347,7 +387,8 @@ def probe_streaming(spark) -> dict:
         store = os.path.join(work, "store")
         ckpt = os.path.join(work, "ckpt")
         os.makedirs(src, exist_ok=True)
-        wave_secs = []
+        # all waves present up front; maxFilesPerTrigger=1 makes each its
+        # own micro-batch, so progress durations time one ingest wave each
         for w in range(3):
             rows = corpus_rows[dpw * w : dpw * (w + 1)]
             pq.write_table(
@@ -363,16 +404,21 @@ def probe_streaming(spark) -> dict:
                 ),
                 os.path.join(src, f"wave{w}.parquet"),
             )
-            t0 = _time.perf_counter()
-            q = run_pair_store_stream(
-                spark, src, schema, index_bands, index_sh,
-                corpus_sources, store, ckpt,
-            )
-            q.awaitTermination(600)
-            wave_secs.append(round(_time.perf_counter() - t0, 3))
+        t0 = _time.perf_counter()
+        q = run_pair_store_stream(
+            spark, src, schema, index_bands, index_sh,
+            corpus_sources, store, ckpt,
+        )
+        q.awaitTermination(600)
+        durs = [
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
         out[f"pair_store_stream_rate_{rate}x"] = {
             "docs_per_wave": dpw,
-            "wave_sec": wave_secs,
+            "drain_sec": round(_time.perf_counter() - t0, 3),
+            "batch_ms": _percentiles(durs),
         }
         print(json.dumps({"stream": f"pairs_{rate}x", **out[f"pair_store_stream_rate_{rate}x"]}))
     return out

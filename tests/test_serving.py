@@ -528,3 +528,47 @@ def test_info_degrades_to_zero_shape_when_rpc_unreachable(spark):
     obj = srv.handle("info", {"token": "TKN"})
     assert obj["pending_rshares"] == 0 and obj["reward_pool"] == 0
     assert obj["precision"] == 0 and obj["issuer"] is None
+
+
+def test_http_shim_gzips_large_bodies(spark):
+    """Wire parity with the reference's flask-compress (server/app.py:44):
+    bodies >= GZIP_MIN_BYTES gzip when the client advertises support;
+    small bodies and no-Accept-Encoding clients get identity."""
+    import gzip as _gzip
+    import urllib.request
+
+    from distribution_engine_smt_spark.http_shim import serve
+
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = spark.createDataFrame(
+        [
+            (f"@a/p{i}", "a", datetime.utcnow(), "tag1", None, True, False,
+             "TKN", Decimal(0), None, None, Decimal(0), Decimal(0), 1.0, 1.0,
+             0, Decimal(0), "t", "d", 0, "", "", 0.0, False)
+            for i in range(10)
+        ],
+        schemas.POSTS,
+    )
+    httpd = serve(build_state_server(state))
+    port = httpd.server_address[1]
+    try:
+        big = f"http://127.0.0.1:{port}/get_discussions_by_created?token=tkn&limit=10"
+        req = urllib.request.Request(big, headers={"Accept-Encoding": "gzip"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Encoding"] == "gzip"
+            rows = json.loads(_gzip.decompress(r.read()).decode())
+            assert len(rows) == 10
+        # same resource without Accept-Encoding: identity bytes
+        with urllib.request.urlopen(big) as r:
+            assert r.headers.get("Content-Encoding") is None
+            assert len(json.loads(r.read().decode())) == 10
+        # tiny body (bad input -> []) stays identity even when accepted
+        small = urllib.request.Request(
+            f"http://127.0.0.1:{port}/no_such_endpoint",
+            headers={"Accept-Encoding": "gzip"},
+        )
+        with urllib.request.urlopen(small) as r:
+            assert r.headers.get("Content-Encoding") is None
+            assert json.loads(r.read().decode()) == []
+    finally:
+        httpd.shutdown()
