@@ -537,7 +537,187 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "pairs": build_dedup_pair_store(spark, sf_dir),
         "clusters": build_dedup_cluster_store(spark, sf_dir),
         "kmeans": build_kmeans_fit_store(spark, sf_dir),
+        "rhp_bands": build_rhp_band_store(spark, sf_dir),
+        "pq_codes": build_pq_code_store(spark, sf_dir),
     }
+
+
+# ---------------------------------------------------------------------------
+# PQ code store: the encoded table the ADC scan reads
+# ---------------------------------------------------------------------------
+
+
+def pq_code_store_path(sf_dir: str) -> str:
+    from ..pipeline.similarity import PQ_K, PQ_S
+
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(
+        store_root(), f"pq-codes-v{STORE_VERSION}-s{PQ_S}k{PQ_K}-{fp}"
+    )
+
+
+def build_pq_code_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the product-quantization codes (vec_id, c0..c{S-1}) —
+    the PQ_S-byte-per-vector encoded table ann_pq_topk's docstring
+    commits to: encoding runs once at ingest, every ADC scan thereafter
+    reads the narrow code columns instead of re-running S x K distance
+    folds over the float corpus. Keyed by the subspace/codeword constants
+    plus the data fingerprint (the seeded codebooks are the first PQ_K
+    vectors, i.e. part of the fingerprinted data)."""
+    path = pq_code_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    from ..pipeline.similarity import pq_codes_frame
+
+    codes = pq_codes_frame(spark, sf_dir)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    codes.coalesce(4).write.mode("overwrite").parquet(tmp)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
+    from ..pipeline.similarity import PQ_S
+
+    return spark.read.parquet(path).select(
+        "vec_id", *[f"c{s}" for s in range(PQ_S)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# RHP band store: the materialized random-hyperplane near-dup index
+# ---------------------------------------------------------------------------
+
+
+def rhp_band_store_path(sf_dir: str, bits: int) -> str:
+    from ..pipeline.similarity import RHP_TABLES
+
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(
+        store_root(), f"rhp-bands-v{STORE_VERSION}-L{RHP_TABLES}k{bits}-{fp}"
+    )
+
+
+def build_rhp_band_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the (vec_id, tbl, bucket) band table of the
+    random-hyperplane LSH at the corpus-size-derived bit width — the
+    vector-side half of the stored near-dup index (the text side being
+    the MinHash signature/postings stores). The L x K sign-pattern folds
+    are the dominant cost of every RHP consumer (the LSH dedup query,
+    the occupancy audit, the recall audit); a 100 TB pipeline computes
+    them once at ingest and every consumer reads the band table back.
+    Partitioned by ``tbl`` with a ``batch_id`` sub-partition so
+    incremental ingest (run_rhp_band_stream) appends per-batch leaves
+    into the same two-level layout as the IVF index. ``meta.json``
+    records the build-time width: INCREMENTS MUST USE THE STORED WIDTH,
+    not the current corpus count — a bucket id is only comparable within
+    one width."""
+    import json as _json
+
+    from ..pipeline.params import corpus_count, rhp_bits_for
+    from ..pipeline.similarity import RHP_TABLES, rhp_band_frame
+
+    bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    path = rhp_band_store_path(sf_dir, bits)
+    if os.path.isdir(path):
+        return path
+    bands = rhp_band_frame(spark, sf_dir).withColumn(
+        "batch_id", F.lit("base")
+    )
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        bands.repartition("tbl")  # one writer group per table dir
+        .sortWithinPartitions("tbl", "bucket")  # bucket-clustered row groups
+        .write.mode("overwrite")
+        .partitionBy("tbl", "batch_id")
+        .parquet(tmp)
+    )
+    # underscore prefix: Spark file listing skips _-prefixed names,
+    # so the sidecar never breaks parquet reads of the store
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump({"bits": bits, "tables": RHP_TABLES}, f)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_rhp_bands(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("vec_id", "tbl", "bucket")
+
+
+def rhp_store_bits(path: str) -> int:
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        return int(_json.load(f)["bits"])
+
+
+def update_rhp_band_store(
+    spark: SparkSession, store_dir: str, new_vectors: DataFrame, batch_id: str
+) -> None:
+    """Incremental band maintenance: band a batch of NEW vectors at the
+    STORE'S width (meta.json — never the current corpus count) and land
+    the rows under (tbl, batch_id) with dynamic partition overwrite, so
+    an at-least-once replay rewrites its own partitions instead of
+    appending duplicates. Map-only: L x K folds per new vector, no
+    shuffle beyond the 8-way tbl write."""
+    from ..pipeline.similarity import RHP_TABLES, _rhp_bucket
+
+    bits = rhp_store_bits(store_dir)
+    banded = new_vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _rhp_bucket(F.col("embedding"), tb, bits)
+                    for tb in range(RHP_TABLES)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+    (
+        banded.repartition("tbl")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tbl", "batch_id")
+        .parquet(store_dir)
+    )
+
+
+def run_rhp_band_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of ``update_rhp_band_store``: arriving vectors are
+    banded at the stored width and appended under (tbl, batch_id=stream-N)
+    — the same replay-idempotent two-level layout as the IVF ingest
+    stream; probes (bucket joins against the band table) see each vector
+    exactly once."""
+
+    def ingest(batch_df, batch_id: int):
+        update_rhp_band_store(
+            spark,
+            store_dir,
+            batch_df.select("vec_id", "embedding"),
+            f"stream-{batch_id}",
+        )
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_ivf_ingest_stream(

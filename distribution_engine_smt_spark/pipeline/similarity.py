@@ -360,9 +360,21 @@ def rhp_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes all L bucket ids, posexplode emits (tbl, bucket) — identical
     fold arithmetic to the per-table plan, minus L-1 re-scans. Shared by
     the LSH dedup query and the occupancy audit so the banding cannot
-    drift between them."""
-    emb = _t(spark, sf_dir)["embeddings"]
+    drift between them.
+
+    Reads the materialized band store when one exists at this corpus's
+    width (operators/storage.py build_rhp_band_store): the L x K
+    sign-pattern folds are the dominant cost of every RHP consumer, and
+    a 100 TB pipeline computes them once at ingest."""
+    import os
+
+    from ..operators import storage
+
     bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    path = storage.rhp_band_store_path(sf_dir, bits)
+    if os.path.isdir(path):
+        return storage.read_rhp_bands(spark, path)
+    emb = _t(spark, sf_dir)["embeddings"]
     return emb.select(
         "vec_id",
         F.array(
@@ -705,29 +717,106 @@ def _pq_sql() -> str:
         "([" + ", ".join(f"qd_{s}_{k}" for k in range(PQ_K)) + f"])[c{s} + 1]"
         for s in range(PQ_S)
     )
+    # the ADC scan carries CODES ONLY (the narrow store/column a 100 TB
+    # deployment reads); candidate rows join back to embeddings for the
+    # exact rerank — the fetch of PQ_CAND full vectors, never the corpus
     return f"""
     WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
     lut AS (SELECT {lut_cols} FROM q, {seeds}),
     cws AS (SELECT {cw_list} AS cw FROM {seeds}),
     codes AS (
-      SELECT vec_id, embedding, {code_cols}
+      SELECT vec_id, {code_cols}
       FROM (
-        SELECT e.vec_id, e.embedding, {dist_lists}
+        SELECT e.vec_id, {dist_lists}
         FROM embeddings e, cws
         WHERE e.vec_id <> 0
       ) dl
     ),
     cand AS (
-      SELECT vec_id, embedding, {adc} AS approx
+      SELECT vec_id, {adc} AS approx
       FROM codes, lut
       ORDER BY approx ASC, vec_id ASC
       LIMIT {PQ_CAND}
     )
-    SELECT c.vec_id, {_cos_sql('c.embedding', 'q.q_emb')} AS cos
-    FROM cand c, q
+    SELECT c.vec_id, {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
+    FROM cand c
+    JOIN embeddings emb ON emb.vec_id = c.vec_id
+    CROSS JOIN q
     ORDER BY cos DESC, c.vec_id ASC
     LIMIT {PQ_TOP}
     """
+
+
+def pq_seed_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The PQ_K seeded codebook vectors (vec_id 0..PQ_K-1) as Python
+    floats — the driver-side quantizer state, a bounded PQ_K-row collect."""
+    emb = _t(spark, sf_dir)["embeddings"]
+    rows = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _pq_sub_dists(col: Column, seeds: list[list[float]], s: int) -> Column:
+    """All K squared distances of subspace s as ONE fold with an
+    array-of-K accumulator (mirrors _pq_dists_sql): per dimension a
+    K-vector of squared diffs, accumulated elementwise in i-order —
+    bit-identical to a per-codeword fold at 1/K the expression count."""
+    o = s * PQ_DSUB
+    # cwl[i][k] = codeword k's component at subspace offset i
+    cwl = F.array(
+        *[
+            F.array(*[F.lit(float(seeds[k][o + i])) for k in range(PQ_K)])
+            for i in range(PQ_DSUB)
+        ]
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        x = F.try_element_at(col, F.lit(o) + i).cast("double")
+        diffs = F.transform(
+            F.try_element_at(cwl, i), lambda c: (x - c) * (x - c)
+        )
+        return F.zip_with(acc, diffs, lambda a, d: a + d)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_DSUB)),
+        F.array_repeat(F.lit(0.0), PQ_K),
+        step,
+    )
+
+
+def pq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c0..c{S-1}) for every corpus vector — the PQ_S-byte-per-
+    vector encoded table. Lowest-index-wins argmin via
+    array_position(ds, array_min(ds)) — the shared first-match-of-the-min
+    contract, expressed so each subspace is ONE fold in the plan.
+
+    Reads the materialized code store when one exists
+    (operators/storage.py build_pq_code_store): encoding is the whole
+    per-query cost of the ADC scan, and a 100 TB pipeline encodes once
+    at ingest — every query reads the narrow code columns back."""
+    import os
+
+    from ..operators import storage
+
+    path = storage.pq_code_store_path(sf_dir)
+    if os.path.isdir(path):
+        return storage.read_pq_codes(spark, path)
+    emb = _t(spark, sf_dir)["embeddings"]
+    seeds = pq_seed_vectors(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        *[
+            (
+                F.array_position(
+                    (ds := _pq_sub_dists(F.col("embedding"), seeds, s)),
+                    F.array_min(ds),
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(PQ_S)
+        ],
+    )
 
 
 @register("ann_pq_topk", _pq_sql())
@@ -748,40 +837,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin, LUT addition in subspace order — bit-identical across
     engines, ties broken on vec_id."""
     emb = _t(spark, sf_dir)["embeddings"]
-    seed_rows = (
-        emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
-    )
-    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    seeds = pq_seed_vectors(spark, sf_dir)
     q_vec = seeds[0]  # vec_id 0 doubles as the query vector
-
-    def sub_dists(col: Column, s: int) -> Column:
-        """All K squared distances of subspace s as ONE fold with an
-        array-of-K accumulator (mirrors _pq_dists_sql): per dimension a
-        K-vector of squared diffs, accumulated elementwise in i-order —
-        bit-identical to a per-codeword fold at 1/K the expression count."""
-        o = s * PQ_DSUB
-        # cwl[i][k] = codeword k's component at subspace offset i
-        cwl = F.array(
-            *[
-                F.array(
-                    *[F.lit(float(seeds[k][o + i])) for k in range(PQ_K)]
-                )
-                for i in range(PQ_DSUB)
-            ]
-        )
-
-        def step(acc: Column, i: Column) -> Column:
-            x = F.try_element_at(col, F.lit(o) + i).cast("double")
-            diffs = F.transform(
-                F.try_element_at(cwl, i), lambda c: (x - c) * (x - c)
-            )
-            return F.zip_with(acc, diffs, lambda a, d: a + d)
-
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(PQ_DSUB)),
-            F.array_repeat(F.lit(0.0), PQ_K),
-            step,
-        )
 
     def py_sub_dist(k: int, s: int) -> float:
         o = s * PQ_DSUB
@@ -792,27 +849,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     lut = [[py_sub_dist(k, s) for k in range(PQ_K)] for s in range(PQ_S)]
-
-    # lowest-index-wins argmin via array_position(ds, array_min(ds)) — the
-    # same first-match-of-the-min contract as clustering's _argmin_case,
-    # expressed so each subspace is ONE fold in the plan (the CASE
-    # cascade inlined every per-k fold ~K times, K^2 subtrees per
-    # subspace; codegen subexpression elimination evaluates ds once)
-    codes = emb.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        "embedding",
-        *[
-            (
-                F.array_position(
-                    (ds := sub_dists(F.col("embedding"), s)), F.array_min(ds)
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(f"c{s}")
-            for s in range(PQ_S)
-        ],
-    )
+    codes = pq_codes_frame(spark, sf_dir).filter(F.col("vec_id") != 0)
     adc = None
     for s in range(PQ_S):
         term = F.try_element_at(
@@ -820,8 +857,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"c{s}") + 1,
         )
         adc = term if adc is None else adc + term
+    # ADC candidates carry (vec_id, approx) only; the PQ_CAND survivors
+    # broadcast into one embeddings scan to fetch their full vectors for
+    # the exact rerank — the codes path never ships raw embeddings
     cand = (
-        codes.withColumn("approx", adc)
+        codes.select("vec_id", adc.alias("approx"))
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(PQ_CAND)
     )
@@ -830,7 +870,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
     )
     return (
-        cand.crossJoin(F.broadcast(q))
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             (

@@ -492,6 +492,8 @@ def main() -> None:
             ("pairs", _st.build_dedup_pair_store),
             ("clusters", _st.build_dedup_cluster_store),
             ("kmeans", _st.build_kmeans_fit_store),
+            ("rhp_bands", _st.build_rhp_band_store),
+            ("pq_codes", _st.build_pq_code_store),
         ]:
             t0 = time.perf_counter()
             try:

@@ -197,3 +197,158 @@ def test_fingerprint_changes_with_params_and_data(store_dir):
     assert storage.kmeans_store_path(SF_DIR, 4, 2) != storage.kmeans_store_path(
         SF_DIR, 8, 2
     )
+
+
+# ---------------------------------------------------------------------------
+# RHP band store: the materialized random-hyperplane near-dup index
+# ---------------------------------------------------------------------------
+
+
+def _bands_key(rows):
+    return sorted((r["vec_id"], r["tbl"], r["bucket"]) for r in rows)
+
+
+def test_rhp_band_store_matches_derived(spark, store_dir):
+    from distribution_engine_smt_spark.pipeline.params import (
+        corpus_count,
+        rhp_bits_for,
+    )
+    from distribution_engine_smt_spark.pipeline.similarity import rhp_band_frame
+
+    derived = rhp_band_frame(spark, SF_DIR).collect()  # no store yet
+    path = storage.build_rhp_band_store(spark, SF_DIR)
+    stored = storage.read_rhp_bands(spark, path).collect()
+    assert _bands_key(stored) == _bands_key(derived)
+    # the store records the build width, and it matches the ladder
+    bits = rhp_bits_for(corpus_count(spark, SF_DIR, "embeddings"))
+    assert storage.rhp_store_bits(path) == bits
+    # second build is a no-op returning the same path
+    assert storage.build_rhp_band_store(spark, SF_DIR) == path
+    # the frame constructor is store-aware: with the store present its
+    # plan reads parquet (no fold expressions over the corpus)
+    plan = (
+        rhp_band_frame(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan parquet" in plan and "posexplode" not in plan
+
+
+def test_rhp_band_store_feeds_lsh_dedup_identically(spark, store_dir):
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        dedup_embedding_lsh,
+    )
+
+    without = sorted(
+        (r["id_new"], r["id_corpus"]) for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    )
+    storage.build_rhp_band_store(spark, SF_DIR)
+    with_store = sorted(
+        (r["id_new"], r["id_corpus"]) for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    )
+    assert with_store == without
+
+
+def test_rhp_band_stream_increments_and_restart(spark, store_dir, tmp_path):
+    """Incremental band maintenance: streamed vectors band at the STORED
+    width and land replay-idempotently; a restart processes only the new
+    wave (the checkpoint-restart proof every stream twin carries)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distribution_engine_smt_spark import tables
+    from distribution_engine_smt_spark.operators.storage import (
+        run_rhp_band_stream,
+    )
+
+    path = storage.build_rhp_band_store(spark, SF_DIR)
+    base = storage.read_rhp_bands(spark, path).count()
+    emb = tables.load_tpch(spark, SF_DIR)["embeddings"]
+    v0 = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    def wave(p, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [e for _, e in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(p),
+        )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    wave(incoming / "w1.parquet", [(300_000, v0)])
+    ckpt = str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<float>"
+    q = run_rhp_band_stream(spark, str(incoming), schema, path, ckpt)
+    q.awaitTermination(120)
+    from distribution_engine_smt_spark.pipeline.similarity import RHP_TABLES
+
+    after1 = storage.read_rhp_bands(spark, path)
+    assert after1.count() == base + RHP_TABLES
+    # a clone of vec 0 must share vec 0's bucket in EVERY table (same
+    # planes, same width -> identical sign pattern)
+    b0 = {
+        (r["tbl"], r["bucket"])
+        for r in after1.where("vec_id = 0").collect()
+    }
+    bc = {
+        (r["tbl"], r["bucket"])
+        for r in after1.where("vec_id = 300000").collect()
+    }
+    assert bc == b0
+    # restart with one new wave: only it processes (checkpoint), still
+    # idempotent under the (tbl, batch_id) overwrite
+    wave(incoming / "w2.parquet", [(300_001, v0)])
+    q2 = run_rhp_band_stream(spark, str(incoming), schema, path, ckpt)
+    q2.awaitTermination(120)
+    after2 = storage.read_rhp_bands(spark, path)
+    assert after2.count() == base + 2 * RHP_TABLES
+    assert after2.where("vec_id = 300000").count() == RHP_TABLES
+
+
+# ---------------------------------------------------------------------------
+# PQ code store: the encoded table the ADC scan reads
+# ---------------------------------------------------------------------------
+
+
+def test_pq_code_store_matches_derived(spark, store_dir):
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        PQ_S,
+        pq_codes_frame,
+    )
+
+    derived = sorted(
+        tuple(r[c] for c in ["vec_id"] + [f"c{s}" for s in range(PQ_S)])
+        for r in pq_codes_frame(spark, SF_DIR).collect()  # no store yet
+    )
+    path = storage.build_pq_code_store(spark, SF_DIR)
+    stored = sorted(
+        tuple(r[c] for c in ["vec_id"] + [f"c{s}" for s in range(PQ_S)])
+        for r in storage.read_pq_codes(spark, path).collect()
+    )
+    assert stored == derived
+    assert storage.build_pq_code_store(spark, SF_DIR) == path  # no-op rebuild
+    # store-aware constructor: the plan is a parquet read of the code
+    # columns, not S x K distance folds over the float corpus
+    plan = (
+        pq_codes_frame(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan parquet" in plan and "aggregate" not in plan.lower()
+
+
+def test_pq_code_store_feeds_topk_identically(spark, store_dir):
+    from distribution_engine_smt_spark.pipeline.similarity import ann_pq_topk
+
+    without = [
+        (r["vec_id"], r["cos"]) for r in ann_pq_topk(spark, SF_DIR).collect()
+    ]
+    storage.build_pq_code_store(spark, SF_DIR)
+    with_store = [
+        (r["vec_id"], r["cos"]) for r in ann_pq_topk(spark, SF_DIR).collect()
+    ]
+    assert with_store == without
