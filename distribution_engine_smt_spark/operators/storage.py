@@ -601,7 +601,9 @@ def rhp_band_store_path(sf_dir: str, bits: int) -> str:
     )
 
 
-def build_rhp_band_store(spark: SparkSession, sf_dir: str) -> str:
+def build_rhp_band_store(
+    spark: SparkSession, sf_dir: str, bits: int | None = None
+) -> str:
     """Materialize the (vec_id, tbl, bucket) band table of the
     random-hyperplane LSH at the corpus-size-derived bit width — the
     vector-side half of the stored near-dup index (the text side being
@@ -618,13 +620,14 @@ def build_rhp_band_store(spark: SparkSession, sf_dir: str) -> str:
     import json as _json
 
     from ..pipeline.params import corpus_count, rhp_bits_for
-    from ..pipeline.similarity import RHP_TABLES, rhp_band_frame
+    from ..pipeline.similarity import RHP_TABLES, rhp_band_frame_at
 
-    bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    if bits is None:
+        bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
     path = rhp_band_store_path(sf_dir, bits)
     if os.path.isdir(path):
         return path
-    bands = rhp_band_frame(spark, sf_dir).withColumn(
+    bands = rhp_band_frame_at(spark, sf_dir, bits).withColumn(
         "batch_id", F.lit("base")
     )
     os.makedirs(store_root(), exist_ok=True)
@@ -688,6 +691,79 @@ def update_rhp_band_store(
         .partitionBy("tbl", "batch_id")
         .parquet(store_dir)
     )
+
+
+def migrate_rhp_band_store(
+    spark: SparkSession, sf_dir: str, old_path: str, new_bits: int
+) -> str:
+    """Width migration WITHOUT re-banding: when corpus growth crosses a
+    ladder rung, bucket ids at the old width k are exact PREFIXES of the
+    new width k' (bit j of table t is the same hyperplane at any width,
+    so bucket_k' = bucket_k + sum_{j=k..k'-1} bit_j << j). The migration
+    therefore computes ONLY the k'-k delta bits per vector — one scan of
+    embeddings with (k'-k) plane folds per table instead of k' — and
+    adds them to the STORED buckets via a vec_id-keyed join. At 100 TB
+    that is the difference between touching every plane fold again and
+    touching the few new ones; this is why a growing corpus "only ever
+    refines its existing buckets".
+
+    Publishes a fresh store at the new width (old store left in place
+    for readers mid-migration); returns the new path."""
+    import json as _json
+
+    from ..pipeline.similarity import RHP_TABLES, _rhp_bucket
+    from ..tables import load_tpch
+
+    old_bits = rhp_store_bits(old_path)
+    if new_bits < old_bits:
+        raise ValueError(
+            f"cannot narrow a band store in place ({old_bits} -> {new_bits}); "
+            "narrower buckets are not derivable from wider ids' low bits "
+            "alone — rebuild instead"
+        )
+    new_path = rhp_band_store_path(sf_dir, new_bits)
+    if os.path.isdir(new_path):
+        return new_path
+    emb = load_tpch(spark, sf_dir)["embeddings"]
+    deltas = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _rhp_bucket(
+                        F.col("embedding"), tb, new_bits, start=old_bits
+                    )
+                    for tb in range(RHP_TABLES)
+                ]
+            )
+        ).alias("tbl", "delta"),
+    )
+    migrated = (
+        read_rhp_bands(spark, old_path)
+        .join(deltas, ["vec_id", "tbl"])
+        .select(
+            "vec_id",
+            "tbl",
+            (F.col("bucket") + F.col("delta")).alias("bucket"),
+            F.lit("base").alias("batch_id"),
+        )
+    )
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(),
+        f".{os.path.basename(new_path)}.build-{uuid.uuid4().hex[:8]}",
+    )
+    (
+        migrated.repartition("tbl")
+        .sortWithinPartitions("tbl", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("tbl", "batch_id")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump({"bits": new_bits, "tables": RHP_TABLES}, f)
+    _atomic_publish(tmp, new_path)
+    return new_path
 
 
 def run_rhp_band_stream(

@@ -291,10 +291,13 @@ def _hyperplane_signs() -> list[list[list[float]]]:
 _SIGNS = _hyperplane_signs()
 
 
-def _rhp_bucket(col: Column, t: int, bits: int) -> Column:
-    """bits-bit bucket id for hash table t: bit_k = sign(embedding . plane_k)."""
+def _rhp_bucket(col: Column, t: int, bits: int, start: int = 0) -> Column:
+    """bits-bit bucket id for hash table t: bit_k = sign(embedding . plane_k).
+    ``start`` > 0 yields only the HIGH bits [start, bits) — the delta a
+    width migration adds to an existing lower-width bucket (bit k's plane
+    is the same at every width, so bucket_k' = bucket_k + delta)."""
     acc = F.lit(0)
-    for k in range(bits):
+    for k in range(start, bits):
         plane = F.array(*[F.lit(s) for s in _SIGNS[t][k]])
         dot = F.aggregate(
             F.zip_with(col, plane, lambda x, y: x.cast("double") * y),
@@ -374,6 +377,12 @@ def rhp_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = storage.rhp_band_store_path(sf_dir, bits)
     if os.path.isdir(path):
         return storage.read_rhp_bands(spark, path)
+    return rhp_band_frame_at(spark, sf_dir, bits)
+
+
+def rhp_band_frame_at(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    """Derive the band table at an EXPLICIT width (no store check) — the
+    building block the store builder and the width-migration job share."""
     emb = _t(spark, sf_dir)["embeddings"]
     return emb.select(
         "vec_id",

@@ -352,3 +352,26 @@ def test_pq_code_store_feeds_topk_identically(spark, store_dir):
         (r["vec_id"], r["cos"]) for r in ann_pq_topk(spark, SF_DIR).collect()
     ]
     assert with_store == without
+
+
+def test_rhp_band_store_width_migration(spark, store_dir):
+    """Crossing a ladder rung migrates the band store by computing ONLY
+    the delta bits: the migrated store must equal a from-scratch build at
+    the new width, bucket for bucket (prefix property of the sign
+    pattern), and narrowing must refuse."""
+    import pytest as _pytest
+
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        rhp_band_frame_at,
+    )
+
+    old = storage.build_rhp_band_store(spark, SF_DIR, bits=4)
+    migrated = storage.migrate_rhp_band_store(spark, SF_DIR, old, 6)
+    assert storage.rhp_store_bits(migrated) == 6
+    got = _bands_key(storage.read_rhp_bands(spark, migrated).collect())
+    fresh = _bands_key(rhp_band_frame_at(spark, SF_DIR, 6).collect())
+    assert got == fresh
+    # idempotent: a second migration returns the existing store
+    assert storage.migrate_rhp_band_store(spark, SF_DIR, old, 6) == migrated
+    with _pytest.raises(ValueError, match="narrow"):
+        storage.migrate_rhp_band_store(spark, SF_DIR, migrated, 4)
