@@ -48,6 +48,8 @@ _DRIVER_PRIORITY = [
     "embedding_lsh_recall_audit",
     "index_occupancy_audit",
     "lsh_recall_audit_sampled",
+    "ann_ivfpq_topk",
+    "ivfpq_recall_audit",
     "ann_recall_audit",
     "bigram_perplexity",
     "chunk_dedup",
@@ -93,12 +95,10 @@ _DRIVER_PRIORITY = [
     "embedding_outliers",
     "event_funnel",
     "event_zscore_anomaly",
-    "events_pivot",
-    "graph_pagerank",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 130 registered queries and the 50-slot cap,
-# exactly 80 sit here so the cut is EXPLICIT (chosen stable queries)
+# rotated past the cap. With 132 registered queries and the 50-slot cap,
+# exactly 82 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
@@ -111,6 +111,8 @@ _DRIVER_ROTATE_LAST = [
     "dedup_exact_keep_first",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "events_pivot",
+    "graph_pagerank",
     "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
@@ -221,6 +223,9 @@ _ROUND_MODIFIED = [
     "embedding_lsh_recall_audit",
     "index_occupancy_audit",
     "lsh_recall_audit_sampled",
+    # second wave: IVF-PQ probe + its recall audit (new, zero driver rows)
+    "ann_ivfpq_topk",
+    "ivfpq_recall_audit",
 ]
 
 def _ordered(names: list[str]) -> list[str]:

@@ -539,6 +539,7 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "kmeans": build_kmeans_fit_store(spark, sf_dir),
         "rhp_bands": build_rhp_band_store(spark, sf_dir),
         "pq_codes": build_pq_code_store(spark, sf_dir),
+        "ivfpq_codes": build_ivfpq_code_store(spark, sf_dir),
     }
 
 
@@ -584,6 +585,61 @@ def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
 
     return spark.read.parquet(path).select(
         "vec_id", *[f"c{s}" for s in range(PQ_S)]
+    )
+
+
+def ivfpq_code_store_path(sf_dir: str, k: int) -> str:
+    from ..pipeline.similarity import PQ_K, PQ_S
+
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(
+        store_root(), f"ivfpq-codes-v{STORE_VERSION}-k{k}s{PQ_S}k{PQ_K}-{fp}"
+    )
+
+
+def build_ivfpq_code_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF-PQ inverted lists: the PQ codes written to
+    parquet PARTITIONED BY their k-means cell (cid at the corpus-derived
+    ladder width). This is the FAISS-IVFPQ file layout re-expressed as a
+    lakehouse table — a probe reads ``nprobe`` partition directories of
+    PQ_S-byte code rows (the cell filter is a PartitionFilter, so the
+    unprobed cells' files are never opened), instead of either the float
+    corpus (IVF alone) or the full code table (PQ alone). At 100 TB the
+    read per probe is nprobe/k of an already-S-bytes-per-vector table —
+    the product of the two prunings."""
+    import json as _json
+
+    from ..pipeline.clustering import kmeans_fit
+    from ..pipeline.params import corpus_count, ivf_cells_for
+    from ..pipeline.similarity import pq_codes_frame
+
+    k = ivf_cells_for(corpus_count(spark, sf_dir, "embeddings"))
+    path = ivfpq_code_store_path(sf_dir, k)
+    if os.path.isdir(path):
+        return path
+    asg, _cents = kmeans_fit(spark, sf_dir, k=k)
+    codes = pq_codes_frame(spark, sf_dir).join(asg, "vec_id")
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        codes.repartition("cid")  # one writer group per cell dir
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump({"k": k}, f)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_ivfpq_codes(spark: SparkSession, path: str) -> DataFrame:
+    from ..pipeline.similarity import PQ_S
+
+    return spark.read.parquet(path).select(
+        "vec_id", "cid", *[f"c{s}" for s in range(PQ_S)]
     )
 
 

@@ -674,6 +674,52 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_sql() -> str:
+    from .clustering import _IVFPQ_SQL
+    from .similarity import _cos_sql
+
+    brute = f"""
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """
+    return f"""
+    WITH hit AS (
+      SELECT e.vec_id FROM ({brute}) e JOIN ({_IVFPQ_SQL}) a USING (vec_id)
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM hit)::DOUBLE / 10, 6) AS recall_at_k
+    """
+
+
+@register("ivfpq_recall_audit", _ivfpq_recall_sql())
+def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF-PQ quality: recall@10 of the composed probe (cell
+    pruning x ADC code scan x exact rerank) against brute-force cosine.
+    The composition loses recall two ways — the true neighbor's cell may
+    fall outside the nprobe probed set, or its ADC rank may fall outside
+    IVFPQ_CAND — and this audit prices their PRODUCT, which neither
+    ann_recall_audit nor pq_recall_audit sees alone. THE regression gate
+    on the nprobe/IVFPQ_CAND pair per corpus."""
+    from .clustering import ann_ivfpq_topk
+    from .similarity import ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-weighted duplication inflation: what dedup is worth, per source
 # ---------------------------------------------------------------------------

@@ -472,6 +472,143 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: cell pruning x code compression — the memory-bound 100 TB probe
+# ---------------------------------------------------------------------------
+
+IVFPQ_CAND = 100  # ADC survivors fetched for the exact rerank
+
+
+def _ivfpq_sql_rung(k: int) -> str:
+    from .similarity import (
+        PQ_TOP,
+        _pq_adc_sql,
+        _pq_code_cols_sql,
+        _pq_cw_list_sql,
+        _pq_dist_lists_sql,
+        _pq_lut_cols_sql,
+        _pq_seeds_sql,
+    )
+
+    guard = _IVF_RUNG_GUARD.format(k=k)
+    return f"""WITH {_fit_ctes(k, guard=guard)},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
+      FROM c1v c, q
+    ),
+    sel AS (SELECT cid FROM qd ORDER BY d ASC, cid ASC LIMIT {NPROBE}),
+    lut AS (SELECT {_pq_lut_cols_sql()} FROM q, {_pq_seeds_sql()}),
+    cws AS (SELECT {_pq_cw_list_sql()} AS cw FROM {_pq_seeds_sql()}),
+    codes AS (
+      SELECT vec_id, {_pq_code_cols_sql()}
+      FROM (
+        SELECT e.vec_id, {_pq_dist_lists_sql()}
+        FROM g2 e JOIN sel ON e.cid = sel.cid CROSS JOIN cws
+        WHERE e.vec_id <> 0
+      ) dl
+    ),
+    cand AS (
+      SELECT vec_id, {_pq_adc_sql()} AS approx
+      FROM codes, lut
+      ORDER BY approx ASC, vec_id ASC
+      LIMIT {IVFPQ_CAND}
+    )
+    SELECT c.vec_id, {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
+    FROM cand c
+    JOIN embeddings emb ON emb.vec_id = c.vec_id
+    CROSS JOIN q
+    ORDER BY cos DESC, c.vec_id ASC
+    LIMIT {PQ_TOP}"""
+
+
+_IVFPQ_SQL = _rung_union(_ivfpq_sql_rung)
+
+
+@register("ann_ivfpq_topk", _IVFPQ_SQL)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS-IVFPQ composition): the trained coarse
+    quantizer routes the query to its NPROBE nearest k-means cells
+    driver-side, the ADC scan ranks ONLY those cells' PQ codes against the
+    query's S x K distance LUT, and the IVFPQ_CAND survivors fetch their
+    full vectors for an exact cosine rerank. Composes the two prunings the
+    repo already proves separately: cell pruning (ann_ivf_kmeans_nprobe —
+    read nprobe/k of the corpus) and code compression (ann_pq_topk — read
+    PQ_S bytes per vector, no floats until the rerank).
+
+    Scale: at 100 TB this is THE serving shape — with the materialized
+    cid-partitioned code store (build_ivfpq_code_store) a probe reads
+    nprobe partition directories of 8-byte code rows (PartitionFilters,
+    asserted in tests), i.e. nprobe/k of a table that is already ~64x
+    narrower than the float corpus; both prunings multiply. The ADC and
+    the rerank each end in TakeOrdered (no global sort), and the rerank
+    joins the PQ_CAND ids back to embeddings via broadcast — the float
+    corpus is touched for IVFPQ_CAND rows only. Without a store the codes
+    derive from one map-only encode joined to the cached fit.
+
+    Determinism: driver routing runs the same left-to-right double fold
+    as the SQL twin's qd CTE; codes use lowest-index-wins argmin; ADC adds
+    LUT terms in subspace order; ties break on vec_id. The oracle replays
+    fit + routing + encode + ADC + rerank once per ladder rung behind
+    in-SQL rung guards."""
+    import os
+
+    from ..operators import storage
+    from .similarity import (
+        PQ_TOP,
+        dot_fold,
+        pq_adc_col,
+        pq_codes_frame,
+        pq_query_lut,
+        pq_seed_vectors,
+    )
+
+    asg, cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    seeds = pq_seed_vectors(spark, sf_dir)
+    q_vec = seeds[0]  # vec_id 0 doubles as the query vector
+
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel = sorted(range(len(cents)), key=lambda i: (d2(cents[i]), i))[:NPROBE]
+    path = storage.ivfpq_code_store_path(sf_dir, len(cents))
+    if os.path.isdir(path):
+        codes = storage.read_ivfpq_codes(spark, path)
+    else:
+        codes = pq_codes_frame(spark, sf_dir).join(asg, "vec_id")
+    lut = pq_query_lut(seeds, q_vec)
+    cand = (
+        codes.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
+        .select("vec_id", pq_adc_col(lut).alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(IVFPQ_CAND)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(PQ_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup via k-means cells + within-cell cosine pruning
 # ---------------------------------------------------------------------------
 

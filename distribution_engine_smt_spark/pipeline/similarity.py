@@ -700,32 +700,60 @@ def _pq_dists_sql(s: int) -> str:
     )
 
 
-def _pq_sql() -> str:
-    seeds = ", ".join(
+def _pq_seeds_sql() -> str:
+    """FROM-clause fragment binding the PQ_K seeded codebook vectors."""
+    return ", ".join(
         f"(SELECT embedding FROM embeddings WHERE vec_id = {k}) k{k}"
         for k in range(PQ_K)
     )
-    cw_list = "[" + ", ".join(f"k{k}.embedding" for k in range(PQ_K)) + "]"
-    lut_cols = ", ".join(
+
+
+def _pq_cw_list_sql() -> str:
+    """The codeword list expression (array of the PQ_K seed embeddings)."""
+    return "[" + ", ".join(f"k{k}.embedding" for k in range(PQ_K)) + "]"
+
+
+def _pq_lut_cols_sql() -> str:
+    """The query-side S x K distance LUT columns (qd_{s}_{k})."""
+    return ", ".join(
         _pq_dist_sql("q.q_emb", k, s) + f" AS qd_{s}_{k}"
         for s in range(PQ_S)
         for k in range(PQ_K)
     )
-    # every subspace is ONE fold producing the K-distance list; the outer
-    # argmin works on the list. list_position returns the FIRST index of
-    # the min — the shared lowest-index-wins tie-break, same as Spark's
-    # array_position.
-    dist_lists = ", ".join(
-        f"{_pq_dists_sql(s)} AS ds{s}" for s in range(PQ_S)
-    )
-    code_cols = ", ".join(
+
+
+def _pq_dist_lists_sql() -> str:
+    """Per-subspace distance lists ds0..ds{S-1}, one fold each."""
+    return ", ".join(f"{_pq_dists_sql(s)} AS ds{s}" for s in range(PQ_S))
+
+
+def _pq_code_cols_sql() -> str:
+    """Code columns c0..c{S-1} from the distance lists; list_position
+    returns the FIRST index of the min — the shared lowest-index-wins
+    tie-break, same as Spark's array_position."""
+    return ", ".join(
         f"CAST(list_position(ds{s}, list_aggregate(ds{s}, 'min')) - 1 AS INT) AS c{s}"
         for s in range(PQ_S)
     )
-    adc = " + ".join(
+
+
+def _pq_adc_sql() -> str:
+    """ADC distance: sum of one LUT lookup per subspace code."""
+    return " + ".join(
         "([" + ", ".join(f"qd_{s}_{k}" for k in range(PQ_K)) + f"])[c{s} + 1]"
         for s in range(PQ_S)
     )
+
+
+def _pq_sql() -> str:
+    seeds = _pq_seeds_sql()
+    cw_list = _pq_cw_list_sql()
+    lut_cols = _pq_lut_cols_sql()
+    # every subspace is ONE fold producing the K-distance list; the outer
+    # argmin works on the list.
+    dist_lists = _pq_dist_lists_sql()
+    code_cols = _pq_code_cols_sql()
+    adc = _pq_adc_sql()
     # the ADC scan carries CODES ONLY (the narrow store/column a 100 TB
     # deployment reads); candidate rows join back to embeddings for the
     # exact rerank — the fetch of PQ_CAND full vectors, never the corpus
@@ -828,6 +856,41 @@ def pq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_query_lut(
+    seeds: list[list[float]], q_vec: list[float]
+) -> list[list[float]]:
+    """The S x K query-to-codeword subspace distance LUT — driver-side
+    Python floats, but the arithmetic is the same i-order left fold over
+    exactly-widened components the SQL twin's qd_{s}_{k} columns run, so
+    the ADC ranking is identical by construction."""
+    lut = []
+    for s in range(PQ_S):
+        o = s * PQ_DSUB
+        row = []
+        for k in range(PQ_K):
+            acc = 0.0
+            for i in range(PQ_DSUB):
+                d = q_vec[o + i] - seeds[k][o + i]
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_col(lut: list[list[float]]) -> Column:
+    """ADC distance over the code columns c0..c{S-1}: one literal-array
+    LUT lookup per subspace, summed in subspace order (the SQL twin's
+    addition order)."""
+    adc = None
+    for s in range(PQ_S):
+        term = F.try_element_at(
+            F.array(*[F.lit(lut[s][k]) for k in range(PQ_K)]),
+            F.col(f"c{s}") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
 @register("ann_pq_topk", _pq_sql())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: each vector is encoded as PQ_S=8 codes
@@ -848,24 +911,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir)["embeddings"]
     seeds = pq_seed_vectors(spark, sf_dir)
     q_vec = seeds[0]  # vec_id 0 doubles as the query vector
-
-    def py_sub_dist(k: int, s: int) -> float:
-        o = s * PQ_DSUB
-        acc = 0.0
-        for i in range(PQ_DSUB):
-            d = q_vec[o + i] - seeds[k][o + i]
-            acc = acc + d * d
-        return acc
-
-    lut = [[py_sub_dist(k, s) for k in range(PQ_K)] for s in range(PQ_S)]
+    lut = pq_query_lut(seeds, q_vec)
     codes = pq_codes_frame(spark, sf_dir).filter(F.col("vec_id") != 0)
-    adc = None
-    for s in range(PQ_S):
-        term = F.try_element_at(
-            F.array(*[F.lit(lut[s][k]) for k in range(PQ_K)]),
-            F.col(f"c{s}") + 1,
-        )
-        adc = term if adc is None else adc + term
+    adc = pq_adc_col(lut)
     # ADC candidates carry (vec_id, approx) only; the PQ_CAND survivors
     # broadcast into one embeddings scan to fetch their full vectors for
     # the exact rerank — the codes path never ships raw embeddings

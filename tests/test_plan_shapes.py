@@ -58,7 +58,12 @@ def test_pagerank_never_goes_cartesian(spark):
 
 
 def test_ann_probes_end_in_take_ordered(spark):
-    for name in ["ann_topk_bruteforce", "ann_sq8_topk", "ann_ivf_kmeans_topk"]:
+    for name in [
+        "ann_topk_bruteforce",
+        "ann_sq8_topk",
+        "ann_ivf_kmeans_topk",
+        "ann_ivfpq_topk",
+    ]:
         assert "TakeOrderedAndProject" in _plan(spark, name), name
 
 
@@ -205,7 +210,12 @@ def test_recall_audits_are_single_aggregate_rows(spark):
     aggregate, not a global sort, and the LSH audit must reference its
     chains through one full-outer join (no repeated chain subtrees via
     a cross-joined count pair)."""
-    for name in ("lsh_recall_audit", "ann_recall_audit", "pq_recall_audit"):
+    for name in (
+        "lsh_recall_audit",
+        "ann_recall_audit",
+        "pq_recall_audit",
+        "ivfpq_recall_audit",
+    ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
     lsh = _plan(spark, "lsh_recall_audit")

@@ -354,6 +354,56 @@ def test_pq_code_store_feeds_topk_identically(spark, store_dir):
     assert with_store == without
 
 
+def test_ivfpq_code_store_matches_derived_and_prunes(spark, store_dir):
+    """The cid-partitioned IVF-PQ code store: content equals the
+    codes-join-assignment derivation, the rebuild is a no-op, and a cell
+    filter reaches the scan as a PARTITION filter (the nprobe/k read the
+    probe's docstring commits to)."""
+    from distribution_engine_smt_spark.pipeline.clustering import kmeans_fit
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        PQ_S,
+        pq_codes_frame,
+    )
+
+    cols = ["vec_id", "cid"] + [f"c{s}" for s in range(PQ_S)]
+    asg, _ = kmeans_fit(spark, SF_DIR)
+    derived = sorted(
+        tuple(r[c] for c in cols)
+        for r in pq_codes_frame(spark, SF_DIR).join(asg, "vec_id").collect()
+    )
+    path = storage.build_ivfpq_code_store(spark, SF_DIR)
+    stored = sorted(
+        tuple(r[c] for c in cols)
+        for r in storage.read_ivfpq_codes(spark, path).collect()
+    )
+    assert stored == derived
+    assert storage.build_ivfpq_code_store(spark, SF_DIR) == path
+    df = storage.read_ivfpq_codes(spark, path)
+    one = df.select("cid").first()["cid"]
+    plan = (
+        df.where(df["cid"] == one)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "cid" in pf[1].split("]", 1)[0]
+
+
+def test_ivfpq_store_feeds_topk_identically(spark, store_dir):
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        ann_ivfpq_topk,
+    )
+
+    without = [
+        (r["vec_id"], r["cos"]) for r in ann_ivfpq_topk(spark, SF_DIR).collect()
+    ]
+    storage.build_ivfpq_code_store(spark, SF_DIR)
+    with_store = [
+        (r["vec_id"], r["cos"]) for r in ann_ivfpq_topk(spark, SF_DIR).collect()
+    ]
+    assert with_store == without
+
+
 def test_rhp_band_store_width_migration(spark, store_dir):
     """Crossing a ladder rung migrates the band store by computing ONLY
     the delta bits: the migrated store must equal a from-scratch build at
