@@ -618,7 +618,14 @@ def build_ivfpq_code_store(spark: SparkSession, sf_dir: str) -> str:
     if os.path.isdir(path):
         return path
     asg, _cents = kmeans_fit(spark, sf_dir, k=k)
-    codes = pq_codes_frame(spark, sf_dir).join(asg, "vec_id")
+    codes = (
+        pq_codes_frame(spark, sf_dir)
+        .join(asg, "vec_id")
+        # batch_id sub-partition: the SAME two-level layout
+        # update_ivfpq_code_store appends into (mixed partition depths
+        # break discovery); the base build is just batch "base"
+        .withColumn("batch_id", F.lit("base"))
+    )
     os.makedirs(store_root(), exist_ok=True)
     tmp = os.path.join(
         store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
@@ -626,7 +633,7 @@ def build_ivfpq_code_store(spark: SparkSession, sf_dir: str) -> str:
     (
         codes.repartition("cid")  # one writer group per cell dir
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy("cid", "batch_id")
         .parquet(tmp)
     )
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
@@ -640,6 +647,83 @@ def read_ivfpq_codes(spark: SparkSession, path: str) -> DataFrame:
 
     return spark.read.parquet(path).select(
         "vec_id", "cid", *[f"c{s}" for s in range(PQ_S)]
+    )
+
+
+def update_ivfpq_code_store(
+    spark: SparkSession,
+    store_path: str,
+    centroids,
+    seeds: list[list[float]],
+    new_vectors: DataFrame,
+    batch_id: str,
+):
+    """Incremental IVF-PQ maintenance — the vector-DB ingest path for the
+    compressed index: route a batch of NEW vectors through the STORED
+    coarse quantizer (same centroids the probe router uses) AND encode
+    them against the STORED codebook, then write only the code rows into
+    the (cid, batch_id) layout. No refit, no re-encode of existing cells:
+    k distance literals + S single-fold encodes per new vector, map-only,
+    then a partitioned write of just the batch — at 100 TB the write is
+    PQ_S bytes per arriving vector.
+
+    Idempotence: dynamic partition overwrite means a replayed batch
+    rewrites its own (cid, batch_id) leaves instead of appending
+    duplicates — same at-least-once discipline as update_ivf_index. The
+    probe's partition filter on cid is untouched (batch_id is a
+    sub-directory of the cell)."""
+    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..pipeline.similarity import pq_encode
+
+    d = [_dist_to_literal(F.col("embedding"), c) for c in centroids]
+    routed = new_vectors.select(
+        "vec_id", "embedding", _argmin_case(d).alias("cid")
+    )
+    assigned = pq_encode(routed, seeds, keep=("cid",)).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    (
+        assigned.repartition("cid")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "batch_id")
+        .parquet(store_path)
+    )
+
+
+def run_ivfpq_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_path: str,
+    centroids,
+    seeds: list[list[float]],
+    checkpoint_dir: str,
+):
+    """Streaming twin of ``update_ivfpq_code_store``: compressed-index
+    ingest as a Structured Streaming job. Each micro-batch routes through
+    the stored quantizer and encodes against the stored codebook, landing
+    under ``(cid, batch_id=stream-N)`` with dynamic partition overwrite —
+    foreachBatch's at-least-once replay rewrites the batch's own leaves,
+    so ADC scans see each vector exactly once. New codes are probe-visible
+    as soon as the batch commits."""
+
+    def ingest(batch_df, batch_id: int):
+        update_ivfpq_code_store(
+            spark,
+            store_path,
+            centroids,
+            seeds,
+            batch_df.select("vec_id", "embedding"),
+            f"stream-{batch_id}",
+        )
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -820,6 +820,35 @@ def _pq_sub_dists(col: Column, seeds: list[list[float]], s: int) -> Column:
     )
 
 
+def pq_encode(
+    df: DataFrame, seeds: list[list[float]], keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Encode any (vec_id, embedding) frame to (vec_id, *keep, c0..c{S-1})
+    against a given codebook — the map-only kernel shared by the base
+    code-store build (pq_codes_frame) and incremental index ingest
+    (storage.update_ivfpq_code_store): arrivals MUST encode against the
+    STORED codebook, never a re-derived one, or their codes aren't
+    comparable with the existing lists'. ``keep`` carries already-computed
+    columns (the routed cid) through in the same projection — no join-back
+    shuffle."""
+    return df.select(
+        "vec_id",
+        *keep,
+        *[
+            (
+                F.array_position(
+                    (ds := _pq_sub_dists(F.col("embedding"), seeds, s)),
+                    F.array_min(ds),
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(PQ_S)
+        ],
+    )
+
+
 def pq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, c0..c{S-1}) for every corpus vector — the PQ_S-byte-per-
     vector encoded table. Lowest-index-wins argmin via
@@ -838,22 +867,7 @@ def pq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(path):
         return storage.read_pq_codes(spark, path)
     emb = _t(spark, sf_dir)["embeddings"]
-    seeds = pq_seed_vectors(spark, sf_dir)
-    return emb.select(
-        "vec_id",
-        *[
-            (
-                F.array_position(
-                    (ds := _pq_sub_dists(F.col("embedding"), seeds, s)),
-                    F.array_min(ds),
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(f"c{s}")
-            for s in range(PQ_S)
-        ],
-    )
+    return pq_encode(emb, pq_seed_vectors(spark, sf_dir))
 
 
 def pq_query_lut(

@@ -404,6 +404,71 @@ def test_ivfpq_store_feeds_topk_identically(spark, store_dir):
     assert with_store == without
 
 
+def test_ivfpq_ingest_stream_increments_and_restart(spark, store_dir, tmp_path):
+    """Incremental compressed-index maintenance: streamed vectors route
+    through the STORED quantizer and encode against the STORED codebook
+    (a clone of vec 0 must land in vec 0's cell with vec 0's exact codes),
+    replay-idempotently; a restart processes only the new wave."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distribution_engine_smt_spark import tables
+    from distribution_engine_smt_spark.operators.storage import (
+        run_ivfpq_ingest_stream,
+    )
+    from distribution_engine_smt_spark.pipeline.clustering import kmeans_fit
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        PQ_S,
+        pq_seed_vectors,
+    )
+
+    path = storage.build_ivfpq_code_store(spark, SF_DIR)
+    base = storage.read_ivfpq_codes(spark, path).count()
+    _, cents = kmeans_fit(spark, SF_DIR)
+    seeds = pq_seed_vectors(spark, SF_DIR)
+    emb = tables.load_tpch(spark, SF_DIR)["embeddings"]
+    v0 = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    def wave(p, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [e for _, e in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(p),
+        )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    wave(incoming / "w1.parquet", [(300_000, v0)])
+    ckpt = str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<float>"
+    q = run_ivfpq_ingest_stream(
+        spark, str(incoming), schema, path, cents, seeds, ckpt
+    )
+    q.awaitTermination(120)
+    after1 = storage.read_ivfpq_codes(spark, path)
+    assert after1.count() == base + 1
+    key = ["cid"] + [f"c{s}" for s in range(PQ_S)]
+    row0 = after1.where("vec_id = 0").first()
+    rowc = after1.where("vec_id = 300000").first()
+    assert tuple(rowc[c] for c in key) == tuple(row0[c] for c in key)
+    # restart with one new wave: only it processes (checkpoint), still
+    # idempotent under the (cid, batch_id) overwrite
+    wave(incoming / "w2.parquet", [(300_001, v0)])
+    q2 = run_ivfpq_ingest_stream(
+        spark, str(incoming), schema, path, cents, seeds, ckpt
+    )
+    q2.awaitTermination(120)
+    after2 = storage.read_ivfpq_codes(spark, path)
+    assert after2.count() == base + 2
+    assert after2.where("vec_id = 300000").count() == 1
+
+
 def test_rhp_band_store_width_migration(spark, store_dir):
     """Crossing a ladder rung migrates the band store by computing ONLY
     the delta bits: the migrated store must equal a from-scratch build at
