@@ -50,6 +50,9 @@ _DRIVER_PRIORITY = [
     "lsh_recall_audit_sampled",
     "ann_ivfpq_topk",
     "ivfpq_recall_audit",
+    "pq_train",
+    "ann_pq_trained_topk",
+    "pq_trained_recall_audit",
     "ann_recall_audit",
     "bigram_perplexity",
     "chunk_dedup",
@@ -86,9 +89,6 @@ _DRIVER_PRIORITY = [
     "cms_heavy_hitters",
     "curated_corpus",
     "curriculum_buckets",
-    "daily_moving_avg",
-    "decontaminate",
-    "deterministic_shuffle",
     "doc_novelty",
     "earliest_event_per_user",
     "embedding_dim_stats",
@@ -97,8 +97,8 @@ _DRIVER_PRIORITY = [
     "event_zscore_anomaly",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 132 registered queries and the 50-slot cap,
-# exactly 82 sit here so the cut is EXPLICIT (chosen stable queries)
+# rotated past the cap. With 135 registered queries and the 50-slot cap,
+# exactly 85 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
@@ -111,6 +111,9 @@ _DRIVER_ROTATE_LAST = [
     "dedup_exact_keep_first",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "daily_moving_avg",
+    "decontaminate",
+    "deterministic_shuffle",
     "events_pivot",
     "graph_pagerank",
     "discussions_by_created",
@@ -226,6 +229,10 @@ _ROUND_MODIFIED = [
     # second wave: IVF-PQ probe + its recall audit (new, zero driver rows)
     "ann_ivfpq_topk",
     "ivfpq_recall_audit",
+    # third wave: trained PQ codebooks (new, zero driver rows)
+    "pq_train",
+    "ann_pq_trained_topk",
+    "pq_trained_recall_audit",
 ]
 
 def _ordered(names: list[str]) -> list[str]:

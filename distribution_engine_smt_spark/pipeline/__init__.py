@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     graph,
     multimodal,
     olap,
+    pq,
     redaction,
     search,
     shards,

@@ -63,6 +63,9 @@ PROBE = {
     "graph_pagerank": "linear",
     "minhash_decontaminate": "linear",
     "ann_pq_topk": "linear",
+    # IVF-PQ reads nprobe/k of the code table; with k ~ sqrt(n) the probed
+    # rows grow ~sqrt(n), so "linear" is a loose upper bound here
+    "ann_ivfpq_topk": "linear",
     "thread_tree": "linear",
     "trending_tags": "linear",
     "dedup_ngram_jaccard": "quadratic-baseline",

@@ -63,6 +63,7 @@ def test_ann_probes_end_in_take_ordered(spark):
         "ann_sq8_topk",
         "ann_ivf_kmeans_topk",
         "ann_ivfpq_topk",
+        "ann_pq_trained_topk",
     ]:
         assert "TakeOrderedAndProject" in _plan(spark, name), name
 
@@ -215,6 +216,7 @@ def test_recall_audits_are_single_aggregate_rows(spark):
         "ann_recall_audit",
         "pq_recall_audit",
         "ivfpq_recall_audit",
+        "pq_trained_recall_audit",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
