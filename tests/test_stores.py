@@ -469,6 +469,62 @@ def test_ivfpq_ingest_stream_increments_and_restart(spark, store_dir, tmp_path):
     assert after2.where("vec_id = 300000").count() == 1
 
 
+def test_ivfpq_store_compaction_reuses_cell_compactor(spark, store_dir, tmp_path):
+    """The IVF-PQ store shares the (cid, batch_id) two-level layout with
+    the IVF index, so ``compact_ivf_cell`` applies to it AS-IS: after
+    several ingest batches, folding a cell consolidates its leaves to one
+    batch directory with content (and the probe's input) unchanged."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark import tables
+    from distribution_engine_smt_spark.operators.storage import (
+        compact_ivf_cell,
+        update_ivfpq_code_store,
+    )
+    from distribution_engine_smt_spark.pipeline.clustering import kmeans_fit
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        pq_seed_vectors,
+    )
+
+    path = storage.build_ivfpq_code_store(spark, SF_DIR)
+    _, cents = kmeans_fit(spark, SF_DIR)
+    seeds = pq_seed_vectors(spark, SF_DIR)
+    emb = tables.load_tpch(spark, SF_DIR)["embeddings"]
+    for i, off in enumerate((400_000, 400_001, 400_002)):
+        clone = emb.where("vec_id = 0").select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding"
+        )
+        update_ivfpq_code_store(spark, path, cents, seeds, clone, f"b{i}")
+    target = None
+    for c in _os.listdir(path):
+        if not c.startswith("cid="):
+            continue
+        leaves = [
+            d
+            for d in _os.listdir(_os.path.join(path, c))
+            if d.startswith("batch_id=")
+        ]
+        if len(leaves) >= 4:
+            target = int(c.split("=")[1])
+    assert target is not None  # vec 0's cell holds base + 3 batch leaves
+    before = sorted(
+        tuple(r) for r in storage.read_ivfpq_codes(spark, path).collect()
+    )
+    compact_ivf_cell(spark, path, target)
+    leaves = [
+        d
+        for d in _os.listdir(_os.path.join(path, f"cid={target}"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(leaves) == 1
+    after = sorted(
+        tuple(r) for r in storage.read_ivfpq_codes(spark, path).collect()
+    )
+    assert after == before
+
+
 def test_rhp_band_store_width_migration(spark, store_dir):
     """Crossing a ladder rung migrates the band store by computing ONLY
     the delta bits: the migrated store must equal a from-scratch build at
