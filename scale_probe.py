@@ -424,6 +424,70 @@ def probe_streaming(spark) -> dict:
             "batch_ms": _percentiles(durs),
         }
         print(json.dumps({"stream": f"pairs_{rate}x", **out[f"pair_store_stream_rate_{rate}x"]}))
+    # --- IVF-PQ ingest: vectors-per-wave 50 (1x) vs 500 (10x). Each wave
+    # routes through the stored quantizer + encodes against the stored
+    # codebook (map-only) and writes PQ_S-byte code rows into its own
+    # (cid, batch_id) leaves — per-batch cost should track the wave, not
+    # the store. Waves land in a COPY of the base store so reruns never
+    # read a clone-polluted index.
+    from distribution_engine_smt_spark.operators.storage import (
+        build_ivfpq_code_store,
+        run_ivfpq_ingest_stream,
+    )
+    from distribution_engine_smt_spark.pipeline.clustering import kmeans_fit
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        pq_seed_vectors,
+    )
+
+    base_store = build_ivfpq_code_store(spark, BASE)
+    _, cents = kmeans_fit(spark, BASE)
+    seeds = pq_seed_vectors(spark, BASE)
+    emb_rows = (
+        load_tpch(spark, BASE)["embeddings"].orderBy("vec_id").limit(500).collect()
+    )
+    vschema = "vec_id long, embedding array<float>"
+    for rate, vpw in (("1", 50), ("10", 500)):
+        work = os.path.join(ROOT, f"stream-ivfpq-r{rate}")
+        shutil.rmtree(work, ignore_errors=True)
+        store = os.path.join(work, "store")
+        shutil.copytree(base_store, store)
+        src = os.path.join(work, "incoming")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(src, exist_ok=True)
+        for w in range(3):
+            rows = [emb_rows[i % len(emb_rows)] for i in range(vpw)]
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            [20_000_000 + w * 100_000 + i for i in range(vpw)],
+                            pa.int64(),
+                        ),
+                        "embedding": pa.array(
+                            [[float(x) for x in r["embedding"]] for r in rows],
+                            pa.list_(pa.float32()),
+                        ),
+                    }
+                ),
+                os.path.join(src, f"wave{w}.parquet"),
+            )
+        t0 = _time.perf_counter()
+        q = run_ivfpq_ingest_stream(
+            spark, src, vschema, store, cents, seeds, ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(600)
+        durs = [
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        out[f"ivfpq_ingest_stream_rate_{rate}x"] = {
+            "vectors_per_wave": vpw,
+            "drain_sec": round(_time.perf_counter() - t0, 3),
+            "batch_ms": _percentiles(durs),
+        }
+        print(json.dumps({"stream": f"ivfpq_{rate}x", **out[f"ivfpq_ingest_stream_rate_{rate}x"]}))
     return out
 
 
