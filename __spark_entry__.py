@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     "pq_train",
     "ann_pq_trained_topk",
     "pq_trained_recall_audit",
+    "ann_ivfpq_batch",
     "ann_recall_audit",
     "bigram_perplexity",
     "chunk_dedup",
@@ -89,7 +90,6 @@ _DRIVER_PRIORITY = [
     "cms_heavy_hitters",
     "curated_corpus",
     "curriculum_buckets",
-    "doc_novelty",
     "earliest_event_per_user",
     "embedding_dim_stats",
     "embedding_outliers",
@@ -97,8 +97,8 @@ _DRIVER_PRIORITY = [
     "event_zscore_anomaly",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 135 registered queries and the 50-slot cap,
-# exactly 85 sit here so the cut is EXPLICIT (chosen stable queries)
+# rotated past the cap. With 136 registered queries and the 50-slot cap,
+# exactly 86 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
@@ -111,6 +111,7 @@ _DRIVER_ROTATE_LAST = [
     "dedup_exact_keep_first",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "doc_novelty",
     "daily_moving_avg",
     "decontaminate",
     "deterministic_shuffle",
@@ -233,6 +234,8 @@ _ROUND_MODIFIED = [
     "pq_train",
     "ann_pq_trained_topk",
     "pq_trained_recall_audit",
+    # fourth wave: batched serving through the IVF-PQ index (new)
+    "ann_ivfpq_batch",
 ]
 
 def _ordered(names: list[str]) -> list[str]:

@@ -90,6 +90,23 @@ _DMEANS = ", ".join(
 )
 
 
+def _seed_codebook_ctes() -> list[str]:
+    """cw0/cwl0: the seed-sliced initial codebook (codeword k of subspace
+    s = the s-slice of corpus vector k), cast to double — shared by the
+    training replay and the seeded batched-serving oracle."""
+    return [
+        f"""cw0 AS (
+      SELECT t.s, t2.k,
+             list_transform(
+               list_slice(kv.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}),
+               x -> CAST(x AS DOUBLE)) AS cw
+      FROM {_GRID % (PQ_S - 1, 's')} t, {_GRID % (PQ_K - 1, 'k')} t2
+      JOIN embeddings kv ON kv.vec_id = t2.k
+    )""",
+        "cwl0 AS (SELECT s, list(cw ORDER BY k) AS cws FROM cw0 GROUP BY s)",
+    ]
+
+
 def _train_ctes() -> str:
     """The WITH-body replaying the full PQT_ITERS-round per-subspace fit:
     sl (slice rows), cw0/cwl0 (seed-sliced init codebook, cast to double),
@@ -103,15 +120,7 @@ def _train_ctes() -> str:
              list_slice(e.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS sl
       FROM embeddings e, {_GRID % (PQ_S - 1, 's')} t
     )""",
-        f"""cw0 AS (
-      SELECT t.s, t2.k,
-             list_transform(
-               list_slice(kv.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}),
-               x -> CAST(x AS DOUBLE)) AS cw
-      FROM {_GRID % (PQ_S - 1, 's')} t, {_GRID % (PQ_K - 1, 'k')} t2
-      JOIN embeddings kv ON kv.vec_id = t2.k
-    )""",
-        "cwl0 AS (SELECT s, list(cw ORDER BY k) AS cws FROM cw0 GROUP BY s)",
+        *_seed_codebook_ctes(),
     ]
     for t in range(1, PQT_ITERS + 1):
         parts.append(
@@ -350,6 +359,210 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(PQ_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# batched serving through the composed IVF-PQ index
+# ---------------------------------------------------------------------------
+
+BATCH_Q = 4   # query batch: vec_id < BATCH_Q
+BATCH_TOP = 10
+
+
+def _ivfpq_batch_sql_rung(k: int) -> str:
+    from .clustering import (
+        _IVF_RUNG_GUARD,
+        _dist_sql,
+        _fit_ctes,
+        IVFPQ_CAND,
+        NPROBE,
+    )
+
+    guard = _IVF_RUNG_GUARD.format(k=k)
+    pav_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN lv END) AS l{s}" for s in range(PQ_S)
+    )
+    adc = " + ".join(f"l{s}" for s in range(PQ_S))  # subspace-order adds
+    return f"""WITH {_fit_ctes(k, guard=guard)},
+    {', '.join(_seed_codebook_ctes())},
+    qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {BATCH_Q}
+    ),
+    qd AS (
+      SELECT q.q_id, c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
+      FROM c1v c, qs q
+    ),
+    sel AS (
+      SELECT q_id, cid FROM (
+        SELECT q_id, cid,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY d ASC, cid ASC) AS rk
+        FROM qd
+      ) r WHERE rk <= {NPROBE}
+    ),
+    cells AS (SELECT DISTINCT cid FROM sel),
+    slp AS (
+      SELECT e.vec_id, e.cid, t.s,
+             list_slice(e.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS sl
+      FROM g2 e JOIN cells USING (cid), {_GRID % (PQ_S - 1, 's')} t
+      WHERE e.vec_id >= {BATCH_Q}
+    ),
+    gc AS (
+      SELECT vec_id, cid, s, {_ARGMIN} AS code
+      FROM (SELECT vec_id, cid, s, {_ds_expr()} AS ds
+            FROM slp JOIN cwl0 USING (s)) a
+    ),
+    qsl AS (
+      SELECT q.q_id, t.s,
+             list_slice(q.q_emb, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS sl
+      FROM qs q, {_GRID % (PQ_S - 1, 's')} t
+    ),
+    lutl AS (SELECT q_id, s, {_ds_expr()} AS ds FROM qsl JOIN cwl0 USING (s)),
+    av AS (
+      SELECT l.q_id, g.vec_id, g.cid, g.s, l.ds[g.code + 1] AS lv
+      FROM gc g JOIN lutl l ON l.s = g.s
+    ),
+    pav AS (
+      SELECT q_id, vec_id, cid, {pav_cols}
+      FROM av GROUP BY q_id, vec_id, cid
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT p.q_id, p.vec_id,
+               row_number() OVER (PARTITION BY p.q_id
+                                  ORDER BY ({adc}) ASC, p.vec_id ASC) AS rk
+        FROM pav p JOIN sel ON sel.q_id = p.q_id AND sel.cid = p.cid
+      ) r WHERE rk <= {IVFPQ_CAND}
+    )
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT sc.q_id, sc.vec_id, sc.cos,
+             CAST(row_number() OVER (PARTITION BY sc.q_id
+                                     ORDER BY sc.cos DESC, sc.vec_id ASC)
+                  AS BIGINT) AS rk
+      FROM (
+        SELECT c.q_id, c.vec_id,
+               {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
+        FROM cand c
+        JOIN embeddings emb ON emb.vec_id = c.vec_id
+        JOIN qs q ON q.q_id = c.q_id
+      ) sc
+    ) rr WHERE rk <= {BATCH_TOP}
+    ORDER BY q_id ASC, rk ASC"""
+
+
+def _ivfpq_batch_sql() -> str:
+    from .clustering import _rung_union
+
+    return _rung_union(_ivfpq_batch_sql_rung)
+
+
+@register("ann_ivfpq_batch", _ivfpq_batch_sql())
+def ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving through the composed IVF-PQ index: BATCH_Q query
+    vectors route driver-side to their NPROBE nearest cells, and ONE scan
+    of the UNION of probed cells computes every query's ADC (per-row: a
+    posexploded array of (q_id, LUT-sum) structs, each gated on "this
+    row's cell is probed by this query") — the batch amortizes the cell
+    read exactly like a production serving tier batching its queue.
+    Per-query candidate cuts and the final per-query top-k are window
+    ranks (WindowGroupLimit partial top-k, never a global sort), and the
+    rerank fetches each candidate's float vector once via broadcast join
+    regardless of how many queries share it.
+
+    Scale: with the cid-partitioned code store the scan reads
+    |union of probed cells| / k of the code table for the WHOLE batch —
+    per query that is (shared cells amortized) <= nprobe/k of an already
+    ~64x narrower table. Query vectors (vec_id < BATCH_Q) are excluded
+    from results corpus-side. Determinism: same fold/argmin/tie-break
+    contracts as ann_ivfpq_topk, replayed per ladder rung in the oracle."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..operators import storage
+    from .clustering import IVFPQ_CAND, NPROBE, kmeans_fit
+    from .similarity import pq_codes_frame
+
+    asg, cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    seeds = pq_seed_vectors(spark, sf_dir)
+    q_vecs = seeds[:BATCH_Q]  # vec 0..B-1 double as the query batch
+
+    def d2(q_vec, c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel = {
+        q: sorted(range(len(cents)), key=lambda i: (d2(q_vecs[q], cents[i]), i))[
+            :NPROBE
+        ]
+        for q in range(BATCH_Q)
+    }
+    cells = sorted({c for cs in sel.values() for c in cs})
+    path = storage.ivfpq_code_store_path(sf_dir, len(cents))
+    if os.path.isdir(path):
+        codes = storage.read_ivfpq_codes(spark, path)
+    else:
+        codes = pq_codes_frame(spark, sf_dir).join(asg, "vec_id")
+    probed = codes.where(
+        F.col("cid").isin(cells) & (F.col("vec_id") >= BATCH_Q)
+    )
+    luts = {q: pq_query_lut(seeds, q_vecs[q]) for q in range(BATCH_Q)}
+    # one scan, all queries: per row a (q_id, approx) struct per query,
+    # null where this row's cell is not probed by that query
+    scored = probed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("q_id"),
+                        F.when(
+                            F.col("cid").isin(sel[q]), pq_adc_col(luts[q])
+                        ).alias("approx"),
+                    )
+                    for q in range(BATCH_Q)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.q_id", "x.approx").where(F.col("approx").isNotNull())
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("approx").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= IVFPQ_CAND)
+        .select("q_id", "vec_id")
+    )
+    qdf = emb.filter(F.col("vec_id") < BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rk") <= BATCH_TOP)
+        .orderBy(F.col("q_id").asc(), F.col("rk").asc())
     )
 
 

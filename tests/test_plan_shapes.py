@@ -85,10 +85,12 @@ def test_semdedup_pairs_are_cell_blocked(spark):
 
 
 def test_query_batch_topk_is_partial_before_exchange(spark):
-    plan = _plan(spark, "ann_query_batch")
     # rk <= k must run as WindowGroupLimit (per-partition partial top-k)
     # so the q_id exchange carries |Q| x k x partitions rows, not the scan
-    assert "WindowGroupLimit" in plan
+    for name in ("ann_query_batch", "ann_ivfpq_batch"):
+        plan = _plan(spark, name)
+        assert "WindowGroupLimit" in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_pq_stages_end_in_take_ordered(spark):
