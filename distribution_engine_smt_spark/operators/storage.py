@@ -719,7 +719,12 @@ def run_ivfpq_ingest_stream(
             f"stream-{batch_id}",
         )
 
-    raw = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # one wave file per micro-batch: replay granularity (and measured
+        # latency) is per arriving file instead of per backlog
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
     return (
         raw.writeStream.foreachBatch(ingest)
         .option("checkpointLocation", checkpoint_dir)
@@ -944,6 +949,7 @@ def run_ivf_ingest_stream(
     index_dir: str,
     centroids,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming twin of ``update_ivf_index``: the vector-index ingest
     path as a Structured Streaming job. Each micro-batch of arriving
