@@ -540,6 +540,7 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "rhp_bands": build_rhp_band_store(spark, sf_dir),
         "pq_codes": build_pq_code_store(spark, sf_dir),
         "ivfpq_codes": build_ivfpq_code_store(spark, sf_dir),
+        "pq_codebook": build_pq_codebook_store(spark, sf_dir),
     }
 
 
@@ -586,6 +587,56 @@ def read_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "vec_id", *[f"c{s}" for s in range(PQ_S)]
     )
+
+
+def pq_codebook_store_path(sf_dir: str) -> str:
+    from ..pipeline.pq import PQT_ITERS
+    from ..pipeline.similarity import PQ_K, PQ_S
+
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(
+        store_root(),
+        f"pq-codebook-v{STORE_VERSION}-s{PQ_S}k{PQ_K}i{PQT_ITERS}-{fp}",
+    )
+
+
+def build_pq_codebook_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the TRAINED per-subspace PQ codebook (pq.pq_train_fit)
+    as JSON — the "train once, serve many" store for the trained-PQ
+    family, symmetric with the k-means fit store: json.dumps of Python
+    floats round-trips doubles exactly, so a fresh session loads the
+    identical quantizer in one tiny read instead of re-running the
+    per-subspace Lloyd rounds. Keyed by the subspace/codeword/iteration
+    constants plus the data fingerprint."""
+    import json as _json
+
+    from ..pipeline.pq import pq_train_fit
+
+    path = pq_codebook_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    vseeds = pq_train_fit(spark, sf_dir)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "codebook.json"), "w") as f:
+        _json.dump({"vseeds": vseeds}, f)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def load_pq_codebook(sf_dir: str):
+    """Trained virtual-seed codebook from the store, or None."""
+    import json as _json
+
+    meta = os.path.join(pq_codebook_store_path(sf_dir), "codebook.json")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as f:
+        blob = _json.load(f)
+    return [[float(x) for x in v] for v in blob["vseeds"]]
 
 
 def ivfpq_code_store_path(sf_dir: str, k: int) -> str:

@@ -54,8 +54,9 @@ OFF = 100_000_000
 SCALES = [1, 3, 10]
 DIM = 64
 
-# the 10 slowest r5 bench queries (BENCH_DETAIL.json), tagged with the
-# scaling their plan claims; "linear" must hold at 10x
+# the slowest bench queries (BENCH_DETAIL.json) plus the composed IVF-PQ
+# probe, tagged with the scaling their plan claims; "linear" must hold
+# at 10x
 PROBE = {
     "cross_source_dup_matrix": "linear",
     "dedup_minhash_lsh": "linear",

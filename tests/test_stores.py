@@ -525,6 +525,33 @@ def test_ivfpq_store_compaction_reuses_cell_compactor(spark, store_dir, tmp_path
     assert after == before
 
 
+def test_pq_codebook_store_short_circuits_fit(spark, store_dir):
+    """The trained-codebook store: JSON round-trips the virtual seeds
+    exactly (bit-identical doubles), a fresh consumer loads it instead of
+    re-running the Lloyd rounds, and the trained top-k is identical with
+    and without the store."""
+    from distribution_engine_smt_spark.pipeline import pq as pq_mod
+
+    # fit cold (no store), snapshot the codebook and the consumer output
+    pq_mod._FIT_CACHE.clear()
+    fitted = pq_mod.pq_train_fit(spark, SF_DIR)
+    without = [
+        (r["vec_id"], r["cos"])
+        for r in pq_mod.ann_pq_trained_topk(spark, SF_DIR).collect()
+    ]
+    path = storage.build_pq_codebook_store(spark, SF_DIR)
+    assert storage.build_pq_codebook_store(spark, SF_DIR) == path  # no-op
+    # fresh session state -> the store must serve the identical quantizer
+    pq_mod._FIT_CACHE.clear()
+    loaded = pq_mod.pq_train_fit(spark, SF_DIR)
+    assert loaded == fitted  # exact double round-trip through JSON
+    with_store = [
+        (r["vec_id"], r["cos"])
+        for r in pq_mod.ann_pq_trained_topk(spark, SF_DIR).collect()
+    ]
+    assert with_store == without
+
+
 def test_rhp_band_store_width_migration(spark, store_dir):
     """Crossing a ladder rung migrates the band store by computing ONLY
     the delta bits: the migrated store must equal a from-scratch build at
