@@ -105,6 +105,72 @@ def write_range_sorted(
     )
 
 
+ZORDER_BITS = 16  # fixed-point resolution per dimension
+
+
+def _zvalue(col: Column, lo: float, span: float, dim: int, n_dims: int) -> Column:
+    """Bit-interleave contribution of one dimension: the column scaled to
+    a ZORDER_BITS fixed-point rank in [0, 2^bits), its bits spread every
+    ``n_dims`` positions starting at ``dim``. Pure integer/long
+    expressions — whole-stage codegen, no UDF."""
+    scaled = F.least(
+        F.lit((1 << ZORDER_BITS) - 1),
+        F.greatest(
+            F.lit(0),
+            ((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(1 << ZORDER_BITS))
+            .cast("long"),
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(ZORDER_BITS):
+        bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1))
+        out = out + F.shiftleft(bit, b * n_dims + dim)
+    return out
+
+
+def write_zorder_sorted(
+    df: DataFrame, path: str, zorder_cols: list[str], n_files: int
+) -> None:
+    """Write ``df`` clustered on a Z-ORDER (Morton) curve over several
+    columns — multi-column data skipping, where a single-column range
+    sort cannot help the other dimensions: file i holds a contiguous span
+    of the space-filling curve, so EVERY interleaved column's footer
+    min/max is narrow (each curve span is a small hyper-rectangle union),
+    and a range predicate on ANY of the columns prunes row groups.
+
+    Mechanics: each column maps to a ZORDER_BITS fixed-point rank via its
+    own min/max (one bounded agg — at 100 TB these are the table's column
+    statistics), ranks bit-interleave into one long z-value (pure codegen
+    expressions), and the write is the same one-range-shuffle layout as
+    ``write_range_sorted`` keyed on the z-value. This is the lakehouse
+    OPTIMIZE-ZORDER shape; ``pruned_scan_stats`` proves the skipping per
+    dimension from the footers alone."""
+    bounds = df.agg(
+        *[
+            f
+            for c in zorder_cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+            )
+        ]
+    ).first()
+    n = len(zorder_cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(zorder_cols):
+        lo = float(bounds[f"lo_{c}"])
+        span = max(float(bounds[f"hi_{c}"]) - lo, 1e-300)
+        z = z + _zvalue(F.col(c), lo, span, i, n)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def pruned_scan_stats(path: str, column: str, lo, hi) -> dict[str, int]:
     """Row groups a ``column BETWEEN lo AND hi`` scan must read, from the
     parquet footers alone (pyarrow) — the engine-independent measure of

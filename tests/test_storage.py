@@ -74,6 +74,41 @@ def test_range_sorted_write_prunes_row_groups(spark, tmp_path):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(key,10)" in plan
 
 
+def test_zorder_write_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order layout: a narrow range on EITHER interleaved column prunes
+    row groups — which a single-column range sort can only deliver for
+    its own sort key (control asserted below) and an unsorted layout for
+    neither. Content survives the rewrite exactly."""
+    # two independent dimensions: a and b permuted against each other
+    df = spark.range(0, 100000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 48271) % 100000).alias("b"),
+    )
+    zpath = str(tmp_path / "zorder")
+    storage.write_zorder_sorted(df, zpath, ["a", "b"], n_files=16)
+    spath = str(tmp_path / "asorted")
+    storage.write_range_sorted(df, spath, ["a"], n_files=16)
+    for col in ("a", "b"):
+        stats = storage.pruned_scan_stats(zpath, col, 0, 5000)  # bottom 5%
+        assert stats["row_groups_total"] >= 16
+        # both dimensions must skip most of the table
+        assert stats["row_groups_needed"] <= stats["row_groups_total"] // 2, (
+            col,
+            stats,
+        )
+    # control: the a-sorted layout prunes a but cannot prune b
+    sa = storage.pruned_scan_stats(spath, "a", 0, 5000)
+    assert sa["row_groups_needed"] <= max(1, sa["row_groups_total"] // 8)
+    sb = storage.pruned_scan_stats(spath, "b", 0, 5000)
+    assert sb["row_groups_needed"] == sb["row_groups_total"]
+    # exact content preservation
+    got = sorted(
+        (r["a"], r["b"]) for r in spark.read.parquet(zpath).collect()
+    )
+    want = sorted((r["a"], r["b"]) for r in df.collect())
+    assert got == want
+
+
 def test_unsorted_write_does_not_prune(spark, tmp_path):
     """Control: hash-shuffled layout leaves every row group overlapping
     the probe range — data skipping is a property of the LAYOUT."""
