@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = [
     "ann_pq_trained_topk",
     "pq_trained_recall_audit",
     "ann_ivfpq_batch",
+    "dedup_embedding_lsh_multiprobe",
+    "embedding_lsh_multiprobe_recall_audit",
     "ann_recall_audit",
     "bigram_perplexity",
     "chunk_dedup",
@@ -91,14 +93,12 @@ _DRIVER_PRIORITY = [
     "curated_corpus",
     "curriculum_buckets",
     "earliest_event_per_user",
-    "embedding_dim_stats",
-    "embedding_outliers",
     "event_funnel",
     "event_zscore_anomaly",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 136 registered queries and the 50-slot cap,
-# exactly 86 sit here so the cut is EXPLICIT (chosen stable queries)
+# rotated past the cap. With 138 registered queries and the 50-slot cap,
+# exactly 88 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
     "account_history_page",
@@ -111,6 +111,8 @@ _DRIVER_ROTATE_LAST = [
     "dedup_exact_keep_first",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "embedding_dim_stats",
+    "embedding_outliers",
     "doc_novelty",
     "daily_moving_avg",
     "decontaminate",
@@ -236,6 +238,9 @@ _ROUND_MODIFIED = [
     "pq_trained_recall_audit",
     # fourth wave: batched serving through the IVF-PQ index (new)
     "ann_ivfpq_batch",
+    # fifth wave: multi-probe RHP LSH + its recall audit (new)
+    "dedup_embedding_lsh_multiprobe",
+    "embedding_lsh_multiprobe_recall_audit",
 ]
 
 def _ordered(names: list[str]) -> list[str]:

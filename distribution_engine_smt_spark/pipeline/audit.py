@@ -982,6 +982,77 @@ def embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _embedding_lsh_mp_recall_sql() -> str:
+    from .similarity import NEARDUP_COSINE, _RHP_MP_SQL, _cos_sql
+
+    truth = f"""
+    SELECT a.vec_id AS id_new, b.vec_id AS id_corpus
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 100
+      AND {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
+    """
+    return f"""
+    WITH truth AS ({truth}),
+    lsh AS (SELECT id_new, id_corpus FROM ({_RHP_MP_SQL})),
+    hits AS (
+      SELECT t.id_new FROM truth t
+      JOIN lsh l ON t.id_new = l.id_new AND t.id_corpus = l.id_corpus
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_baseline,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_common,
+           round((SELECT count(*) FROM hits)::DOUBLE
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """
+
+
+@register(
+    "embedding_lsh_multiprobe_recall_audit", _embedding_lsh_mp_recall_sql()
+)
+def embedding_lsh_multiprobe_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair recall of the MULTI-PROBE RHP LSH vs the exact cosine
+    baseline — read next to embedding_lsh_recall_audit: the delta between
+    the two is exactly what the second (lowest-margin-flip) probe buys,
+    measured per corpus at the auto-chosen width. This is the number that
+    decides between widening tables (more pruning, less per-table recall)
+    and probing more buckets (recall back at 2x probe reads, index
+    unchanged)."""
+    from ..session import tracked_persist
+    from .similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh_multiprobe,
+    )
+
+    t = tracked_persist(dedup_embedding_cosine(spark, sf_dir)).select(
+        "id_new", "id_corpus"
+    )
+    l = tracked_persist(dedup_embedding_lsh_multiprobe(spark, sf_dir)).select(
+        "id_new", "id_corpus"
+    )
+    j = t.withColumn("in_t", F.lit(1)).join(
+        l.withColumn("in_l", F.lit(1)), ["id_new", "id_corpus"], "full_outer"
+    )
+    return j.agg(
+        F.count("in_t").cast("long").alias("n_baseline"),
+        F.count("in_l").cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_t").isNotNull() & F.col("in_l").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_common"),
+    ).select(
+        "n_baseline",
+        "n_lsh",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.greatest(F.col("n_baseline"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sampled-baseline LSH recall audit: the 100 TB audit shape
 # ---------------------------------------------------------------------------

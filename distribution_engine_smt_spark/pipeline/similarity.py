@@ -291,6 +291,16 @@ def _hyperplane_signs() -> list[list[list[float]]]:
 _SIGNS = _hyperplane_signs()
 
 
+def _rhp_dot(col: Column, t: int, k: int) -> Column:
+    """embedding . plane_k of table t (the signed margin of bit k)."""
+    plane = F.array(*[F.lit(s) for s in _SIGNS[t][k]])
+    return F.aggregate(
+        F.zip_with(col, plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
 def _rhp_bucket(col: Column, t: int, bits: int, start: int = 0) -> Column:
     """bits-bit bucket id for hash table t: bit_k = sign(embedding . plane_k).
     ``start`` > 0 yields only the HIGH bits [start, bits) — the delta a
@@ -298,12 +308,7 @@ def _rhp_bucket(col: Column, t: int, bits: int, start: int = 0) -> Column:
     is the same at every width, so bucket_k' = bucket_k + delta)."""
     acc = F.lit(0)
     for k in range(start, bits):
-        plane = F.array(*[F.lit(s) for s in _SIGNS[t][k]])
-        dot = F.aggregate(
-            F.zip_with(col, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
+        dot = _rhp_dot(col, t, k)
         acc = acc + F.when(dot >= 0, F.lit(1 << k)).otherwise(F.lit(0))
     return acc
 
@@ -411,6 +416,141 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(F.col("vec_id").alias("id_corpus"), "tbl", "bucket")
     cand = (
         a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_new") < F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("id_new"),
+        F.col("embedding").alias("e1"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id_corpus"),
+        F.col("embedding").alias("e2"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n2"),
+    )
+    cos = dot_fold(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        cand.join(e1, "id_new")
+        .join(e2, "id_corpus")
+        .select("id_new", "id_corpus", cos.alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_COSINE)
+        .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-probe RHP LSH: the recall knob at a FIXED stored width
+# ---------------------------------------------------------------------------
+
+_POWS_SQL = "[" + ", ".join(str(1 << k) for k in range(RHP_MAX_BITS)) + "]"
+
+
+def _rhp_kmin_sql(col: str, t: int) -> str:
+    """Index of table t's lowest-|margin| active bit (masked ladder:
+    inactive planes get +inf so they never win; list_position is the
+    lowest-index-wins tie-break shared with Spark's array_position)."""
+    entries = []
+    for k in range(RHP_MAX_BITS):
+        lit = "[" + ", ".join(str(s) for s in _SIGNS[t][k]) + "]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+        entries.append(
+            f"(CASE WHEN {k} < p.kb THEN abs({dot}) ELSE 1e308 END)"
+        )
+    ds = "[" + ", ".join(entries) + "]"
+    return (
+        f"CAST(list_position({ds}, list_aggregate({ds}, 'min')) - 1 AS INT)"
+    )
+
+
+_RHP_MP_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_rhp_bucket_sql('embedding', t)} AS b0, "
+    f"{_rhp_kmin_sql('embedding', t)} AS kmin "
+    "FROM embeddings, p WHERE vec_id < 100"
+    for t in range(RHP_TABLES)
+)
+
+_RHP_MP_SQL = f"""
+    WITH p AS ({_RHP_PARAMS_SQL}),
+    bands AS ({_RHP_BANDS_SQL}),
+    pr AS ({_RHP_MP_PROBES_SQL}),
+    pb AS (
+      SELECT vec_id, tbl,
+             unnest([b0, xor(b0, ({_POWS_SQL})[kmin + 1])]) AS bucket
+      FROM pr
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
+      FROM pb a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_new, c.id_corpus,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_new
+    JOIN embeddings b ON b.vec_id = c.id_corpus
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
+    ORDER BY id_new ASC, id_corpus ASC
+"""
+
+
+@register("dedup_embedding_lsh_multiprobe", _RHP_MP_SQL)
+def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of dedup_embedding_lsh — the recall knob that
+    does NOT touch the stored index: per table, the probe ALSO visits the
+    neighbor bucket across its lowest-|margin| hyperplane (the bit most
+    likely to differ for a true near neighbor), doubling per-table probes
+    from 1 to 2 while the corpus band table stays exactly as built. This
+    is the RHP analog of IVF's nprobe: widening the tables (the ladder)
+    buys pruning at the price of per-table recall, and multi-probing buys
+    the recall back at query time instead of by storing more tables —
+    at 100 TB that trade (2x probe reads vs L more stored tables and L
+    more ingest folds) is the whole point. Margins are computed on the
+    PROBE side only (the batch recomputes its own dots, the index is read
+    as stored — exactly a vector DB's query path).
+
+    Determinism: same dot folds as the banding, lowest-index-wins argmin
+    on |margin|, XOR flip via a power-of-two lookup; candidates dedup
+    through DISTINCT before the exact-cosine verify, ties impossible in
+    output (pair-keyed). embedding_lsh_multiprobe_recall_audit measures
+    what the extra probe buys vs the single-probe audit."""
+    bands = tracked_persist(rhp_band_frame(spark, sf_dir))
+    emb = _t(spark, sf_dir)["embeddings"]
+    bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    pows = F.array(*[F.lit(1 << k) for k in range(RHP_MAX_BITS)])
+
+    def probe_struct(t: int):
+        absd = F.array(
+            *[F.abs(_rhp_dot(F.col("embedding"), t, k)) for k in range(bits)]
+        )
+        kmin = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
+        b0 = _rhp_bucket(F.col("embedding"), t, bits)
+        b1 = b0.bitwiseXOR(F.try_element_at(pows, kmin + 1))
+        return F.struct(
+            F.lit(t).alias("tbl"), F.array(b0, b1).alias("bks")
+        )
+
+    probes = (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[probe_struct(t) for t in range(RHP_TABLES)])
+            ).alias("x"),
+        )
+        .select(
+            F.col("vec_id").alias("id_new"),
+            F.col("x.tbl").alias("tbl"),
+            F.explode("x.bks").alias("bucket"),
+        )
+    )
+    b = bands.select(F.col("vec_id").alias("id_corpus"), "tbl", "bucket")
+    cand = (
+        probes.join(b, ["tbl", "bucket"])
         .filter(F.col("id_new") < F.col("id_corpus"))
         .select("id_new", "id_corpus")
         .distinct()

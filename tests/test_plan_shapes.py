@@ -219,6 +219,8 @@ def test_recall_audits_are_single_aggregate_rows(spark):
         "pq_recall_audit",
         "ivfpq_recall_audit",
         "pq_trained_recall_audit",
+        "embedding_lsh_recall_audit",
+        "embedding_lsh_multiprobe_recall_audit",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
