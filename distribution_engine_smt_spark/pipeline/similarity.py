@@ -522,21 +522,36 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     emb = _t(spark, sf_dir)["embeddings"]
     bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
     pows = F.array(*[F.lit(1 << k) for k in range(RHP_MAX_BITS)])
+    # stage 1: each table's K margin dots computed ONCE into an array
+    # column — bucket AND argmin both derive from the array downstream,
+    # so every 64-dim fold appears once in the plan (inlining the folds
+    # into both consumers doubled codegen size and warm time)
+    dotted = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        *[
+            F.array(
+                *[_rhp_dot(F.col("embedding"), t, k) for k in range(bits)]
+            ).alias(f"d{t}")
+            for t in range(RHP_TABLES)
+        ],
+    )
 
     def probe_struct(t: int):
-        absd = F.array(
-            *[F.abs(_rhp_dot(F.col("embedding"), t, k)) for k in range(bits)]
-        )
+        dt = F.col(f"d{t}")
+        b0 = F.lit(0)
+        for k in range(bits):  # same k-order adds as _rhp_bucket
+            b0 = b0 + F.when(
+                F.try_element_at(dt, F.lit(k + 1)) >= 0, F.lit(1 << k)
+            ).otherwise(F.lit(0))
+        absd = F.transform(dt, lambda x: F.abs(x))
         kmin = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
-        b0 = _rhp_bucket(F.col("embedding"), t, bits)
         b1 = b0.bitwiseXOR(F.try_element_at(pows, kmin + 1))
         return F.struct(
             F.lit(t).alias("tbl"), F.array(b0, b1).alias("bks")
         )
 
     probes = (
-        emb.filter(F.col("vec_id") < 100)
-        .select(
+        dotted.select(
             "vec_id",
             F.explode(
                 F.array(*[probe_struct(t) for t in range(RHP_TABLES)])
@@ -566,13 +581,18 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n2"),
     )
     cos = dot_fold(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
-    return (
+    # the SURVIVOR set (tiny) is persisted before the orderBy: the range
+    # partitioner samples its child in a separate pass, which would
+    # otherwise evaluate the doubled candidate join + verify chain twice
+    # (persisting the 2x-wider candidate set instead would hide its size
+    # from the planner and demote the broadcast verify to a shuffle join)
+    verified = tracked_persist(
         cand.join(e1, "id_new")
         .join(e2, "id_corpus")
         .select("id_new", "id_corpus", cos.alias("cos"))
         .filter(F.col("cos") >= NEARDUP_COSINE)
-        .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
     )
+    return verified.orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
 
 
 # ---------------------------------------------------------------------------
