@@ -61,6 +61,9 @@ PROBE = {
     "cross_source_dup_matrix": "linear",
     "dedup_minhash_lsh": "linear",
     "dedup_embedding_lsh": "linear",
+    # 2x probe buckets at the ladder width: candidates stay ~flat per
+    # probe, so the chain scales like the single-probe one
+    "dedup_embedding_lsh_multiprobe": "linear",
     "graph_pagerank": "linear",
     "minhash_decontaminate": "linear",
     "ann_pq_topk": "linear",
