@@ -443,9 +443,21 @@ def probe_streaming(spark) -> dict:
         pq_seed_vectors,
     )
 
-    base_store = build_ivfpq_code_store(spark, BASE)
-    _, cents = kmeans_fit(spark, BASE)
-    seeds = pq_seed_vectors(spark, BASE)
+    # the base store builds under its OWN root: at this point the env var
+    # was popped (store-build section), so building here would otherwise
+    # land in the repo's LIVE .stores — the probe must never mutate the
+    # bench's store family
+    prev_root = os.environ.get("SPARK_GRAFT_STORE_DIR")
+    os.environ["SPARK_GRAFT_STORE_DIR"] = os.path.join(ROOT, "stream-stores")
+    try:
+        base_store = build_ivfpq_code_store(spark, BASE)
+        _, cents = kmeans_fit(spark, BASE)
+        seeds = pq_seed_vectors(spark, BASE)
+    finally:
+        if prev_root is None:
+            os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_STORE_DIR"] = prev_root
     emb_rows = (
         load_tpch(spark, BASE)["embeddings"].orderBy("vec_id").limit(500).collect()
     )
