@@ -603,7 +603,7 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "pairs": build_dedup_pair_store(spark, sf_dir),
         "clusters": build_dedup_cluster_store(spark, sf_dir),
         "kmeans": build_kmeans_fit_store(spark, sf_dir),
-        "rhp_bands": build_rhp_band_store(spark, sf_dir),
+        "rhp_bands": ensure_rhp_band_store(spark, sf_dir),
         "pq_codes": build_pq_code_store(spark, sf_dir),
         "ivfpq_codes": build_ivfpq_code_store(spark, sf_dir),
         "pq_codebook": build_pq_codebook_store(spark, sf_dir),
@@ -988,6 +988,25 @@ def migrate_rhp_band_store(
     if os.path.isdir(new_path):
         return new_path
     emb = load_tpch(spark, sf_dir)["embeddings"]
+    # the delta bits derive from the corpus table; a stored vector with no
+    # corpus row (e.g. stream-ingested but not yet compacted into the
+    # table) would be SILENTLY DROPPED by the refinement join — refuse
+    # loudly instead, because an index that forgets rows is worse than a
+    # failed migration
+    orphans = (
+        read_rhp_bands(spark, old_path)
+        .select("vec_id")
+        .distinct()
+        .join(emb.select("vec_id"), "vec_id", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if orphans:
+        raise ValueError(
+            "band store holds vectors absent from the corpus table "
+            "(stream-ingested rows not yet folded into embeddings); fold "
+            "them into the table first, then migrate"
+        )
     deltas = emb.select(
         "vec_id",
         F.posexplode(
@@ -1027,6 +1046,47 @@ def migrate_rhp_band_store(
         _json.dump({"bits": new_bits, "tables": RHP_TABLES}, f)
     _atomic_publish(tmp, new_path)
     return new_path
+
+
+def ensure_rhp_band_store(
+    spark: SparkSession, sf_dir: str, bits: int | None = None
+) -> str:
+    """Self-healing entry point for the band store across ladder rungs:
+    if a store already exists at the target width, return it; if one
+    exists at a NARROWER width (the corpus crossed a rung since the last
+    build), refine it via the delta-bit migration instead of re-banding;
+    only with no usable prior store does a full build run. This is the
+    index-maintenance loop a growing 100 TB corpus actually runs — the
+    expensive full banding happens once in the table's life, and every
+    rung crossing afterwards costs only the new planes' folds."""
+    from ..pipeline.params import corpus_count, rhp_bits_for
+
+    if bits is None:
+        bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    path = rhp_band_store_path(sf_dir, bits)
+    if os.path.isdir(path):
+        return path
+    # widest existing NARROWER store for this corpus fingerprint — the
+    # cheapest migration source (fewest delta bits)
+    best = None
+    best_bits = -1
+    root = store_root()
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            cand = os.path.join(root, name)
+            if not name.startswith("rhp-bands-"):
+                continue
+            if not os.path.isfile(os.path.join(cand, "_meta.json")):
+                continue
+            b = rhp_store_bits(cand)
+            # exact-path check: same version, L, corpus fingerprint
+            if cand != rhp_band_store_path(sf_dir, b):
+                continue
+            if b < bits and b > best_bits:
+                best, best_bits = cand, b
+    if best is not None:
+        return migrate_rhp_band_store(spark, sf_dir, best, bits)
+    return build_rhp_band_store(spark, sf_dir, bits)
 
 
 def run_rhp_band_stream(

@@ -552,6 +552,66 @@ def test_pq_codebook_store_short_circuits_fit(spark, store_dir):
     assert with_store == without
 
 
+def test_ensure_rhp_band_store_migrates_across_rungs(spark, store_dir, monkeypatch):
+    """The self-healing entry point: no store -> full build; store at the
+    target width -> returned as-is; store at a NARROWER width -> delta-bit
+    migration (proven by forbidding the full build), bucket-identical to
+    a fresh build at the new width."""
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        rhp_band_frame_at,
+    )
+
+    p4 = storage.ensure_rhp_band_store(spark, SF_DIR, bits=4)
+    assert storage.rhp_store_bits(p4) == 4
+    assert storage.ensure_rhp_band_store(spark, SF_DIR, bits=4) == p4
+    # crossing a rung must refine, never re-band: a full build here fails
+    def _no_build(*a, **k):
+        raise AssertionError("rung crossing must migrate, not re-band")
+
+    monkeypatch.setattr(storage, "build_rhp_band_store", _no_build)
+    p6 = storage.ensure_rhp_band_store(spark, SF_DIR, bits=6)
+    assert storage.rhp_store_bits(p6) == 6
+    got = _bands_key(storage.read_rhp_bands(spark, p6).collect())
+    fresh = _bands_key(rhp_band_frame_at(spark, SF_DIR, 6).collect())
+    assert got == fresh
+
+
+def test_rhp_migration_refuses_orphaned_stream_rows(spark, store_dir, tmp_path):
+    """Lifecycle guard: a store holding stream-ingested vectors that are
+    NOT yet folded into the corpus table must refuse to migrate — the
+    refinement join derives delta bits from the table, so migrating would
+    silently drop those rows from the index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distribution_engine_smt_spark import tables
+    from distribution_engine_smt_spark.operators.storage import (
+        run_rhp_band_stream,
+    )
+
+    path = storage.build_rhp_band_store(spark, SF_DIR, bits=4)
+    emb = tables.load_tpch(spark, SF_DIR)["embeddings"]
+    v0 = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([600_000], pa.int64()),
+                "embedding": pa.array([v0], pa.list_(pa.float32())),
+            }
+        ),
+        str(incoming / "w.parquet"),
+    )
+    q = run_rhp_band_stream(
+        spark, str(incoming), "vec_id long, embedding array<float>",
+        path, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="absent from the corpus table"):
+        storage.migrate_rhp_band_store(spark, SF_DIR, path, 6)
+
+
 def test_rhp_band_store_width_migration(spark, store_dir):
     """Crossing a ladder rung migrates the band store by computing ONLY
     the delta bits: the migrated store must equal a from-scratch build at
