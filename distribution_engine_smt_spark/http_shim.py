@@ -35,6 +35,35 @@ from .serving import ParamError, QueryServer
 GZIP_MIN_BYTES = 500
 
 
+def _accepts_gzip(accept_encoding: str) -> bool:
+    """RFC 7231 Accept-Encoding check for gzip, honoring q-values the way
+    flask-compress (werkzeug) does: ``gzip;q=0`` is an explicit refusal,
+    ``*`` matches gzip unless gzip is listed separately, absent header
+    means no preference (we don't compress then — matching the previous
+    conservative behavior)."""
+    q: dict[str, float] = {}
+    for part in accept_encoding.split(","):
+        part = part.strip().lower()
+        if not part:
+            continue
+        name, _, params = part.partition(";")
+        name = name.strip()
+        qv = 1.0
+        for p in params.split(";"):
+            k, _, v = p.strip().partition("=")
+            if k.strip() == "q":
+                try:
+                    qv = float(v)
+                except ValueError:
+                    qv = 0.0
+        q[name] = qv
+    if "gzip" in q:
+        return q["gzip"] > 0.0
+    if "x-gzip" in q:
+        return q["x-gzip"] > 0.0
+    return q.get("*", 0.0) > 0.0
+
+
 def make_handler(query_server: QueryServer):
     """Bind a BaseHTTPRequestHandler subclass to one QueryServer."""
 
@@ -73,16 +102,21 @@ def make_handler(query_server: QueryServer):
                 body_str, status = "[]", 500
             body = body_str.encode("utf-8")
             # wire parity with the reference's flask-compress: gzip when the
-            # client advertises support and the body clears the floor
+            # client advertises support and the body clears the floor.
+            # q-values are honored ("gzip;q=0" is an explicit refusal, which
+            # a bare substring check would mis-read as acceptance).
             accept = self.headers.get("Accept-Encoding", "")
-            gzipped = "gzip" in accept.lower() and len(body) >= GZIP_MIN_BYTES
+            gzipped = _accepts_gzip(accept) and len(body) >= GZIP_MIN_BYTES
             if gzipped:
                 body = gzip.compress(body, compresslevel=6)
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
+            # Vary on EVERY compressible response (not just compressed ones):
+            # a cache that stored the identity body without it could serve
+            # that body to a gzip-accepting client and vice versa
+            self.send_header("Vary", "Accept-Encoding")
             if gzipped:
                 self.send_header("Content-Encoding", "gzip")
-                self.send_header("Vary", "Accept-Encoding")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -570,5 +570,21 @@ def test_http_shim_gzips_large_bodies(spark):
         with urllib.request.urlopen(small) as r:
             assert r.headers.get("Content-Encoding") is None
             assert json.loads(r.read().decode()) == []
+        # q-value refusal: "gzip;q=0" means NO gzip (flask-compress /
+        # werkzeug parse q-values; a substring check would compress)
+        refuse = urllib.request.Request(
+            big, headers={"Accept-Encoding": "gzip;q=0, identity"}
+        )
+        with urllib.request.urlopen(refuse) as r:
+            assert r.headers.get("Content-Encoding") is None
+            assert len(json.loads(r.read().decode())) == 10
+        # Vary: Accept-Encoding is sent on the IDENTITY response too, so a
+        # cache never serves the uncompressed body to a gzip client keyless
+        with urllib.request.urlopen(big) as r:
+            assert r.headers.get("Vary") == "Accept-Encoding"
+        # wildcard acceptance compresses
+        wild = urllib.request.Request(big, headers={"Accept-Encoding": "*"})
+        with urllib.request.urlopen(wild) as r:
+            assert r.headers["Content-Encoding"] == "gzip"
     finally:
         httpd.shutdown()
