@@ -108,21 +108,33 @@ def write_range_sorted(
 ZORDER_BITS = 16  # fixed-point resolution per dimension
 
 
-def _zvalue(col: Column, lo: float, span: float, dim: int, n_dims: int) -> Column:
+def _zorder_bits_per_dim(n_dims: int) -> int:
+    """Bits per dimension for an n_dims-column interleave, scaled down so
+    the TOP interleaved bit stays below the long's sign bit: at the full
+    ZORDER_BITS=16 resolution, 4+ columns would push a bit into position
+    >= 63 (sign bit inverts that bit's sort order; shifts >= 64 wrap per
+    JVM semantics and silently corrupt the curve). 63 // n_dims keeps
+    every shift in [0, 63) at any column count."""
+    return min(ZORDER_BITS, 63 // n_dims)
+
+
+def _zvalue(
+    col: Column, lo: float, span: float, dim: int, n_dims: int, bits: int
+) -> Column:
     """Bit-interleave contribution of one dimension: the column scaled to
-    a ZORDER_BITS fixed-point rank in [0, 2^bits), its bits spread every
+    a ``bits`` fixed-point rank in [0, 2^bits), its bits spread every
     ``n_dims`` positions starting at ``dim``. Pure integer/long
     expressions — whole-stage codegen, no UDF."""
     scaled = F.least(
-        F.lit((1 << ZORDER_BITS) - 1),
+        F.lit((1 << bits) - 1),
         F.greatest(
             F.lit(0),
-            ((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(1 << ZORDER_BITS))
+            ((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(1 << bits))
             .cast("long"),
         ),
     )
     out = F.lit(0).cast("long")
-    for b in range(ZORDER_BITS):
+    for b in range(bits):
         bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1))
         out = out + F.shiftleft(bit, b * n_dims + dim)
     return out
@@ -156,11 +168,17 @@ def write_zorder_sorted(
         ]
     ).first()
     n = len(zorder_cols)
+    bits = _zorder_bits_per_dim(n)
+    if bounds[f"lo_{zorder_cols[0]}"] is None:
+        # empty input: min/max aggregate to NULL — nothing to rank, write
+        # the empty frame as-is (mirrors write_range_sorted's behavior)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return
     z = F.lit(0).cast("long")
     for i, c in enumerate(zorder_cols):
         lo = float(bounds[f"lo_{c}"])
         span = max(float(bounds[f"hi_{c}"]) - lo, 1e-300)
-        z = z + _zvalue(F.col(c), lo, span, i, n)
+        z = z + _zvalue(F.col(c), lo, span, i, n, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))
@@ -1117,6 +1135,126 @@ def run_rhp_band_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def init_growable_corpus(spark: SparkSession, src_sf_dir: str, corpus_dir: str) -> str:
+    """Materialize a GROWABLE corpus directory from a static sf_dir: the
+    embeddings table is rewritten PARTITIONED BY ``ingest_batch``
+    (``ingest_batch=base`` for the seed rows) so that stream-ingest folds
+    (``fold_rhp_stream_into_corpus``) can land each wave as its own
+    idempotently-overwritable partition; every other table is symlinked
+    unchanged. This is the table layout a live 100 TB corpus runs — the
+    read-only fixture directories stay byte-identical for the oracles."""
+    from ..tables import TPCH_TABLES, load_tpch
+
+    os.makedirs(corpus_dir, exist_ok=True)
+    emb_dst = os.path.join(corpus_dir, "embeddings.parquet")
+    if not os.path.isdir(emb_dst):
+        (
+            load_tpch(spark, src_sf_dir)["embeddings"]
+            .withColumn("ingest_batch", F.lit("base"))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .parquet(emb_dst)
+        )
+    for name in TPCH_TABLES:
+        if name == "embeddings":
+            continue
+        dst = os.path.join(corpus_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_sf_dir, f"{name}.parquet"), dst)
+    return corpus_dir
+
+
+def _invalidate_corpus_caches(corpus_sf_dir: str) -> None:
+    """Drop per-session caches keyed on a corpus whose CONTENT just
+    changed (table frames, row counts): partition discovery and ladder
+    widths must re-derive on next use."""
+    from ..driver_queries import _DF_CACHE
+    from ..pipeline.params import _COUNT_CACHE
+    from ..tables import _TPCH_CACHE
+
+    for cache in (_TPCH_CACHE, _COUNT_CACHE, _DF_CACHE):
+        for k in [k for k in cache if corpus_sf_dir in str(k)]:
+            del cache[k]
+
+
+def fold_rhp_stream_into_corpus(
+    spark: SparkSession, corpus_sf_dir: str, store_dir: str, source_dir: str
+) -> str:
+    """Compaction counterpart of ``run_rhp_band_stream`` (VERDICT r7 #2):
+    fold the stream-ingested vectors back into the corpus embeddings
+    table, so the width-migration guard (which refuses stores holding
+    vectors absent from the corpus — an index that forgets rows is worse
+    than a failed migration) can see them and the index can cross ladder
+    rungs again. Without this, a live stream-fed index is pinned at its
+    build width forever.
+
+    Mechanics: the band store itself records WHICH vectors arrived by
+    stream (rows under ``batch_id=stream-N``); their float vectors are
+    joined back from the staging area the stream consumed
+    (``source_dir``) and written into the corpus table under
+    ``ingest_batch=fold-stream-N`` partitions with dynamic partition
+    overwrite — a crashed or replayed fold rewrites its own partitions
+    byte-identically instead of appending duplicates (idempotent
+    batch-keyed append). Columns the staging rows lack (label) fill NULL
+    at the corpus type.
+
+    The store path embeds the corpus fingerprint, which the fold just
+    changed — the store is RENAMED to the refreshed fingerprint path
+    (metadata move, no data rewrite) so ``ensure_rhp_band_store``
+    resolves it for the grown corpus; the rename also makes the
+    pre-fold path vanish, which is correct (that corpus state no longer
+    exists). Returns the refreshed store path."""
+    emb_dir = os.path.join(corpus_sf_dir, "embeddings.parquet")
+    bits = rhp_store_bits(store_dir)
+    # fold only the batches not already in the corpus: a re-run (or a
+    # replay after a crash between the data write and the store rename)
+    # must not rewrite committed partitions — rewriting them would bump
+    # their mtimes and move the corpus fingerprint on every no-op run
+    done = {
+        name.split("=", 1)[1]
+        for name in os.listdir(emb_dir)
+        if name.startswith("ingest_batch=fold-")
+    }
+    bands = spark.read.parquet(store_dir)
+    stream_batches = {
+        r["batch_id"]
+        for r in bands.select("batch_id").distinct().collect()
+        if r["batch_id"] != "base"
+    }
+    todo = sorted(b for b in stream_batches if f"fold-{b}" not in done)
+    if todo:
+        corpus_schema = spark.read.parquet(emb_dir).drop("ingest_batch").schema
+        stream_vecs = (
+            bands.where(F.col("batch_id").isin(todo))
+            .select("vec_id", "batch_id")
+            .distinct()
+        )
+        src = spark.read.parquet(source_dir)
+        cols = []
+        for field in corpus_schema.fields:
+            if field.name in src.columns:
+                cols.append(
+                    F.col(field.name).cast(field.dataType).alias(field.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        folded = src.join(stream_vecs, "vec_id").select(
+            *cols,
+            F.concat(F.lit("fold-"), F.col("batch_id")).alias("ingest_batch"),
+        )
+        (
+            folded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(emb_dir)
+        )
+        _invalidate_corpus_caches(corpus_sf_dir)
+    new_path = rhp_band_store_path(corpus_sf_dir, bits)
+    if new_path != store_dir:
+        os.rename(store_dir, new_path)
+    return new_path
 
 
 def run_ivf_ingest_stream(
