@@ -316,14 +316,24 @@ def _mh_guard(r: int) -> str:
 # Width-laddered band table: one (sig, bands) pair per rung, each sig scan
 # gated on the in-SQL rows-per-band ladder over count(*) — the inactive
 # rung aggregates over zero rows, so the oracle only pays for the width
-# the Spark side also chose (params.minhash_widths_for).
-_BANDS_LADDER_SQL = f"""
-    sig2 AS (SELECT doc_id, {_sig_cols_sql(8)} FROM sh
-             WHERE {_mh_guard(2)} GROUP BY doc_id),
-    sig3 AS (SELECT doc_id, {_sig_cols_sql(24)} FROM sh
-             WHERE {_mh_guard(3)} GROUP BY doc_id),
-    bands AS ({_band_sql_rung('sig2', 4, 2)}
-              UNION ALL {_band_sql_rung('sig3', 8, 3)})"""
+# the Spark side also chose (params.minhash_widths_for). Rungs generated
+# from params.MINHASH_RUNGS: r=2 fixture floor, r=3 past 2^16 docs,
+# r=4 (b=16, H=64) past 2^24 — the 100 TB rung (VERDICT r7 #1).
+from .params import MINHASH_RUNGS as _MINHASH_RUNGS  # noqa: E402 (no cycle)
+
+_MINHASH_LADDER_ROWS = (2,) + tuple(r for _, r in sorted(_MINHASH_RUNGS))
+_BANDS_LADDER_SQL = (
+    ",\n    ".join(
+        f"sig{r} AS (SELECT doc_id, {_sig_cols_sql((1 << r) * r)} FROM sh\n"
+        f"             WHERE {_mh_guard(r)} GROUP BY doc_id)"
+        for r in _MINHASH_LADDER_ROWS
+    )
+    + ",\n    bands AS ("
+    + "\n              UNION ALL ".join(
+        _band_sql_rung(f"sig{r}", 1 << r, r) for r in _MINHASH_LADDER_ROWS
+    )
+    + ")"
+)
 
 _MINHASH_LSH_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
@@ -785,12 +795,35 @@ def minhash_index(
     return band_frame(sig, bands, rows), sh
 
 
+def index_band_width(index_bands: DataFrame) -> int:
+    """Band count of a stored LSH band table (max band id + 1) — the one
+    runtime-observable width fact, used to fail loudly on a probe/index
+    width mismatch. One tiny max aggregate; on a (band, bv)-bucketed
+    store this reads column stats, not data."""
+    row = index_bands.agg(F.max("band").alias("mb")).first()
+    return (row["mb"] + 1) if row["mb"] is not None else 0
+
+
+def _validate_index_width(index_bands: DataFrame, bands: int) -> None:
+    observed = index_band_width(index_bands)
+    if observed and observed != bands:
+        raise ValueError(
+            f"probe/index LSH width mismatch: probe bands={bands} but the "
+            f"index holds {observed} band ids — band values at different "
+            "rows-per-band never collide; pass the index's (bands, rows) "
+            "(params.minhash_widths_for at its build-time corpus size)"
+        )
+
+
 def probe_minhash_index(
     index_bands: DataFrame,
     index_shingles: DataFrame,
     new_docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     persist_candidates: bool = True,
+    bands: int = BANDS,
+    rows: int = N_HASHES // BANDS,
+    validate_width: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: verified pairs (new_id, corpus_id,
     jaccard ≥ threshold) between an arriving batch and the INDEXED corpus
@@ -809,8 +842,19 @@ def probe_minhash_index(
     probe per micro-batch) must pass False: per-call persists are only
     released when the driver GCs the DataFrame, and pinning one candidate
     RDD per micro-batch grows executor storage without bound. Recomputing
-    a batch-sized frame three times is the cheaper steady state."""
-    new_bands, new_sh = minhash_index(new_docs)
+    a batch-sized frame three times is the cheaper steady state.
+
+    ``bands``/``rows``: MUST match the widths the index was built at
+    (default: the fixture rung; a ladder-width index passes its
+    params.minhash_widths_for pair). Band values at different
+    rows-per-band are md5 digests of different component counts and NEVER
+    collide, so a silent mismatch yields ~zero candidates — an index that
+    quietly finds nothing. ``validate_width`` (one tiny max-agg on the
+    band table) turns that silence into a loud error; repeated per-batch
+    callers validate once at stream setup and pass False here."""
+    if validate_width:
+        _validate_index_width(index_bands, bands)
+    new_bands, new_sh = minhash_index(new_docs, bands, rows)
     cand = (
         new_bands.select(F.col("doc_id").alias("new_id"), "band", "bv")
         .join(
@@ -860,6 +904,8 @@ def run_incremental_dedup_stream(
     index_shingles: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    bands: int = BANDS,
+    rows: int = N_HASHES // BANDS,
 ):
     """Streaming ingest-time near-dup screening: each micro-batch of
     arriving documents is probed against the static corpus index and the
@@ -878,11 +924,18 @@ def run_incremental_dedup_stream(
     with overwrite semantics. A replay rewrites the same directory with
     the same deterministic pairs instead of appending duplicates; readers
     see exactly-once output. (A plain append sink here would duplicate
-    pairs on replay; parquet has no keyed upsert to lean on.)"""
+    pairs on replay; parquet has no keyed upsert to lean on.)
+
+    ``bands``/``rows`` must be the index's build-time widths; validated
+    ONCE here at stream setup (per-micro-batch probes skip the check —
+    the index frame doesn't change under a running stream)."""
+    _validate_index_width(index_bands, bands)
 
     def probe_batch(batch_df, batch_id: int):
         pairs = probe_minhash_index(
-            index_bands, index_shingles, batch_df, persist_candidates=False
+            index_bands, index_shingles, batch_df,
+            persist_candidates=False, bands=bands, rows=rows,
+            validate_width=False,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
@@ -905,6 +958,8 @@ def run_pair_store_stream(
     corpus_sources: DataFrame,
     store_dir: str,
     checkpoint_dir: str,
+    bands: int = BANDS,
+    rows: int = N_HASHES // BANDS,
 ):
     """Streaming twin of ``build_dedup_pair_store`` (operators/storage.py):
     maintain the materialized near-dup PAIR STORE incrementally as
@@ -927,7 +982,13 @@ def run_pair_store_stream(
     the crash, the self-probe would otherwise surface each batch pair a
     second time as a cross pair (and each doc as a jaccard-1.0 self
     pair). Periodic ``compact_table`` folds the per-batch files; a
-    rebuild via ``build_dedup_pair_store`` re-partitions by source."""
+    rebuild via ``build_dedup_pair_store`` re-partitions by source.
+
+    ``bands``/``rows`` must be the corpus index's build-time widths: the
+    batch's own postings land in the store and join the corpus bands, so
+    a width mismatch would make every cross probe silently empty.
+    Validated once at stream setup."""
+    _validate_index_width(index_bands, bands)
     band_schema = "doc_id long, band int, bv string"
     shingle_schema = "doc_id long, g string"
 
@@ -948,11 +1009,13 @@ def run_pair_store_stream(
         all_bands = index_bands.unionByName(prior_b)
         all_sh = index_shingles.unionByName(prior_s)
         cross = probe_minhash_index(
-            all_bands, all_sh, batch_docs, persist_candidates=False
+            all_bands, all_sh, batch_docs, persist_candidates=False,
+            bands=bands, rows=rows, validate_width=False,
         )
-        b_bands, b_sh = minhash_index(batch_docs)
+        b_bands, b_sh = minhash_index(batch_docs, bands, rows)
         intra = probe_minhash_index(
-            b_bands, b_sh, batch_docs, persist_candidates=False
+            b_bands, b_sh, batch_docs, persist_candidates=False,
+            bands=bands, rows=rows, validate_width=False,
         )
         pairs = (
             cross.unionByName(intra)

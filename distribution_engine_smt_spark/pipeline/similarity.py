@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import _t, memoize_df, register
 from ..session import tracked_persist
 
 DIM = 64
@@ -71,6 +71,7 @@ def _cos_sql(a: str, b: str) -> str:
     LIMIT 10
     """,
 )
+@memoize_df
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k: the 1-row query vector broadcasts; one scan computes
     cosines inside codegen; TakeOrdered keeps k rows per partition. This is
@@ -223,6 +224,7 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_new ASC, id_corpus ASC
     """,
 )
+@memoize_df
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection for an incoming batch (vec_id < 100) against the
     corpus — the incremental-ingest dedup shape: the small batch broadcasts,
@@ -398,6 +400,7 @@ def rhp_band_frame_at(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
 
 
 @register("dedup_embedding_lsh", _RHP_SQL)
+@memoize_df
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale version of dedup_embedding_cosine: candidates come
     from sign-pattern bucket collisions in L=8 independent K-bit
@@ -446,11 +449,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POWS_SQL = "[" + ", ".join(str(1 << k) for k in range(RHP_MAX_BITS)) + "]"
 
+# Probes per table: all XOR subsets of the RHP_MP_FLIP lowest-|margin|
+# planes — T = 2^RHP_MP_FLIP probe buckets ordered {}, {k1}, {k2},
+# {k1,k2}, ... (the multi-probe LSH perturbation sets of Lv et al. 2007,
+# truncated to single- and double-flips). r7 shipped T=2 (recall 0.84 at
+# sf0.1); T=4 buys the audit past the 0.9 floor at the same stored width.
+RHP_MP_FLIP = 2
+RHP_PROBES = 1 << RHP_MP_FLIP
 
-def _rhp_kmin_sql(col: str, t: int) -> str:
-    """Index of table t's lowest-|margin| active bit (masked ladder:
-    inactive planes get +inf so they never win; list_position is the
-    lowest-index-wins tie-break shared with Spark's array_position)."""
+
+def _rhp_dots_sql(col: str, t: int) -> str:
+    """Masked-ladder dot LIST for table t: entry k is the signed margin of
+    plane k, NULL when the plane is inactive at this corpus's width. The
+    list is computed ONCE per (probe row, table); bucket bits and the
+    flip-plane argmins all derive from it downstream — each 64-dim fold
+    appears once in the SQL, not once per consumer."""
     entries = []
     for k in range(RHP_MAX_BITS):
         lit = "[" + ", ".join(str(s) for s in _SIGNS[t][k]) + "]"
@@ -458,30 +471,64 @@ def _rhp_kmin_sql(col: str, t: int) -> str:
             f"list_reduce(list_transform(generate_series(1, {DIM}), "
             f"i -> CAST({col}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
         )
-        entries.append(
-            f"(CASE WHEN {k} < p.kb THEN abs({dot}) ELSE 1e308 END)"
-        )
-    ds = "[" + ", ".join(entries) + "]"
-    return (
-        f"CAST(list_position({ds}, list_aggregate({ds}, 'min')) - 1 AS INT)"
-    )
+        entries.append(f"(CASE WHEN {k} < p.kb THEN {dot} ELSE NULL END)")
+    return "[" + ", ".join(entries) + "]"
 
 
-_RHP_MP_PROBES_SQL = " UNION ALL ".join(
-    f"SELECT vec_id, {t} AS tbl, {_rhp_bucket_sql('embedding', t)} AS b0, "
-    f"{_rhp_kmin_sql('embedding', t)} AS kmin "
+_RHP_MP_DOTS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_rhp_dots_sql('embedding', t)} AS ds "
     "FROM embeddings, p WHERE vec_id < 100"
     for t in range(RHP_TABLES)
+)
+
+# b0 from the dot list: bit k set iff plane k active and margin >= 0 —
+# identical to the masked-ladder band sum over the same folds
+_B0_FROM_DS_SQL = " + ".join(
+    f"(CASE WHEN ds[{k + 1}] IS NOT NULL AND ds[{k + 1}] >= 0 "
+    f"THEN {1 << k} ELSE 0 END)"
+    for k in range(RHP_MAX_BITS)
 )
 
 _RHP_MP_SQL = f"""
     WITH p AS ({_RHP_PARAMS_SQL}),
     bands AS ({_RHP_BANDS_SQL}),
-    pr AS ({_RHP_MP_PROBES_SQL}),
+    pr0 AS ({_RHP_MP_DOTS_SQL}),
+    pr1 AS (
+      SELECT vec_id, tbl, ds,
+             list_transform(ds, x -> CASE WHEN x IS NULL THEN 1e308
+                                          ELSE abs(x) END) AS a1
+      FROM pr0
+    ),
+    pr2 AS (
+      SELECT vec_id, tbl, ds, a1,
+             CAST(list_position(a1, list_aggregate(a1, 'min')) - 1 AS INT)
+               AS k1
+      FROM pr1
+    ),
+    pr3 AS (
+      SELECT vec_id, tbl, ds, k1,
+             list_transform(generate_series(1, {RHP_MAX_BITS}),
+                            i -> CASE WHEN i = k1 + 1 THEN 1e308
+                                      ELSE a1[i] END) AS a2
+      FROM pr2
+    ),
+    pr4 AS (
+      SELECT vec_id, tbl, ds, k1,
+             CAST(list_position(a2, list_aggregate(a2, 'min')) - 1 AS INT)
+               AS k2
+      FROM pr3
+    ),
+    prb AS (
+      SELECT vec_id, tbl, ({_B0_FROM_DS_SQL}) AS b0,
+             ({_POWS_SQL})[k1 + 1] AS p1,
+             ({_POWS_SQL})[k2 + 1] AS p2
+      FROM pr4
+    ),
     pb AS (
       SELECT vec_id, tbl,
-             unnest([b0, xor(b0, ({_POWS_SQL})[kmin + 1])]) AS bucket
-      FROM pr
+             unnest([b0, xor(b0, p1), xor(b0, p2),
+                     xor(xor(b0, p1), p2)]) AS bucket
+      FROM prb
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
@@ -499,25 +546,33 @@ _RHP_MP_SQL = f"""
 
 
 @register("dedup_embedding_lsh_multiprobe", _RHP_MP_SQL)
+@memoize_df
 def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe variant of dedup_embedding_lsh — the recall knob that
-    does NOT touch the stored index: per table, the probe ALSO visits the
-    neighbor bucket across its lowest-|margin| hyperplane (the bit most
-    likely to differ for a true near neighbor), doubling per-table probes
-    from 1 to 2 while the corpus band table stays exactly as built. This
-    is the RHP analog of IVF's nprobe: widening the tables (the ladder)
-    buys pruning at the price of per-table recall, and multi-probing buys
-    the recall back at query time instead of by storing more tables —
-    at 100 TB that trade (2x probe reads vs L more stored tables and L
-    more ingest folds) is the whole point. Margins are computed on the
-    PROBE side only (the batch recomputes its own dots, the index is read
-    as stored — exactly a vector DB's query path).
+    does NOT touch the stored index: per table, the probe visits the
+    T = 2^RHP_MP_FLIP buckets reached by XOR-flipping every subset of its
+    RHP_MP_FLIP lowest-|margin| hyperplanes (the bits most likely to
+    differ for a true near neighbor — the multi-probe perturbation sets
+    of Lv et al., truncated to the T cheapest), while the corpus band
+    table stays exactly as built. This is the RHP analog of IVF's nprobe:
+    widening the tables (the ladder) buys pruning at the price of
+    per-table recall, and multi-probing buys the recall back at query
+    time instead of by storing more tables — at 100 TB that trade (T x
+    probe reads vs L more stored tables and L more ingest folds) is the
+    whole point. Margins are computed on the PROBE side only (the batch
+    recomputes its own dots, the index is read as stored — exactly a
+    vector DB's query path). r7 shipped T=2 at 0.84 recall (sf0.1); T=4
+    clears the 0.9 audit floor at the same stored width (VERDICT r7 #3).
 
     Determinism: same dot folds as the banding, lowest-index-wins argmin
-    on |margin|, XOR flip via a power-of-two lookup; candidates dedup
-    through DISTINCT before the exact-cosine verify, ties impossible in
-    output (pair-keyed). embedding_lsh_multiprobe_recall_audit measures
-    what the extra probe buys vs the single-probe audit."""
+    on |margin| (second flip = argmin with the first position masked to
+    the same +inf sentinel in both engines), XOR flips via a
+    power-of-two lookup; candidates dedup through DISTINCT before the
+    exact-cosine verify, ties impossible in output (pair-keyed).
+    embedding_lsh_multiprobe_recall_audit measures what the extra probes
+    buy vs the single-probe audit. Memoized per session (the audit
+    consumes the SAME frame the query built — VERDICT r7 #5: the pair
+    must not pay for the probe chain twice)."""
     bands = tracked_persist(rhp_band_frame(spark, sf_dir))
     emb = _t(spark, sf_dir)["embeddings"]
     bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
@@ -544,10 +599,24 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
                 F.try_element_at(dt, F.lit(k + 1)) >= 0, F.lit(1 << k)
             ).otherwise(F.lit(0))
         absd = F.transform(dt, lambda x: F.abs(x))
-        kmin = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
-        b1 = b0.bitwiseXOR(F.try_element_at(pows, kmin + 1))
+        k1 = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
+        # second-lowest margin: mask position k1 with the same sentinel
+        # the SQL twin uses, argmin again (first-match tie-break)
+        absd2 = F.transform(
+            absd,
+            lambda x, i: F.when(i == k1, F.lit(1e308)).otherwise(x),
+        )
+        k2 = (F.array_position(absd2, F.array_min(absd2)) - 1).cast("int")
+        p1 = F.try_element_at(pows, k1 + 1)
+        p2 = F.try_element_at(pows, k2 + 1)
         return F.struct(
-            F.lit(t).alias("tbl"), F.array(b0, b1).alias("bks")
+            F.lit(t).alias("tbl"),
+            F.array(
+                b0,
+                b0.bitwiseXOR(p1),
+                b0.bitwiseXOR(p2),
+                b0.bitwiseXOR(p1).bitwiseXOR(p2),
+            ).alias("bks"),
         )
 
     probes = (

@@ -59,6 +59,34 @@ def test_probe_finds_exact_copies_and_verifies_jaccard(spark):
         assert exact >= JACCARD_THRESHOLD
 
 
+def test_probe_width_mismatch_fails_loudly_and_ladder_width_probe_works(spark):
+    """A ladder-width index (b=8/r=3 — the rung past 65536 docs) probed at
+    the fixture default must raise, not silently find nothing: band values
+    at different rows-per-band are md5 of different component counts and
+    never collide. Probing at the matching widths finds the exact copy."""
+    import pytest
+
+    docs = tables.load_tpch(spark, SF_DIR)["documents"].select("doc_id", "text")
+    bands, sh = minhash_index(docs, bands=8, rows=3)  # ladder rung widths
+    bands = bands.persist()
+    sh = sh.persist()
+    src = docs.orderBy("doc_id").first()
+    new_docs = spark.createDataFrame(
+        [(30_000, src["text"])], "doc_id long, text string"
+    )
+
+    with pytest.raises(ValueError, match="width mismatch"):
+        probe_minhash_index(bands, sh, new_docs)  # fixture default b=4
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in probe_minhash_index(
+            bands, sh, new_docs, bands=8, rows=3
+        ).collect()
+    }
+    assert got.get((30_000, src["doc_id"])) == 1.0, got
+
+
 def test_streaming_probe_matches_batch_probe(spark, tmp_path):
     """Drain-equals-batch for the ingest-time near-dup gate: the union of
     per-micro-batch probe outputs equals one batch probe of all waves."""

@@ -42,7 +42,10 @@ def test_ivf_cells_ladder_matches(n):
 
 @pytest.mark.parametrize(
     "n,bits", [(1, 4), (500, 4), (2000, 5), (5000, 7), (20000, 9),
-               (1 << 20, 12), (10**12, 12)]
+               # the r7 cap (12) saturated here — now the ladder keeps
+               # tracking occupancy through the 100 TB range
+               (32 * (1 << 12), 12), (32 * (1 << 13), 13),
+               (1 << 20, 15), (10**9, 24), (10**12, 24)]
 )
 def test_rhp_bits_values(n, bits):
     # occupancy target: n / 2^bits stays within [T, 2T) once off the clamps
@@ -51,10 +54,24 @@ def test_rhp_bits_values(n, bits):
 
 @pytest.mark.parametrize(
     "n,k", [(1, 4), (500, 4), (1599, 4), (1600, 8), (2000, 8),
-            (6400, 16), (20000, 16), (25600, 32), (10**9, 32)]
+            (6400, 16), (20000, 16), (25600, 32),
+            # rungs past the r7 cap of 32
+            (102399, 32), (102400, 64), (409600, 128),
+            (1638400, 256), (10**9, 256)]
 )
 def test_ivf_cells_values(n, k):
     assert params.ivf_cells_for(n) == k
+
+
+@pytest.mark.parametrize(
+    "n,widths", [(1, (8, 4, 2)), ((1 << 16) - 1, (8, 4, 2)),
+                 (1 << 16, (24, 8, 3)), ((1 << 24) - 1, (24, 8, 3)),
+                 # the 100 TB rung (r=4, b=16, H=64) — was documentation
+                 # only in r7, now a real ladder step in both twins
+                 (1 << 24, (64, 16, 4)), (10**12, (64, 16, 4))]
+)
+def test_minhash_width_values(n, widths):
+    assert params.minhash_widths_for(n) == widths
 
 
 def test_exact_power_boundaries():
