@@ -794,25 +794,24 @@ def dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _occ_sql() -> str:
-    from .clustering import _IVF_RUNG_GUARD, _fit_ctes
+    from .clustering import _fit_ctes_dyn
     from .dedup import _BANDS_LADDER_SQL, _SHINGLE_SQL
-    from .params import IVF_RUNGS, minhash_bands_sql
+    from .params import minhash_bands_sql
     from .similarity import _RHP_BANDS_SQL, _RHP_PARAMS_SQL
 
     stats = (
         "count(*) AS n_buckets, sum(sz) AS n_rows, "
         "max(sz) AS max_bucket, sum(sz * sz) AS s2"
     )
-    ivf_branches = "\n      UNION ALL\n      ".join(
-        f"""SELECT * FROM (
-        WITH {_fit_ctes(k, guard=_IVF_RUNG_GUARD.format(k=k))}
+    # width-generic fit (clustering._fit_ctes_dyn): ONE branch covers
+    # every IVF ladder rung — no per-rung replay (r8)
+    ivf_branches = f"""SELECT * FROM (
+        WITH {_fit_ctes_dyn()}
         SELECT 'ivf_kmeans' AS structure,
                (SELECT count(*) FROM embeddings) AS n_items,
-               {k} AS width, {stats}
+               (SELECT k FROM pk) AS width, {stats}
         FROM (SELECT cid, count(*) AS sz FROM g2 GROUP BY cid) cs
-      ) ivf_rung_{k} WHERE {_IVF_RUNG_GUARD.format(k=k)}"""
-        for k in IVF_RUNGS
-    )
+      ) ivf_dyn"""
     return f"""
     WITH p AS ({_RHP_PARAMS_SQL}),
     rbands AS ({_RHP_BANDS_SQL}),

@@ -44,11 +44,11 @@ OUT_DIMS = 4  # centroid coordinates included in the result
 # The trained-IVF probes (ann_ivf_kmeans_*) and the index/store builders
 # use the CORPUS-SIZE-DERIVED cell count instead (params.ivf_cells_for:
 # K ~ sqrt(n/25) floored to a power-of-two rung) — VERDICT r6 #1: a fixed
-# k=4 means a probe scans ~n/4 forever. Their oracle SQL replays the fit
-# once PER RUNG, each branch gated on the in-SQL ladder over count(*), so
-# the active rung is chosen identically in both engines at any n.
+# k=4 means a probe scans ~n/4 forever. Their oracle SQL is WIDTH-GENERIC
+# (_fit_ctes_dyn: assignment joins a seeds relation gated on the in-SQL
+# ladder over count(*)), so both engines choose — and replay — the same
+# rung at any n with O(1) SQL text in k.
 from .params import (  # noqa: E402
-    IVF_RUNGS,
     corpus_count,
     ivf_cells_for,
     ivf_cells_sql,
@@ -70,19 +70,20 @@ def _dist_to_literal(emb, centroid: list[float]):
 
 def _argmin_case(d: list):
     """Lowest-index-wins argmin over len(d) distance columns (ties ->
-    lower index), mirrored verbatim in the oracle SQL. THE shared
-    tie-break contract for every quantizer in the repo (k-means cells,
-    the stored-index router, PQ codebooks) — one implementation so the
-    rule cannot drift between consumers."""
-    k = len(d)
-    expr = F.lit(k - 1)
-    for i in range(k - 2, -1, -1):
-        cond = None
-        for j in range(i + 1, k):
-            c = d[i] <= d[j]
-            cond = c if cond is None else (cond & c)
-        expr = F.when(cond, F.lit(i)).otherwise(expr)
-    return expr
+    lower index), mirrored in the oracle SQL. THE shared tie-break
+    contract for every quantizer in the repo (k-means cells, the
+    stored-index router, PQ codebooks) — one implementation so the rule
+    cannot drift between consumers.
+
+    Built as array_position(ds, array_min(ds)) over ONE array of the k
+    distances, not a CASE cascade over the d columns: the cascade
+    references each distance ~k times and Spark inlines the 64-dim fold
+    per reference (~k^2 fold evaluations per row — the same blowup the
+    SQL twins hit and fixed with list_position(list_min); docs/PLANS.md
+    round-10). Each fold appears once in the plan; array_position's
+    first-match semantics are exactly lowest-index-wins."""
+    ds = F.array(*d)
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
 def _dec(el):
@@ -249,17 +250,61 @@ def _assign_sql(
 
 
 def _fit_ctes(k: int, guard: str | None = None) -> str:
-    """The WITH-body replaying a full ITERS=2 Lloyd fit at width k:
-    a0/g1 (init assignment), s1/c1v (decimal means), a1/g2 (final
-    assignment). Shared by every fit-replaying oracle so the iteration
-    structure cannot drift between them. ``guard`` empties both corpus
-    scans when this rung is inactive (multi-rung oracles)."""
+    """The WITH-body replaying a full ITERS=2 Lloyd fit at a FIXED width
+    k: a0/g1 (init assignment), s1/c1v (decimal means), a1/g2 (final
+    assignment). Used by the fixed-spec consumers (embedding_kmeans /
+    semdedup pin k=4, part of those queries' definitions); the
+    corpus-size-derived consumers use ``_fit_ctes_dyn``. ``guard``
+    empties both corpus scans when this branch is inactive."""
     return (
         f"{_assign_sql('', 'a0', 'g1', from_init=True, k=k, guard=guard)},\n    "
         f"{_sums_sql('g1', 's1')},\n    "
         f"{_cent_sql('s1', 'c1v')},\n    "
         f"{_assign_sql('c1v', 'a1', 'g2', from_init=False, k=k, guard=guard)}"
     )
+
+
+def _fit_ctes_dyn() -> str:
+    """WIDTH-GENERIC twin of _fit_ctes: the same ITERS=2 Lloyd replay at
+    k = params.ivf_cells_for(count(*)) with SQL text that is O(1) in k —
+    assignment joins a ``seeds`` relation gated on ``vec_id < pk.k``
+    instead of enumerating k scalar-subquery sides, and the argmin is
+    ``min(struct_pack(d, c))`` over the joined rows (struct comparison is
+    lexicographic: smallest distance, ties -> smallest cid — byte-for-
+    byte the list_position(list_min) / _argmin_case contract, proven
+    assignment- and centroid-identical to the static form at k=4).
+
+    This replaces the r7 rung-union mechanism for every IVF consumer:
+    one SQL text covers EVERY ladder rung (the r7 unions were O(k) text
+    per rung, which is why IVF_RUNGS capped at 32 — the r7 weak item).
+    Final CTE names (g1/c1v/g2) match _fit_ctes so probe tails compose
+    with either body."""
+    from .params import ivf_cells_sql
+
+    pk = ivf_cells_sql("(SELECT count(*) FROM embeddings)")
+    d = _dist_sql("e.embedding", "s.c")
+    return f"""pk AS (SELECT {pk} AS k),
+    seeds AS (
+      SELECT vec_id AS scid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings, pk WHERE vec_id < pk.k
+    ),
+    a0 AS (
+      SELECT e.vec_id, e.embedding,
+             min(struct_pack(d := {d}, c := s.scid)) AS mn
+      FROM embeddings e, seeds s
+      GROUP BY e.vec_id, e.embedding
+    ),
+    g1 AS (SELECT vec_id, embedding, CAST(mn.c AS INT) AS cid FROM a0),
+    {_sums_sql('g1', 's1')},
+    {_cent_sql('s1', 'c1v')},
+    a1 AS (
+      SELECT e.vec_id, e.embedding,
+             min(struct_pack(d := {d}, c := s.cid)) AS mn
+      FROM g1 e, c1v s
+      GROUP BY e.vec_id, e.embedding
+    ),
+    g2 AS (SELECT vec_id, embedding, CAST(mn.c AS INT) AS cid FROM a1)"""
 
 
 _FINAL_COORDS = ", ".join(
@@ -310,26 +355,7 @@ IVF_TOP = 10
 
 from .similarity import _cos_sql  # noqa: E402  (registered module, no cycle)
 
-_IVF_RUNG_GUARD = (
-    ivf_cells_sql("(SELECT count(*) FROM embeddings)") + " = {k}"
-)
-
-
-def _rung_union(branch_sql_for) -> str:
-    """Multi-rung oracle: replay the query once per ladder rung, each
-    branch gated on the in-SQL cell-count ladder over count(*) — exactly
-    one branch is active at any corpus size, and it is the same rung the
-    Spark side's ivf_cells_for picks. Nested WITHs sit in subquery
-    position (the lsh_recall_audit trick)."""
-    return "\n    UNION ALL\n    ".join(
-        f"SELECT * FROM (\n    {branch_sql_for(k)}\n    ) rung_{k} "
-        f"WHERE {_IVF_RUNG_GUARD.format(k=k)}"
-        for k in IVF_RUNGS
-    )
-
-
-def _ivf_kmeans_sql_rung(k: int) -> str:
-    return f"""WITH {_fit_ctes(k, guard=_IVF_RUNG_GUARD.format(k=k))},
+_IVF_KMEANS_SQL = f"""WITH {_fit_ctes_dyn()},
     q AS (SELECT embedding AS q_emb, cid AS q_cid FROM g2 WHERE vec_id = 0)
     SELECT e.vec_id,
            {_cos_sql('e.embedding', 'q.q_emb')} AS cos
@@ -337,9 +363,6 @@ def _ivf_kmeans_sql_rung(k: int) -> str:
     WHERE e.cid = q.q_cid AND e.vec_id <> 0
     ORDER BY cos DESC, e.vec_id ASC
     LIMIT {IVF_TOP}"""
-
-
-_IVF_KMEANS_SQL = _rung_union(_ivf_kmeans_sql_rung)
 
 
 @register("ann_ivf_kmeans_topk", _IVF_KMEANS_SQL)
@@ -402,8 +425,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 2
 
 
-def _ivf_nprobe_sql_rung(k: int) -> str:
-    return f"""WITH {_fit_ctes(k, guard=_IVF_RUNG_GUARD.format(k=k))},
+_IVF_NPROBE_SQL = f"""WITH {_fit_ctes_dyn()},
     q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
     qd AS (
       SELECT c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
@@ -416,9 +438,6 @@ def _ivf_nprobe_sql_rung(k: int) -> str:
     WHERE e.vec_id <> 0
     ORDER BY cos DESC, e.vec_id ASC
     LIMIT {IVF_TOP}"""
-
-
-_IVF_NPROBE_SQL = _rung_union(_ivf_nprobe_sql_rung)
 
 
 @register("ann_ivf_kmeans_nprobe", _IVF_NPROBE_SQL)
@@ -478,7 +497,7 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_CAND = 100  # ADC survivors fetched for the exact rerank
 
 
-def _ivfpq_sql_rung(k: int) -> str:
+def _ivfpq_sql() -> str:
     from .similarity import (
         PQ_TOP,
         _pq_adc_sql,
@@ -489,8 +508,7 @@ def _ivfpq_sql_rung(k: int) -> str:
         _pq_seeds_sql,
     )
 
-    guard = _IVF_RUNG_GUARD.format(k=k)
-    return f"""WITH {_fit_ctes(k, guard=guard)},
+    return f"""WITH {_fit_ctes_dyn()},
     q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
     qd AS (
       SELECT c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
@@ -521,7 +539,7 @@ def _ivfpq_sql_rung(k: int) -> str:
     LIMIT {PQ_TOP}"""
 
 
-_IVFPQ_SQL = _rung_union(_ivfpq_sql_rung)
+_IVFPQ_SQL = _ivfpq_sql()
 
 
 @register("ann_ivfpq_topk", _IVFPQ_SQL)
