@@ -4,13 +4,15 @@ query detail plus ONE short driver-facing JSON summary line (LAST).
 
 Each query is executed to completion (count) so the full plan runs; the
 session is warmed with one throwaway action so JVM/codegen startup isn't
-billed to the first query. Per query: 3 timed runs. Run 1 is reported as
+billed to the first query. Per query: 4 timed runs. Run 1 is reported as
 ``cold`` (everything the query must derive from scratch after the
-inter-query cache clear — fits, sketches, signature passes); the median of
-runs 2-3 is ``warm`` (steady-state latency with the query's own tracked
-persists populated, the number a repeated caller sees). Round 5 reported
-only the warm median and the cold cost hid inside ``spread``; both numbers
-are real, so both are reported (VERDICT r5 "what's wrong" #1).
+inter-query cache clear — fits, sketches, signature passes); the MEDIAN
+of runs 2-4 is ``warm`` (steady-state latency with the query's own
+tracked persists populated, the number a repeated caller sees). A true
+median-of-3 warm (VERDICT r7 #6): r7's two-sample "median" let one
+driver-context jitter spike read as a 2.5x regression on byte-unchanged
+plans; with three warm samples a single outlier can't move the headline.
+``spread`` (max-min across all runs) still exposes the jitter itself.
 
 Before the timed loop the one-time index stores are built
 (``ensure_stores``: the MinHash-LSH pair store and the k-means fit store —
@@ -162,7 +164,7 @@ def main() -> None:
     for name in names + extra:
         fn = driver_queries.QUERIES[name]
         runs = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
