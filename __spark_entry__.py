@@ -36,15 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # --- r7 head, in priority order:
-    # 1) zero driver rows (new this round: the width-ladder occupancy
-    #    audit, the embedding-LSH recall audit, and the sampled-baseline
-    #    LSH recall audit) — must sit in the cap
-    # 2) exactly one green row across r1-r6 — each gets its second row
-    #    (VERDICT r6 next-round #6: dup_inflation / split_leakage_audit)
-    # 3) the rest of this round's modified set (_ROUND_MODIFIED below)
-    # 4) fill to 50 with the lowest-coverage (2-row) stable queries so
-    #    coverage keeps deepening instead of re-verifying 3-row queries
+    # --- r8 head, in priority order:
+    # 1) new this round (zero driver rows): trained and residual IVF-PQ
+    #    compositions, each with its recall audit
+    "ann_ivfpq_trained_topk",
+    "ivfpq_trained_recall_audit",
+    "ann_ivfpq_residual_topk",
+    "ivfpq_residual_recall_audit",
+    # 2) exactly one green row (the 11 r7 additions - VERDICT r7 #8);
+    #    every one is also r8-modified (ladder ceilings / dyn-fit /
+    #    multiprobe T=4 rewrites), so the placement does double duty
     "embedding_lsh_recall_audit",
     "index_occupancy_audit",
     "lsh_recall_audit_sampled",
@@ -56,77 +57,72 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_batch",
     "dedup_embedding_lsh_multiprobe",
     "embedding_lsh_multiprobe_recall_audit",
-    "ann_recall_audit",
-    "bigram_perplexity",
-    "chunk_dedup",
-    "chunk_excise",
-    "dedup_cluster_stats",
-    "dup_inflation",
-    "lsh_recall_audit",
-    "pq_recall_audit",
-    "split_leakage_audit",
-    "ann_pq_topk",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "minhash_decontaminate",
-    "embedding_kmeans",
-    "semdedup",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_kmeans_nprobe",
-    "cross_source_dup_matrix",
-    "dedup_clusters",
-    "dedup_best_representative",
-    "corpus_datasheet",
-    "dedup_ngram_jaccard",
-    "above_nation_avg_balance",
-    "ann_ivf_nprobe_topk",
-    "ann_query_batch",
-    "ann_sq8_topk",
-    "asof_purchase_attribution",
-    "authorperm_codec",
-    "balanced_sample",
-    "bloom_membership",
-    "bm25_search",
-    "build_vocab",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "curated_corpus",
-    "curriculum_buckets",
-    "earliest_event_per_user",
-    "event_funnel",
-    "event_zscore_anomaly",
+    # 3) fill to the cap with the 18 stalest stable queries (no r7
+    #    driver row; deepest coverage debt first); the remaining 17
+    #    r8-modified queries follow via _ROUND_MODIFIED and the head
+    #    is exactly 50
+    "quantile_error_audit",
+    "hard_negatives",
+    "rrf_hybrid_search",
+    "tfidf_keywords",
+    "substring_dup_spans",
+    "top_boilerplate_spans",
+    "leakage_free_split",
+    "embedding_outliers",
+    "mixture_weights",
+    "doc_novelty",
+    "account_history_page",
+    "ann_ivf_topk",
+    "blog_union_minjoin",
+    "children_counts",
+    "dedup_exact",
+    "dedup_exact_keep_first",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 138 registered queries and the 50-slot cap,
 # exactly 88 sit here so the cut is EXPLICIT (chosen stable queries)
 # rather than whatever lands at positions 51+ of registration order.
 _DRIVER_ROTATE_LAST = [
-    "account_history_page",
-    "ann_ivf_topk",
-    "ann_topk_bruteforce",
-    "blog_union_minjoin",
-    "children_counts",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embedding_dim_stats",
-    "embedding_outliers",
-    "doc_novelty",
+    # multi-round-green AND untouched this round - rotated past the
+    # 50-slot cap (regenerated each round so head + this = registry)
+    "above_nation_avg_balance",
+    "ann_ivf_nprobe_topk",
+    "ann_pq_topk",
+    "ann_query_batch",
+    "ann_sq8_topk",
+    "asof_purchase_attribution",
+    "authorperm_codec",
+    "balanced_sample",
+    "bigram_perplexity",
+    "bloom_membership",
+    "bm25_search",
+    "build_vocab",
+    "chunk_dedup",
+    "chunk_documents",
+    "chunk_excise",
+    "cms_heavy_hitters",
+    "curated_corpus",
+    "curriculum_buckets",
     "daily_moving_avg",
     "decontaminate",
+    "dedup_ngram_jaccard",
     "deterministic_shuffle",
-    "events_pivot",
-    "graph_pagerank",
     "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
     "discussions_by_promoted",
     "discussions_by_trending",
+    "dup_inflation",
+    "earliest_event_per_user",
+    "embedding_dim_stats",
+    "event_funnel",
+    "event_zscore_anomaly",
+    "events_pivot",
     "feed_semijoin",
     "follow_counts",
-    "hard_negatives",
+    "graph_pagerank",
     "hll_daily_merge",
     "hll_distinct",
     "hourly_hll_distinct",
@@ -136,9 +132,7 @@ _DRIVER_ROTATE_LAST = [
     "kmv_set_ops",
     "langid_confusion",
     "latest_event_per_key",
-    "leakage_free_split",
     "length_histogram",
-    "mixture_weights",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
@@ -148,17 +142,16 @@ _DRIVER_ROTATE_LAST = [
     "payout_accumulation",
     "pii_redact",
     "post_with_votes",
+    "pq_recall_audit",
     "prefix_select",
     "pricing_summary",
     "quality_filter",
-    "quantile_error_audit",
     "range_join_events",
     "reblogged_by_agg",
     "recent_orders_window",
     "regional_revenue",
     "replies_in_notin",
     "reward_curves",
-    "rrf_hybrid_search",
     "sales_rollup",
     "sampled_quantiles",
     "segment_nation_counts",
@@ -169,7 +162,6 @@ _DRIVER_ROTATE_LAST = [
     "sliding_event_counts",
     "source_vocab_overlap",
     "stratified_sample",
-    "substring_dup_spans",
     "supplier_visible_revenue",
     "tag_membership",
     "text_fingerprint",
@@ -177,11 +169,9 @@ _DRIVER_ROTATE_LAST = [
     "text_quality_score",
     "text_repetition",
     "text_token_counts",
-    "tfidf_keywords",
     "thread_tree",
     "time_format_wire",
     "token_count_quantiles",
-    "top_boilerplate_spans",
     "top_ngrams",
     "trending_tags",
     "tumbling_event_counts",
@@ -200,47 +190,46 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r7 (this round): corpus-size-derived index widths (pipeline/params.py
-    # ladders — VERDICT r6 next-round #1) touched the RHP-LSH chain, the
-    # MinHash-LSH chain + its signature store, the all-pairs baseline
-    # (store-aware + sampled mode), and the trained-IVF family (multi-rung
-    # oracles); the PQ re-tune (8x8 subspaces, K=8, CAND=300, single-fold
-    # encoder — #2) touched ann_pq_topk/pq_recall_audit; the ADVICE
-    # zero-guards touched dup_inflation/split_leakage_audit; the occupancy,
-    # embedding-LSH-recall, and sampled-LSH-recall audits are new.
-    "ann_pq_topk",
-    "pq_recall_audit",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "minhash_decontaminate",
-    "lsh_recall_audit",
-    "ann_recall_audit",
-    "embedding_kmeans",
-    "semdedup",
-    "ann_ivf_kmeans_topk",
+    # r8 (this round): the ladder-ceiling lift (RHP_MAX_BITS 12->24,
+    # MinHash r=4 rung, IVF rungs to 256) rewrote the masked RHP twins,
+    # the banded MinHash ladder, and EVERY IVF-fit-replaying oracle (the
+    # width-generic _fit_ctes_dyn join form replaced the per-rung
+    # unions); multiprobe went T=2 -> T=4; _argmin_case became the
+    # array form on the Spark side (embedding_kmeans / semdedup); the
+    # audit-shared similarity chains gained per-session memoization.
+    # Enumerated by marker scan over oracle_sql() (see git log r8).
     "ann_ivf_kmeans_nprobe",
-    "cross_source_dup_matrix",
-    "dedup_clusters",
-    "dedup_best_representative",
+    "ann_ivf_kmeans_topk",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_pq_trained_topk",
+    "ann_recall_audit",
     "corpus_datasheet",
-    "dup_inflation",
-    "split_leakage_audit",
-    "dedup_ngram_jaccard",
+    "cross_source_dup_matrix",
+    "dedup_best_representative",
+    "dedup_cluster_stats",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_multiprobe",
+    "dedup_minhash_lsh",
+    "embedding_lsh_multiprobe_recall_audit",
     "embedding_lsh_recall_audit",
     "index_occupancy_audit",
-    "lsh_recall_audit_sampled",
-    # second wave: IVF-PQ probe + its recall audit (new, zero driver rows)
-    "ann_ivfpq_topk",
     "ivfpq_recall_audit",
-    # third wave: trained PQ codebooks (new, zero driver rows)
+    "ivfpq_residual_recall_audit",
+    "ivfpq_trained_recall_audit",
+    "lsh_recall_audit",
+    "lsh_recall_audit_sampled",
     "pq_train",
-    "ann_pq_trained_topk",
     "pq_trained_recall_audit",
-    # fourth wave: batched serving through the IVF-PQ index (new)
-    "ann_ivfpq_batch",
-    # fifth wave: multi-probe RHP LSH + its recall audit (new)
-    "dedup_embedding_lsh_multiprobe",
-    "embedding_lsh_multiprobe_recall_audit",
+    "split_leakage_audit",
+    "ann_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "embedding_kmeans",
+    "semdedup",
+    "minhash_decontaminate",
 ]
 
 def _ordered(names: list[str]) -> list[str]:

