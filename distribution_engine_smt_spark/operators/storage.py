@@ -140,6 +140,27 @@ def _zvalue(
     return out
 
 
+_ZORDER_STR_CHARS = 6  # 48-bit surrogate: exact in a double (< 2^53)
+
+
+def _zorder_str_surrogate(col: Column) -> Column:
+    """Order-preserving fixed-width numeric surrogate for a STRING
+    z-order key: the first 6 characters packed big-endian as base-256
+    digits (codepoints clamped to 255, so ordering is exact for ASCII
+    and monotone-approximate beyond). 48 bits keeps the surrogate — and
+    the min/max bounds arithmetic — exactly representable in a double,
+    which the rank scaling runs through. Strings sharing a 6-char prefix
+    collapse to one rank: the curve clusters by prefix, which is what
+    makes the string column's parquet footer min/max narrow."""
+    out = F.lit(0).cast("long")
+    for i in range(1, _ZORDER_STR_CHARS + 1):
+        byte = F.least(
+            F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0)), F.lit(255)
+        ).cast("long")
+        out = out + F.shiftleft(byte, 8 * (_ZORDER_STR_CHARS - i))
+    return out
+
+
 def write_zorder_sorted(
     df: DataFrame, path: str, zorder_cols: list[str], n_files: int
 ) -> None:
@@ -156,14 +177,26 @@ def write_zorder_sorted(
     expressions), and the write is the same one-range-shuffle layout as
     ``write_range_sorted`` keyed on the z-value. This is the lakehouse
     OPTIMIZE-ZORDER shape; ``pruned_scan_stats`` proves the skipping per
-    dimension from the footers alone."""
+    dimension from the footers alone.
+
+    STRING columns interleave via an order-preserving fixed-width
+    surrogate (``_zorder_str_surrogate``: first 6 chars base-256) — the
+    footer min/max of the string column itself stays narrow because the
+    curve clusters by prefix, so string range/prefix predicates prune."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def rank_col(c: str) -> Column:
+        if types.get(c) == "string":
+            return _zorder_str_surrogate(F.col(c))
+        return F.col(c)
+
     bounds = df.agg(
         *[
             f
             for c in zorder_cols
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+                F.min(rank_col(c).cast("double")).alias(f"lo_{c}"),
+                F.max(rank_col(c).cast("double")).alias(f"hi_{c}"),
             )
         ]
     ).first()
@@ -178,7 +211,7 @@ def write_zorder_sorted(
     for i, c in enumerate(zorder_cols):
         lo = float(bounds[f"lo_{c}"])
         span = max(float(bounds[f"hi_{c}"]) - lo, 1e-300)
-        z = z + _zvalue(F.col(c), lo, span, i, n, bits)
+        z = z + _zvalue(rank_col(c), lo, span, i, n, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))

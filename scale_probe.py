@@ -691,6 +691,35 @@ def main() -> None:
         print(json.dumps({"store_build_scale": m, "sec": round(log_total, 2), **per}))
     os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
 
+    # ---- multi-probe recall-vs-cost curve (VERDICT r7 #3): at every
+    # scale, pair recall and warm latency of the single-probe and the
+    # T=4 multi-probe chains over the SAME stored-width band table —
+    # what the extra probes buy, and what they cost, as n grows
+    multiprobe_curve: dict[str, dict] = {}
+    for m in SCALES:
+        _dq = driver_queries
+        _dq._DF_CACHE.clear()
+        spark.catalog.clearCache()
+        per = {}
+        for label, qname in [
+            ("single_probe", "embedding_lsh_recall_audit"),
+            ("multi_probe_t4", "embedding_lsh_multiprobe_recall_audit"),
+        ]:
+            fn = driver_queries.QUERIES[qname]
+            t0 = time.perf_counter()
+            row = fn(spark, dirs[m]).collect()[0]
+            cold = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            fn(spark, dirs[m]).collect()
+            per[label] = {
+                "recall": row["recall"],
+                "n_baseline": row["n_baseline"],
+                "cold": cold,
+                "warm": round(time.perf_counter() - t0, 4),
+            }
+        multiprobe_curve[str(m)] = per
+        print(json.dumps({"multiprobe_curve": m, **per}))
+
     # ---- rung crossing ABOVE the r7 ladder ceilings (VERDICT r7 #1)
     rung_crossing = probe_rung_crossing(spark)
 
@@ -705,6 +734,7 @@ def main() -> None:
         "key_offset": OFF,
         "queries": results,
         "candidates_per_probe": candidates,
+        "multiprobe_curve": multiprobe_curve,
         "rung_crossing": rung_crossing,
         "store_builds": store_builds,
         "ingest": ingest,

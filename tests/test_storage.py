@@ -138,6 +138,27 @@ def test_zorder_four_columns_stays_in_long_range_and_prunes(spark, tmp_path):
     assert got == want
 
 
+def test_zorder_string_key_prunes_from_footers(spark, tmp_path):
+    """String z-order keys (r8): the order-preserving 6-char base-256
+    surrogate clusters the curve by prefix, so a string range predicate
+    prunes row groups from the string column's OWN footer min/max —
+    and the numeric co-dimension still prunes too."""
+    df = spark.range(0, 100000).select(
+        F.format_string("user%06d", (F.col("id") * 48271) % 100000).alias("u"),
+        F.col("id").alias("v"),
+    )
+    zpath = str(tmp_path / "zstr")
+    storage.write_zorder_sorted(df, zpath, ["u", "v"], n_files=32)
+    su = storage.pruned_scan_stats(zpath, "u", "user000000", "user005000")
+    assert su["row_groups_total"] >= 32
+    assert su["row_groups_needed"] <= su["row_groups_total"] // 2, su
+    sv = storage.pruned_scan_stats(zpath, "v", 0, 5000)
+    assert sv["row_groups_needed"] <= sv["row_groups_total"] // 2, sv
+    got = sorted((r["u"], r["v"]) for r in spark.read.parquet(zpath).collect())
+    want = sorted((r["u"], r["v"]) for r in df.collect())
+    assert got == want
+
+
 def test_zorder_empty_frame_writes_empty_parquet(spark, tmp_path):
     """Empty input: min/max bounds are NULL — write the empty frame
     instead of crashing on float(None) (ADVICE r7)."""
