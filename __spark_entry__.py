@@ -43,6 +43,8 @@ _DRIVER_PRIORITY = [
     "ivfpq_trained_recall_audit",
     "ann_ivfpq_residual_topk",
     "ivfpq_residual_recall_audit",
+    "ann_ivf_sharded_topk",
+    "ann_ivf_sharded_recall_audit",
     # 2) exactly one green row (the 11 r7 additions - VERDICT r7 #8);
     #    every one is also r8-modified (ladder ceilings / dyn-fit /
     #    multiprobe T=4 rewrites), so the placement does double duty
@@ -77,8 +79,6 @@ _DRIVER_PRIORITY = [
     "children_counts",
     "dedup_exact",
     "dedup_exact_keep_first",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 138 registered queries and the 50-slot cap,
@@ -108,6 +108,8 @@ _DRIVER_ROTATE_LAST = [
     "daily_moving_avg",
     "decontaminate",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "deterministic_shuffle",
     "discussions_by_created",
     "discussions_by_hot",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, register
+from ..session import tracked_persist
 from .textstats import STOPWORDS, _STOP_SQL, tokens
 
 # ---------------------------------------------------------------------------
@@ -618,8 +619,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .clustering import ann_ivf_kmeans_nprobe
     from .similarity import ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
-    approx = ann_ivf_kmeans_nprobe(spark, sf_dir).select("vec_id")
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(ann_ivf_kmeans_nprobe(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_overlap")
     )
@@ -662,8 +665,10 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     an empirical question per corpus, not a design assumption."""
     from .similarity import ann_pq_topk, ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
-    approx = ann_pq_topk(spark, sf_dir).select("vec_id")
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(ann_pq_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_overlap")
     )
@@ -708,8 +713,10 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .clustering import ann_ivfpq_topk
     from .similarity import ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
-    approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id")
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(ann_ivfpq_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_overlap")
     )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import _t, memoize_df, register
 from .similarity import DIM
 
 K = 4      # the FIXED-SPEC rung: embedding_kmeans/semdedup replay k=4
@@ -176,6 +176,49 @@ def kmeans_fit(
     result = (asg.select("vec_id", "cid"), assign_cents)
     _FIT_CACHE[key] = result
     return result
+
+
+def _lloyd_fit_frame(frame: DataFrame, seeds: list[list[float]], iters: int = ITERS):
+    """Lloyd's algorithm over an ARBITRARY (vec_id, embedding) frame with
+    explicit seed centroids — the level-2 fit of the sharded IVF probe
+    (ann_ivf_sharded_topk): same fold/argmin/decimal-mean contracts as
+    kmeans_fit, no cache (the fit is cell-sized and query-scoped).
+    Returns (assignments, assignment-time centroids) — the same
+    internal-consistency contract as kmeans_fit."""
+    cents = [list(map(float, s)) for s in seeds]
+    k = len(cents)
+    asg = None
+    assign_cents = cents
+    for _ in range(iters):
+        assign_cents = cents
+        d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
+        asg = frame.select("vec_id", "embedding", _argmin_case(d).alias("cid"))
+        rows = {
+            r["cid"]: r
+            for r in asg.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(_dec(F.try_element_at("embedding", F.lit(j)))).alias(
+                        f"s{j}"
+                    )
+                    for j in range(1, DIM + 1)
+                ],
+            )
+            .select(
+                "cid",
+                "n",
+                *[
+                    (F.col(f"s{j}").cast("double") / F.col("n")).alias(f"c{j}")
+                    for j in range(1, DIM + 1)
+                ],
+            )
+            .collect()
+        }
+        if len(rows) < k:
+            raise ValueError(f"empty cluster (got {sorted(rows)}); reseed required")
+        cents = [[rows[i][f"c{j}"] for j in range(1, DIM + 1)] for i in range(k)]
+    return asg.select("vec_id", "cid"), assign_cents
 
 
 def _dist_sql(e: str, c: str) -> str:
@@ -366,6 +409,7 @@ _IVF_KMEANS_SQL = f"""WITH {_fit_ctes_dyn()},
 
 
 @register("ann_ivf_kmeans_topk", _IVF_KMEANS_SQL)
+@memoize_df
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k through a TRAINED coarse quantizer: the k-means fit
     (k = params.ivf_cells_for(corpus count) ~ sqrt(n/25) at power-of-two
@@ -441,6 +485,7 @@ _IVF_NPROBE_SQL = f"""WITH {_fit_ctes_dyn()},
 
 
 @register("ann_ivf_kmeans_nprobe", _IVF_NPROBE_SQL)
+@memoize_df
 def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF probe with nprobe={n}: the query reads its {n} nearest
     cells instead of one — the standard recall knob (a vector just across
@@ -487,6 +532,181 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(IVF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded (two-level) IVF: IVF-on-IVF past the flat-codebook rung cap
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sharded_sql() -> str:
+    d = _dist_sql("e.embedding", "s.c")
+    return f"""WITH {_fit_ctes_dyn()},
+    qc AS (SELECT cid AS q_cid, embedding AS q_emb FROM g2 WHERE vec_id = 0),
+    cell AS (
+      SELECT e.vec_id, e.embedding FROM g2 e, qc WHERE e.cid = qc.q_cid
+    ),
+    pk2 AS (SELECT {ivf_cells_sql('(SELECT count(*) FROM cell)')} AS k),
+    sd AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id ASC) - 1 AS scid
+      FROM cell
+    ),
+    seeds2 AS (
+      SELECT scid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM sd, pk2 WHERE scid < pk2.k
+    ),
+    b0 AS (
+      SELECT e.vec_id, e.embedding,
+             min(struct_pack(d := {d}, c := s.scid)) AS mn
+      FROM cell e, seeds2 s
+      GROUP BY e.vec_id, e.embedding
+    ),
+    h1 AS (SELECT vec_id, embedding, CAST(mn.c AS INT) AS cid FROM b0),
+    {_sums_sql('h1', 't1')},
+    {_cent_sql('t1', 'c2v')},
+    b1 AS (
+      SELECT e.vec_id, e.embedding,
+             min(struct_pack(d := {d}, c := s.cid)) AS mn
+      FROM h1 e, c2v s
+      GROUP BY e.vec_id, e.embedding
+    ),
+    h2 AS (SELECT vec_id, embedding, CAST(mn.c AS INT) AS cid FROM b1),
+    q2 AS (
+      SELECT c.cid FROM c2v c, qc
+      ORDER BY {_dist_sql('qc.q_emb', 'c.c')} ASC, c.cid ASC
+      LIMIT {NPROBE}
+    )
+    SELECT e.vec_id,
+           {_cos_sql('e.embedding', 'qc.q_emb')} AS cos
+    FROM h2 e JOIN q2 ON e.cid = q2.cid CROSS JOIN qc
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT {IVF_TOP}"""
+
+
+@register("ann_ivf_sharded_topk", _ivf_sharded_sql())
+@memoize_df
+def ann_ivf_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (sharded) IVF — IVF-on-IVF, the deployment story for
+    corpora PAST the flat coarse codebook's top rung (params.IVF_RUNGS
+    caps at 256 cells because a flat quantizer pays k distance folds per
+    routed vector; at n = 10^9 the balance point is k ≈ 6300, which a
+    two-level quantizer reaches as 128 x 49 with 177 folds per route
+    instead of 6300). Level 1 is the corpus-wide trained fit (shared
+    with every IVF consumer); level 2 re-runs the same Lloyd contract
+    INSIDE the probed level-1 cell, at the width the ladder picks for
+    the CELL's size — so each level's cells hold ~sqrt of their input,
+    and routing cost is k1 + k2 folds.
+
+    Probe path: the query routes to its own level-1 cell (assignment),
+    the level-2 fit is query-scoped (cell-sized, 2 Lloyd iterations —
+    at scale this fit is precomputed per cell by the index build, like
+    build_ivf_index does for level 1), NPROBE level-2 sub-cells rerank
+    exactly. ann_ivf_sharded_recall_audit prices what the second
+    pruning level costs in recall vs brute force.
+
+    Determinism: level-2 seeds are the k2 LOWEST vec_ids in the cell
+    (row_number over vec_id in the twin; enumeration order Spark-side),
+    and assignment/means/routing reuse the exact fold, struct-min
+    argmin, and decimal-mean contracts of the corpus-wide fit."""
+    from .similarity import dot_fold
+
+    asg, cents = kmeans_fit(spark, sf_dir)
+    emb = _t(spark, sf_dir)["embeddings"]
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q_vec = [float(x) for x in q_row["embedding"]]
+
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    q_cid = min(range(len(cents)), key=lambda i: (d2(cents[i]), i))
+    cell = (
+        emb.join(asg.filter(F.col("cid") == q_cid), "vec_id")
+        .select("vec_id", "embedding")
+    )
+    n_cell = cell.count()
+    k2 = ivf_cells_for(n_cell)
+    seeds2 = [
+        [float(x) for x in r["embedding"]]
+        for r in cell.orderBy("vec_id").limit(k2).collect()
+    ]
+    asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+    sel2 = sorted(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))[:NPROBE]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        cell.join(asg2.withColumnRenamed("cid", "cid2"), "vec_id")
+        .where(F.col("cid2").isin(sel2) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(IVF_TOP)
+    )
+
+
+def _ivf_sharded_recall_sql() -> str:
+    brute = f"""
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT {IVF_TOP}
+    """
+    return f"""
+    WITH hit AS (
+      SELECT e.vec_id
+      FROM ({brute}) e JOIN ({_ivf_sharded_sql()}) a USING (vec_id)
+    )
+    SELECT CAST({IVF_TOP} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM hit)::DOUBLE / {IVF_TOP}, 6)
+             AS recall_at_k
+    """
+
+
+@register("ann_ivf_sharded_recall_audit", _ivf_sharded_recall_sql())
+def ann_ivf_sharded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two-level IVF probe vs brute force — prices the
+    PRODUCT of both pruning levels (a true neighbor can fall outside the
+    level-1 cell OR outside the NPROBE level-2 sub-cells). Read next to
+    ann_recall_audit (one-level nprobe): the gap between them is what
+    the second routing level costs on this corpus, against the fold
+    savings it buys past the flat-codebook rung cap."""
+    from ..session import tracked_persist
+    from .similarity import ann_topk_bruteforce
+
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(
+        ann_ivf_sharded_topk(spark, sf_dir).select("vec_id")
+    )
+    hit = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(IVF_TOP).cast("long").alias("k"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / IVF_TOP, 6
+        ).alias("recall_at_k"),
     )
 
 
@@ -543,6 +763,7 @@ _IVFPQ_SQL = _ivfpq_sql()
 
 
 @register("ann_ivfpq_topk", _IVFPQ_SQL)
+@memoize_df
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (the FAISS-IVFPQ composition): the trained coarse
     quantizer routes the query to its NPROBE nearest k-means cells

@@ -38,7 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..session import tracked_persist
+from ..driver_queries import _t, memoize_df, register
 from .clustering import _dec
 from .similarity import (
     PQ_CAND,
@@ -338,6 +339,7 @@ def _pq_trained_sql() -> str:
 
 
 @register("ann_pq_trained_topk", _pq_trained_sql())
+@memoize_df
 def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN over TRAINED codebooks: identical plan to ann_pq_topk (codes
     from one map-only encode, query-side LUT, ADC TakeOrdered cut, exact
@@ -635,6 +637,7 @@ def _ivfpq_trained_sql() -> str:
 
 
 @register("ann_ivfpq_trained_topk", _ivfpq_trained_sql())
+@memoize_df
 def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-trained IVF-PQ (VERDICT r7 #4): the TRAINED coarse quantizer
     (kmeans_fit at the corpus-size-derived cell count) routes the query
@@ -725,8 +728,10 @@ def ivfpq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, per corpus."""
     from .similarity import ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
-    approx = ann_ivfpq_trained_topk(spark, sf_dir).select("vec_id")
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(ann_ivfpq_trained_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_overlap")
     )
@@ -830,6 +835,7 @@ def _ivfpq_residual_sql() -> str:
 
 
 @register("ann_ivfpq_residual_topk", _ivfpq_residual_sql())
+@memoize_df
 def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (VERDICT r7 #7 — the classic FAISS composition):
     PQ encodes x − centroid(cell) instead of x, so the codebook spends
@@ -950,8 +956,10 @@ def ivfpq_residual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     trio prices what residual encoding buys at the same code budget."""
     from .similarity import ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
-    approx = ann_ivfpq_residual_topk(spark, sf_dir).select("vec_id")
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(ann_ivfpq_residual_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_overlap")
     )
@@ -990,8 +998,10 @@ def pq_trained_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than an assumption that training helps."""
     from .similarity import ann_topk_bruteforce
 
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
-    approx = ann_pq_trained_topk(spark, sf_dir).select("vec_id")
+    exact = tracked_persist(
+        ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    )
+    approx = tracked_persist(ann_pq_trained_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("long").alias("n_overlap")
     )

@@ -545,34 +545,14 @@ _RHP_MP_SQL = f"""
 """
 
 
-@register("dedup_embedding_lsh_multiprobe", _RHP_MP_SQL)
-@memoize_df
-def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe variant of dedup_embedding_lsh — the recall knob that
-    does NOT touch the stored index: per table, the probe visits the
-    T = 2^RHP_MP_FLIP buckets reached by XOR-flipping every subset of its
-    RHP_MP_FLIP lowest-|margin| hyperplanes (the bits most likely to
-    differ for a true near neighbor — the multi-probe perturbation sets
-    of Lv et al., truncated to the T cheapest), while the corpus band
-    table stays exactly as built. This is the RHP analog of IVF's nprobe:
-    widening the tables (the ladder) buys pruning at the price of
-    per-table recall, and multi-probing buys the recall back at query
-    time instead of by storing more tables — at 100 TB that trade (T x
-    probe reads vs L more stored tables and L more ingest folds) is the
-    whole point. Margins are computed on the PROBE side only (the batch
-    recomputes its own dots, the index is read as stored — exactly a
-    vector DB's query path). r7 shipped T=2 at 0.84 recall (sf0.1); T=4
-    clears the 0.9 audit floor at the same stored width (VERDICT r7 #3).
-
-    Determinism: same dot folds as the banding, lowest-index-wins argmin
-    on |margin| (second flip = argmin with the first position masked to
-    the same +inf sentinel in both engines), XOR flips via a
-    power-of-two lookup; candidates dedup through DISTINCT before the
-    exact-cosine verify, ties impossible in output (pair-keyed).
-    embedding_lsh_multiprobe_recall_audit measures what the extra probes
-    buy vs the single-probe audit. Memoized per session (the audit
-    consumes the SAME frame the query built — VERDICT r7 #5: the pair
-    must not pay for the probe chain twice)."""
+def multiprobe_lsh_pairs(
+    spark: SparkSession, sf_dir: str, flips: int = RHP_MP_FLIP
+) -> DataFrame:
+    """Parameterized multi-probe chain (the nprobe-style runtime knob):
+    ``flips`` lowest-|margin| planes -> T = 2^flips probe buckets per
+    table. flips=0 degenerates to the single-probe pair set; the
+    registered query is the flips=RHP_MP_FLIP operating point. See
+    dedup_embedding_lsh_multiprobe for the full design notes."""
     bands = tracked_persist(rhp_band_frame(spark, sf_dir))
     emb = _t(spark, sf_dir)["embeddings"]
     bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
@@ -591,7 +571,13 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         ],
     )
 
-    def probe_struct(t: int):
+    def probe_struct(t: int, flips: int = RHP_MP_FLIP):
+        """Probe buckets for table t: b0 plus the XOR of every subset of
+        the ``flips`` lowest-|margin| plane bits — T = 2^flips probes,
+        the runtime recall knob (the registered query's operating point
+        is flips=RHP_MP_FLIP; flips=0 degenerates to the single probe).
+        Successive argmins mask the previous winner with the same +inf
+        sentinel the SQL twin uses (first-match tie-break each time)."""
         dt = F.col(f"d{t}")
         b0 = F.lit(0)
         for k in range(bits):  # same k-order adds as _rhp_bucket
@@ -599,31 +585,29 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
                 F.try_element_at(dt, F.lit(k + 1)) >= 0, F.lit(1 << k)
             ).otherwise(F.lit(0))
         absd = F.transform(dt, lambda x: F.abs(x))
-        k1 = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
-        # second-lowest margin: mask position k1 with the same sentinel
-        # the SQL twin uses, argmin again (first-match tie-break)
-        absd2 = F.transform(
-            absd,
-            lambda x, i: F.when(i == k1, F.lit(1e308)).otherwise(x),
-        )
-        k2 = (F.array_position(absd2, F.array_min(absd2)) - 1).cast("int")
-        p1 = F.try_element_at(pows, k1 + 1)
-        p2 = F.try_element_at(pows, k2 + 1)
+
+        def masked(arr, kp):
+            return F.transform(
+                arr, lambda x, i: F.when(i == kp, F.lit(1e308)).otherwise(x)
+            )
+
+        flip_pows = []
+        for _ in range(min(flips, bits)):
+            kmin = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
+            flip_pows.append(F.try_element_at(pows, kmin + 1))
+            absd = masked(absd, kmin)
+        buckets = [b0]
+        for p in flip_pows:  # subset enumeration: [S ∪ {p} for S so far]
+            buckets = buckets + [b.bitwiseXOR(p) for b in buckets]
         return F.struct(
-            F.lit(t).alias("tbl"),
-            F.array(
-                b0,
-                b0.bitwiseXOR(p1),
-                b0.bitwiseXOR(p2),
-                b0.bitwiseXOR(p1).bitwiseXOR(p2),
-            ).alias("bks"),
+            F.lit(t).alias("tbl"), F.array(*buckets).alias("bks")
         )
 
     probes = (
         dotted.select(
             "vec_id",
             F.explode(
-                F.array(*[probe_struct(t) for t in range(RHP_TABLES)])
+                F.array(*[probe_struct(t, flips) for t in range(RHP_TABLES)])
             ).alias("x"),
         )
         .select(
@@ -662,6 +646,40 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("cos") >= NEARDUP_COSINE)
     )
     return verified.orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
+
+
+@register("dedup_embedding_lsh_multiprobe", _RHP_MP_SQL)
+@memoize_df
+def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of dedup_embedding_lsh — the recall knob that
+    does NOT touch the stored index: per table, the probe visits the
+    T = 2^RHP_MP_FLIP buckets reached by XOR-flipping every subset of its
+    RHP_MP_FLIP lowest-|margin| hyperplanes (the bits most likely to
+    differ for a true near neighbor — the multi-probe perturbation sets
+    of Lv et al., truncated to the T cheapest), while the corpus band
+    table stays exactly as built. This is the RHP analog of IVF's nprobe:
+    widening the tables (the ladder) buys pruning at the price of
+    per-table recall, and multi-probing buys the recall back at query
+    time instead of by storing more tables — at 100 TB that trade (T x
+    probe reads vs L more stored tables and L more ingest folds) is the
+    whole point. Margins are computed on the PROBE side only (the batch
+    recomputes its own dots, the index is read as stored — exactly a
+    vector DB's query path). r7 shipped T=2 at 0.84 recall (sf0.1); T=4
+    clears the 0.9 audit floor at the same stored width (VERDICT r7 #3).
+    ``multiprobe_lsh_pairs`` exposes flips as a runtime parameter; the
+    probe-ladder containment test pins flips=0 == the single-probe pair
+    set and coverage monotone in flips.
+
+    Determinism: same dot folds as the banding, lowest-index-wins argmin
+    on |margin| (each further flip = argmin with the previous winner
+    masked to the same +inf sentinel in both engines), XOR flips via a
+    power-of-two lookup; candidates dedup through DISTINCT before the
+    exact-cosine verify, ties impossible in output (pair-keyed).
+    embedding_lsh_multiprobe_recall_audit measures what the extra probes
+    buy vs the single-probe audit. Memoized per session (the audit
+    consumes the SAME frame the query built — VERDICT r7 #5: the pair
+    must not pay for the probe chain twice)."""
+    return multiprobe_lsh_pairs(spark, sf_dir, RHP_MP_FLIP)
 
 
 # ---------------------------------------------------------------------------
@@ -1135,6 +1153,7 @@ def pq_adc_col(lut: list[list[float]]) -> Column:
 
 
 @register("ann_pq_topk", _pq_sql())
+@memoize_df
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: each vector is encoded as PQ_S=8 codes
     (nearest of PQ_K=8 codewords per 8-dim subspace; codebooks seeded

@@ -1,0 +1,31 @@
+"""Multi-probe flips ladder (r8: probe count as a runtime parameter,
+the RHP analog of IVF's nprobe): flips=0 must equal the single-probe
+query's verified pair set exactly, and pair coverage must be MONOTONE in
+flips (every probe set is a superset of the previous one by
+construction — the XOR-subset enumeration only ever adds buckets)."""
+
+from __future__ import annotations
+
+from distribution_engine_smt_spark.pipeline.similarity import (
+    dedup_embedding_lsh,
+    multiprobe_lsh_pairs,
+)
+
+from .conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r["id_new"], r["id_corpus"]) for r in df.collect()}
+
+
+def test_flips_zero_equals_single_probe_and_coverage_is_monotone(spark):
+    single = _pairs(dedup_embedding_lsh(spark, SF_DIR))
+    ladder = {
+        f: _pairs(multiprobe_lsh_pairs(spark, SF_DIR, flips=f))
+        for f in (0, 1, 2, 3)
+    }
+    assert ladder[0] == single
+    assert ladder[0] <= ladder[1] <= ladder[2] <= ladder[3]
+    # the knob actually buys coverage on this corpus (T=4 found strictly
+    # more verified pairs than the single probe in every measured round)
+    assert len(ladder[2]) > len(ladder[0])
