@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..driver_queries import _t, memoize_df, register
+from ..session import tracked_persist
 from .similarity import DIM
 
 K = 4      # the FIXED-SPEC rung: embedding_kmeans/semdedup replay k=4
@@ -819,7 +820,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         codes = pq_codes_frame(spark, sf_dir).join(asg, "vec_id")
     lut = pq_query_lut(seeds, q_vec)
-    cand = (
+    cand = tracked_persist(
         codes.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
         .select("vec_id", pq_adc_col(lut).alias("approx"))
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())

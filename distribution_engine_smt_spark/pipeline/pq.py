@@ -280,7 +280,7 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-previous policy are all cross-checked."""
     emb = _t(spark, sf_dir)["embeddings"]
     final = _assigned_slices(emb, pq_train_fit(spark, sf_dir))
-    return (
+    return tracked_persist(
         final.groupBy("s", F.col("code").alias("k"))
         .agg(
             F.count("*").alias("n_members"),
@@ -354,7 +354,7 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_vec = [float(x) for x in q_row["embedding"]]
     lut = pq_query_lut(vseeds, q_vec)
     codes = pq_encode(emb, vseeds).filter(F.col("vec_id") != 0)
-    cand = (
+    cand = tracked_persist(
         codes.select("vec_id", pq_adc_col(lut).alias("approx"))
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(PQ_CAND)
@@ -672,7 +672,7 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = sorted(range(len(cents)), key=lambda i: (d2(cents[i]), i))[:NPROBE]
     codes = pq_encode(emb, vseeds).join(asg, "vec_id")
     lut = pq_query_lut(vseeds, q_vec)
-    cand = (
+    cand = tracked_persist(
         codes.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
         .select("vec_id", pq_adc_col(lut).alias("approx"))
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
@@ -902,7 +902,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in sel:  # CASE over the NPROBE per-cell LUTs, cell order
         term = F.when(F.col("cid") == c, pq_adc_col(luts[c]))
         approx = term if approx is None else approx.otherwise(term)
-    cand = (
+    cand = tracked_persist(
         codes.select("vec_id", approx.alias("approx"))
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(IVFPQR_CAND)
