@@ -64,8 +64,13 @@ def test_ann_probes_end_in_take_ordered(spark):
         "ann_ivf_kmeans_topk",
         "ann_ivfpq_topk",
         "ann_pq_trained_topk",
+        "ann_ivfpq_trained_topk",
+        "ann_ivfpq_residual_topk",
+        "ann_ivf_sharded_topk",
     ]:
-        assert "TakeOrderedAndProject" in _plan(spark, name), name
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_weighted_sample_and_tfidf_rank_filters_are_partial_topk(spark):
