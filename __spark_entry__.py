@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "ivfpq_residual_recall_audit",
     "ann_ivf_sharded_topk",
     "ann_ivf_sharded_recall_audit",
+    "embedding_lsh_planted_recall_audit",
     # 2) exactly one green row (the 11 r7 additions - VERDICT r7 #8);
     #    every one is also r8-modified (ladder ceilings / dyn-fit /
     #    multiprobe T=4 rewrites), so the placement does double duty
@@ -78,7 +79,6 @@ _DRIVER_PRIORITY = [
     "blog_union_minjoin",
     "children_counts",
     "dedup_exact",
-    "dedup_exact_keep_first",
 ]
 # multi-round-green (2+ driver rows each) AND untouched this round —
 # rotated past the cap. With 138 registered queries and the 50-slot cap,
@@ -107,6 +107,7 @@ _DRIVER_ROTATE_LAST = [
     "curriculum_buckets",
     "daily_moving_avg",
     "decontaminate",
+    "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -1149,3 +1149,104 @@ def lsh_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_stderr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# planted-pair LSH recall: recall on TRUE near-duplicates at any width
+# ---------------------------------------------------------------------------
+
+PLANT_N = 50
+PLANT_EPS = 0.001
+PLANT_OFF = 900_000
+
+
+def _planted_recall_sql() -> str:
+    from .similarity import (
+        DIM,
+        _RHP_BANDS_SQL,
+        _RHP_PARAMS_SQL,
+        _rhp_mp_probe_ctes,
+    )
+
+    planted = f"""(
+      SELECT vec_id + {PLANT_OFF} AS vec_id,
+             list_transform(generate_series(1, {DIM}),
+                            j -> CAST(embedding[j] AS DOUBLE)
+                                 + CASE WHEN j = 1 THEN {PLANT_EPS}
+                                        ELSE 0.0 END) AS embedding
+      FROM embeddings WHERE vec_id < {PLANT_N}
+    ) planted"""
+    return f"""
+    WITH p AS ({_RHP_PARAMS_SQL}),
+    bands AS ({_RHP_BANDS_SQL}),
+    {_rhp_mp_probe_ctes(planted)},
+    rec AS (
+      SELECT DISTINCT a.vec_id - {PLANT_OFF} AS src
+      FROM pb a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+       AND b.vec_id = a.vec_id - {PLANT_OFF}
+    )
+    SELECT CAST({PLANT_N} AS BIGINT) AS n_planted,
+           CAST((SELECT count(*) FROM rec) AS BIGINT) AS n_recovered,
+           round((SELECT count(*) FROM rec)::DOUBLE / {PLANT_N}, 6) AS recall
+    """
+
+
+@register("embedding_lsh_planted_recall_audit", _planted_recall_sql())
+def embedding_lsh_planted_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of the multi-probe RHP index on PLANTED true duplicates —
+    the pairs production dedup actually targets. The multiprobe_curve
+    measurement (BENCH_SCALE) shows pair recall at the 0.4-cosine
+    threshold decaying as the ladder widens: correct LSH behavior, since
+    that synthetic threshold sits at cosine ≈ 0.5 where p_bit ≈ 0.67 and
+    a wide table keeps only 0.67^K of true pairs per probe. THIS audit
+    completes the story from the other side: each of PLANT_N corpus
+    vectors is cloned with a +0.001 perturbation on one component
+    (cosine ≈ 1, p_bit ≈ 1), probed through the SAME multi-probe path
+    against the SAME stored band table, and counted as recovered if its
+    source vector shares a probed bucket. For true duplicates recall
+    holds ~1.0 at ANY ladder width — the widening that prices weak pairs
+    away costs the actual dedup target nothing.
+
+    Plan: PLANT_N map-side clones, the shared multi-probe bucket
+    derivation (rhp_multiprobe_buckets), one join against the stored
+    band table keyed (tbl, bucket) with the source-identity filter, one
+    distinct + count. At 100 TB this is the canary the index-maintenance
+    job runs per rung crossing: plant, probe, alert on misses."""
+    from .params import corpus_count, rhp_bits_for
+    from .similarity import (
+        RHP_MP_FLIP,
+        rhp_band_frame,
+        rhp_multiprobe_buckets,
+    )
+
+    emb = _t(spark, sf_dir)["embeddings"]
+    bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    planted = emb.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFF).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(PLANT_EPS)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    probes = rhp_multiprobe_buckets(planted, bits, RHP_MP_FLIP)
+    bands = tracked_persist(rhp_band_frame(spark, sf_dir))
+    rec = (
+        probes.join(
+            bands.select(F.col("vec_id").alias("src"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("src") == F.col("vec_id") - PLANT_OFF)
+        .select("src")
+        .distinct()
+    )
+    return rec.agg(F.count("*").cast("long").alias("n_recovered")).select(
+        F.lit(PLANT_N).cast("long").alias("n_planted"),
+        "n_recovered",
+        F.round(
+            F.col("n_recovered").cast("double") / PLANT_N, 6
+        ).alias("recall"),
+    )

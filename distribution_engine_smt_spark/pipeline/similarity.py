@@ -475,12 +475,6 @@ def _rhp_dots_sql(col: str, t: int) -> str:
     return "[" + ", ".join(entries) + "]"
 
 
-_RHP_MP_DOTS_SQL = " UNION ALL ".join(
-    f"SELECT vec_id, {t} AS tbl, {_rhp_dots_sql('embedding', t)} AS ds "
-    "FROM embeddings, p WHERE vec_id < 100"
-    for t in range(RHP_TABLES)
-)
-
 # b0 from the dot list: bit k set iff plane k active and margin >= 0 —
 # identical to the masked-ladder band sum over the same folds
 _B0_FROM_DS_SQL = " + ".join(
@@ -489,10 +483,19 @@ _B0_FROM_DS_SQL = " + ".join(
     for k in range(RHP_MAX_BITS)
 )
 
-_RHP_MP_SQL = f"""
-    WITH p AS ({_RHP_PARAMS_SQL}),
-    bands AS ({_RHP_BANDS_SQL}),
-    pr0 AS ({_RHP_MP_DOTS_SQL}),
+
+def _rhp_mp_probe_ctes(src: str) -> str:
+    """The pr0..pb CTE chain (multi-probe T=4 bucket derivation) over an
+    ARBITRARY (vec_id, embedding) source relation — shared by the
+    registered multiprobe oracle (src = the vec_id < 100 probe batch)
+    and the planted-pair recall audit (src = the planted clones), the
+    SQL mirror of rhp_multiprobe_buckets."""
+    dots = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_rhp_dots_sql('embedding', t)} AS ds "
+        f"FROM {src}, p"
+        for t in range(RHP_TABLES)
+    )
+    return f"""pr0 AS ({dots}),
     pr1 AS (
       SELECT vec_id, tbl, ds,
              list_transform(ds, x -> CASE WHEN x IS NULL THEN 1e308
@@ -529,7 +532,15 @@ _RHP_MP_SQL = f"""
              unnest([b0, xor(b0, p1), xor(b0, p2),
                      xor(xor(b0, p1), p2)]) AS bucket
       FROM prb
-    ),
+    )"""
+
+
+_RHP_MP_SQL = f"""
+    WITH p AS ({_RHP_PARAMS_SQL}),
+    bands AS ({_RHP_BANDS_SQL}),
+    {_rhp_mp_probe_ctes(
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100) e0"
+    )},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
       FROM pb a JOIN bands b
@@ -545,23 +556,21 @@ _RHP_MP_SQL = f"""
 """
 
 
-def multiprobe_lsh_pairs(
-    spark: SparkSession, sf_dir: str, flips: int = RHP_MP_FLIP
-) -> DataFrame:
-    """Parameterized multi-probe chain (the nprobe-style runtime knob):
-    ``flips`` lowest-|margin| planes -> T = 2^flips probe buckets per
-    table. flips=0 degenerates to the single-probe pair set; the
-    registered query is the flips=RHP_MP_FLIP operating point. See
-    dedup_embedding_lsh_multiprobe for the full design notes."""
-    bands = tracked_persist(rhp_band_frame(spark, sf_dir))
-    emb = _t(spark, sf_dir)["embeddings"]
-    bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+def rhp_multiprobe_buckets(df: DataFrame, bits: int, flips: int) -> DataFrame:
+    """Multi-probe bucket rows (vec_id, tbl, bucket) for an ARBITRARY
+    (vec_id, embedding) probe frame at an explicit stored width: per
+    table, b0 plus the XOR of every subset of the ``flips``
+    lowest-|margin| plane bits — T = 2^flips probes, the nprobe-style
+    runtime recall knob. Each table's K margin dots are computed ONCE
+    into an array column; bucket bits and every flip argmin derive from
+    it (inlining the folds into both consumers doubled codegen size and
+    warm time). Successive argmins mask the previous winner with the
+    same +inf sentinel the SQL twin uses (first-match tie-break each
+    time). Shared by the registered multiprobe query and the
+    planted-pair recall audit — the probe arithmetic cannot drift
+    between them."""
     pows = F.array(*[F.lit(1 << k) for k in range(RHP_MAX_BITS)])
-    # stage 1: each table's K margin dots computed ONCE into an array
-    # column — bucket AND argmin both derive from the array downstream,
-    # so every 64-dim fold appears once in the plan (inlining the folds
-    # into both consumers doubled codegen size and warm time)
-    dotted = emb.filter(F.col("vec_id") < 100).select(
+    dotted = df.select(
         "vec_id",
         *[
             F.array(
@@ -571,13 +580,7 @@ def multiprobe_lsh_pairs(
         ],
     )
 
-    def probe_struct(t: int, flips: int = RHP_MP_FLIP):
-        """Probe buckets for table t: b0 plus the XOR of every subset of
-        the ``flips`` lowest-|margin| plane bits — T = 2^flips probes,
-        the runtime recall knob (the registered query's operating point
-        is flips=RHP_MP_FLIP; flips=0 degenerates to the single probe).
-        Successive argmins mask the previous winner with the same +inf
-        sentinel the SQL twin uses (first-match tie-break each time)."""
+    def probe_struct(t: int):
         dt = F.col(f"d{t}")
         b0 = F.lit(0)
         for k in range(bits):  # same k-order adds as _rhp_bucket
@@ -603,19 +606,35 @@ def multiprobe_lsh_pairs(
             F.lit(t).alias("tbl"), F.array(*buckets).alias("bks")
         )
 
-    probes = (
+    return (
         dotted.select(
             "vec_id",
             F.explode(
-                F.array(*[probe_struct(t, flips) for t in range(RHP_TABLES)])
+                F.array(*[probe_struct(t) for t in range(RHP_TABLES)])
             ).alias("x"),
         )
         .select(
-            F.col("vec_id").alias("id_new"),
+            "vec_id",
             F.col("x.tbl").alias("tbl"),
             F.explode("x.bks").alias("bucket"),
         )
     )
+
+
+def multiprobe_lsh_pairs(
+    spark: SparkSession, sf_dir: str, flips: int = RHP_MP_FLIP
+) -> DataFrame:
+    """Parameterized multi-probe chain (the nprobe-style runtime knob):
+    ``flips`` lowest-|margin| planes -> T = 2^flips probe buckets per
+    table. flips=0 degenerates to the single-probe pair set; the
+    registered query is the flips=RHP_MP_FLIP operating point. See
+    dedup_embedding_lsh_multiprobe for the full design notes."""
+    bands = tracked_persist(rhp_band_frame(spark, sf_dir))
+    emb = _t(spark, sf_dir)["embeddings"]
+    bits = rhp_bits_for(corpus_count(spark, sf_dir, "embeddings"))
+    probes = rhp_multiprobe_buckets(
+        emb.filter(F.col("vec_id") < 100), bits, flips
+    ).withColumnRenamed("vec_id", "id_new")
     b = bands.select(F.col("vec_id").alias("id_corpus"), "tbl", "bucket")
     cand = (
         probes.join(b, ["tbl", "bucket"])
