@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..driver_queries import _t, register
+from ..driver_queries import _t, memoize_df, register
 from ..session import tracked_persist
 from .textstats import STOPWORDS, _STOP_SQL, tokens
 
@@ -1193,6 +1193,7 @@ def _planted_recall_sql() -> str:
 
 
 @register("embedding_lsh_planted_recall_audit", _planted_recall_sql())
+@memoize_df
 def embedding_lsh_planted_recall_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1234,7 +1235,7 @@ def embedding_lsh_planted_recall_audit(
     )
     probes = rhp_multiprobe_buckets(planted, bits, RHP_MP_FLIP)
     bands = tracked_persist(rhp_band_frame(spark, sf_dir))
-    rec = (
+    rec = tracked_persist(
         probes.join(
             bands.select(F.col("vec_id").alias("src"), "tbl", "bucket"),
             ["tbl", "bucket"],
