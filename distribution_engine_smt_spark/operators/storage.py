@@ -202,13 +202,20 @@ def write_zorder_sorted(
     ).first()
     n = len(zorder_cols)
     bits = _zorder_bits_per_dim(n)
-    if bounds[f"lo_{zorder_cols[0]}"] is None:
-        # empty input: min/max aggregate to NULL — nothing to rank, write
-        # the empty frame as-is (mirrors write_range_sorted's behavior)
+    if all(bounds[f"lo_{c}"] is None for c in zorder_cols):
+        # empty input (or every key entirely NULL): min/max aggregate to
+        # NULL — nothing to rank, write the frame as-is (mirrors
+        # write_range_sorted's behavior)
         df.coalesce(1).write.mode("overwrite").parquet(path)
         return
     z = F.lit(0).cast("long")
     for i, c in enumerate(zorder_cols):
+        if bounds[f"lo_{c}"] is None:
+            # a non-empty frame whose c is entirely NULL: a degenerate
+            # dimension — every row ranks 0 on it, the other columns
+            # still interleave (ADVICE r8 #3: this used to TypeError on
+            # float(None) when c was not the first column)
+            continue
         lo = float(bounds[f"lo_{c}"])
         span = max(float(bounds[f"hi_{c}"]) - lo, 1e-300)
         z = z + _zvalue(rank_col(c), lo, span, i, n, bits)
@@ -1202,12 +1209,23 @@ def init_growable_corpus(spark: SparkSession, src_sf_dir: str, corpus_dir: str) 
 def _invalidate_corpus_caches(corpus_sf_dir: str) -> None:
     """Drop per-session caches keyed on a corpus whose CONTENT just
     changed (table frames, row counts): partition discovery and ladder
-    widths must re-derive on next use."""
+    widths must re-derive on next use. The fit memos matter most: a
+    stale ``kmeans_fit`` / ``pq_train_fit`` after a fold would hand
+    every IVF probe and index build a quantizer that silently excludes
+    the folded vectors — the exact "index that forgets rows" failure
+    the fold exists to prevent (ADVICE r8 #1)."""
     from ..driver_queries import _DF_CACHE
     from ..pipeline.params import _COUNT_CACHE
     from ..tables import _TPCH_CACHE
 
-    for cache in (_TPCH_CACHE, _COUNT_CACHE, _DF_CACHE):
+    caches = [_TPCH_CACHE, _COUNT_CACHE, _DF_CACHE]
+    try:  # pipeline is an optional import, like session.release_caches
+        from ..pipeline import clustering, pq
+
+        caches += [clustering._FIT_CACHE, pq._FIT_CACHE]
+    except ImportError:
+        pass
+    for cache in caches:
         for k in [k for k in cache if corpus_sf_dir in str(k)]:
             del cache[k]
 
@@ -1286,7 +1304,16 @@ def fold_rhp_stream_into_corpus(
         _invalidate_corpus_caches(corpus_sf_dir)
     new_path = rhp_band_store_path(corpus_sf_dir, bits)
     if new_path != store_dir:
-        os.rename(store_dir, new_path)
+        if os.path.isdir(new_path):
+            # a store for the grown corpus already exists (a concurrent
+            # ensure_rhp_band_store rebuild, or a crashed fold that died
+            # between the rename and its caller observing it): keep the
+            # existing store and retire the pre-fold one — os.rename onto
+            # a non-empty directory would raise and strand the lifecycle
+            # (ADVICE r8 #4)
+            shutil.rmtree(store_dir)
+        else:
+            os.rename(store_dir, new_path)
     return new_path
 
 

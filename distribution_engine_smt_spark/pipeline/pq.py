@@ -898,10 +898,13 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c: pq_query_lut(rseeds, [q_vec[j] - cents[c][j] for j in range(_DIM)])
         for c in sel
     }
-    approx = None
-    for c in sel:  # CASE over the NPROBE per-cell LUTs, cell order
-        term = F.when(F.col("cid") == c, pq_adc_col(luts[c]))
-        approx = term if approx is None else approx.otherwise(term)
+    # CASE over the NPROBE per-cell LUTs, built as a properly NESTED
+    # when/otherwise chain: Column.otherwise applies at most once per
+    # when() node, so the old flat ``approx.otherwise(term)`` loop raised
+    # for NPROBE > 2 (ADVICE r8 #2) — fold from the last cell outward
+    approx = pq_adc_col(luts[sel[-1]])
+    for c in reversed(sel[:-1]):
+        approx = F.when(F.col("cid") == c, pq_adc_col(luts[c])).otherwise(approx)
     cand = tracked_persist(
         codes.select("vec_id", approx.alias("approx"))
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())

@@ -55,9 +55,10 @@ def release_caches(spark: SparkSession) -> int:
 
     driver_queries._DF_CACHE.clear()
     try:  # the k-means fit memo holds DataFrames too (pipeline optional)
-        from .pipeline import clustering
+        from .pipeline import clustering, pq
 
         clustering._FIT_CACHE.clear()
+        pq._FIT_CACHE.clear()
     except ImportError:
         pass
     try:

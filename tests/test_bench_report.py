@@ -58,6 +58,42 @@ def test_r01_subset_is_inclusion_pinned():
     assert summary["r01_subset_sec"] == 1.0
 
 
+def test_calibration_normalizes_machine_skew():
+    """VERDICT r8 #1: the 2x acceptance gate must survive machine noise.
+    A calibration reading 2x the pinned constant means the machine ran
+    2x slow — the normalized subset halves; a fast machine (0.5x) doubles
+    it; both raw and normalized are emitted so nothing is hidden."""
+    warm = {"discussions_by_created": 10.0}
+    for cal, expect in [
+        (bench.CAL_PINNED_SEC, 10.0),          # reference machine: no-op
+        (2 * bench.CAL_PINNED_SEC, 5.0),       # 2x-slow machine
+        (0.5 * bench.CAL_PINNED_SEC, 20.0),    # 2x-fast machine
+        (100 * bench.CAL_PINNED_SEC, 2.5),     # clamp: at most /4
+        (0.0, 20.0),                           # clamp: at least /0.5
+    ]:
+        detail, summary = bench.summarize(warm, dict(warm), {}, 0.1, 0.0, cal)
+        assert summary["r01_subset_sec"] == 10.0  # raw untouched
+        assert summary["r01_subset_normalized_sec"] == expect
+        assert detail["r01_subset_normalized_sec"] == expect
+        assert summary["calibration_sec"] == cal
+        assert summary["calibration_pinned_sec"] == bench.CAL_PINNED_SEC
+
+
+def test_summary_schema_pins_calibration_fields():
+    """The driver parses the LAST JSON line; these keys are the round-9
+    contract BENCH_r09.json must carry (VERDICT r8 #1 'Done =')."""
+    warm, cold, spread = _fake_registry(150)
+    _, summary = bench.summarize(warm, cold, spread, 0.1, 1.0, 1.7)
+    for key in (
+        "r01_subset_sec",
+        "r01_subset_normalized_sec",
+        "calibration_sec",
+        "calibration_pinned_sec",
+    ):
+        assert key in summary, key
+    assert len(json.dumps(summary)) < 2048
+
+
 def test_r01_subset_names_still_registered():
     """A renamed query would silently vanish from the round-over-round
     subtotal (the inclusion list keeps additions out, but can't notice

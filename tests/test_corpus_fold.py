@@ -81,12 +81,24 @@ def test_ingest_fold_migrate_lifecycle(spark, store_dir, tmp_path):
     with pytest.raises(ValueError, match="fold"):
         storage.migrate_rhp_band_store(spark, corpus, path, bits0 + 1)
 
+    # seed the per-session fit memos with sentinel entries keyed on this
+    # corpus: a stale kmeans/PQ fit surviving the fold would hand every
+    # IVF probe a quantizer that excludes the folded vectors (ADVICE r8
+    # #1 — the exact "index that forgets rows" failure the fold prevents)
+    from distribution_engine_smt_spark.pipeline import clustering
+    from distribution_engine_smt_spark.pipeline import pq as pq_mod
+
+    clustering._FIT_CACHE[("app", corpus, 4, 2)] = ("stale-fit",)
+    pq_mod._FIT_CACHE[("app", corpus)] = [[0.0]]
+
     # fold: stream vectors land in the corpus table under per-batch
     # partitions; the store is re-published at the refreshed fingerprint
     new_path = storage.fold_rhp_stream_into_corpus(
         spark, corpus, path, str(incoming)
     )
     assert new_path != path and not os.path.isdir(path)
+    assert ("app", corpus, 4, 2) not in clustering._FIT_CACHE
+    assert ("app", corpus) not in pq_mod._FIT_CACHE
     emb2 = tables.load_tpch(spark, corpus)["embeddings"]
     assert emb2.count() == n0 + 2
     folded = emb2.where(F.col("vec_id") >= 300_000)
@@ -111,3 +123,17 @@ def test_ingest_fold_migrate_lifecycle(spark, store_dir, tmp_path):
         for r in rhp_band_frame_at(spark, corpus, bits0 + 1).collect()
     )
     assert got == want and len(got) == (n0 + 2) * RHP_TABLES
+
+    # crash-replay collision (ADVICE r8 #4): a fold replayed from a
+    # pre-rename store copy, when a store for the grown corpus already
+    # sits at the refreshed fingerprint path, must keep the existing
+    # store and retire the stale one — not OSError on the rename
+    import shutil
+
+    stale = migrated_path + "-stale-replay"
+    shutil.copytree(migrated_path, stale)
+    resolved = storage.fold_rhp_stream_into_corpus(
+        spark, corpus, stale, str(incoming)
+    )
+    assert resolved == migrated_path
+    assert not os.path.isdir(stale) and os.path.isdir(migrated_path)

@@ -335,3 +335,29 @@ def test_ivf_nprobe_recall_dominates_single_cell(spark):
     # reachable by the 7-cell probe
     assert single & top5 <= nprobe
     assert recall_nprobe >= recall_single / 2  # same-k comparison guard
+
+
+def test_residual_ivfpq_nprobe_knob_turns_past_two(spark, monkeypatch):
+    """ADVICE r8 #2: the residual path's per-cell-LUT CASE was built by
+    re-applying .otherwise() to an already-closed when() chain, so it
+    RAISED for NPROBE > 2 — the nprobe recall knob broke the moment it
+    was turned. Pin that NPROBE=3 builds, runs, and returns the full
+    top-k (a strict-superset probe can only help recall)."""
+    from distribution_engine_smt_spark import driver_queries
+    from distribution_engine_smt_spark.pipeline import clustering, pq
+
+    from .conftest import SF_DIR
+
+    monkeypatch.setattr(clustering, "NPROBE", 3)
+    # bypass the @memoize_df plan cache: another test (or the oracle
+    # battery) may have memoized the NPROBE=2 frame for this sf_dir
+    stale = [k for k in driver_queries._DF_CACHE if SF_DIR in str(k)]
+    for k in stale:
+        del driver_queries._DF_CACHE[k]
+    try:
+        rows = pq.ann_ivfpq_residual_topk(spark, SF_DIR).collect()
+    finally:
+        for k in [k for k in driver_queries._DF_CACHE if SF_DIR in str(k)]:
+            del driver_queries._DF_CACHE[k]
+    assert len(rows) == pq.PQ_TOP
+    assert all(r["cos"] is not None for r in rows)

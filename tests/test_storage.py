@@ -169,6 +169,69 @@ def test_zorder_empty_frame_writes_empty_parquet(spark, tmp_path):
     assert out.count() == 0 and set(out.columns) == {"a", "b"}
 
 
+def test_zorder_all_null_later_column_degrades_gracefully(spark, tmp_path):
+    """ADVICE r8 #3: a NON-empty frame whose SECOND z-order column is
+    entirely NULL used to hit float(None) -> TypeError (the old guard
+    only inspected the first column's min). Now the NULL column is a
+    degenerate dimension: the other column still ranks and prunes,
+    content survives exactly."""
+    df = spark.range(0, 50000).select(
+        F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+    )
+    zpath = str(tmp_path / "znullb")
+    storage.write_zorder_sorted(df, zpath, ["a", "b"], n_files=8)
+    sa = storage.pruned_scan_stats(zpath, "a", 0, 2500)  # bottom 5%
+    assert sa["row_groups_needed"] <= max(1, sa["row_groups_total"] // 4), sa
+    assert spark.read.parquet(zpath).count() == 50000
+
+
+def test_zorder_all_null_first_column_still_ranks_the_rest(spark, tmp_path):
+    """Dual of the above: an entirely-NULL FIRST column used to silently
+    skip z-ordering for ALL columns (the empty-input fast path fired on a
+    non-empty frame). Now only the NULL dimension degenerates."""
+    df = spark.range(0, 50000).select(
+        F.lit(None).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    zpath = str(tmp_path / "znulla")
+    storage.write_zorder_sorted(df, zpath, ["a", "b"], n_files=8)
+    sb = storage.pruned_scan_stats(zpath, "b", 0, 2500)
+    assert sb["row_groups_needed"] <= max(1, sb["row_groups_total"] // 4), sb
+    assert spark.read.parquet(zpath).count() == 50000
+
+
+def test_zorder_mixed_numeric_string_four_columns_prune(spark, tmp_path):
+    """VERDICT r8 #8: the mixed-type footer proof — a 4-column interleave
+    of 2 numeric + 2 string keys prunes row groups on EVERY dimension
+    from the parquet footers alone (per-family proofs existed; this pins
+    the combination, where string surrogates and numeric ranks share the
+    63//4-bit budget)."""
+    df = spark.range(0, 200000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 48271) % 200000).alias("b"),
+        F.format_string("usr%06d", (F.col("id") * 16807) % 200000).alias("u"),
+        F.format_string("dom%06d", (F.col("id") * 69621) % 200000).alias("v"),
+    )
+    zpath = str(tmp_path / "zmix4")
+    storage.write_zorder_sorted(df, zpath, ["a", "u", "b", "v"], n_files=64)
+    probes = [
+        ("a", 0, 10000),
+        ("b", 0, 10000),
+        ("u", "usr000000", "usr010000"),
+        ("v", "dom000000", "dom010000"),
+    ]
+    for col, lo, hi in probes:  # bottom 5% on each dimension
+        stats = storage.pruned_scan_stats(zpath, col, lo, hi)
+        assert (
+            stats["row_groups_needed"] <= stats["row_groups_total"] * 5 // 8
+        ), (col, stats)
+    got = sorted(
+        (r["a"], r["b"], r["u"], r["v"])
+        for r in spark.read.parquet(zpath).collect()
+    )
+    want = sorted((r["a"], r["b"], r["u"], r["v"]) for r in df.collect())
+    assert got == want
+
+
 def test_unsorted_write_does_not_prune(spark, tmp_path):
     """Control: hash-shuffled layout leaves every row group overlapping
     the probe range — data skipping is a property of the LAYOUT."""
