@@ -36,134 +36,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # --- r8 head, in priority order:
-    # 1) new this round (zero driver rows): trained and residual IVF-PQ
-    #    compositions, each with its recall audit
-    "ann_ivfpq_trained_topk",
-    "ivfpq_trained_recall_audit",
-    "ann_ivfpq_residual_topk",
-    "ivfpq_residual_recall_audit",
-    "ann_ivf_sharded_topk",
-    "ann_ivf_sharded_recall_audit",
-    "embedding_lsh_planted_recall_audit",
-    # 2) exactly one green row (the 11 r7 additions - VERDICT r7 #8);
-    #    every one is also r8-modified (ladder ceilings / dyn-fit /
-    #    multiprobe T=4 rewrites), so the placement does double duty
-    "embedding_lsh_recall_audit",
-    "index_occupancy_audit",
-    "lsh_recall_audit_sampled",
-    "ann_ivfpq_topk",
-    "ivfpq_recall_audit",
-    "pq_train",
-    "ann_pq_trained_topk",
-    "pq_trained_recall_audit",
-    "ann_ivfpq_batch",
-    "dedup_embedding_lsh_multiprobe",
-    "embedding_lsh_multiprobe_recall_audit",
-    # 3) fill to the cap with the 18 stalest stable queries (no r7
-    #    driver row; deepest coverage debt first); the remaining 17
-    #    r8-modified queries follow via _ROUND_MODIFIED and the head
-    #    is exactly 50
-    "quantile_error_audit",
-    "hard_negatives",
-    "rrf_hybrid_search",
-    "tfidf_keywords",
-    "substring_dup_spans",
-    "top_boilerplate_spans",
-    "leakage_free_split",
-    "embedding_outliers",
-    "mixture_weights",
-    "doc_novelty",
-    "account_history_page",
-    "ann_ivf_topk",
-    "blog_union_minjoin",
-    "children_counts",
-    "dedup_exact",
-]
-# multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 138 registered queries and the 50-slot cap,
-# exactly 88 sit here so the cut is EXPLICIT (chosen stable queries)
-# rather than whatever lands at positions 51+ of registration order.
-_DRIVER_ROTATE_LAST = [
-    # multi-round-green AND untouched this round - rotated past the
-    # 50-slot cap (regenerated each round so head + this = registry)
-    "above_nation_avg_balance",
-    "ann_ivf_nprobe_topk",
-    "ann_pq_topk",
-    "ann_query_batch",
-    "ann_sq8_topk",
-    "asof_purchase_attribution",
-    "authorperm_codec",
-    "balanced_sample",
-    "bigram_perplexity",
-    "bloom_membership",
-    "bm25_search",
-    "build_vocab",
-    "chunk_dedup",
-    "chunk_documents",
-    "chunk_excise",
-    "cms_heavy_hitters",
-    "curated_corpus",
-    "curriculum_buckets",
-    "daily_moving_avg",
+    # --- r9 head, in priority order:
+    # 1) new this round (zero driver rows): the clustered-embedding
+    #    fixture trio (VERDICT r8 #3), the explicit single-probe cheap
+    #    path, and the flips=1/3 multi-probe curve points (r8 #5/#7)
+    "clustered_fixture_stats",
+    "clustered_pq_variant_audit",
+    "clustered_semdedup_audit",
+    "dedup_embedding_lsh_flips1",
+    "dedup_embedding_lsh_flips3",
+    "dedup_embedding_lsh_single_probe",
+    # 2) the 36-query driver-row staleness tail (VERDICT r8 #2): every
+    #    query with no green driver row since r03 (7 since r02 lead),
+    #    ordered stalest-first — after this round the worst-case
+    #    driver-evidence age across the whole registry is one round
+    "json_double_decode",
+    "json_props_sum",
+    "prefix_select",
+    "recent_orders_window",
+    "reward_curves",
+    "segment_nation_counts",
+    "time_format_wire",
     "decontaminate",
     "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "deterministic_shuffle",
     "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
     "discussions_by_promoted",
     "discussions_by_trending",
-    "dup_inflation",
-    "earliest_event_per_user",
-    "embedding_dim_stats",
-    "event_funnel",
-    "event_zscore_anomaly",
-    "events_pivot",
     "feed_semijoin",
     "follow_counts",
-    "graph_pagerank",
-    "hll_daily_merge",
-    "hll_distinct",
-    "hourly_hll_distinct",
-    "json_double_decode",
-    "json_props_sum",
-    "kmv_distinct",
-    "kmv_set_ops",
-    "langid_confusion",
     "latest_event_per_key",
-    "length_histogram",
     "multimodal_decode",
-    "multimodal_frame_sample",
     "multimodal_metadata_stats",
-    "multimodal_resize",
-    "normalize_text",
     "pack_sequences",
     "payout_accumulation",
-    "pii_redact",
     "post_with_votes",
-    "pq_recall_audit",
-    "prefix_select",
-    "pricing_summary",
     "quality_filter",
-    "range_join_events",
     "reblogged_by_agg",
-    "recent_orders_window",
-    "regional_revenue",
     "replies_in_notin",
-    "reward_curves",
-    "sales_rollup",
-    "sampled_quantiles",
-    "segment_nation_counts",
-    "segment_region_cube",
-    "sessionize",
     "set_diff_reconcile",
-    "shipping_priority",
-    "sliding_event_counts",
-    "source_vocab_overlap",
     "stratified_sample",
     "supplier_visible_revenue",
     "tag_membership",
@@ -173,10 +85,113 @@ _DRIVER_ROTATE_LAST = [
     "text_repetition",
     "text_token_counts",
     "thread_tree",
-    "time_format_wire",
-    "token_count_quantiles",
-    "top_ngrams",
     "trending_tags",
+]
+# multi-round-green (2+ driver rows each) AND untouched this round —
+# rotated past the cap. With 138 registered queries and the 50-slot cap,
+# exactly 88 sit here so the cut is EXPLICIT (chosen stable queries)
+# rather than whatever lands at positions 51+ of registration order.
+_DRIVER_ROTATE_LAST = [
+    # multi-round-green AND untouched this round - rotated past the
+    # 50-slot cap (regenerated each round so head + this = registry)
+    "above_nation_avg_balance",
+    "account_history_page",
+    "ann_ivf_kmeans_nprobe",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_nprobe_topk",
+    "ann_ivf_sharded_recall_audit",
+    "ann_ivf_sharded_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_pq_topk",
+    "ann_pq_trained_topk",
+    "ann_query_batch",
+    "ann_recall_audit",
+    "ann_sq8_topk",
+    "ann_topk_bruteforce",
+    "asof_purchase_attribution",
+    "authorperm_codec",
+    "balanced_sample",
+    "bigram_perplexity",
+    "blog_union_minjoin",
+    "bloom_membership",
+    "bm25_search",
+    "build_vocab",
+    "children_counts",
+    "chunk_dedup",
+    "chunk_documents",
+    "chunk_excise",
+    "cms_heavy_hitters",
+    "corpus_datasheet",
+    "cross_source_dup_matrix",
+    "curated_corpus",
+    "curriculum_buckets",
+    "daily_moving_avg",
+    "dedup_best_representative",
+    "dedup_cluster_stats",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "deterministic_shuffle",
+    "doc_novelty",
+    "dup_inflation",
+    "earliest_event_per_user",
+    "embedding_dim_stats",
+    "embedding_kmeans",
+    "embedding_outliers",
+    "event_funnel",
+    "event_zscore_anomaly",
+    "events_pivot",
+    "graph_pagerank",
+    "hard_negatives",
+    "hll_daily_merge",
+    "hll_distinct",
+    "hourly_hll_distinct",
+    "index_occupancy_audit",
+    "ivfpq_recall_audit",
+    "ivfpq_residual_recall_audit",
+    "ivfpq_trained_recall_audit",
+    "kmv_distinct",
+    "kmv_set_ops",
+    "langid_confusion",
+    "leakage_free_split",
+    "length_histogram",
+    "lsh_recall_audit",
+    "lsh_recall_audit_sampled",
+    "minhash_decontaminate",
+    "mixture_weights",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "normalize_text",
+    "pii_redact",
+    "pq_recall_audit",
+    "pq_train",
+    "pq_trained_recall_audit",
+    "pricing_summary",
+    "quantile_error_audit",
+    "range_join_events",
+    "regional_revenue",
+    "rrf_hybrid_search",
+    "sales_rollup",
+    "sampled_quantiles",
+    "segment_region_cube",
+    "semdedup",
+    "sessionize",
+    "shipping_priority",
+    "sliding_event_counts",
+    "source_vocab_overlap",
+    "split_leakage_audit",
+    "substring_dup_spans",
+    "tfidf_keywords",
+    "token_count_quantiles",
+    "top_boilerplate_spans",
+    "top_ngrams",
     "tumbling_event_counts",
     "unigram_perplexity",
     "url_density",
@@ -193,47 +208,20 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r8 (this round): the ladder-ceiling lift (RHP_MAX_BITS 12->24,
-    # MinHash r=4 rung, IVF rungs to 256) rewrote the masked RHP twins,
-    # the banded MinHash ladder, and EVERY IVF-fit-replaying oracle (the
-    # width-generic _fit_ctes_dyn join form replaced the per-rung
-    # unions); multiprobe went T=2 -> T=4; _argmin_case became the
-    # array form on the Spark side (embedding_kmeans / semdedup); the
-    # audit-shared similarity chains gained per-session memoization.
-    # Enumerated by marker scan over oracle_sql() (see git log r8).
-    "ann_ivf_kmeans_nprobe",
-    "ann_ivf_kmeans_topk",
-    "ann_ivfpq_batch",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained_topk",
-    "ann_pq_trained_topk",
-    "ann_recall_audit",
-    "corpus_datasheet",
-    "cross_source_dup_matrix",
-    "dedup_best_representative",
-    "dedup_cluster_stats",
-    "dedup_clusters",
+    # r9 (this round): the headline-name swap (dedup_embedding_lsh is
+    # now the T=4 multi-probe pair set, oracle swapped; VERDICT r8 #5),
+    # the flips-generalized multi-probe CTE builder (regenerates the
+    # multiprobe + planted oracle SQL texts), the recall audit re-pointed
+    # at the explicit single-probe symbol, and the residual IVF-PQ
+    # nested-LUT-CASE fix (ADVICE r8 #2).
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_multiprobe",
-    "dedup_minhash_lsh",
     "embedding_lsh_multiprobe_recall_audit",
+    "embedding_lsh_planted_recall_audit",
     "embedding_lsh_recall_audit",
-    "index_occupancy_audit",
-    "ivfpq_recall_audit",
-    "ivfpq_residual_recall_audit",
-    "ivfpq_trained_recall_audit",
-    "lsh_recall_audit",
-    "lsh_recall_audit_sampled",
-    "pq_train",
-    "pq_trained_recall_audit",
-    "split_leakage_audit",
-    "ann_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "embedding_kmeans",
-    "semdedup",
-    "minhash_decontaminate",
+    "ann_ivfpq_residual_topk",
 ]
+
 
 def _ordered(names: list[str]) -> list[str]:
     head = [n for n in _DRIVER_PRIORITY if n in names]

@@ -665,7 +665,110 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "pq_codes": build_pq_code_store(spark, sf_dir),
         "ivfpq_codes": build_ivfpq_code_store(spark, sf_dir),
         "pq_codebook": build_pq_codebook_store(spark, sf_dir),
+        "sharded_ivf": build_sharded_ivf_store(spark, sf_dir),
     }
+
+
+# ---------------------------------------------------------------------------
+# sharded (two-level) IVF store: level-2 fits as build-time artifacts
+# ---------------------------------------------------------------------------
+
+
+def sharded_ivf_store_path(sf_dir: str) -> str:
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(store_root(), f"sharded-ivf-v{STORE_VERSION}-{fp}")
+
+
+def build_sharded_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the two-level IVF layout ``ann_ivf_sharded_topk``'s
+    docstring commits to ("at scale this fit is precomputed per cell by
+    the index build"): embeddings written PARTITIONED BY (cid1, cid2) —
+    level 1 is the corpus-wide trained fit, level 2 re-runs the shared
+    Lloyd contract inside each level-1 cell at the ladder width for the
+    CELL's size — plus a meta blob holding both levels' assignment-time
+    centroids (exact JSON double round-trip, the kmeans-fit-store
+    discipline). A probe then routes driver-side through k1 + k2
+    centroid distances and reads ``nprobe`` (cid1, cid2) partition
+    directories: the two prunings multiply in the PartitionFilters.
+
+    The per-cell fits are a bounded driver loop (k1 cells, each fit
+    collecting k2 x DIM decimal means per iteration — the same bounded
+    quantizer state every fit in the family holds); the write is one
+    union + one partitioned write."""
+    import functools
+    import json as _json
+
+    from ..pipeline.clustering import _lloyd_fit_frame, kmeans_fit
+    from ..pipeline.params import ivf_cells_for
+    from ..tables import load_tpch
+
+    path = sharded_ivf_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    emb = load_tpch(spark, sf_dir)["embeddings"]
+    asg1, cents1 = kmeans_fit(spark, sf_dir)
+    k1 = len(cents1)
+    frames = []
+    level2: dict[str, list[list[float]]] = {}
+    for cid in range(k1):
+        cell = emb.join(
+            asg1.filter(F.col("cid") == cid).select("vec_id"), "vec_id"
+        ).select("vec_id", "embedding")
+        k2 = ivf_cells_for(cell.count())
+        seeds2 = [
+            [float(x) for x in r["embedding"]]
+            for r in cell.orderBy("vec_id").limit(k2).collect()
+        ]
+        asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+        level2[str(cid)] = cents2
+        frames.append(
+            cell.join(asg2.withColumnRenamed("cid", "cid2"), "vec_id").select(
+                "vec_id",
+                "embedding",
+                F.lit(cid).alias("cid1"),
+                F.col("cid2"),
+            )
+        )
+    union = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        union.repartition("cid1", "cid2")
+        .write.mode("overwrite")
+        .partitionBy("cid1", "cid2")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump({"k1": k1, "cents1": cents1, "level2": level2}, f)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def load_sharded_ivf_meta(sf_dir: str):
+    """(cents1, level2 dict) from the store meta, or None if no store
+    exists for this corpus."""
+    import json as _json
+
+    meta = os.path.join(sharded_ivf_store_path(sf_dir), "_meta.json")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as f:
+        blob = _json.load(f)
+    return (
+        [[float(x) for x in c] for c in blob["cents1"]],
+        {
+            int(k): [[float(x) for x in c] for c in v]
+            for k, v in blob["level2"].items()
+        },
+    )
+
+
+def read_sharded_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(sharded_ivf_store_path(sf_dir)).select(
+        "vec_id", "embedding", "cid1", "cid2"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -906,6 +1009,81 @@ def run_ivfpq_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivfpq_store_k(path: str) -> int:
+    """The coarse-quantizer width the store was BUILT at (meta.json —
+    never the current corpus count; same contract as rhp_store_bits)."""
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        return int(_json.load(f)["k"])
+
+
+def fold_ivfpq_stream_into_corpus(
+    spark: SparkSession, corpus_sf_dir: str, store_dir: str, source_dir: str
+) -> str:
+    """Compaction counterpart of ``run_ivfpq_ingest_stream`` (VERDICT r8
+    #4, mirroring ``fold_rhp_stream_into_corpus``): fold stream-ingested
+    vectors back into the corpus embeddings table so the quantizer REFIT
+    guard (``refit_ivfpq_code_store`` refuses stores holding vectors
+    absent from the corpus — a re-fit index that forgets rows is worse
+    than a stale quantizer) can see them and the compressed index can
+    re-fit its coarse quantizer / re-train codebooks over the GROWN
+    corpus. Without this, a stream-fed IVF-PQ index is pinned to its
+    build-time quantizer forever: ladder rung crossings (k growing with
+    n) are impossible because a from-scratch rebuild would silently drop
+    every streamed vector.
+
+    Same fold mechanics as the RHP fold (shared
+    ``_fold_stream_vectors_into_corpus``: idempotent batch-keyed
+    partitions, cache invalidation) with ONE deliberate difference: the
+    store is NOT renamed to the refreshed fingerprint path. RHP banding
+    at fixed bits is corpus-independent (plane k is the same for every
+    corpus), so the renamed band store is provably identical to a
+    from-scratch banding; a k-means quantizer DEPENDS on the corpus, so
+    parking the old-quantizer codes at the grown corpus's fingerprint
+    path would let fingerprint-keyed consumers silently treat them as a
+    fresh fit. The folded store stays at its own path, still valid for
+    serving with ITS stored quantizer, until ``refit_ivfpq_code_store``
+    publishes the genuine re-fit and retires it. Returns the (unmoved)
+    store path."""
+    _fold_stream_vectors_into_corpus(
+        spark, corpus_sf_dir, spark.read.parquet(store_dir), source_dir
+    )
+    return store_dir
+
+
+def refit_ivfpq_code_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> str:
+    """Re-fit the IVF-PQ store over the (grown) corpus: coarse quantizer
+    at the corpus-size-derived ladder width, codes re-encoded for EVERY
+    corpus vector — the rung-crossing step of the compressed index's
+    lifecycle (the RHP store migrates incrementally because plane k is
+    width-independent; a k-means quantizer has no such delta, so its
+    crossing is a rebuild by construction — FAISS retrains, so do we).
+
+    REFUSES (orphan guard, the migrate_rhp_band_store contract) when the
+    store holds vectors absent from the corpus table: a refit would
+    silently drop them — run ``fold_ivfpq_stream_into_corpus`` first.
+    The superseded store is retired once the refit store is published
+    (build is atomic tmp+rename, so a crash leaves the old store
+    serving)."""
+    from ..tables import load_tpch
+
+    emb_ids = load_tpch(spark, sf_dir)["embeddings"].select("vec_id")
+    stored = spark.read.parquet(store_dir).select("vec_id").distinct()
+    orphans = stored.join(emb_ids, "vec_id", "left_anti").count()
+    if orphans:
+        raise ValueError(
+            f"refit would drop {orphans} stored vectors absent from the "
+            "corpus; run fold_ivfpq_stream_into_corpus first"
+        )
+    new_path = build_ivfpq_code_store(spark, sf_dir)
+    if new_path != store_dir and os.path.isdir(store_dir):
+        shutil.rmtree(store_dir)
+    return new_path
 
 
 # ---------------------------------------------------------------------------
@@ -1230,6 +1408,62 @@ def _invalidate_corpus_caches(corpus_sf_dir: str) -> None:
             del cache[k]
 
 
+def _fold_stream_vectors_into_corpus(
+    spark: SparkSession, corpus_sf_dir: str, store_rows, source_dir: str
+) -> None:
+    """Shared fold mechanics for every stream-fed vector store (RHP bands,
+    IVF-PQ codes): the store's own rows record WHICH vectors arrived by
+    stream (``batch_id`` != "base"); their float vectors join back from
+    the staging area the stream consumed and land in the corpus table
+    under ``ingest_batch=fold-<batch>`` partitions with dynamic partition
+    overwrite. Only batches MISSING from the corpus are written — a
+    re-run (or a replay after a crash between the data write and the
+    store rename) must not rewrite committed partitions, since rewriting
+    would bump their mtimes and move the corpus fingerprint on every
+    no-op run. Columns the staging rows lack fill NULL at the corpus
+    type. Per-session caches keyed on this corpus (table frames, counts,
+    fit memos) invalidate when anything folds."""
+    emb_dir = os.path.join(corpus_sf_dir, "embeddings.parquet")
+    done = {
+        name.split("=", 1)[1]
+        for name in os.listdir(emb_dir)
+        if name.startswith("ingest_batch=fold-")
+    }
+    stream_batches = {
+        r["batch_id"]
+        for r in store_rows.select("batch_id").distinct().collect()
+        if r["batch_id"] != "base"
+    }
+    todo = sorted(b for b in stream_batches if f"fold-{b}" not in done)
+    if todo:
+        corpus_schema = spark.read.parquet(emb_dir).drop("ingest_batch").schema
+        stream_vecs = (
+            store_rows.where(F.col("batch_id").isin(todo))
+            .select("vec_id", "batch_id")
+            .distinct()
+        )
+        src = spark.read.parquet(source_dir)
+        cols = []
+        for field in corpus_schema.fields:
+            if field.name in src.columns:
+                cols.append(
+                    F.col(field.name).cast(field.dataType).alias(field.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        folded = src.join(stream_vecs, "vec_id").select(
+            *cols,
+            F.concat(F.lit("fold-"), F.col("batch_id")).alias("ingest_batch"),
+        )
+        (
+            folded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(emb_dir)
+        )
+        _invalidate_corpus_caches(corpus_sf_dir)
+
+
 def fold_rhp_stream_into_corpus(
     spark: SparkSession, corpus_sf_dir: str, store_dir: str, source_dir: str
 ) -> str:
@@ -1257,51 +1491,10 @@ def fold_rhp_stream_into_corpus(
     resolves it for the grown corpus; the rename also makes the
     pre-fold path vanish, which is correct (that corpus state no longer
     exists). Returns the refreshed store path."""
-    emb_dir = os.path.join(corpus_sf_dir, "embeddings.parquet")
     bits = rhp_store_bits(store_dir)
-    # fold only the batches not already in the corpus: a re-run (or a
-    # replay after a crash between the data write and the store rename)
-    # must not rewrite committed partitions — rewriting them would bump
-    # their mtimes and move the corpus fingerprint on every no-op run
-    done = {
-        name.split("=", 1)[1]
-        for name in os.listdir(emb_dir)
-        if name.startswith("ingest_batch=fold-")
-    }
-    bands = spark.read.parquet(store_dir)
-    stream_batches = {
-        r["batch_id"]
-        for r in bands.select("batch_id").distinct().collect()
-        if r["batch_id"] != "base"
-    }
-    todo = sorted(b for b in stream_batches if f"fold-{b}" not in done)
-    if todo:
-        corpus_schema = spark.read.parquet(emb_dir).drop("ingest_batch").schema
-        stream_vecs = (
-            bands.where(F.col("batch_id").isin(todo))
-            .select("vec_id", "batch_id")
-            .distinct()
-        )
-        src = spark.read.parquet(source_dir)
-        cols = []
-        for field in corpus_schema.fields:
-            if field.name in src.columns:
-                cols.append(
-                    F.col(field.name).cast(field.dataType).alias(field.name)
-                )
-            else:
-                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-        folded = src.join(stream_vecs, "vec_id").select(
-            *cols,
-            F.concat(F.lit("fold-"), F.col("batch_id")).alias("ingest_batch"),
-        )
-        (
-            folded.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(emb_dir)
-        )
-        _invalidate_corpus_caches(corpus_sf_dir)
+    _fold_stream_vectors_into_corpus(
+        spark, corpus_sf_dir, spark.read.parquet(store_dir), source_dir
+    )
     new_path = rhp_band_store_path(corpus_sf_dir, bits)
     if new_path != store_dir:
         if os.path.isdir(new_path):

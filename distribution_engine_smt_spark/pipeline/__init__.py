@@ -7,6 +7,7 @@ queries into the central driver query registry."""
 
 from . import (  # noqa: F401
     audit,
+    clustered,
     clustering,
     curation,
     decontam,

@@ -948,20 +948,26 @@ def _embedding_lsh_recall_sql() -> str:
 @register("embedding_lsh_recall_audit", _embedding_lsh_recall_sql())
 def embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth leg of the approximation-audit family: pair recall of the
-    width-laddered random-hyperplane LSH (dedup_embedding_lsh) against
-    the exact batch-vs-corpus cosine baseline (dedup_embedding_cosine's
-    pair set). Widening the tables as the corpus grows buys pruning at
-    the price of recall per table — this audit is the regression gate
-    that says whether L=8 tables still clear the recall floor at the
-    auto-chosen bit width. Same single full-outer aggregate as
-    lsh_recall_audit: each chain referenced once per action."""
+    SINGLE-PROBE width-laddered random-hyperplane LSH
+    (dedup_embedding_lsh_single_probe — the priced cheap path; the
+    headline dedup_embedding_lsh is the multi-probe variant audited by
+    embedding_lsh_multiprobe_recall_audit) against the exact
+    batch-vs-corpus cosine baseline (dedup_embedding_cosine's pair set).
+    Widening the tables as the corpus grows buys pruning at the price of
+    recall per table — this audit is the regression gate that prices
+    what one probe per table leaves on the floor at the auto-chosen bit
+    width. Same single full-outer aggregate as lsh_recall_audit: each
+    chain referenced once per action."""
     from ..session import tracked_persist
-    from .similarity import dedup_embedding_cosine, dedup_embedding_lsh
+    from .similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh_single_probe,
+    )
 
     t = tracked_persist(dedup_embedding_cosine(spark, sf_dir)).select(
         "id_new", "id_corpus"
     )
-    l = tracked_persist(dedup_embedding_lsh(spark, sf_dir)).select(
+    l = tracked_persist(dedup_embedding_lsh_single_probe(spark, sf_dir)).select(
         "id_new", "id_corpus"
     )
     j = t.withColumn("in_t", F.lit(1)).join(

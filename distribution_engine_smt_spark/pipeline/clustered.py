@@ -1,0 +1,646 @@
+"""Clustered-embedding fixture: pricing IVF-PQ variants on data with
+real coarse structure (VERDICT r8 #3).
+
+The synthetic corpus (`embeddings.parquet`) is near-uniform, so round 8's
+honest finding — "residuals rank no tighter than plain codes" — was a
+property of the DATA, not of residual IVF-PQ, and the trained/residual
+variants' claimed advantages were unpriceable. This module registers a
+deterministic MIXTURE-OF-CLUSTERS corpus generated from seeded md5
+arithmetic (the planted-pair audit's technique, audit.py) so the DuckDB
+oracle replays generation exactly, and prices the variants on it:
+
+- ``clustered_fixture_stats``: proves the fixture HAS coarse structure
+  (mean cosine to own center ≈ 0.999 vs best other center ≈ 0.19).
+- ``clustered_pq_variant_audit``: recall@10 of plain-PQ vs residual-PQ
+  ADC at two candidate cuts on the SAME fixture, same codebook budget.
+  Measured: residual 0.64 vs plain 0.23 at cut 50 (1.00 vs 0.77 at
+  cut 200) — the measured statement of when residual beats plain (when
+  cells capture coarse structure, the codebook spends its codewords on
+  within-cell detail the quantizer already removed; on the near-uniform
+  corpus the same audit trio reads plain 0.9 / residual 1.0 at CAND 250
+  — no gap).
+- ``clustered_semdedup_audit``: SemDeDup's cell-blocking on true coarse
+  structure — blocked pair discovery misses ZERO duplicate pairs vs the
+  unblocked probe-sample baseline, and keeps exactly one representative
+  per cluster.
+
+Generation: point i = center[i % C] + noise[i], with
+center[c][j] = (md5int("cc:c:j") % 2001 - 1000) / 1000.0   (coords ±1)
+noise[i][j] = (md5int("cn:i:j") % 2001 - 1000) / 20000.0   (coords ±0.05)
+where md5int = first 8 md5 hex chars as an integer. Every engine (and
+driver-side Python, for the bounded codebook/LUT state) computes the
+same integers and the same correctly-rounded double divisions, so the
+fixture is bit-identical across Spark, DuckDB, and the driver — no
+parquet, no RNG, no collected corpus.
+
+Reference parity: extension surface (no reference counterpart); the
+residual/trained composition docstrings in pipeline/pq.py carry the
+family citations (Jegou et al. 2011 product quantization; Abbas et al.
+2023 SemDeDup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..driver_queries import memoize_df, register
+from ..session import tracked_persist
+from .similarity import (
+    DIM,
+    PQ_DSUB,
+    PQ_K,
+    PQ_S,
+    _cos_sql,
+    dot_fold,
+    pq_encode,
+    pq_query_lut,
+)
+
+CF_N = 2048  # fixture corpus size
+CF_C = 8  # mixture components; cluster of point i = i % CF_C
+CF_Q = 10  # probe queries (vec_id 0..9)
+CF_TOP = 10  # exact neighbors per query the recall is measured over
+CF_CUTS = (50, 200)  # ADC candidate cuts the variants are priced at
+CF_SEM_COS = 0.9  # same-cluster members sit ≈0.997; cross ≈0.19
+CF_SEM_PROBE = 256  # probe-side sample for the unblocked baseline
+
+
+# ---------------------------------------------------------------------------
+# generation: identical integers + identical double arithmetic in
+# Python (driver-side codebook state), Spark expressions, and DuckDB SQL
+# ---------------------------------------------------------------------------
+
+
+def _h8_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def cf_center(c: int) -> list[float]:
+    return [
+        (_h8_py(f"cc:{c}:{j}") % 2001 - 1000) / 1000.0 for j in range(DIM)
+    ]
+
+
+def cf_point(i: int) -> list[float]:
+    cent = cf_center(i % CF_C)
+    return [
+        cent[j] + (_h8_py(f"cn:{i}:{j}") % 2001 - 1000) / 20000.0
+        for j in range(DIM)
+    ]
+
+
+def _h8_col(s) -> F.Column:
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+@memoize_df
+def clustered_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cl, embedding) generated DISTRIBUTED (map-only expressions
+    over spark.range — at 100 TB a fixture/benchmark corpus is generated
+    exactly like this, never collected). ``sf_dir`` is ignored (the
+    fixture is self-contained) but kept so the memo key and the query
+    signature match the registry contract.
+
+    Shape: one row per (vec_id, coordinate) via explode — each row's
+    expression is TWO small md5 terms, so the whole projection stays
+    inside whole-stage codegen — then one groupBy(vec_id) assembles the
+    array in j-order (array_sort over (j, v) structs, the established
+    ordered-collect pattern). The first cut generated all 64 coordinates
+    as one 1500-node array projection: janino refused the >64KB method
+    (interpreted fallback) and Catalyst planning alone cost ~12 s — the
+    round-7 wide-literal-projection lesson, relearned and measured."""
+    base = spark.range(CF_N).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % CF_C).cast("int").alias("cl"),
+    )
+    coords = base.select(
+        "vec_id", "cl", F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("j")
+    )
+    cterm = (
+        _h8_col(
+            F.concat(
+                F.lit("cc:"),
+                F.col("cl").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    nterm = (
+        _h8_col(
+            F.concat(
+                F.lit("cn:"),
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        % 2001
+        - 1000
+    ) / F.lit(20000.0)
+    vals = coords.select("vec_id", "cl", "j", (cterm + nterm).alias("v"))
+    return vals.groupBy("vec_id", "cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias("embedding")
+    )
+
+
+def _h8_sql(expr: str) -> str:
+    """DuckDB twin of _h8_col / _h8_py: first 8 md5 hex chars as BIGINT
+    (the sketches.py _DUCK_HV idiom at width 8). Lambda variables are
+    hx/ha/hb: ``expr`` is evaluated INSIDE the hex-digit lambda, so a
+    bare ``i``/``j``/``a`` here would shadow the caller's generator
+    columns of the same name (measured: every fixture row hashed the
+    digit index instead of its vec_id)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 8), "
+        f"hx -> CAST(strpos('0123456789abcdef', substr(md5({expr}), hx, 1)) - 1 "
+        "AS BIGINT)), (ha, hb) -> ha * 16 + hb)"
+    )
+
+
+def _cfx_coord_sql(tag: str, key: str, denom: str) -> str:
+    """One generated coordinate term: (md5int % 2001 - 1000) / denom,
+    with the same long->double widening order as the Spark/Python sides."""
+    h = _h8_sql(f"'{tag}:' || CAST({key} AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)")
+    return f"(CAST({h} % 2001 - 1000 AS DOUBLE) / CAST({denom} AS DOUBLE))"
+
+
+# the fixture + generative-centers CTEs every clustered oracle starts with
+_CFX_CTES = f"""cfx AS (
+      SELECT i AS vec_id, CAST(i % {CF_C} AS INT) AS cl,
+             list_transform(generate_series(1, {DIM}), j ->
+               {_cfx_coord_sql('cc', f'i % {CF_C}', '1000.0')}
+               + {_cfx_coord_sql('cn', 'i', '20000.0')}) AS embedding
+      FROM generate_series(0, {CF_N - 1}) t(i)
+    ),
+    cctr AS (
+      SELECT CAST(c AS INT) AS c,
+             list_transform(generate_series(1, {DIM}), j ->
+               {_cfx_coord_sql('cc', 'c', '1000.0')}) AS cent
+      FROM generate_series(0, {CF_C - 1}) t(c)
+    )"""
+
+# ---------------------------------------------------------------------------
+# fixture structure proof
+# ---------------------------------------------------------------------------
+
+_CF_STATS_SQL = f"""
+    WITH {_CFX_CTES},
+    pc AS (
+      SELECT f.vec_id, f.cl, c.c,
+             {_cos_sql('f.embedding', 'c.cent')} AS cos
+      FROM cfx f CROSS JOIN cctr c
+    ),
+    pr AS (
+      SELECT vec_id, cl,
+             max(CASE WHEN c = cl THEN cos END) AS cos_own,
+             max(CASE WHEN c <> cl THEN cos END) AS cos_other
+      FROM pc GROUP BY vec_id, cl
+    )
+    SELECT cl, count(*) AS n,
+           round(CAST(sum(CAST(cos_own AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos_own,
+           round(CAST(sum(CAST(cos_other AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos_best_other
+    FROM pr GROUP BY cl ORDER BY cl ASC
+    """
+
+
+@register("clustered_fixture_stats", _CF_STATS_SQL)
+def clustered_fixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure proof for the mixture fixture: per generative cluster,
+    the mean cosine of members to their OWN center vs to the best OTHER
+    center. Measured ≈0.999 vs ≈0.19 — the coarse structure the synthetic
+    corpus lacks, and the precondition for every variant priced on this
+    fixture. Decimal(20,6) sums for the order-free cross-engine mean
+    (the embedding_kmeans parity pattern); max() per row is order-free.
+
+    Scale shape: fixture scan x C-row broadcast centers, one (vec_id)
+    partial-agg shuffle + one (cl) rollup — no corpus self-join."""
+    fx = clustered_fixture_frame(spark, sf_dir)
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(c, cf_center(c)) for c in range(CF_C)],
+            "c int, cent array<double>",
+        )
+    )
+    cos = dot_fold(F.col("embedding"), F.col("cent")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("cent"), F.col("cent")))
+    )
+    pc = fx.crossJoin(cents).select(
+        "vec_id", "cl", "c", cos.alias("cos")
+    )
+    pr = pc.groupBy("vec_id", "cl").agg(
+        F.max(F.when(F.col("c") == F.col("cl"), F.col("cos"))).alias("cos_own"),
+        F.max(F.when(F.col("c") != F.col("cl"), F.col("cos"))).alias("cos_other"),
+    )
+    dec = lambda col: col.cast("decimal(20,6)")  # noqa: E731
+    return (
+        pr.groupBy("cl")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(dec(F.col("cos_own"))).cast("double") / F.count("*"), 6
+            ).alias("mean_cos_own"),
+            F.round(
+                F.sum(dec(F.col("cos_other"))).cast("double") / F.count("*"), 6
+            ).alias("mean_cos_best_other"),
+        )
+        .orderBy(F.col("cl").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# plain vs residual PQ, priced on coarse structure
+# ---------------------------------------------------------------------------
+
+
+def _cf_pq_sql() -> str:
+    """Oracle replaying BOTH PQ variants end-to-end on the generated
+    fixture: seed-sliced codebooks (plain: fixture vectors 0..K-1;
+    residual: their residuals to the generative centers), the shared
+    _ds_expr/_ARGMIN encode kernels from pipeline/pq.py, in-SQL query
+    LUTs (same i-order folds as pq_query_lut), fixed-subspace-order ADC
+    sums (pq_adc_col's addition order), rank windows, and count-ratio
+    recalls (integer counts — no float-sum ordering anywhere)."""
+    from .pq import _ARGMIN, _GRID, _ds_expr
+
+    grid_s = _GRID % (PQ_S - 1, "s")
+    grid_k = _GRID % (PQ_K - 1, "k")
+    lut_fold = (
+        f"list_reduce(list_transform(generate_series(1, {PQ_DSUB}), "
+        "li -> (qsl[li] - cw[li]) * (qsl[li] - cw[li])), (la, lb) -> la + lb)"
+    )
+    adc_sum = " + ".join(f"ls[{s + 1}][cs[{s + 1}] + 1]" for s in range(PQ_S))
+
+    def codec(p: str, src: str) -> str:
+        """slice -> seed codebook -> encode -> per-vector code list CTEs,
+        prefixed so the plain and residual replays compose in one WITH."""
+        return f"""{p}sl AS (
+      SELECT e.vec_id, t.s,
+             list_slice(e.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS sl
+      FROM {src} e, {grid_s} t
+    ),
+    {p}cw AS (
+      SELECT t.s, t2.k,
+             list_slice(kv.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS cw
+      FROM {grid_s} t, {grid_k} t2
+      JOIN {src} kv ON kv.vec_id = t2.k
+    ),
+    {p}cwl AS (SELECT s, list(cw ORDER BY k) AS cws FROM {p}cw GROUP BY s),
+    {p}a AS (
+      SELECT sl.vec_id, sl.s, {_ds_expr()} AS ds
+      FROM {p}sl sl JOIN {p}cwl USING (s)
+    ),
+    {p}g AS (SELECT vec_id, s, {_ARGMIN} AS code FROM {p}a),
+    {p}cs AS (SELECT vec_id, list(code ORDER BY s) AS cs FROM {p}g GROUP BY vec_id)"""
+
+    recalls = ", ".join(
+        f"round(CAST(sum(CASE WHEN {v}rk <= {cut} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / count(*), 6) AS recall_{name}_{cut}"
+        for name, v in (("plain", "p"), ("residual", "r"))
+        for cut in CF_CUTS
+    )
+    return f"""
+    WITH {_CFX_CTES},
+    rfx AS (
+      SELECT f.vec_id, f.cl,
+             list_transform(generate_series(1, {DIM}),
+                            j -> f.embedding[j] - c.cent[j]) AS embedding
+      FROM cfx f JOIN cctr c ON c.c = f.cl
+    ),
+    {codec('p', 'cfx')},
+    {codec('r', 'rfx')},
+    rcl AS (SELECT vec_id, cl FROM cfx),
+    qsl AS (
+      SELECT q.vec_id AS qid, t.s,
+             list_slice(q.embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS qsl
+      FROM cfx q, {grid_s} t WHERE q.vec_id < {CF_Q}
+    ),
+    plut AS (
+      SELECT qsl.qid, qsl.s, c.k, {lut_fold} AS v
+      FROM qsl JOIN pcw c USING (s)
+    ),
+    plutl AS (SELECT qid, s, list(v ORDER BY k) AS vs FROM plut GROUP BY qid, s),
+    plutm AS (SELECT qid, list(vs ORDER BY s) AS ls FROM plutl GROUP BY qid),
+    rqsl AS (
+      SELECT q.vec_id AS qid, c.c, t.s,
+             list_slice(list_transform(generate_series(1, {DIM}),
+                                       j -> q.embedding[j] - c.cent[j]),
+                        t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB}) AS qsl
+      FROM cfx q CROSS JOIN cctr c, {grid_s} t WHERE q.vec_id < {CF_Q}
+    ),
+    rlut AS (
+      SELECT rqsl.qid, rqsl.c, rqsl.s, cb.k, {lut_fold} AS v
+      FROM rqsl JOIN rcw cb USING (s)
+    ),
+    rlutl AS (SELECT qid, c, s, list(v ORDER BY k) AS vs FROM rlut GROUP BY qid, c, s),
+    rlutm AS (SELECT qid, c, list(vs ORDER BY s) AS ls FROM rlutl GROUP BY qid, c),
+    padc AS (
+      SELECT cc.vec_id, l.qid, {adc_sum} AS adc
+      FROM pcs cc CROSS JOIN plutm l WHERE cc.vec_id <> l.qid
+    ),
+    radc AS (
+      SELECT cc.vec_id, l.qid, {adc_sum} AS adc
+      FROM rcs cc JOIN rcl ON rcl.vec_id = cc.vec_id
+      JOIN rlutm l ON l.c = rcl.cl
+      WHERE cc.vec_id <> l.qid
+    ),
+    prk AS (
+      SELECT vec_id, qid,
+             row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rk
+      FROM padc
+    ),
+    rrk AS (
+      SELECT vec_id, qid,
+             row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rk
+      FROM radc
+    ),
+    tr AS (
+      SELECT q.vec_id AS qid, e.vec_id,
+             {_cos_sql('e.embedding', 'q.embedding')} AS cos
+      FROM cfx e JOIN cfx q ON q.vec_id < {CF_Q} AND e.vec_id <> q.vec_id
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM tr
+      ) WHERE rk <= {CF_TOP}
+    ),
+    joined AS (
+      SELECT t.qid, t.vec_id, p.rk AS prk, r.rk AS rrk
+      FROM truth t
+      LEFT JOIN prk p ON p.qid = t.qid AND p.vec_id = t.vec_id
+      LEFT JOIN rrk r ON r.qid = t.qid AND r.vec_id = t.vec_id
+    )
+    SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_q,
+           CAST(count(*) AS BIGINT) AS n_true,
+           {recalls}
+    FROM joined
+    """
+
+
+@register("clustered_pq_variant_audit", _cf_pq_sql())
+@memoize_df
+def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pricing experiment VERDICT r8 #3 asked for: plain-PQ vs
+    residual-PQ recall@10 at two ADC candidate cuts, on a corpus whose
+    coarse structure the quantizer's cells actually capture (here the
+    generative mixture centers — isolating codebook quality from
+    coarse-fit quality). Same codebook budget both sides (K=8 seeded
+    codewords per subspace: fixture vectors 0..7, resp. their residuals).
+
+    Measured (the statement round 8 could not make): residual recall
+    0.64 vs plain 0.23 at cut 50; 1.00 vs 0.77 at cut 200. WHY: all
+    same-cluster members quantize to nearly the SAME plain codes (the
+    codeword grid is spread over ±1 coordinates while within-cluster
+    detail lives at ±0.05), so plain ADC cannot rank within a cluster;
+    residual codes spend the identical budget entirely on that ±0.05
+    structure. On the near-uniform synthetic corpus the audit trio reads
+    plain 0.9 / residual 1.0 at CAND 250 — residuals only pay when cells
+    remove real coarse structure, and this fixture is the measured
+    boundary of "when".
+
+    Scale shape: encode = map-only folds over the fixture scan (the
+    pq_encode kernel); LUTs are bounded driver floats; ADC = literal
+    lookups; two rank windows partitioned by qid; recalls are integer
+    count ratios (no float aggregation order anywhere)."""
+    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    seeds = [cf_point(k) for k in range(PQ_K)]
+    cents = [cf_center(c) for c in range(CF_C)]
+    rseeds = [
+        [seeds[k][j] - cents[k % CF_C][j] for j in range(DIM)]
+        for k in range(PQ_K)
+    ]
+    qs = [cf_point(q) for q in range(CF_Q)]
+
+    codes_p = pq_encode(fx, seeds)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(c, cents[c]) for c in range(CF_C)], "c int, cent array<double>"
+        )
+    )
+    resid = (
+        fx.join(cdf, fx["cl"] == cdf["c"])
+        .select(
+            "vec_id",
+            "cl",
+            F.zip_with("embedding", "cent", lambda x, y: x - y).alias(
+                "embedding"
+            ),
+        )
+    )
+    codes_r = pq_encode(resid, rseeds, keep=("cl",))
+
+    # LUTs ride in as BROADCAST FRAMES (10 rows plain, 80 rows residual)
+    # and the ADC is eight subspace-ordered getItems per row — the first
+    # cut inlined every LUT as literal arrays inside per-query CASE
+    # chains (≈640 literals), which janino refused (>64KB method ->
+    # interpreted) and Catalyst planned for seconds: the same structure
+    # as the SQL twin's plutm/rlutm relations is also the fast plan.
+    def adc_over_ls() -> F.Column:
+        adc = None
+        for s in range(PQ_S):  # pq_adc_col's subspace addition order
+            term = F.try_element_at(
+                F.try_element_at("ls", F.lit(s + 1)), F.col(f"c{s}") + 1
+            )
+            adc = term if adc is None else adc + term
+        return adc
+
+    luts_p = [pq_query_lut(seeds, qs[q]) for q in range(CF_Q)]
+    plutm = F.broadcast(
+        spark.createDataFrame(
+            [(q, luts_p[q]) for q in range(CF_Q)],
+            "qid int, ls array<array<double>>",
+        )
+    )
+    plain = (
+        codes_p.crossJoin(plutm)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc_over_ls().alias("adc"))
+    )
+
+    rlutm = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    q,
+                    c,
+                    pq_query_lut(
+                        rseeds, [qs[q][j] - cents[c][j] for j in range(DIM)]
+                    ),
+                )
+                for q in range(CF_Q)
+                for c in range(CF_C)
+            ],
+            "qid int, c int, ls array<array<double>>",
+        )
+    )
+    residual = (
+        codes_r.join(rlutm, codes_r["cl"] == rlutm["c"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc_over_ls().alias("adc"))
+    )
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    prk = plain.select(
+        "qid", "vec_id", F.row_number().over(w).alias("prk")
+    )
+    rrk = residual.select(
+        "qid", "vec_id", F.row_number().over(w).alias("rrk")
+    )
+
+    q = fx.filter(F.col("vec_id") < CF_Q).select(
+        F.col("vec_id").cast("int").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        fx.join(F.broadcast(q), fx["vec_id"] != q["qid"])
+        .select("qid", "vec_id", cos.alias("cos"))
+        .select("qid", "vec_id", F.row_number().over(wt).alias("rk"))
+        .filter(F.col("rk") <= CF_TOP)
+        .select("qid", "vec_id")
+    )
+    joined = truth.join(prk, ["qid", "vec_id"], "left").join(
+        rrk, ["qid", "vec_id"], "left"
+    )
+    recalls = [
+        F.round(
+            F.sum(
+                F.when(F.col(v) <= cut, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias(f"recall_{name}_{cut}")
+        for name, v in (("plain", "prk"), ("residual", "rrk"))
+        for cut in CF_CUTS
+    ]
+    return joined.agg(
+        F.count_distinct(F.col("qid")).cast("long").alias("n_q"),
+        F.count("*").cast("long").alias("n_true"),
+        *recalls,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cell-blocking priced on true coarse structure
+# ---------------------------------------------------------------------------
+
+_CF_SEM_SQL = f"""
+    WITH {_CFX_CTES},
+    bp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cfx a JOIN cfx b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {CF_SEM_COS}
+    ),
+    pall AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cfx a JOIN cfx b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < {CF_SEM_PROBE}
+        AND {_cos_sql('a.embedding', 'b.embedding')} >= {CF_SEM_COS}
+    ),
+    pblk AS (SELECT * FROM bp WHERE id_a < {CF_SEM_PROBE}),
+    keepers AS (
+      SELECT count(*) AS n FROM cfx s
+      LEFT JOIN (SELECT DISTINCT id_b FROM bp) d ON s.vec_id = d.id_b
+      WHERE d.id_b IS NULL
+    )
+    SELECT (SELECT n FROM keepers) AS n_keep,
+           CAST((SELECT count(*) FROM pblk) AS BIGINT) AS n_probe_pairs_blocked,
+           CAST((SELECT count(*) FROM pall) AS BIGINT) AS n_probe_pairs_all,
+           CAST((SELECT count(*) FROM pall) -
+                (SELECT count(*) FROM pblk) AS BIGINT) AS n_missed_by_blocking
+    """
+
+
+@register("clustered_semdedup_audit", _CF_SEM_SQL)
+@memoize_df
+def clustered_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's cell-blocking priced on data with REAL coarse structure
+    (the r8 gap: cell-blocking had only been exercised on the
+    near-uniform corpus, where cells don't mean anything). Blocking key =
+    the generative cluster; duplicates at cos >= 0.9 (same-cluster
+    members sit ≈0.997, cross-cluster ≤0.26). Reports the keeper count
+    under the lowest-id-survives rule (semdedup's contract) and — the
+    audit's point — how many duplicate pairs the blocked discovery
+    MISSES vs an unblocked probe-sample baseline (probe side = vec_id <
+    {CF_SEM_PROBE}, the lsh_recall_audit_sampled shape). Measured: 0
+    missed, n_keep = 8 (exactly one representative per mixture
+    component — vec_ids 0..7, the lowest id of each cluster).
+
+    Scale shape: blocked pair work shuffles on cl (cell interiors only);
+    the unblocked baseline is probe-sample x corpus, the quadratic term
+    you only ever pay at audit cadence on a sample."""
+    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    sides = fx.select(
+        "vec_id",
+        "cl",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cl").alias("cl_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cl").alias("cl_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    bp = tracked_persist(
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= CF_SEM_COS)
+        .select("id_a", "id_b")
+    )
+    pall = (
+        a.filter(F.col("id_a") < CF_SEM_PROBE)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= CF_SEM_COS)
+        .select("id_a", "id_b")
+    )
+    n_keep = (
+        fx.join(
+            bp.select(F.col("id_b").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_keep"))
+    )
+    counts = (
+        bp.filter(F.col("id_a") < CF_SEM_PROBE)
+        .agg(F.count("*").cast("long").alias("n_probe_pairs_blocked"))
+        .crossJoin(pall.agg(F.count("*").cast("long").alias("n_probe_pairs_all")))
+    )
+    return (
+        n_keep.crossJoin(counts)
+        .select(
+            "n_keep",
+            "n_probe_pairs_blocked",
+            "n_probe_pairs_all",
+            (F.col("n_probe_pairs_all") - F.col("n_probe_pairs_blocked"))
+            .cast("long")
+            .alias("n_missed_by_blocking"),
+        )
+    )

@@ -611,10 +611,22 @@ def ann_ivf_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: level-2 seeds are the k2 LOWEST vec_ids in the cell
     (row_number over vec_id in the twin; enumeration order Spark-side),
     and assignment/means/routing reuse the exact fold, struct-min
-    argmin, and decimal-mean contracts of the corpus-wide fit."""
+    argmin, and decimal-mean contracts of the corpus-wide fit.
+
+    Store-aware (r9): with a materialized two-level layout
+    (operators/storage.py build_sharded_ivf_store — embeddings
+    partitioned by (cid1, cid2), both levels' assignment-time centroids
+    in the meta blob via exact JSON double round-trip), the probe is
+    driver-side routing through k1 + k2 centroid distances plus a scan
+    of NPROBE (cid1, cid2) partition directories — the level-2 fit no
+    longer runs at query time. Results are identical by construction
+    (the store build runs this exact derivation once) and the oracle is
+    unchanged."""
+    import os as _os
+
+    from ..operators import storage as _storage
     from .similarity import dot_fold
 
-    asg, cents = kmeans_fit(spark, sf_dir)
     emb = _t(spark, sf_dir)["embeddings"]
     q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     q_vec = [float(x) for x in q_row["embedding"]]
@@ -625,26 +637,49 @@ def ann_ivf_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + (x - y) * (x - y)
         return acc
 
-    q_cid = min(range(len(cents)), key=lambda i: (d2(cents[i]), i))
-    cell = (
-        emb.join(asg.filter(F.col("cid") == q_cid), "vec_id")
-        .select("vec_id", "embedding")
+    meta = (
+        _storage.load_sharded_ivf_meta(sf_dir)
+        if _os.path.isdir(_storage.sharded_ivf_store_path(sf_dir))
+        else None
     )
-    n_cell = cell.count()
-    k2 = ivf_cells_for(n_cell)
-    seeds2 = [
-        [float(x) for x in r["embedding"]]
-        for r in cell.orderBy("vec_id").limit(k2).collect()
-    ]
-    asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
-    sel2 = sorted(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))[:NPROBE]
+    if meta is not None:
+        cents1, level2 = meta
+        q_cid = min(range(len(cents1)), key=lambda i: (d2(cents1[i]), i))
+        cents2 = level2[q_cid]
+        sel2 = sorted(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))[
+            :NPROBE
+        ]
+        cell = (
+            _storage.read_sharded_ivf(spark, sf_dir)
+            .where(F.col("cid1") == q_cid)
+            .select("vec_id", "embedding", F.col("cid2").alias("cid2"))
+        )
+        asg2 = None  # codes live in the partition layout, no query fit
+    else:
+        asg, cents = kmeans_fit(spark, sf_dir)
+        q_cid = min(range(len(cents)), key=lambda i: (d2(cents[i]), i))
+        cell = (
+            emb.join(asg.filter(F.col("cid") == q_cid), "vec_id")
+            .select("vec_id", "embedding")
+        )
+        n_cell = cell.count()
+        k2 = ivf_cells_for(n_cell)
+        seeds2 = [
+            [float(x) for x in r["embedding"]]
+            for r in cell.orderBy("vec_id").limit(k2).collect()
+        ]
+        asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+        sel2 = sorted(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))[
+            :NPROBE
+        ]
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"),
         F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
     )
+    if asg2 is not None:  # derived path: attach the query-time level-2 fit
+        cell = cell.join(asg2.withColumnRenamed("cid", "cid2"), "vec_id")
     return (
-        cell.join(asg2.withColumnRenamed("cid", "cid2"), "vec_id")
-        .where(F.col("cid2").isin(sel2) & (F.col("vec_id") != 0))
+        cell.where(F.col("cid2").isin(sel2) & (F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

@@ -399,9 +399,9 @@ def rhp_band_frame_at(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     ).select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
 
 
-@register("dedup_embedding_lsh", _RHP_SQL)
+@register("dedup_embedding_lsh_single_probe", _RHP_SQL)
 @memoize_df
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale version of dedup_embedding_cosine: candidates come
     from sign-pattern bucket collisions in L=8 independent K-bit
     hyperplane tables (recall ≈ 1-(1-p^K)^L with p = 1-θ/π), exact cosine
@@ -410,7 +410,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     — stays ~flat as the corpus grows (measured in scale_probe.py's
     candidates section). At 100 TB the (tbl, bucket) pair is the shuffle
     key — all-pairs work is confined to bucket interiors, like the
-    MinHash-LSH text path."""
+    MinHash-LSH text path.
+
+    This is the priced CHEAP path (VERDICT r8 #5): one probe per table,
+    recall 0.60 at sf0.1 and decaying with corpus growth by ladder
+    design. The HEADLINE name ``dedup_embedding_lsh`` is the T=4
+    multi-probe path (recall 1.0 at sf0.1 on the same stored index);
+    reach for this variant only when probe cost must be minimal and the
+    recall audit's price is acceptable."""
     bands = tracked_persist(rhp_band_frame(spark, sf_dir))
     emb = _t(spark, sf_dir)["embeddings"]
     a = bands.filter(F.col("vec_id") < 100).select(
@@ -484,62 +491,84 @@ _B0_FROM_DS_SQL = " + ".join(
 )
 
 
-def _rhp_mp_probe_ctes(src: str) -> str:
-    """The pr0..pb CTE chain (multi-probe T=4 bucket derivation) over an
-    ARBITRARY (vec_id, embedding) source relation — shared by the
-    registered multiprobe oracle (src = the vec_id < 100 probe batch)
-    and the planted-pair recall audit (src = the planted clones), the
-    SQL mirror of rhp_multiprobe_buckets."""
+def _rhp_mp_probe_ctes(src: str, flips: int = RHP_MP_FLIP) -> str:
+    """The pr0..pb CTE chain (multi-probe bucket derivation, T = 2^flips)
+    over an ARBITRARY (vec_id, embedding) source relation — shared by the
+    registered multiprobe oracles (src = the vec_id < 100 probe batch,
+    one per flips operating point) and the planted-pair recall audit
+    (src = the planted clones), the SQL mirror of
+    rhp_multiprobe_buckets. Flip j's argmin runs over the abs-margin list
+    with winners 1..j-1 masked to the same +inf sentinel the Spark side
+    uses (first-match tie-break each round); the probed buckets are b0
+    XOR every subset of the flip-plane bits."""
     dots = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {_rhp_dots_sql('embedding', t)} AS ds "
         f"FROM {src}, p"
         for t in range(RHP_TABLES)
     )
-    return f"""pr0 AS ({dots}),
-    pr1 AS (
+    parts = [
+        f"pr0 AS ({dots})",
+        """pr1 AS (
       SELECT vec_id, tbl, ds,
              list_transform(ds, x -> CASE WHEN x IS NULL THEN 1e308
                                           ELSE abs(x) END) AS a1
       FROM pr0
-    ),
-    pr2 AS (
-      SELECT vec_id, tbl, ds, a1,
-             CAST(list_position(a1, list_aggregate(a1, 'min')) - 1 AS INT)
-               AS k1
-      FROM pr1
-    ),
-    pr3 AS (
-      SELECT vec_id, tbl, ds, k1,
+    )""",
+    ]
+    prev = "pr1"
+    for j in range(1, flips + 1):
+        parts.append(
+            f"""prk{j} AS (
+      SELECT *,
+             CAST(list_position(a{j}, list_aggregate(a{j}, 'min')) - 1 AS INT)
+               AS k{j}
+      FROM {prev}
+    )"""
+        )
+        prev = f"prk{j}"
+        if j < flips:
+            parts.append(
+                f"""pra{j + 1} AS (
+      SELECT *,
              list_transform(generate_series(1, {RHP_MAX_BITS}),
-                            i -> CASE WHEN i = k1 + 1 THEN 1e308
-                                      ELSE a1[i] END) AS a2
-      FROM pr2
-    ),
-    pr4 AS (
-      SELECT vec_id, tbl, ds, k1,
-             CAST(list_position(a2, list_aggregate(a2, 'min')) - 1 AS INT)
-               AS k2
-      FROM pr3
-    ),
-    prb AS (
-      SELECT vec_id, tbl, ({_B0_FROM_DS_SQL}) AS b0,
-             ({_POWS_SQL})[k1 + 1] AS p1,
-             ({_POWS_SQL})[k2 + 1] AS p2
-      FROM pr4
-    ),
-    pb AS (
-      SELECT vec_id, tbl,
-             unnest([b0, xor(b0, p1), xor(b0, p2),
-                     xor(xor(b0, p1), p2)]) AS bucket
+                            i -> CASE WHEN i = k{j} + 1 THEN 1e308
+                                      ELSE a{j}[i] END) AS a{j + 1}
+      FROM prk{j}
+    )"""
+            )
+            prev = f"pra{j + 1}"
+    pcols = "".join(
+        f",\n             ({_POWS_SQL})[k{j} + 1] AS p{j}"
+        for j in range(1, flips + 1)
+    )
+    parts.append(
+        f"""prb AS (
+      SELECT vec_id, tbl, ({_B0_FROM_DS_SQL}) AS b0{pcols}
+      FROM {prev}
+    )"""
+    )
+    buckets = ["b0"]
+    for j in range(1, flips + 1):  # subset enumeration, Spark-side order
+        buckets = buckets + [f"xor({b}, p{j})" for b in buckets]
+    parts.append(
+        f"""pb AS (
+      SELECT vec_id, tbl, unnest([{", ".join(buckets)}]) AS bucket
       FROM prb
     )"""
+    )
+    return ",\n    ".join(parts)
 
 
-_RHP_MP_SQL = f"""
+def _mp_sql_at(flips: int) -> str:
+    """The full multi-probe pair-set oracle at an explicit flips operating
+    point — one SQL builder for the whole recall-vs-cost curve, so the
+    flips=1/2/3 registered variants and the headline share every CTE."""
+    return f"""
     WITH p AS ({_RHP_PARAMS_SQL}),
     bands AS ({_RHP_BANDS_SQL}),
     {_rhp_mp_probe_ctes(
-        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100) e0"
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100) e0",
+        flips,
     )},
     cand AS (
       SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
@@ -554,6 +583,9 @@ _RHP_MP_SQL = f"""
     WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COSINE}
     ORDER BY id_new ASC, id_corpus ASC
 """
+
+
+_RHP_MP_SQL = _mp_sql_at(RHP_MP_FLIP)
 
 
 def rhp_multiprobe_buckets(df: DataFrame, bits: int, flips: int) -> DataFrame:
@@ -699,6 +731,39 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     consumes the SAME frame the query built — VERDICT r7 #5: the pair
     must not pay for the probe chain twice)."""
     return multiprobe_lsh_pairs(spark, sf_dir, RHP_MP_FLIP)
+
+
+# the HEADLINE embedding-dedup name is the multi-probe path (VERDICT r8
+# #5): the name a user reaches for first should be the one whose recall
+# holds at 1.0 across ladder rungs; single-probe stays registered as the
+# explicit ``_single_probe`` cheap alternative. Registered as the SAME
+# memoized callable as dedup_embedding_lsh_multiprobe, so the two names
+# share one derivation per session and cannot drift.
+dedup_embedding_lsh = register("dedup_embedding_lsh", _RHP_MP_SQL)(
+    dedup_embedding_lsh_multiprobe
+)
+
+
+@register("dedup_embedding_lsh_flips1", _mp_sql_at(1))
+@memoize_df
+def dedup_embedding_lsh_flips1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flips=1 (T=2 probes/table) point of the multi-probe recall-vs-cost
+    curve, registered with its own oracle so the curve is DRIVER-checkable
+    (VERDICT r8 #7) rather than only probe-measured: half the probe reads
+    of the T=4 headline, recall between single-probe and T=4 (monotone
+    coverage pinned by tests/test_multiprobe_ladder.py)."""
+    return multiprobe_lsh_pairs(spark, sf_dir, 1)
+
+
+@register("dedup_embedding_lsh_flips3", _mp_sql_at(3))
+@memoize_df
+def dedup_embedding_lsh_flips3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flips=3 (T=8 probes/table) point of the curve: past the headline's
+    T=4 operating point — the knob a 100 TB operator turns when a recall
+    audit dips after a corpus growth spurt and re-banding at the next
+    ladder rung hasn't run yet. Covers a strict superset of the T=4
+    buckets by construction."""
+    return multiprobe_lsh_pairs(spark, sf_dir, 3)
 
 
 # ---------------------------------------------------------------------------

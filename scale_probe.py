@@ -609,6 +609,81 @@ def probe_rung_crossing(spark) -> dict:
     return out
 
 
+def probe_ivf_sharded_crossing(spark, sf_dir: str | None = None) -> dict:
+    """The IVF analog of probe_rung_crossing (VERDICT r8 #6): when the
+    corpus outgrows the flat coarse quantizer's top rung, cell occupancy
+    — candidates-per-probe — goes LINEAR in n at the capped width; the
+    sharded two-level router (ann_ivf_sharded_topk's IVF-on-IVF) restores
+    it. Here the 'old ceiling' is an artificial k1 = 8 on the sf0.1
+    corpus (the same capped-width trick the RHP crossing uses: the
+    phenomenon is the cap, not the absolute rung), whose ladder width is
+    4x wider. Level 2 re-runs the shared Lloyd contract INSIDE each
+    level-1 cell at the width the ladder picks for the CELL size, and
+    the measured candidate shrinkage must match the occupancy-weighted
+    ladder prediction sum(c_i^2 / k2_i) / sum(c_i^2).
+
+    Candidates-per-probe = sum(cell^2)/n (the expected scanned rows for
+    a uniformly drawn probe vector), the same statistic the RHP
+    crossing and the occupancy audits report."""
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        _lloyd_fit_frame,
+        kmeans_fit,
+    )
+    from distribution_engine_smt_spark.pipeline.params import ivf_cells_for
+
+    CAP = 8
+    sf_dir = sf_dir or BASE
+    emb = load_tpch(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    asg1, _cents1 = kmeans_fit(spark, sf_dir, k=CAP)
+    asg1 = asg1.persist()
+    sizes = {
+        r["cid"]: r["n"]
+        for r in asg1.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    flat_capped = round(sum(c * c for c in sizes.values()) / n, 2)
+
+    total_s2 = 0.0
+    k2s = {}
+    for cid, csize in sorted(sizes.items()):
+        cell = emb.join(asg1.filter(F.col("cid") == cid), "vec_id").select(
+            "vec_id", "embedding"
+        )
+        k2 = ivf_cells_for(csize)
+        k2s[cid] = k2
+        seeds2 = [
+            [float(x) for x in r["embedding"]]
+            for r in cell.orderBy("vec_id").limit(k2).collect()
+        ]
+        asg2, _ = _lloyd_fit_frame(cell, seeds2)
+        row = (
+            asg2.groupBy("cid")
+            .agg(F.count("*").alias("sz"))
+            .agg(F.sum(F.col("sz") * F.col("sz")).alias("s2"))
+            .first()
+        )
+        total_s2 += row["s2"]
+    asg1.unpersist()
+    sharded = round(total_s2 / n, 2)
+    predicted = round(
+        sum(c * c / k2s[cid] for cid, c in sizes.items())
+        / sum(c * c for c in sizes.values()),
+        3,
+    )
+    out = {
+        "n_vectors": n,
+        "ladder_cells": ivf_cells_for(n),
+        "capped_k1": CAP,
+        "level2_widths": {str(c): k for c, k in sorted(k2s.items())},
+        "flat_capped_cand_per_probe": flat_capped,
+        "sharded_cand_per_probe": sharded,
+        "cand_ratio_sharded_vs_flat": round(sharded / max(flat_capped, 1e-9), 3),
+        "ladder_predicted_ratio": predicted,
+    }
+    print(json.dumps({"ivf_sharded_crossing": out}))
+    return out
+
+
 def main() -> None:
     spark = get_spark("desmt-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -723,6 +798,13 @@ def main() -> None:
     # ---- rung crossing ABOVE the r7 ladder ceilings (VERDICT r7 #1)
     rung_crossing = probe_rung_crossing(spark)
 
+    # ---- the IVF crossing twin: two-level routing past a capped flat
+    # rung (VERDICT r8 #6) — measured at the LARGEST scale so the capped
+    # rung is genuinely 4x under the ladder width
+    ivf_sharded_crossing = probe_ivf_sharded_crossing(
+        spark, dirs[max(SCALES)]
+    )
+
     # ---- ingest + streaming latency (VERDICT r6 #4/#7)
     ingest = probe_ingest(spark)
     streaming = probe_streaming(spark)
@@ -736,6 +818,7 @@ def main() -> None:
         "candidates_per_probe": candidates,
         "multiprobe_curve": multiprobe_curve,
         "rung_crossing": rung_crossing,
+        "ivf_sharded_crossing": ivf_sharded_crossing,
         "store_builds": store_builds,
         "ingest": ingest,
         "streaming": streaming,

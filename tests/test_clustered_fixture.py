@@ -1,0 +1,59 @@
+"""Clustered-embedding fixture (VERDICT r8 #3): the measured claims the
+fixture exists to make are regression-gated here — coarse structure is
+real, residual PQ beats plain PQ on it, and SemDeDup's cell-blocking
+misses nothing. The full value-level oracle match runs in
+test_driver_queries.py like every registered query; these tests pin the
+INEQUALITIES (a silent fixture regression could stay hash-consistent
+across engines while erasing the phenomenon being priced)."""
+
+from __future__ import annotations
+
+from distribution_engine_smt_spark.pipeline import clustered as cf
+
+from .conftest import SF_DIR
+
+
+def test_generation_is_three_way_deterministic(spark):
+    """Spark expressions == driver-side Python for points and the cl
+    label (the DuckDB side is pinned by the oracle battery)."""
+    got = {
+        r["vec_id"]: (r["cl"], [float(x) for x in r["embedding"]])
+        for r in cf.clustered_fixture_frame(spark, SF_DIR)
+        .where("vec_id in (0, 7, 100, 2047)")
+        .collect()
+    }
+    for i, (cl, emb) in got.items():
+        assert cl == i % cf.CF_C
+        assert emb == cf.cf_point(i), f"vec {i} diverged from driver math"
+
+
+def test_fixture_has_real_coarse_structure(spark):
+    rows = cf.clustered_fixture_stats(spark, SF_DIR).collect()
+    assert len(rows) == cf.CF_C
+    for r in rows:
+        assert r["n"] == cf.CF_N // cf.CF_C
+        assert r["mean_cos_own"] > 0.99, r
+        assert r["mean_cos_best_other"] < 0.5, r
+
+
+def test_residual_beats_plain_on_clustered_data(spark):
+    """The statement round 8 could not make: with cells that capture
+    coarse structure, residual codes rank strictly tighter than plain
+    codes at the same codebook budget — at EVERY priced cut."""
+    r = cf.clustered_pq_variant_audit(spark, SF_DIR).collect()[0]
+    assert r["n_q"] == cf.CF_Q and r["n_true"] == cf.CF_Q * cf.CF_TOP
+    for cut in cf.CF_CUTS:
+        assert r[f"recall_residual_{cut}"] > r[f"recall_plain_{cut}"], (
+            cut,
+            r.asDict(),
+        )
+    # the headline numbers cited in docs/SURVEY: keep them honest
+    assert r["recall_residual_200"] == 1.0
+    assert r["recall_plain_200"] < 0.9
+
+
+def test_semdedup_blocking_misses_nothing_here(spark):
+    r = cf.clustered_semdedup_audit(spark, SF_DIR).collect()[0]
+    assert r["n_keep"] == cf.CF_C  # one representative per component
+    assert r["n_missed_by_blocking"] == 0
+    assert r["n_probe_pairs_all"] == r["n_probe_pairs_blocked"] > 0

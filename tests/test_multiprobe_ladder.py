@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from distribution_engine_smt_spark.pipeline.similarity import (
     dedup_embedding_lsh,
+    dedup_embedding_lsh_multiprobe,
+    dedup_embedding_lsh_single_probe,
     multiprobe_lsh_pairs,
 )
 
@@ -18,8 +20,19 @@ def _pairs(df):
     return {(r["id_new"], r["id_corpus"]) for r in df.collect()}
 
 
+def test_headline_name_is_the_multiprobe_path(spark):
+    """VERDICT r8 #5: the name a user reaches for first must be the
+    multi-probe path — same registered callable, same memoized frame."""
+    assert dedup_embedding_lsh is dedup_embedding_lsh_multiprobe
+    from distribution_engine_smt_spark.driver_queries import ORACLE_SQL, QUERIES
+
+    assert QUERIES["dedup_embedding_lsh"] is QUERIES["dedup_embedding_lsh_multiprobe"]
+    assert ORACLE_SQL["dedup_embedding_lsh"] == ORACLE_SQL["dedup_embedding_lsh_multiprobe"]
+    assert "dedup_embedding_lsh_single_probe" in QUERIES
+
+
 def test_flips_zero_equals_single_probe_and_coverage_is_monotone(spark):
-    single = _pairs(dedup_embedding_lsh(spark, SF_DIR))
+    single = _pairs(dedup_embedding_lsh_single_probe(spark, SF_DIR))
     ladder = {
         f: _pairs(multiprobe_lsh_pairs(spark, SF_DIR, flips=f))
         for f in (0, 1, 2, 3)

@@ -633,3 +633,35 @@ def test_rhp_band_store_width_migration(spark, store_dir):
     assert storage.migrate_rhp_band_store(spark, SF_DIR, old, 6) == migrated
     with _pytest.raises(ValueError, match="narrow"):
         storage.migrate_rhp_band_store(spark, SF_DIR, migrated, 4)
+
+
+def test_sharded_ivf_store_feeds_topk_identically_and_prunes(spark, store_dir):
+    """r9: the level-2 fits become build-time artifacts. The store-fed
+    probe must return the exact derived-path rows (same oracle), and the
+    (cid1, cid2) cell filters must reach the scan as PartitionFilters —
+    the two prunings multiply in the read."""
+    from distribution_engine_smt_spark.driver_queries import _DF_CACHE
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        ann_ivf_sharded_topk,
+    )
+
+    def fresh():
+        for k in [k for k in _DF_CACHE if "sharded" in str(k).lower()]:
+            del _DF_CACHE[k]
+        return ann_ivf_sharded_topk(spark, SF_DIR)
+
+    without = [(r["vec_id"], r["cos"]) for r in fresh().collect()]
+    path = storage.build_sharded_ivf_store(spark, SF_DIR)
+    assert storage.build_sharded_ivf_store(spark, SF_DIR) == path  # no-op
+    df = fresh()
+    with_store = [(r["vec_id"], r["cos"]) for r in df.collect()]
+    assert with_store == without
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    filters = pf[1].split("]", 1)[0]
+    assert "cid1" in filters and "cid2" in filters, filters
+    # meta round-trips both levels' centroids exactly
+    cents1, level2 = storage.load_sharded_ivf_meta(SF_DIR)
+    assert len(level2) == len(cents1)
+    assert all(len(c) == 64 for c in cents1)
