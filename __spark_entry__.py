@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     #    fixture trio (VERDICT r8 #3), the explicit single-probe cheap
     #    path, and the flips=1/3 multi-probe curve points (r8 #5/#7)
     "clustered_fixture_stats",
+    "clustered_kmeans_agreement_audit",
     "clustered_pq_variant_audit",
     "clustered_semdedup_audit",
     "dedup_embedding_lsh_flips1",

@@ -729,7 +729,12 @@ def build_sharded_ivf_store(spark: SparkSession, sf_dir: str) -> str:
                 F.col("cid2"),
             )
         )
-    union = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    # batch_id sub-partition from the start (the ivfpq-code-store layout
+    # rule: mixed partition depths break discovery once the ingest
+    # stream appends) — the base build is just batch "base"
+    union = functools.reduce(lambda a, b: a.unionByName(b), frames).withColumn(
+        "batch_id", F.lit("base")
+    )
     os.makedirs(store_root(), exist_ok=True)
     tmp = os.path.join(
         store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
@@ -737,13 +742,96 @@ def build_sharded_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     (
         union.repartition("cid1", "cid2")
         .write.mode("overwrite")
-        .partitionBy("cid1", "cid2")
+        .partitionBy("cid1", "cid2", "batch_id")
         .parquet(tmp)
     )
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         _json.dump({"k1": k1, "cents1": cents1, "level2": level2}, f)
     _atomic_publish(tmp, path)
     return path
+
+
+def update_sharded_ivf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vectors: DataFrame,
+    batch_id: str,
+):
+    """Incremental maintenance for the two-level layout: route a batch of
+    NEW vectors through the STORED two-level quantizer (meta centroids —
+    never a re-fit; router and cells stay consistent) and land only the
+    batch's rows under ``(cid1, cid2, batch_id)`` with dynamic partition
+    overwrite (at-least-once replay rewrites its own leaves). Routing is
+    k1 folds for level 1, then k2 folds evaluated ONLY on each level-1
+    branch's rows (per-cell filtered select over the persisted routed
+    batch — the k1 + k2 fold contract the sharded probe exists for,
+    never k1 x k2)."""
+    import functools
+
+    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..session import tracked_persist
+
+    cents1, level2 = load_sharded_ivf_meta(sf_dir)
+    d1 = [_dist_to_literal(F.col("embedding"), c) for c in cents1]
+    routed = tracked_persist(
+        new_vectors.select("vec_id", "embedding", _argmin_case(d1).alias("cid1"))
+    )
+    branches = []
+    for c1 in range(len(cents1)):
+        d2 = [_dist_to_literal(F.col("embedding"), c) for c in level2[c1]]
+        branches.append(
+            routed.where(F.col("cid1") == c1).select(
+                "vec_id",
+                "embedding",
+                "cid1",
+                _argmin_case(d2).alias("cid2"),
+            )
+        )
+    assigned = functools.reduce(
+        lambda a, b: a.unionByName(b), branches
+    ).withColumn("batch_id", F.lit(batch_id))
+    (
+        assigned.repartition("cid1", "cid2")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid1", "cid2", "batch_id")
+        .parquet(sharded_ivf_store_path(sf_dir))
+    )
+
+
+def run_sharded_ivf_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sf_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of ``update_sharded_ivf_store``: two-level-index
+    ingest as a Structured Streaming job, same at-least-once replay
+    discipline as every store stream (batch leaves rewrite themselves).
+    New vectors are probe-visible as soon as the batch commits — the
+    sharded probe's partition discovery lists the (cid1, cid2) cell
+    directories, batch leaves included."""
+
+    def ingest(batch_df, batch_id: int):
+        update_sharded_ivf_store(
+            spark,
+            sf_dir,
+            batch_df.select("vec_id", "embedding"),
+            f"stream-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def load_sharded_ivf_meta(sf_dir: str):

@@ -23,6 +23,10 @@ oracle replays generation exactly, and prices the variants on it:
   structure — blocked pair discovery misses ZERO duplicate pairs vs the
   unblocked probe-sample baseline, and keeps exactly one representative
   per cluster.
+- ``clustered_kmeans_agreement_audit``: the bridge claim — the shared
+  Lloyd fit recovers the generative cells at agreement 1.0 with
+  balanced occupancy, so the generative centers the other audits
+  quantize against ARE the trained quantizer's cells on this fixture.
 
 Generation: point i = center[i % C] + noise[i], with
 center[c][j] = (md5int("cc:c:j") % 2001 - 1000) / 1000.0   (coords ±1)
@@ -643,4 +647,108 @@ def clustered_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_missed_by_blocking"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# does the trained quantizer RECOVER the generative structure?
+# ---------------------------------------------------------------------------
+
+
+def _cf_km_sql() -> str:
+    """Oracle replaying the fixed-width ITERS=2 Lloyd fit (the shared
+    clustering._fit_ctes body) ON THE FIXTURE, via CTE shadowing: an
+    ``embeddings`` CTE over the generated cfx relation shadows the
+    registered base view, so the battle-tested fit replay runs unchanged
+    on the mixture corpus. Agreement/occupancy are integer counts."""
+    from .clustering import _fit_ctes
+
+    return f"""
+    WITH {_CFX_CTES},
+    embeddings AS (SELECT vec_id, embedding FROM cfx),
+    {_fit_ctes(CF_C)},
+    jj AS (
+      SELECT g.vec_id, g.cid, f.cl
+      FROM g2 g JOIN cfx f ON f.vec_id = g.vec_id
+    ),
+    pcc AS (SELECT cid, cl, count(*) AS n FROM jj GROUP BY cid, cl),
+    maj AS (
+      SELECT cid, cl AS maj_cl FROM (
+        SELECT cid, cl,
+               row_number() OVER (PARTITION BY cid ORDER BY n DESC, cl ASC)
+                 AS rk
+        FROM pcc
+      ) WHERE rk = 1
+    ),
+    sizes AS (SELECT cid, count(*) AS sz FROM jj GROUP BY cid),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN jj.cl = m.maj_cl THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched
+      FROM jj JOIN maj m USING (cid)
+    )
+    SELECT n, n_matched,
+           round(CAST(n_matched AS DOUBLE) / n, 6) AS agreement,
+           (SELECT CAST(min(sz) AS BIGINT) FROM sizes) AS min_cell,
+           (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS max_cell
+    FROM agg
+    """
+
+
+@register("clustered_kmeans_agreement_audit", _cf_km_sql())
+@memoize_df
+def clustered_kmeans_agreement_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the TRAINED quantizer recover the generative cells? Runs the
+    shared Lloyd contract (clustering._lloyd_fit_frame — the exact
+    arithmetic every IVF consumer fits with) at k = CF_C on the fixture,
+    seeded from fixture vectors 0..C-1 (one per component by the i % C
+    construction), and reports cluster-label agreement under the
+    majority cell->label mapping plus cell-occupancy bounds. Measured
+    agreement 1.0 with balanced 256-per-cell occupancy: Lloyd's recovers
+    the mixture exactly, which is what lets the variant-pricing audit
+    (clustered_pq_variant_audit) use the generative centers as the
+    coarse quantizer — on this fixture they ARE the trained fit's
+    cells. The oracle replays the fit through the same _fit_ctes body
+    every IVF oracle uses, re-pointed at the generated corpus by CTE
+    shadowing — fit arithmetic cannot drift between the fixture and the
+    production probes."""
+    from .clustering import _lloyd_fit_frame
+
+    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    seeds = [cf_point(k) for k in range(CF_C)]
+    asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    jj = tracked_persist(fx.select("vec_id", "cl").join(asg, "vec_id"))
+    pcc = jj.groupBy("cid", "cl").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("n").desc(), F.col("cl").asc()
+    )
+    maj = (
+        pcc.select("cid", "cl", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("cl").alias("maj_cl"))
+    )
+    bounds = (
+        jj.groupBy("cid")
+        .agg(F.count("*").alias("sz"))
+        .agg(
+            F.min("sz").cast("long").alias("min_cell"),
+            F.max("sz").cast("long").alias("max_cell"),
+        )
+    )
+    agg = jj.join(maj, "cid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("cl") == F.col("maj_cl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+    )
+    return agg.crossJoin(bounds).select(
+        "n",
+        "n_matched",
+        F.round(F.col("n_matched").cast("double") / F.col("n"), 6).alias(
+            "agreement"
+        ),
+        "min_cell",
+        "max_cell",
     )

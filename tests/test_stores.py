@@ -665,3 +665,59 @@ def test_sharded_ivf_store_feeds_topk_identically_and_prunes(spark, store_dir):
     cents1, level2 = storage.load_sharded_ivf_meta(SF_DIR)
     assert len(level2) == len(cents1)
     assert all(len(c) == 64 for c in cents1)
+
+
+def test_sharded_ivf_ingest_stream_increments_and_restart(spark, store_dir, tmp_path):
+    """Two-level-index maintenance: streamed vectors route through the
+    STORED two-level quantizer (a clone of vec 0 must land in vec 0's
+    exact (cid1, cid2) cell), replay-idempotently; a restart processes
+    only the new wave."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distribution_engine_smt_spark import tables
+    from distribution_engine_smt_spark.operators.storage import (
+        run_sharded_ivf_ingest_stream,
+    )
+
+    storage.build_sharded_ivf_store(spark, SF_DIR)
+    base = storage.read_sharded_ivf(spark, SF_DIR).count()
+    emb = tables.load_tpch(spark, SF_DIR)["embeddings"]
+    v0 = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    def wave(p, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [e for _, e in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(p),
+        )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    wave(incoming / "w1.parquet", [(300_000, v0)])
+    ckpt = str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<float>"
+    q = run_sharded_ivf_ingest_stream(
+        spark, str(incoming), schema, SF_DIR, ckpt
+    )
+    q.awaitTermination(120)
+    after1 = storage.read_sharded_ivf(spark, SF_DIR)
+    assert after1.count() == base + 1
+    row0 = after1.where("vec_id = 0").first()
+    rowc = after1.where("vec_id = 300000").first()
+    assert (rowc["cid1"], rowc["cid2"]) == (row0["cid1"], row0["cid2"])
+    # restart with one new wave: only it processes; replay stays idempotent
+    wave(incoming / "w2.parquet", [(300_001, v0)])
+    q2 = run_sharded_ivf_ingest_stream(
+        spark, str(incoming), schema, SF_DIR, ckpt
+    )
+    q2.awaitTermination(120)
+    after2 = storage.read_sharded_ivf(spark, SF_DIR)
+    assert after2.count() == base + 2
+    assert after2.where("vec_id = 300000").count() == 1
