@@ -287,3 +287,40 @@ def test_bucketed_merge_exchanges(spark):
         assert "WindowGroupLimit" in up_plan  # rank-1 filter stays partial
     finally:
         spark.sql("DROP TABLE IF EXISTS plan_bucketed_merge_target")
+
+
+def test_clustered_fixture_generation_stays_narrow(spark):
+    """The fixture generator must keep its explode-per-coordinate shape:
+    small per-row expressions (codegen-eligible) + ONE assembly
+    aggregate. A refactor back to the wide literal projection would
+    still be correct but fall out of codegen and re-pay ~12 s of
+    planning (measured; module docstring)."""
+    plan = _plan(spark, "clustered_fixture_stats")
+    assert "CartesianProduct" not in plan
+    # generation assembles through the ordered-collect aggregate (with a
+    # map-side partial), not a wide literal projection
+    assert "partial_collect_list" in plan
+
+
+def test_clustered_pq_variant_audit_luts_join_as_broadcasts(spark):
+    """The ADC LUTs must ride as broadcast frames (10/80 rows), never as
+    inlined literal CASE chains (the janino >64KB fallback), and every
+    rank window partitions by qid — a window over an unpartitioned spec
+    would funnel the fixture through one task. (The final 1-row recall
+    aggregate's SinglePartition exchange is fine: its input is already
+    100 truth rows.)"""
+    plan = _plan(spark, "clustered_pq_variant_audit")
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition(qid" in plan
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_flips_variants_share_the_multiprobe_shape(spark):
+    for name in (
+        "dedup_embedding_lsh",
+        "dedup_embedding_lsh_flips1",
+        "dedup_embedding_lsh_flips3",
+        "dedup_embedding_lsh_single_probe",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
