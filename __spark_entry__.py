@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_lsh_flips1",
     "dedup_embedding_lsh_flips3",
     "dedup_embedding_lsh_single_probe",
+    "embedding_lsh_flips1_recall_audit",
     # 2) the 36-query driver-row staleness tail (VERDICT r8 #2): every
     #    query with no green driver row since r03 (7 since r02 lead),
     #    ordered stalest-first — after this round the worst-case

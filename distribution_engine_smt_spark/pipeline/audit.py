@@ -994,8 +994,10 @@ def embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _embedding_lsh_mp_recall_sql() -> str:
-    from .similarity import NEARDUP_COSINE, _RHP_MP_SQL, _cos_sql
+def _pair_recall_sql(lsh_sql: str) -> str:
+    """The shared pair-recall oracle template: any (id_new, id_corpus)
+    pair-set SQL vs the exact batch-vs-corpus cosine baseline."""
+    from .similarity import NEARDUP_COSINE, _cos_sql
 
     truth = f"""
     SELECT a.vec_id AS id_new, b.vec_id AS id_corpus
@@ -1005,7 +1007,7 @@ def _embedding_lsh_mp_recall_sql() -> str:
     """
     return f"""
     WITH truth AS ({truth}),
-    lsh AS (SELECT id_new, id_corpus FROM ({_RHP_MP_SQL})),
+    lsh AS (SELECT id_new, id_corpus FROM ({lsh_sql})),
     hits AS (
       SELECT t.id_new FROM truth t
       JOIN lsh l ON t.id_new = l.id_new AND t.id_corpus = l.id_corpus
@@ -1016,6 +1018,45 @@ def _embedding_lsh_mp_recall_sql() -> str:
            round((SELECT count(*) FROM hits)::DOUBLE
                  / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
     """
+
+
+def _pair_recall_frame(spark: SparkSession, sf_dir: str, pairs_fn) -> DataFrame:
+    """The shared pair-recall Spark template (the single full-outer
+    aggregate every embedding-LSH recall audit uses): both chains
+    tracked-persisted so each is referenced once per action."""
+    from ..session import tracked_persist
+    from .similarity import dedup_embedding_cosine
+
+    t = tracked_persist(dedup_embedding_cosine(spark, sf_dir)).select(
+        "id_new", "id_corpus"
+    )
+    l = tracked_persist(pairs_fn(spark, sf_dir)).select("id_new", "id_corpus")
+    j = t.withColumn("in_t", F.lit(1)).join(
+        l.withColumn("in_l", F.lit(1)), ["id_new", "id_corpus"], "full_outer"
+    )
+    return j.agg(
+        F.count("in_t").cast("long").alias("n_baseline"),
+        F.count("in_l").cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_t").isNotNull() & F.col("in_l").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_common"),
+    ).select(
+        "n_baseline",
+        "n_lsh",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.greatest(F.col("n_baseline"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _embedding_lsh_mp_recall_sql() -> str:
+    from .similarity import _RHP_MP_SQL
+
+    return _pair_recall_sql(_RHP_MP_SQL)
 
 
 @register(
@@ -1257,3 +1298,30 @@ def embedding_lsh_planted_recall_audit(
             F.col("n_recovered").cast("double") / PLANT_N, 6
         ).alias("recall"),
     )
+
+
+def _embedding_lsh_flips1_recall_sql() -> str:
+    from .similarity import _mp_sql_at
+
+    return _pair_recall_sql(_mp_sql_at(1))
+
+
+@register(
+    "embedding_lsh_flips1_recall_audit", _embedding_lsh_flips1_recall_sql()
+)
+def embedding_lsh_flips1_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The middle point of the driver-readable recall curve (VERDICT r8
+    #7 completed end-to-end): pair recall of the flips=1 (T=2)
+    multi-probe chain vs the exact cosine baseline. Read the three
+    audits together — single probe (embedding_lsh_recall_audit), T=2
+    (this), T=4 (embedding_lsh_multiprobe_recall_audit, the headline) —
+    and the recall-vs-probe-cost curve is a set of CORRECTNESS rows,
+    not just a BENCH_SCALE measurement. Shares the memoized flips=1
+    pair frame with the registered dedup_embedding_lsh_flips1 query
+    (pay-once) and the one-full-outer-aggregate template with every
+    audit in the family."""
+    from .similarity import dedup_embedding_lsh_flips1
+
+    return _pair_recall_frame(spark, sf_dir, dedup_embedding_lsh_flips1)
