@@ -404,3 +404,24 @@ def test_compact_ivf_cell_folds_batch_dirs(spark, tmp_path):
     assert spark.read.parquet(idx).count() == before  # data identical
     got = {r["vec_id"] for r in probe_ivf_index(spark, idx, cents, q_vec, top=5).collect()}
     assert {100000, 100001, 100002} & got  # clones still probe-visible
+
+
+def test_zorder_string_surrogate_is_order_preserving_for_ascii(spark):
+    """The 6-char base-256 surrogate must rank ASCII strings in exact
+    lexicographic order (that's what makes string-range footer pruning
+    sound) and collapse strings sharing a 6-char prefix to one rank."""
+    vals = [
+        "", "a", "aa", "aaaaaa", "aaaaaaZZZ", "aaaaaab", "abc", "b",
+        "user000001", "user000002", "zzzzzz",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", storage._zorder_str_surrogate(F.col("s")).alias("r")
+    )
+    got = {r["s"]: r["r"] for r in df.collect()}
+    ranked = sorted(vals, key=lambda v: (got[v], v))
+    assert ranked == sorted(vals), ranked  # surrogate order == lexicographic
+    # prefix collapse: same first 6 chars -> same rank
+    assert got["aaaaaa"] == got["aaaaaaZZZ"]
+    # distinct within 6 chars -> distinct ranks
+    assert got["user000001"] == got["user000002"]  # differ past char 6
+    assert got["a"] != got["b"] and got["aa"] != got["a"]
