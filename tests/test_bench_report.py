@@ -94,6 +94,50 @@ def test_summary_schema_pins_calibration_fields():
     assert len(json.dumps(summary)) < 2048
 
 
+def test_regression_gate_is_calibration_normalized():
+    """r10 roadmap #4: the per-query 2x gate lives in the artifact,
+    normalized by the same machine factor as the subset total. A 2x-slow
+    machine (calibration 2x the pin) must NOT flag a query whose raw time
+    merely doubled with the machine; a genuine 4x raw blowup still flags
+    at ratio ~2 after normalization."""
+    pinned = bench.R1_PER_QUERY["trending_tags"]  # 1.3916 — above the floor
+    warm = {"trending_tags": 2 * pinned}
+    # reference machine: raw 2x IS a regression... but exactly 2.0 is not
+    # "> 2x"; nudge above
+    gate = bench.regression_gate({"trending_tags": 2.01 * pinned}, 1.0)
+    assert gate == {"trending_tags": 2.01}
+    # 2x-slow machine: the same raw number normalizes back to 1.005x — clean
+    assert bench.regression_gate({"trending_tags": 2.01 * pinned}, 2.0) == {}
+    # raw 4.2x on the 2x-slow machine: still a genuine 2.1x regression
+    assert bench.regression_gate({"trending_tags": 4.2 * pinned}, 2.0) == {
+        "trending_tags": 2.1
+    }
+    # sub-floor queries never flag on ratio alone (0.0992 s pinned: 2.9x
+    # is still < +0.1 s to the normalized time)
+    assert bench.regression_gate({"text_token_counts": 0.19}, 1.0) == {}
+    # unpinned names are ignored, absent names don't raise
+    assert bench.regression_gate({"not_an_r1_query": 99.0}, 1.0) == {}
+    del warm
+
+
+def test_summary_regressions_bounded_detail_complete():
+    """When every pinned query blows up (the adversarial registry times
+    every query at 99 s), the SUMMARY line carries only the 5 worst so
+    the driver cap holds, while the DETAIL artifact carries all of them."""
+    warm, cold, spread = _fake_registry(150)
+    detail, summary = bench.summarize(warm, cold, spread, 0.1, 1.0, 1.6)
+    assert len(detail["regressions"]) == len(set(warm) & set(bench.R1_PER_QUERY))
+    assert len(detail["regressions"]) > 5  # the cap below is actually binding
+    assert len(summary["regressions"]) == 5
+    # worst-first: the summary's 5 are the detail's first 5
+    assert list(summary["regressions"]) == list(detail["regressions"])[:5]
+    assert len(json.dumps(summary)) < 2048
+    # a clean round reads regressions == {} in both artifacts
+    clean = {k: v for k, v in bench.R1_PER_QUERY.items()}
+    d2, s2 = bench.summarize(clean, dict(clean), {}, 0.1, 0.0, 1.6)
+    assert d2["regressions"] == {} and s2["regressions"] == {}
+
+
 def test_r01_subset_names_still_registered():
     """A renamed query would silently vanish from the round-over-round
     subtotal (the inclusion list keeps additions out, but can't notice
