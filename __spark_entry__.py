@@ -38,8 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # --- r9 head, in priority order:
     # 1) new this round (zero driver rows): the clustered-embedding
-    #    fixture trio (VERDICT r8 #3), the explicit single-probe cheap
-    #    path, and the flips=1/3 multi-probe curve points (r8 #5/#7)
+    #    fixture trio (VERDICT r8 #3), the END-TO-END trained/residual
+    #    probes + audits and the width-mismatch occupancy audit (r10
+    #    roadmap #1/#2), the explicit single-probe cheap path, and the
+    #    flips=1/3 multi-probe curve points (r8 #5/#7)
+    "clustered_ivfpq_trained_topk",
+    "clustered_ivfpq_trained_recall_audit",
+    "clustered_ivfpq_residual_topk",
+    "clustered_ivfpq_residual_recall_audit",
+    "clustered_ivf_occupancy_audit",
     "clustered_fixture_stats",
     "clustered_kmeans_agreement_audit",
     "clustered_pq_variant_audit",
@@ -48,10 +55,14 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_lsh_flips3",
     "dedup_embedding_lsh_single_probe",
     "embedding_lsh_flips1_recall_audit",
-    # 2) the 36-query driver-row staleness tail (VERDICT r8 #2): every
-    #    query with no green driver row since r03 (7 since r02 lead),
-    #    ordered stalest-first — after this round the worst-case
-    #    driver-evidence age across the whole registry is one round
+    # 2) the driver-row staleness tail (VERDICT r8 #2): queries with no
+    #    green driver row since r03 (7 since r02 lead), stalest-first.
+    #    The five end-to-end fixture queries above displaced 5 of the
+    #    original 36 (zero-row queries outrank stale-but-triple-green
+    #    ones, per the no-starve invariant); the five deferred —
+    #    discussions_by_promoted, follow_counts, reblogged_by_agg,
+    #    set_diff_reconcile, tag_membership, all green r1-r3 and
+    #    byte-untouched since — move to the next-round head.
     "json_double_decode",
     "json_props_sum",
     "prefix_select",
@@ -64,10 +75,8 @@ _DRIVER_PRIORITY = [
     "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
-    "discussions_by_promoted",
     "discussions_by_trending",
     "feed_semijoin",
-    "follow_counts",
     "latest_event_per_key",
     "multimodal_decode",
     "multimodal_metadata_stats",
@@ -75,12 +84,9 @@ _DRIVER_PRIORITY = [
     "payout_accumulation",
     "post_with_votes",
     "quality_filter",
-    "reblogged_by_agg",
     "replies_in_notin",
-    "set_diff_reconcile",
     "stratified_sample",
     "supplier_visible_revenue",
-    "tag_membership",
     "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
@@ -140,6 +146,7 @@ _DRIVER_ROTATE_LAST = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "discussions_by_promoted",
     "deterministic_shuffle",
     "doc_novelty",
     "dup_inflation",
@@ -149,6 +156,7 @@ _DRIVER_ROTATE_LAST = [
     "embedding_outliers",
     "event_funnel",
     "event_zscore_anomaly",
+    "follow_counts",
     "events_pivot",
     "graph_pagerank",
     "hard_negatives",
@@ -178,6 +186,7 @@ _DRIVER_ROTATE_LAST = [
     "pricing_summary",
     "quantile_error_audit",
     "range_join_events",
+    "reblogged_by_agg",
     "regional_revenue",
     "rrf_hybrid_search",
     "sales_rollup",
@@ -185,11 +194,13 @@ _DRIVER_ROTATE_LAST = [
     "segment_region_cube",
     "semdedup",
     "sessionize",
+    "set_diff_reconcile",
     "shipping_priority",
     "sliding_event_counts",
     "source_vocab_overlap",
     "split_leakage_audit",
     "substring_dup_spans",
+    "tag_membership",
     "tfidf_keywords",
     "token_count_quantiles",
     "top_boilerplate_spans",

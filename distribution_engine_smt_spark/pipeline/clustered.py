@@ -59,6 +59,7 @@ from .similarity import (
     PQ_S,
     _cos_sql,
     dot_fold,
+    pq_adc_col,
     pq_encode,
     pq_query_lut,
 )
@@ -647,6 +648,393 @@ def clustered_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_missed_by_blocking"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END trained / residual IVF-PQ probes on the fixture (r10 #1):
+# the variant audit above prices CODEBOOK quality with the generative
+# centers standing in for the coarse quantizer; these two queries run the
+# full production compositions — Lloyd coarse fit over the fixture, cell
+# routing at NPROBE, ADC scan of the probed cells only, exact rerank —
+# so the residual-vs-plain statement is measured under real cell pruning,
+# with the trained (not generative) quantizer.
+# ---------------------------------------------------------------------------
+
+CF_IVFPQ_CAND = 200  # ADC cut: the upper CF_CUTS point (residual 1.0 there)
+
+# every fixture oracle shadows the registered ``embeddings`` view with the
+# generated corpus; composed as the ``pre`` CTE block of the shared
+# pq.py oracle builders (cctr rides along for the residual-free oracles
+# that don't use it — DuckDB ignores unreferenced CTEs)
+_CF_SHADOW = (
+    f"{_CFX_CTES},\n    "
+    "embeddings AS (SELECT vec_id, embedding FROM cfx),\n    "
+)
+
+
+def _cf_coarse_fit(spark: SparkSession, sf_dir: str):
+    """(fixture frame, (assignments, fitted centroids)) — the shared
+    Lloyd contract at k = CF_C seeded from fixture vectors 0..C-1, the
+    exact fit clustered_kmeans_agreement_audit proved recovers the
+    generative cells (agreement 1.0). The probes below route and
+    residual-encode against THESE fitted centroids (means of members),
+    not the generative centers — the end-to-end trained pipeline."""
+    from .clustering import _lloyd_fit_frame
+
+    fx = clustered_fixture_frame(spark, sf_dir)
+    seeds = [cf_point(k) for k in range(CF_C)]
+    asg, cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    return fx, asg, cents
+
+
+def _cf_pq_train_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """pq.pq_train_fit re-pointed at the fixture: PQT_ITERS per-subspace
+    Lloyd rounds (seeds = slices of fixture vectors 0..PQ_K-1) through the
+    shared _assigned_slices kernel, returning trained virtual-seed
+    vectors. No module cache — the callers are @memoize_df queries, so
+    the fit runs once per session and release_caches keeps bench cold
+    numbers honest."""
+    from .clustering import _dec
+    from .pq import PQT_ITERS, _assigned_slices
+
+    fx = clustered_fixture_frame(spark, sf_dir).select("vec_id", "embedding")
+    vseeds = [cf_point(k) for k in range(PQ_K)]
+    for _ in range(PQT_ITERS - 1):
+        means = (
+            _assigned_slices(fx, vseeds)
+            .groupBy("s", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(_dec(F.try_element_at("sl", F.lit(i)))).alias(f"d{i}")
+                    for i in range(1, PQ_DSUB + 1)
+                ],
+            )
+            .select(
+                "s",
+                "code",
+                *[
+                    (F.col(f"d{i}").cast("double") / F.col("n")).alias(f"c{i}")
+                    for i in range(1, PQ_DSUB + 1)
+                ],
+            )
+            .collect()  # bounded: <= PQ_S * PQ_K = 64 codebook rows
+        )
+        for r in means:  # empty cells keep their previous codeword
+            o = r["s"] * PQ_DSUB
+            for i in range(PQ_DSUB):
+                vseeds[r["code"]][o + i] = r[f"c{i + 1}"]
+    return vseeds
+
+
+def _cf_d2(q_vec: list[float], c: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(q_vec, c):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _cf_rerank(fx: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine rerank of the bounded ADC survivors against fixture
+    query vec 0 — the shared probe tail (broadcast candidates + broadcast
+    1-row query, one fixture scan)."""
+    q = fx.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    return (
+        fx.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_fold(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+                    * F.col("q_norm")
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(CF_TOP)
+    )
+
+
+def _cf_ivfpq_trained_sql() -> str:
+    from .clustering import _fit_ctes
+    from .pq import _ivfpq_trained_sql
+
+    return _ivfpq_trained_sql(
+        pre=_CF_SHADOW, fit=_fit_ctes(CF_C), cand=CF_IVFPQ_CAND
+    )
+
+
+@register("clustered_ivfpq_trained_topk", _cf_ivfpq_trained_sql())
+@memoize_df
+def clustered_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-TRAINED IVF-PQ end-to-end on the clustered fixture: Lloyd
+    coarse fit (k = CF_C) routes query vec 0 to its NPROBE nearest fitted
+    cells; the ADC scan ranks those cells' codes encoded through PQ
+    codebooks TRAINED on the fixture (per-subspace Lloyd, pq.py kernels);
+    exact rerank of the CF_IVFPQ_CAND survivors. Same plan family as
+    ann_ivfpq_trained_topk — only the corpus differs.
+
+    The measured point (clustered_ivfpq_trained_recall_audit): recall@10
+    0.9 — training the PLAIN fine codebook on structured data spends
+    codewords re-learning the coarse structure the quantizer already
+    removed, so within a probed cell the codes discriminate weakly and
+    one true neighbor ranks past the 200-candidate cut; the residual twin
+    below reads 1.0 at the identical budget and cut. The pair is the
+    end-to-end, cell-pruned version of clustered_pq_variant_audit's
+    rank-level statement (residual 0.64 vs plain 0.23 at cut 50)."""
+    from .clustering import NPROBE
+
+    fx, asg, cents = _cf_coarse_fit(spark, sf_dir)
+    fx = tracked_persist(fx)
+    vseeds = _cf_pq_train_fit(spark, sf_dir)
+    q_vec = cf_point(0)
+    sel = sorted(range(len(cents)), key=lambda i: (_cf_d2(q_vec, cents[i]), i))[
+        :NPROBE
+    ]
+    codes = pq_encode(fx.select("vec_id", "embedding"), vseeds).join(
+        asg.select("vec_id", "cid"), "vec_id"
+    )
+    lut = pq_query_lut(vseeds, q_vec)
+    cand = tracked_persist(
+        codes.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
+        .select("vec_id", pq_adc_col(lut).alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(CF_IVFPQ_CAND)
+    )
+    return _cf_rerank(fx, cand)
+
+
+def _cf_ivfpq_residual_sql() -> str:
+    from .clustering import _fit_ctes
+    from .pq import _ivfpq_residual_sql
+
+    return _ivfpq_residual_sql(
+        pre=_CF_SHADOW, fit=_fit_ctes(CF_C), cand=CF_IVFPQ_CAND
+    )
+
+
+@register("clustered_ivfpq_residual_topk", _cf_ivfpq_residual_sql())
+@memoize_df
+def clustered_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ end-to-end on the clustered fixture: the same
+    fitted coarse quantizer as the trained twin, but PQ encodes
+    x − centroid(cell) with residual-seeded codebooks and the query
+    builds one LUT per probed cell from (q − centroid(cell)) — the
+    production composition of ann_ivfpq_residual_topk, on data where
+    cells capture real structure. Read with
+    clustered_ivfpq_residual_recall_audit vs the trained twin's audit."""
+    from .clustering import NPROBE
+
+    fx, asg, cents = _cf_coarse_fit(spark, sf_dir)
+    fx = tracked_persist(fx)
+    q_vec = cf_point(0)
+    sel = sorted(range(len(cents)), key=lambda i: (_cf_d2(q_vec, cents[i]), i))[
+        :NPROBE
+    ]
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, cents[i]) for i in range(len(cents))],
+            "cid int, cent array<double>",
+        )
+    )
+    resid = (
+        fx.select("vec_id", "embedding")
+        .join(asg.select("vec_id", "cid"), "vec_id")
+        .join(cdf, "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(
+                "embedding", "cent", lambda x, y: x.cast("double") - y
+            ).alias("embedding"),
+        )
+    )
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in asg.filter(F.col("vec_id") < PQ_K).collect()  # 8 rows
+    }
+    seeds = [cf_point(k) for k in range(PQ_K)]
+    rseeds = [
+        [seeds[k][j] - cents[cid_of[k]][j] for j in range(DIM)]
+        for k in range(PQ_K)
+    ]
+    codes = pq_encode(resid, rseeds, keep=("cid",)).where(
+        F.col("cid").isin(sel) & (F.col("vec_id") != 0)
+    )
+    luts = {
+        c: pq_query_lut(rseeds, [q_vec[j] - cents[c][j] for j in range(DIM)])
+        for c in sel
+    }
+    approx = pq_adc_col(luts[sel[-1]])
+    for c in reversed(sel[:-1]):  # nested when/otherwise (ADVICE r8 #2)
+        approx = F.when(F.col("cid") == c, pq_adc_col(luts[c])).otherwise(approx)
+    cand = tracked_persist(
+        codes.select("vec_id", approx.alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(CF_IVFPQ_CAND)
+    )
+    return _cf_rerank(fx, cand)
+
+
+_CF_BRUTE = f"""WITH {_CFX_CTES}
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.embedding')} AS cos
+    FROM cfx e
+    CROSS JOIN (SELECT embedding FROM cfx WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT {CF_TOP}"""
+
+
+def _cf_recall_audit_sql(probe_sql: str) -> str:
+    return f"""
+    WITH hit AS (
+      SELECT e.vec_id
+      FROM ({_CF_BRUTE}) e JOIN ({probe_sql}) a USING (vec_id)
+    )
+    SELECT CAST({CF_TOP} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_overlap,
+           round((SELECT count(*) FROM hit)::DOUBLE / {CF_TOP}, 6) AS recall_at_k
+    """
+
+
+def _cf_recall_audit_frame(
+    spark: SparkSession, sf_dir: str, probe: DataFrame
+) -> DataFrame:
+    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    q = fx.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
+    )
+    exact = (
+        fx.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(CF_TOP)
+        .select("vec_id")
+    )
+    hit = exact.join(probe.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(CF_TOP).cast("long").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / CF_TOP, 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+@register(
+    "clustered_ivfpq_trained_recall_audit",
+    _cf_recall_audit_sql(_cf_ivfpq_trained_sql()),
+)
+def clustered_ivfpq_trained_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of the fully-trained end-to-end probe vs fixture brute
+    force — measured 0.9 vs the residual twin's 1.0: the driver-checkable
+    end-to-end form of clustered_pq_variant_audit's residual-beats-plain
+    statement (trained plain codewords re-learn the coarse structure the
+    quantizer already removed, so within-cell ranking stays loose)."""
+    return _cf_recall_audit_frame(
+        spark, sf_dir, clustered_ivfpq_trained_topk(spark, sf_dir)
+    )
+
+
+@register(
+    "clustered_ivfpq_residual_recall_audit",
+    _cf_recall_audit_sql(_cf_ivfpq_residual_sql()),
+)
+def clustered_ivfpq_residual_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of the residual end-to-end probe vs fixture brute force
+    — the residual side of the pair."""
+    return _cf_recall_audit_frame(
+        spark, sf_dir, clustered_ivfpq_residual_topk(spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cell-occupancy skew under real structure (r10 #2): fit at a width that
+# does NOT match the generative component count
+# ---------------------------------------------------------------------------
+
+CF_KSPLIT = 16  # 2 seeds per generative component (i % C construction)
+
+
+def _cf_occ_sql() -> str:
+    from .clustering import _fit_ctes
+
+    return f"""
+    WITH {_CF_SHADOW}{_fit_ctes(CF_KSPLIT)},
+    sizes AS (SELECT cid, count(*) AS sz FROM g2 GROUP BY cid)
+    SELECT CAST({CF_KSPLIT} AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(sz) AS BIGINT) AS min_cell,
+           CAST(max(sz) AS BIGINT) AS max_cell,
+           round(CAST(max(sz) AS DOUBLE) * {CF_KSPLIT} / {CF_N}, 6)
+             AS max_over_avg,
+           CAST({CF_N // CF_KSPLIT} AS BIGINT) AS cand_per_probe_balanced,
+           round(CAST(sum(sz * sz) AS DOUBLE) / {CF_N}, 6)
+             AS cand_per_probe_weighted
+    FROM sizes
+    """
+
+
+@register("clustered_ivf_occupancy_audit", _cf_occ_sql())
+@memoize_df
+def clustered_ivf_occupancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cell-size skew when the IVF width does NOT match the data's coarse
+    structure: the shared Lloyd fit at k = 2·CF_C over the 8-component
+    fixture (seeds = fixture vectors 0..15, i.e. two per component).
+    Lloyd must SPLIT tight clusters between seed pairs, and how the
+    members fall is set by the noise — the occupancy imbalance the
+    near-uniform corpus structurally hides (its audit always reads
+    near-balanced cells), and the exact effect behind the sharded-IVF
+    crossing's 9% prediction gap (BENCH_SCALE: the prediction assumes
+    balanced cells).
+
+    Columns: min/max cell size, max/avg ratio, and the scan-cost
+    consequence — candidates per probe under the balanced-cell assumption
+    (N/k) vs occupancy-weighted routing (Σ sz² / N, queries landing in
+    cells proportionally to their mass). Measured: min 53 / max 203
+    (avg 128, max/avg 1.586); weighted 137.2 vs balanced 128 — a +7%
+    mean scan tax and a 1.6x worst-cell latency tail, the numbers a
+    100 TB capacity plan must budget for (and the balanced-cell
+    assumption's error the sharded crossing's 9% gap already showed).
+    All inputs are integer counts; the two doubles are single exact
+    divisions — no float aggregation order."""
+    from .clustering import _lloyd_fit_frame
+
+    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    seeds = [cf_point(k) for k in range(CF_KSPLIT)]
+    asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.lit(CF_KSPLIT).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("sz").cast("long").alias("min_cell"),
+        F.max("sz").cast("long").alias("max_cell"),
+        F.round(
+            F.max("sz").cast("double") * CF_KSPLIT / F.lit(CF_N), 6
+        ).alias("max_over_avg"),
+        F.lit(CF_N // CF_KSPLIT).cast("long").alias("cand_per_probe_balanced"),
+        F.round(
+            F.sum(F.col("sz") * F.col("sz")).cast("double") / F.lit(CF_N), 6
+        ).alias("cand_per_probe_weighted"),
     )
 
 

@@ -590,7 +590,14 @@ def ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQT_CAND = 200
 
 
-def _ivfpq_trained_sql() -> str:
+def _ivfpq_trained_sql(
+    pre: str = "", fit: str | None = None, cand: int = IVFPQT_CAND
+) -> str:
+    """Oracle for the fully-trained composition. ``pre`` prepends extra
+    CTEs (the clustered fixture shadows ``embeddings`` with its generated
+    corpus), ``fit`` swaps the width-generic coarse fit for a fixed-width
+    one (the fixture fits at k = CF_C), ``cand`` resizes the ADC cut —
+    defaults reproduce the corpus oracle byte-for-byte."""
     from .clustering import NPROBE, _dist_sql, _fit_ctes_dyn
 
     final = PQT_ITERS
@@ -599,7 +606,7 @@ def _ivfpq_trained_sql() -> str:
     )
     adc = " + ".join(f"l{s}" for s in range(PQ_S))  # subspace-order adds
     return f"""
-    WITH {_fit_ctes_dyn()},
+    WITH {pre}{fit if fit is not None else _fit_ctes_dyn()},
     {_train_ctes('t_')},
     q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
     qd AS (
@@ -625,7 +632,7 @@ def _ivfpq_trained_sql() -> str:
       SELECT vec_id, {adc} AS approx
       FROM pav
       ORDER BY approx ASC, vec_id ASC
-      LIMIT {IVFPQT_CAND}
+      LIMIT {cand}
     )
     SELECT c.vec_id, {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
     FROM cand c
@@ -758,7 +765,12 @@ _DIM = PQ_S * PQ_DSUB
 IVFPQR_CAND = 250
 
 
-def _ivfpq_residual_sql() -> str:
+def _ivfpq_residual_sql(
+    pre: str = "", fit: str | None = None, cand: int = IVFPQR_CAND
+) -> str:
+    """Oracle for the residual composition; ``pre``/``fit``/``cand`` as in
+    _ivfpq_trained_sql — defaults reproduce the corpus oracle byte-for-
+    byte, the clustered fixture passes its shadow CTEs + fixed-width fit."""
     from .clustering import NPROBE, _dist_sql, _fit_ctes_dyn
 
     pav_cols = ", ".join(
@@ -771,7 +783,7 @@ def _ivfpq_residual_sql() -> str:
         PQ_DSUB,
     )
     return f"""
-    WITH {_fit_ctes_dyn()},
+    WITH {pre}{fit if fit is not None else _fit_ctes_dyn()},
     rsd AS (
       SELECT g.vec_id, g.cid,
              list_transform(generate_series(1, {_DIM}),
@@ -823,7 +835,7 @@ def _ivfpq_residual_sql() -> str:
       SELECT vec_id, {adc} AS approx
       FROM pav
       ORDER BY approx ASC, vec_id ASC
-      LIMIT {IVFPQR_CAND}
+      LIMIT {cand}
     )
     SELECT c.vec_id, {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
     FROM cand c

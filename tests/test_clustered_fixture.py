@@ -59,6 +59,45 @@ def test_semdedup_blocking_misses_nothing_here(spark):
     assert r["n_probe_pairs_all"] == r["n_probe_pairs_blocked"] > 0
 
 
+def test_end_to_end_residual_beats_trained_plain(spark):
+    """r10 #1: the SAME statement under real cell pruning with the
+    TRAINED quantizer — the full production compositions, not the
+    generative-center stand-in. Residual reaches 1.0; trained-plain
+    drops a true neighbor past the identical ADC cut."""
+    rt = cf.clustered_ivfpq_trained_recall_audit(spark, SF_DIR).collect()[0]
+    rr = cf.clustered_ivfpq_residual_recall_audit(spark, SF_DIR).collect()[0]
+    assert rr["recall_at_k"] == 1.0, rr.asDict()
+    assert rt["recall_at_k"] < rr["recall_at_k"], (rt.asDict(), rr.asDict())
+    # both probes return full, distinct top-k result sets
+    for q in (
+        cf.clustered_ivfpq_trained_topk(spark, SF_DIR),
+        cf.clustered_ivfpq_residual_topk(spark, SF_DIR),
+    ):
+        rows = q.collect()
+        assert len(rows) == cf.CF_TOP
+        assert len({r["vec_id"] for r in rows}) == cf.CF_TOP
+        # query vec 0 lives in cluster 0: its true neighborhood is
+        # same-cluster (cos ~0.997 in, <=0.26 cross), so every survivor
+        # of the exact rerank must carry vec_id % CF_C == 0
+        assert all(r["vec_id"] % cf.CF_C == 0 for r in rows), rows
+
+
+def test_occupancy_skew_appears_when_width_mismatches(spark):
+    """r10 #2: at k = 2*CF_C the fit must SPLIT tight components, and the
+    noise decides unevenly — the audit exists to show nonzero skew on
+    structured data (the near-uniform corpus always reads near-balanced).
+    Pins: all cells survive, skew is real (max > avg > min), and the
+    occupancy-weighted scan cost exceeds the balanced-cell estimate."""
+    r = cf.clustered_ivf_occupancy_audit(spark, SF_DIR).collect()[0]
+    avg = cf.CF_N / cf.CF_KSPLIT
+    assert r["n_cells"] == cf.CF_KSPLIT
+    assert r["min_cell"] < avg < r["max_cell"], r.asDict()
+    assert r["max_over_avg"] > 1.2, r.asDict()
+    assert r["cand_per_probe_weighted"] > r["cand_per_probe_balanced"], (
+        r.asDict()
+    )
+
+
 def test_trained_quantizer_recovers_the_mixture(spark):
     """The bridge claim for the variant audit: Lloyd's (the exact fit
     arithmetic every IVF consumer uses) recovers the generative cells
