@@ -860,6 +860,274 @@ def read_sharded_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# adaptive two-level IVF: split ONLY the hot cells. The full sharded
+# store pays k1 level-2 fits and multiplies the partition count by ~k2
+# everywhere; on skewed data (clustered_ivf_occupancy_audit: max/avg
+# 1.586 when the IVF width mismatches the structure) the latency tail
+# lives in a FEW over-occupied cells. Splitting only cells above
+# hot_factor x average fixes the tail at a fraction of the build cost
+# and file count — the 100 TB skew mitigation the occupancy audit's
+# numbers call for (the IVF analog of AQE's skew-join split: pay the
+# extra level only where the mass is).
+# ---------------------------------------------------------------------------
+
+ADAPTIVE_HOT_FACTOR = 1.25  # cells above this x average occupancy split
+
+
+def adaptive_ivf_store_path(sf_dir: str, k1: int) -> str:
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(
+        store_root(), f"adaptive-ivf-v{STORE_VERSION}-k{k1}-{fp}"
+    )
+
+
+def build_adaptive_ivf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: int | None = None,
+    hot_factor: float = ADAPTIVE_HOT_FACTOR,
+) -> str:
+    """Materialize the occupancy-adaptive two-level layout: level-1 fit
+    at ``k1`` (ladder width when None), then a level-2 Lloyd fit ONLY
+    inside cells whose occupancy exceeds ``hot_factor`` x (n / k1) —
+    cold cells keep ``cid2 = 0`` and pay no fit, no extra partitions.
+    Same (cid1, cid2, batch_id) layout and exact-JSON meta discipline as
+    the full sharded store, plus per-cell sizes and the hot set in the
+    meta so consumers (and audits) can see which cells were split and
+    why. The build reports its own scan economics: meta carries
+    flat/adaptive candidates-per-probe (sum sz^2 / n over level-1 vs
+    leaf cells) so the mitigation is measured at build time, not
+    assumed."""
+    import functools
+    import json as _json
+
+    from ..pipeline.clustering import _lloyd_fit_frame, kmeans_fit
+    from ..pipeline.params import ivf_cells_for
+    from ..tables import load_tpch
+
+    emb = load_tpch(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    if k1 is None:
+        k1 = ivf_cells_for(n)
+    path = adaptive_ivf_store_path(sf_dir, k1)
+    if os.path.isdir(path):
+        return path
+    asg1, cents1 = kmeans_fit(spark, sf_dir, k=k1)
+    sizes = {
+        r["cid"]: r["n"]
+        for r in asg1.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    threshold = hot_factor * n / k1
+    hot = sorted(c for c, sz in sizes.items() if sz > threshold)
+    frames = []
+    level2: dict[str, list[list[float]]] = {}
+    leaf_s2 = 0
+    for cid in range(k1):
+        cell = emb.join(
+            asg1.filter(F.col("cid") == cid).select("vec_id"), "vec_id"
+        ).select("vec_id", "embedding")
+        if cid in hot:
+            k2 = ivf_cells_for(sizes[cid])
+            seeds2 = [
+                [float(x) for x in r["embedding"]]
+                for r in cell.orderBy("vec_id").limit(k2).collect()
+            ]
+            asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+            level2[str(cid)] = cents2
+            leaf_s2 += sum(
+                r["n"] * r["n"]
+                for r in asg2.groupBy("cid")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            frames.append(
+                cell.join(
+                    asg2.withColumnRenamed("cid", "cid2"), "vec_id"
+                ).select(
+                    "vec_id", "embedding", F.lit(cid).alias("cid1"), "cid2"
+                )
+            )
+        else:
+            leaf_s2 += sizes[cid] * sizes[cid]
+            frames.append(
+                cell.select(
+                    "vec_id",
+                    "embedding",
+                    F.lit(cid).alias("cid1"),
+                    F.lit(0).alias("cid2"),
+                )
+            )
+    union = functools.reduce(lambda a, b: a.unionByName(b), frames).withColumn(
+        "batch_id", F.lit("base")
+    )
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        union.repartition("cid1", "cid2")
+        .write.mode("overwrite")
+        .partitionBy("cid1", "cid2", "batch_id")
+        .parquet(tmp)
+    )
+    meta = {
+        "k1": k1,
+        "hot_factor": hot_factor,
+        "cents1": cents1,
+        "level2": level2,
+        "sizes": {str(c): sz for c, sz in sizes.items()},
+        "hot_cells": hot,
+        "cand_per_probe_flat": round(
+            sum(sz * sz for sz in sizes.values()) / n, 2
+        ),
+        "cand_per_probe_adaptive": round(leaf_s2 / n, 2),
+    }
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def load_adaptive_ivf_meta(sf_dir: str, k1: int):
+    import json as _json
+
+    meta = os.path.join(adaptive_ivf_store_path(sf_dir, k1), "_meta.json")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as f:
+        blob = _json.load(f)
+    blob["cents1"] = [[float(x) for x in c] for c in blob["cents1"]]
+    blob["level2"] = {
+        int(k): [[float(x) for x in c] for c in v]
+        for k, v in blob["level2"].items()
+    }
+    return blob
+
+
+def probe_adaptive_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    q_vec: list[float],
+    k1: int,
+    nprobe: int = 2,
+    top: int = 10,
+) -> DataFrame:
+    """Serve a top-k query off the adaptive store: driver-side routing
+    through the STORED quantizers (k1 level-1 distances; + k2 level-2
+    distances only when the routed cell is hot — cold cells read their
+    single (cid1, 0) leaf), then one scan of the nprobe selected leaf
+    directories (PartitionFilters) and an exact cosine rerank. The scan
+    cost per probe is leaf-sized: ~sz/k2 for a split hot cell, sz for a
+    cold one — bounded by the hot threshold either way."""
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cents1 = meta["cents1"]
+    sel1 = sorted(range(len(cents1)), key=lambda i: (d2(cents1[i]), i))[
+        :nprobe
+    ]
+    leaves = []
+    for c1 in sel1:
+        if c1 in meta["level2"]:
+            cents2 = meta["level2"][c1]
+            c2 = min(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))
+            leaves.append((c1, c2))
+        else:
+            leaves.append((c1, 0))
+    df = spark.read.parquet(adaptive_ivf_store_path(sf_dir, k1))
+    cond = None
+    for c1, c2 in leaves:
+        leaf = (F.col("cid1") == c1) & (F.col("cid2") == c2)
+        cond = leaf if cond is None else cond | leaf
+    qn = math.sqrt(sum(x * x for x in q_vec))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(float(x)) for x in q_vec]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        df.where(cond)
+        .select("vec_id", (dot / (norm * F.lit(qn))).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(top)
+    )
+
+
+def update_adaptive_ivf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vectors: DataFrame,
+    batch_id: str,
+    k1: int,
+):
+    """Incremental maintenance: route arrivals through the STORED
+    adaptive quantizer — level-1 argmin for everyone, level-2 argmin
+    only on rows routed into hot cells (per-branch filtered selects,
+    never k1 x k2 folds; cold-cell rows take cid2 = 0) — and land the
+    batch under its own (cid1, cid2, batch_id) leaves with dynamic
+    partition overwrite (at-least-once replay rewrites itself)."""
+    import functools
+
+    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..session import tracked_persist
+
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+    d1 = [_dist_to_literal(F.col("embedding"), c) for c in meta["cents1"]]
+    routed = tracked_persist(
+        new_vectors.select("vec_id", "embedding", _argmin_case(d1).alias("cid1"))
+    )
+    branches = []
+    for c1 in range(len(meta["cents1"])):
+        rows = routed.where(F.col("cid1") == c1)
+        if c1 in meta["level2"]:
+            d2 = [
+                _dist_to_literal(F.col("embedding"), c)
+                for c in meta["level2"][c1]
+            ]
+            branches.append(
+                rows.select(
+                    "vec_id", "embedding", "cid1", _argmin_case(d2).alias("cid2")
+                )
+            )
+        else:
+            branches.append(
+                rows.select(
+                    "vec_id", "embedding", "cid1", F.lit(0).alias("cid2")
+                )
+            )
+    assigned = functools.reduce(
+        lambda a, b: a.unionByName(b), branches
+    ).withColumn("batch_id", F.lit(batch_id))
+    (
+        assigned.repartition("cid1", "cid2")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid1", "cid2", "batch_id")
+        .parquet(adaptive_ivf_store_path(sf_dir, k1))
+    )
+
+
+# ---------------------------------------------------------------------------
 # PQ code store: the encoded table the ADC scan reads
 # ---------------------------------------------------------------------------
 

@@ -721,3 +721,176 @@ def test_sharded_ivf_ingest_stream_increments_and_restart(spark, store_dir, tmp_
     after2 = storage.read_sharded_ivf(spark, SF_DIR)
     assert after2.count() == base + 2
     assert after2.where("vec_id = 300000").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# adaptive (occupancy-driven) two-level IVF store: split ONLY hot cells
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def skewed_corpus(spark, tmp_path):
+    """A corpus dir with REAL occupancy skew: the clustered fixture
+    (8 tight components) written as embeddings.parquet, probed at
+    k1 = 16 — the width-mismatch regime clustered_ivf_occupancy_audit
+    measured at min 53 / max 203 per cell. Other tables symlink to the
+    static sf dir (load_tpch reads the whole directory eagerly)."""
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        clustered_fixture_frame,
+    )
+    from distribution_engine_smt_spark.tables import TPCH_TABLES
+
+    d = str(tmp_path / "skewed")
+    os.makedirs(d)
+    (
+        clustered_fixture_frame(spark, SF_DIR)
+        .select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        .coalesce(1)
+        .write.parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    for name in TPCH_TABLES:
+        if name != "embeddings":
+            os.symlink(
+                os.path.join(SF_DIR, f"{name}.parquet"),
+                os.path.join(d, f"{name}.parquet"),
+            )
+    return d
+
+
+K1 = 16
+
+
+def test_adaptive_ivf_store_splits_only_hot_cells(spark, store_dir, skewed_corpus):
+    """The store splits exactly the cells above hot_factor x average —
+    and the build's own accounting shows the scan-cost win: adaptive
+    candidates-per-probe strictly below flat, max leaf strictly below
+    the flat max cell, and FAR fewer partitions than splitting every
+    cell (the full-sharded layout) would cost."""
+    from distribution_engine_smt_spark.pipeline.params import ivf_cells_for
+
+    path = storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=K1)
+    assert storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=K1) == path
+    meta = storage.load_adaptive_ivf_meta(skewed_corpus, K1)
+    n = 2048
+    thr = meta["hot_factor"] * n / K1
+    # the hot set is exactly the cells above threshold, and it is a
+    # PROPER subset: real skew means some hot, width 16 means some cold
+    assert meta["hot_cells"] == sorted(
+        int(c) for c, sz in meta["sizes"].items() if sz > thr
+    )
+    assert 0 < len(meta["hot_cells"]) < K1
+    assert set(map(int, meta["level2"])) == set(meta["hot_cells"])
+    # scan economics, measured at build time
+    assert meta["cand_per_probe_adaptive"] < meta["cand_per_probe_flat"]
+    df = spark.read.parquet(path)
+    leaf_sizes = {
+        (r["cid1"], r["cid2"]): r["n"]
+        for r in df.groupBy("cid1", "cid2")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(leaf_sizes.values()) == n
+    # cold cells: exactly one (cid, 0) leaf; hot cells: >1 leaves
+    for cid in range(K1):
+        leaves = [k for k in leaf_sizes if k[0] == cid]
+        if cid in meta["hot_cells"]:
+            assert len(leaves) > 1, (cid, leaves)
+        else:
+            assert leaves == [(cid, 0)], (cid, leaves)
+    # the latency tail is fixed: worst leaf < worst flat cell
+    assert max(leaf_sizes.values()) < max(meta["sizes"].values())
+    # and the partition bill is a fraction of the everything-split layout
+    full_leaves = sum(ivf_cells_for(sz) for sz in meta["sizes"].values())
+    assert len(leaf_sizes) < full_leaves
+
+
+def test_adaptive_ivf_probe_serves_and_prunes(spark, store_dir, skewed_corpus):
+    """The store-fed probe returns exactly the top-k of the leaves it
+    scanned (independent python recomputation), scans ONLY those leaves
+    (PartitionFilters + inputFiles), and finds the query's own tight
+    cluster."""
+    import math as m
+
+    from distribution_engine_smt_spark.pipeline.clustered import cf_point
+
+    storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=K1)
+    meta = storage.load_adaptive_ivf_meta(skewed_corpus, K1)
+    q = cf_point(0)
+    df = storage.probe_adaptive_ivf(spark, skewed_corpus, q, k1=K1, nprobe=2)
+    got = [(r["vec_id"], r["cos"]) for r in df.collect()]
+    assert len(got) == 10
+    # independent recomputation of the probed leaves' exact top-10
+    def d2(c):
+        return sum((x - y) * (x - y) for x, y in zip(q, c))
+
+    sel1 = sorted(range(K1), key=lambda i: (d2(meta["cents1"][i]), i))[:2]
+    leaves = set()
+    for c1 in sel1:
+        if c1 in meta["level2"]:
+            cs = meta["level2"][c1]
+            leaves.add((c1, min(range(len(cs)), key=lambda i: (d2(cs[i]), i))))
+        else:
+            leaves.add((c1, 0))
+    rows = (
+        spark.read.parquet(storage.adaptive_ivf_store_path(skewed_corpus, K1))
+        .collect()
+    )
+    qn = m.sqrt(sum(x * x for x in q))
+    want = []
+    for r in rows:
+        if (r["cid1"], r["cid2"]) not in leaves:
+            continue
+        e = [float(x) for x in r["embedding"]]
+        dot = 0.0
+        acc = 0.0
+        for a, b in zip(e, q):
+            dot += a * b
+            acc += a * a
+        want.append((r["vec_id"], dot / (m.sqrt(acc) * qn)))
+    want = [v for v, _ in sorted(want, key=lambda t: (-t[1], t[0]))[:10]]
+    assert [v for v, _ in got] == want
+    # query vec 0's cluster is component 0: survivors are all cluster-0
+    assert all(v % 8 == 0 for v, _ in got), got
+    # pruning is physical: the leaf disjunction reaches the scan as a
+    # PARTITION filter on both levels (inputFiles() lists the relation
+    # pre-pruning, so inspect the plan — the established store proof)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    filters = pf[1].split("]", 1)[0]
+    assert "cid1" in filters and "cid2" in filters, filters
+
+
+def test_adaptive_ivf_update_routes_and_replays(spark, store_dir, skewed_corpus):
+    """Arrivals route through the STORED adaptive quantizer: a clone of
+    vec 0 lands in vec 0's exact leaf (level-2 only if that cell is
+    hot), and replaying the same batch_id leaves the store unchanged."""
+    from pyspark.sql import functions as F
+
+    storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=K1)
+    store = spark.read.parquet(
+        storage.adaptive_ivf_store_path(skewed_corpus, K1)
+    )
+    base = store.count()
+    v0 = store.where("vec_id = 0").first()
+    clone = (
+        spark.read.parquet(os.path.join(skewed_corpus, "embeddings.parquet"))
+        .where("vec_id = 0")
+        .select(F.lit(900_000).cast("long").alias("vec_id"), "embedding")
+    )
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, clone, "w1", k1=K1)
+    after = spark.read.parquet(
+        storage.adaptive_ivf_store_path(skewed_corpus, K1)
+    )
+    assert after.count() == base + 1
+    rowc = after.where("vec_id = 900000").first()
+    assert (rowc["cid1"], rowc["cid2"]) == (v0["cid1"], v0["cid2"])
+    # at-least-once replay: same batch rewrites its own leaf, no dupes
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, clone, "w1", k1=K1)
+    assert spark.read.parquet(
+        storage.adaptive_ivf_store_path(skewed_corpus, K1)
+    ).count() == base + 1
