@@ -1073,6 +1073,93 @@ def probe_adaptive_ivf(
     )
 
 
+def rebalance_adaptive_ivf_store(
+    spark: SparkSession, sf_dir: str, k1: int
+) -> dict:
+    """Maintenance for DRIFT: stream ingest concentrates new mass in a
+    few cells (new data is rarely uniform over an old quantizer), and a
+    cell that was cold at build time crosses the hot threshold. This
+    re-evaluates occupancy over the CURRENT store (base + all ingested
+    batches), runs a level-2 fit for exactly the newly-hot cells, and
+    swaps each cell's partition subtree in place (dot-tmp build →
+    retire-old → rename-new, the compact_table per-leaf discipline; a
+    single-writer maintenance job, like compaction). Already-split and
+    still-cold cells are untouched — O(changed cells), never a store
+    rebuild. Meta is updated last (level2 + hot_cells + sizes), so
+    routers only see a split cell once its leaves exist.
+
+    Replay caveat (same class as refit_ivfpq_code_store): a split
+    changes cell ``c``'s leaf layout, so at-least-once REPLAYS of
+    pre-rebalance batches are no longer self-rewriting for that cell —
+    drain/checkpoint ingest streams before rebalancing (the refit
+    barrier protocol); post-rebalance batches route level-2 and are
+    replay-idempotent again.
+
+    Returns {"newly_hot": [...], "sizes": {...}} for the caller's audit
+    trail."""
+    import json as _json
+
+    from ..pipeline.clustering import _lloyd_fit_frame
+    from ..pipeline.params import ivf_cells_for
+
+    path = adaptive_ivf_store_path(sf_dir, k1)
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+    df = spark.read.parquet(path)
+    sizes = {
+        r["cid1"]: r["n"]
+        for r in df.groupBy("cid1").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(sizes.values())
+    threshold = meta["hot_factor"] * n / k1
+    newly_hot = sorted(
+        c for c, sz in sizes.items()
+        if sz > threshold and c not in meta["level2"]
+    )
+    for cid in newly_hot:
+        cell = (
+            df.where(F.col("cid1") == cid)
+            .select("vec_id", "embedding", "batch_id")
+        )
+        k2 = ivf_cells_for(sizes[cid])
+        seeds2 = [
+            [float(x) for x in r["embedding"]]
+            for r in cell.orderBy("vec_id").limit(k2).collect()
+        ]
+        asg2, cents2 = _lloyd_fit_frame(
+            cell.select("vec_id", "embedding"), seeds2
+        )
+        rewritten = cell.join(
+            asg2.select("vec_id", F.col("cid").alias("cid2")), "vec_id"
+        ).select("vec_id", "embedding", "cid2", "batch_id")
+        tmp = os.path.join(path, f".rebalance-{cid}-{uuid.uuid4().hex[:8]}")
+        (
+            rewritten.repartition("cid2")
+            .write.mode("overwrite")
+            .partitionBy("cid2", "batch_id")
+            .parquet(tmp)
+        )
+        cell_dir = os.path.join(path, f"cid1={cid}")
+        retired = f"{cell_dir}.retired-{uuid.uuid4().hex[:8]}"
+        os.rename(cell_dir, retired)
+        os.rename(tmp, cell_dir)
+        shutil.rmtree(retired)
+        # Spark writes a _SUCCESS marker inside the subtree; partition
+        # discovery tolerates it, but drop it to keep leaves uniform
+        marker = os.path.join(cell_dir, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        meta["level2"][cid] = cents2
+    meta["hot_cells"] = sorted(set(meta["hot_cells"]) | set(newly_hot))
+    meta["sizes"] = {str(c): sz for c, sz in sizes.items()}
+    blob = dict(meta)
+    blob["level2"] = {str(c): v for c, v in meta["level2"].items()}
+    mtmp = os.path.join(path, f"._meta-{uuid.uuid4().hex[:8]}.json")
+    with open(mtmp, "w") as f:
+        _json.dump(blob, f)
+    os.replace(mtmp, os.path.join(path, "_meta.json"))
+    return {"newly_hot": newly_hot, "sizes": sizes}
+
+
 def update_adaptive_ivf_store(
     spark: SparkSession,
     sf_dir: str,

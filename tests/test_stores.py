@@ -894,3 +894,72 @@ def test_adaptive_ivf_update_routes_and_replays(spark, store_dir, skewed_corpus)
     assert spark.read.parquet(
         storage.adaptive_ivf_store_path(skewed_corpus, K1)
     ).count() == base + 1
+
+
+def test_adaptive_ivf_rebalance_splits_drifted_cell(spark, store_dir, skewed_corpus):
+    """Drift maintenance: a store built when every cell was cold (k1 = 8
+    matches the fixture's 8 components — balanced, no hot cells) receives
+    a concentrated ingest wave into one cell; rebalance must split
+    EXACTLY that cell, preserve every row, leave the other cells'
+    subtrees untouched, and route post-rebalance arrivals through the
+    new level-2 quantizer."""
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=k1)
+    meta0 = storage.load_adaptive_ivf_meta(skewed_corpus, k1)
+    assert meta0["hot_cells"] == []  # balanced build: nothing split
+    path = storage.adaptive_ivf_store_path(skewed_corpus, k1)
+    store0 = spark.read.parquet(path)
+    cell0 = store0.where("vec_id = 0").first()["cid1"]
+    # untouched-cell witness: a file listing from another cell
+    other = next(c for c in range(k1) if c != cell0)
+    other_dir = os.path.join(path, f"cid1={other}")
+    before_files = sorted(os.listdir(os.path.join(other_dir, "cid2=0")))
+
+    # drift: 200 near-clones of vec 0 land in its cell (256 -> 456,
+    # avg climbs to 281 — only cell0 crosses 1.25x)
+    emb = spark.read.parquet(os.path.join(skewed_corpus, "embeddings.parquet"))
+    wave = (
+        emb.where("vec_id = 0")
+        .crossJoin(spark.range(200).select(F.col("id").alias("i")))
+        .select((F.lit(900_000) + F.col("i")).alias("vec_id"), "embedding")
+    )
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, wave, "drift", k1=k1)
+    total = spark.read.parquet(path).count()
+
+    out = storage.rebalance_adaptive_ivf_store(spark, skewed_corpus, k1)
+    assert out["newly_hot"] == [cell0]
+    # idempotent second pass: occupancy unchanged, nothing newly hot
+    assert storage.rebalance_adaptive_ivf_store(spark, skewed_corpus, k1)[
+        "newly_hot"
+    ] == []
+
+    after = spark.read.parquet(path)
+    assert after.count() == total  # every row preserved
+    meta1 = storage.load_adaptive_ivf_meta(skewed_corpus, k1)
+    assert meta1["hot_cells"] == [cell0]
+    assert set(meta1["level2"]) == {cell0}
+    # the split cell now has >1 leaf and a smaller worst leaf
+    leaves = {
+        (r["cid1"], r["cid2"]): r["n"]
+        for r in after.groupBy("cid1", "cid2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cell0_leaves = {k: v for k, v in leaves.items() if k[0] == cell0}
+    assert len(cell0_leaves) > 1
+    assert max(cell0_leaves.values()) < 456
+    assert sum(cell0_leaves.values()) == 456
+    # other cells' files are byte-untouched (O(changed cells) rewrite)
+    assert sorted(os.listdir(os.path.join(other_dir, "cid2=0"))) == before_files
+    # post-rebalance arrivals route level-2: a fresh clone of vec 0 lands
+    # in vec 0's NEW (cid1, cid2) leaf
+    clone = emb.where("vec_id = 0").select(
+        F.lit(990_000).cast("long").alias("vec_id"), "embedding"
+    )
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, clone, "post", k1=k1)
+    after2 = spark.read.parquet(path)
+    row0 = after2.where("vec_id = 0").first()
+    rowc = after2.where("vec_id = 990000").first()
+    assert (rowc["cid1"], rowc["cid2"]) == (row0["cid1"], row0["cid2"])
