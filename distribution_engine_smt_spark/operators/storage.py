@@ -1073,6 +1073,84 @@ def probe_adaptive_ivf(
     )
 
 
+def run_adaptive_ivf_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sf_dir: str,
+    k1: int,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of ``update_adaptive_ivf_store`` — the same
+    foreachBatch wrapper every store stream uses (at-least-once replay
+    rewrites its own (cid1, cid2, batch_id) leaves; arrivals are
+    probe-visible at batch commit)."""
+
+    def ingest(batch_df, batch_id: int):
+        update_adaptive_ivf_store(
+            spark,
+            sf_dir,
+            batch_df.select("vec_id", "embedding"),
+            f"stream-{batch_id}",
+            k1=k1,
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def adaptive_ivf_occupancy_from_footers(sf_dir: str, k1: int) -> dict[int, int]:
+    """Per-level-1-cell row counts read from parquet FOOTERS only — the
+    occupancy check a maintenance cron runs costs zero data IO (the
+    pruned_scan_stats discipline). Walks the store's cid1=* subtrees and
+    sums each file's footer num_rows via pyarrow."""
+    import pyarrow.parquet as papq
+
+    path = adaptive_ivf_store_path(sf_dir, k1)
+    sizes: dict[int, int] = {}
+    for entry in os.listdir(path):
+        if not entry.startswith("cid1="):
+            continue
+        cid = int(entry.split("=", 1)[1])
+        total = 0
+        for dp, _, fs in os.walk(os.path.join(path, entry)):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    total += papq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+        sizes[cid] = total
+    return sizes
+
+
+def maybe_rebalance_adaptive_ivf_store(
+    spark: SparkSession, sf_dir: str, k1: int
+) -> dict:
+    """The cron-shaped maintenance loop: check occupancy from footers
+    (no scan), fire the rebalance only if some unsplit cell crossed the
+    hot threshold. Returns {"fired": bool, "newly_hot": [...]} — a
+    no-op check on a healthy store costs a directory walk."""
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+    sizes = adaptive_ivf_occupancy_from_footers(sf_dir, k1)
+    n = sum(sizes.values())
+    threshold = meta["hot_factor"] * n / k1
+    pending = [
+        c for c, sz in sizes.items()
+        if sz > threshold and c not in meta["level2"]
+    ]
+    if not pending:
+        return {"fired": False, "newly_hot": []}
+    out = rebalance_adaptive_ivf_store(spark, sf_dir, k1)
+    return {"fired": True, **out}
+
+
 def rebalance_adaptive_ivf_store(
     spark: SparkSession, sf_dir: str, k1: int
 ) -> dict:

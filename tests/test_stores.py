@@ -963,3 +963,76 @@ def test_adaptive_ivf_rebalance_splits_drifted_cell(spark, store_dir, skewed_cor
     row0 = after2.where("vec_id = 0").first()
     rowc = after2.where("vec_id = 990000").first()
     assert (rowc["cid1"], rowc["cid2"]) == (row0["cid1"], row0["cid2"])
+
+
+def test_adaptive_ivf_stream_and_cron_rebalance(spark, store_dir, skewed_corpus, tmp_path):
+    """The maintenance loop end-to-end: streamed ingest drifts one cell
+    hot; the footer-only occupancy check (zero data IO) notices and
+    fires the rebalance; a post-rebalance streamed wave routes through
+    the new level-2 quantizer; checkpoint restart processes only the
+    new wave."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=k1)
+    path = storage.adaptive_ivf_store_path(skewed_corpus, k1)
+    # footer occupancy == scan occupancy on the fresh store
+    foot = storage.adaptive_ivf_occupancy_from_footers(skewed_corpus, k1)
+    scan = {
+        r["cid1"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cid1")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert foot == scan
+    # healthy store: the cron check is a no-op
+    assert storage.maybe_rebalance_adaptive_ivf_store(
+        spark, skewed_corpus, k1
+    ) == {"fired": False, "newly_hot": []}
+
+    emb = spark.read.parquet(os.path.join(skewed_corpus, "embeddings.parquet"))
+    v0 = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cell0 = spark.read.parquet(path).where("vec_id = 0").first()["cid1"]
+
+    def wave(p, rows):
+        papq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [e for _, e in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(p),
+        )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    wave(incoming / "w1.parquet", [(910_000 + i, v0) for i in range(200)])
+    ckpt = str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<float>"
+    q = storage.run_adaptive_ivf_ingest_stream(
+        spark, str(incoming), schema, skewed_corpus, k1, ckpt
+    )
+    q.awaitTermination(120)
+    assert sum(
+        storage.adaptive_ivf_occupancy_from_footers(skewed_corpus, k1).values()
+    ) == 2048 + 200
+    out = storage.maybe_rebalance_adaptive_ivf_store(spark, skewed_corpus, k1)
+    assert out["fired"] and out["newly_hot"] == [cell0]
+    # restart: only the new wave processes; it routes level-2
+    wave(incoming / "w2.parquet", [(990_001, v0)])
+    q2 = storage.run_adaptive_ivf_ingest_stream(
+        spark, str(incoming), schema, skewed_corpus, k1, ckpt
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(path)
+    assert after.count() == 2048 + 201
+    row0 = after.where("vec_id = 0").first()
+    rowc = after.where("vec_id = 990001").first()
+    assert (rowc["cid1"], rowc["cid2"]) == (row0["cid1"], row0["cid2"])
