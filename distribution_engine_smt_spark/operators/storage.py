@@ -1166,12 +1166,19 @@ def rebalance_adaptive_ivf_store(
     rebuild. Meta is updated last (level2 + hot_cells + sizes), so
     routers only see a split cell once its leaves exist.
 
-    Replay caveat (same class as refit_ivfpq_code_store): a split
-    changes cell ``c``'s leaf layout, so at-least-once REPLAYS of
-    pre-rebalance batches are no longer self-rewriting for that cell —
-    drain/checkpoint ingest streams before rebalancing (the refit
-    barrier protocol); post-rebalance batches route level-2 and are
-    replay-idempotent again.
+    Replay safety: a pre-rebalance batch REPLAYED after the split is
+    still self-rewriting — the rebalance preserves every row's
+    batch_id while re-leafing it, and a replay routes through the
+    LIVE meta (the same level-2 quantizer the rebalance assigned
+    with, same lowest-index argmin tie-break), so it regenerates
+    exactly the leaves the rebalance produced and dynamic overwrite
+    replaces them with identical content (pinned by
+    test_adaptive_ivf_rebalance: replaying the drift batch after the
+    split is a byte-level no-op). The remaining constraint is the
+    single-writer one every maintenance job here has: don't run the
+    subtree swap CONCURRENTLY with an in-flight batch write for the
+    same cell — pause/drain the ingest stream around the rebalance,
+    as with compaction.
 
     Returns {"newly_hot": [...], "sizes": {...}} for the caller's audit
     trail."""

@@ -963,6 +963,24 @@ def test_adaptive_ivf_rebalance_splits_drifted_cell(spark, store_dir, skewed_cor
     row0 = after2.where("vec_id = 0").first()
     rowc = after2.where("vec_id = 990000").first()
     assert (rowc["cid1"], rowc["cid2"]) == (row0["cid1"], row0["cid2"])
+    # replay SAFETY across the split: re-delivering the pre-rebalance
+    # drift batch routes through the live meta — the same quantizer the
+    # rebalance assigned with — so it regenerates exactly the leaves the
+    # rebalance produced: same rows, same (cid1, cid2, batch_id) layout
+    layout_before = sorted(
+        (r["vec_id"], r["cid1"], r["cid2"], r["batch_id"])
+        for r in spark.read.parquet(path)
+        .select("vec_id", "cid1", "cid2", "batch_id")
+        .collect()
+    )
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, wave, "drift", k1=k1)
+    layout_after = sorted(
+        (r["vec_id"], r["cid1"], r["cid2"], r["batch_id"])
+        for r in spark.read.parquet(path)
+        .select("vec_id", "cid1", "cid2", "batch_id")
+        .collect()
+    )
+    assert layout_after == layout_before
 
 
 def test_adaptive_ivf_stream_and_cron_rebalance(spark, store_dir, skewed_corpus, tmp_path):
