@@ -47,6 +47,8 @@ _DRIVER_PRIORITY = [
     "clustered_ivfpq_residual_topk",
     "clustered_ivfpq_residual_recall_audit",
     "clustered_ivf_occupancy_audit",
+    "clustered_mass_fixture_stats",
+    "clustered_mass_occupancy_audit",
     "clustered_fixture_stats",
     "clustered_kmeans_agreement_audit",
     "clustered_pq_variant_audit",
@@ -76,8 +78,6 @@ _DRIVER_PRIORITY = [
     "discussions_by_hot",
     "discussions_by_payout_keyset",
     "discussions_by_trending",
-    "feed_semijoin",
-    "latest_event_per_key",
     "multimodal_decode",
     "multimodal_metadata_stats",
     "pack_sequences",
@@ -156,8 +156,9 @@ _DRIVER_ROTATE_LAST = [
     "embedding_outliers",
     "event_funnel",
     "event_zscore_anomaly",
-    "follow_counts",
     "events_pivot",
+    "feed_semijoin",
+    "follow_counts",
     "graph_pagerank",
     "hard_negatives",
     "hll_daily_merge",
@@ -170,6 +171,7 @@ _DRIVER_ROTATE_LAST = [
     "kmv_distinct",
     "kmv_set_ops",
     "langid_confusion",
+    "latest_event_per_key",
     "leakage_free_split",
     "length_histogram",
     "lsh_recall_audit",

@@ -1039,6 +1039,235 @@ def clustered_ivf_occupancy_audit(
 
 
 # ---------------------------------------------------------------------------
+# MASS-IMBALANCE fixture: skew from imbalanced category sizes at a
+# STRUCTURE-MATCHED width. The width-mismatch audit above manufactures
+# skew by giving Lloyd too many cells; real corpora skew the other way —
+# the categories themselves are imbalanced (web data: a few giant
+# languages/domains, a long tail), so even a perfectly-sized index has
+# hot cells. Component sizes here follow a halving ladder
+# (1021, 511, 256, 129, 65, 33, 17, 16 — component of point i >= 8 is
+# the trailing-zero count of i-7, capped; points 0..7 seed one per
+# component so the shared fixed-width fit's vec_id<k seeding lands one
+# seed per component).
+# ---------------------------------------------------------------------------
+
+
+def cm_cl(i: int) -> int:
+    if i < CF_C:
+        return i
+    m = i - 7
+    for c in range(CF_C - 1):
+        if m % (2 << c) == (1 << c):
+            return c
+    return CF_C - 1
+
+
+def cm_point(i: int) -> list[float]:
+    cent = cf_center(cm_cl(i))
+    return [
+        cent[j] + (_h8_py(f"cm:{i}:{j}") % 2001 - 1000) / 20000.0
+        for j in range(DIM)
+    ]
+
+
+def _cm_cl_col(i_col) -> F.Column:
+    c = F.when(i_col < CF_C, i_col.cast("int"))
+    m = i_col - 7
+    for cc_ in range(CF_C - 1):
+        c = c.when(m % (2 << cc_) == (1 << cc_), F.lit(cc_))
+    return c.otherwise(F.lit(CF_C - 1)).cast("int")
+
+
+def _cm_cl_sql() -> str:
+    whens = "\n               ".join(
+        f"WHEN (i - 7) % {2 << c} = {1 << c} THEN {c}"
+        for c in range(CF_C - 1)
+    )
+    return (
+        f"CAST(CASE WHEN i < {CF_C} THEN i\n               "
+        f"{whens}\n               ELSE {CF_C - 1} END AS INT)"
+    )
+
+
+@memoize_df
+def clustered_mass_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cl, embedding) for the mass-imbalance mixture — the
+    clustered_fixture_frame generation shape (explode-per-coordinate,
+    ordered-collect assembly, everything in codegen) with the
+    trailing-zeros component map and the 'cm' noise namespace."""
+    base = spark.range(CF_N).select(
+        F.col("id").alias("vec_id"), _cm_cl_col(F.col("id")).alias("cl")
+    )
+    coords = base.select(
+        "vec_id", "cl", F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("j")
+    )
+    cterm = (
+        _h8_col(
+            F.concat(
+                F.lit("cc:"),
+                F.col("cl").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    nterm = (
+        _h8_col(
+            F.concat(
+                F.lit("cm:"),
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        % 2001
+        - 1000
+    ) / F.lit(20000.0)
+    vals = coords.select("vec_id", "cl", "j", (cterm + nterm).alias("v"))
+    return vals.groupBy("vec_id", "cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias("embedding")
+    )
+
+
+_CMX_CTES = f"""cmx AS (
+      SELECT i AS vec_id, {_cm_cl_sql()} AS cl,
+             list_transform(generate_series(1, {DIM}), j ->
+               {_cfx_coord_sql('cc', _cm_cl_sql(), '1000.0')}
+               + {_cfx_coord_sql('cm', 'i', '20000.0')}) AS embedding
+      FROM generate_series(0, {CF_N - 1}) t(i)
+    ),
+    cctr AS (
+      SELECT CAST(c AS INT) AS c,
+             list_transform(generate_series(1, {DIM}), j ->
+               {_cfx_coord_sql('cc', 'c', '1000.0')}) AS cent
+      FROM generate_series(0, {CF_C - 1}) t(c)
+    )"""
+
+_CM_STATS_SQL = f"""
+    WITH {_CMX_CTES},
+    pc AS (
+      SELECT f.vec_id, f.cl, c.c,
+             {_cos_sql('f.embedding', 'c.cent')} AS cos
+      FROM cmx f CROSS JOIN cctr c
+    ),
+    pr AS (
+      SELECT vec_id, cl,
+             max(CASE WHEN c = cl THEN cos END) AS cos_own,
+             max(CASE WHEN c <> cl THEN cos END) AS cos_other
+      FROM pc GROUP BY vec_id, cl
+    )
+    SELECT cl, count(*) AS n,
+           round(CAST(sum(CAST(cos_own AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos_own,
+           round(CAST(sum(CAST(cos_other AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos_best_other
+    FROM pr GROUP BY cl ORDER BY cl ASC
+    """
+
+
+@register("clustered_mass_fixture_stats", _CM_STATS_SQL)
+def clustered_mass_fixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure + mass profile of the imbalanced fixture: per component,
+    the halving-ladder size (1021 down to 16) and the same tight/loose
+    cosine separation as the balanced fixture (own ≈0.999, best-other
+    ≈0.19) — real coarse structure with REALISTIC category imbalance."""
+    fx = clustered_mass_fixture_frame(spark, sf_dir)
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(c, cf_center(c)) for c in range(CF_C)],
+            "c int, cent array<double>",
+        )
+    )
+    cos = dot_fold(F.col("embedding"), F.col("cent")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("cent"), F.col("cent")))
+    )
+    pc = fx.crossJoin(cents).select("vec_id", "cl", "c", cos.alias("cos"))
+    pr = pc.groupBy("vec_id", "cl").agg(
+        F.max(F.when(F.col("c") == F.col("cl"), F.col("cos"))).alias("cos_own"),
+        F.max(F.when(F.col("c") != F.col("cl"), F.col("cos"))).alias("cos_other"),
+    )
+    dec = lambda col: col.cast("decimal(20,6)")  # noqa: E731
+    return (
+        pr.groupBy("cl")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(dec(F.col("cos_own"))).cast("double") / F.count("*"), 6
+            ).alias("mean_cos_own"),
+            F.round(
+                F.sum(dec(F.col("cos_other"))).cast("double") / F.count("*"), 6
+            ).alias("mean_cos_best_other"),
+        )
+        .orderBy(F.col("cl").asc())
+    )
+
+
+def _cm_occ_sql() -> str:
+    from .clustering import _fit_ctes
+
+    return f"""
+    WITH {_CMX_CTES},
+    embeddings AS (SELECT vec_id, embedding FROM cmx),
+    {_fit_ctes(CF_C)},
+    sizes AS (SELECT cid, count(*) AS sz FROM g2 GROUP BY cid)
+    SELECT CAST({CF_C} AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(sz) AS BIGINT) AS min_cell,
+           CAST(max(sz) AS BIGINT) AS max_cell,
+           round(CAST(max(sz) AS DOUBLE) * {CF_C} / {CF_N}, 6)
+             AS max_over_avg,
+           CAST({CF_N // CF_C} AS BIGINT) AS cand_per_probe_balanced,
+           round(CAST(sum(sz * sz) AS DOUBLE) / {CF_N}, 6)
+             AS cand_per_probe_weighted
+    FROM sizes
+    """
+
+
+@register("clustered_mass_occupancy_audit", _cm_occ_sql())
+@memoize_df
+def clustered_mass_occupancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Occupancy skew from MASS imbalance at the structure-matched width:
+    the shared Lloyd fit at k = CF_C (one seed per component by
+    construction) on the halving-ladder fixture. Unlike the
+    width-mismatch audit — where skew came from Lloyd splitting tight
+    clusters arbitrarily — here the fit recovers the components
+    perfectly and the skew IS the data: measured max_over_avg 3.988
+    (1021-row hot cell vs 256 average), occupancy-weighted scan cost
+    679.5 vs the balanced-cell 256 — a 2.7x mean scan tax from category
+    imbalance alone. This is the regime a real corpus (dominant
+    language/domain + long tail) puts an IVF index in even when the
+    ladder width is exactly right, and the regime the adaptive
+    hot-cell store exists for (its BENCH_SCALE entry measures the
+    mitigation on generated skew of this exact shape)."""
+    from .clustering import _lloyd_fit_frame
+
+    fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
+    seeds = [cm_point(k) for k in range(CF_C)]
+    asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.lit(CF_C).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("sz").cast("long").alias("min_cell"),
+        F.max("sz").cast("long").alias("max_cell"),
+        F.round(F.max("sz").cast("double") * CF_C / F.lit(CF_N), 6).alias(
+            "max_over_avg"
+        ),
+        F.lit(CF_N // CF_C).cast("long").alias("cand_per_probe_balanced"),
+        F.round(
+            F.sum(F.col("sz") * F.col("sz")).cast("double") / F.lit(CF_N), 6
+        ).alias("cand_per_probe_weighted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # does the trained quantizer RECOVER the generative structure?
 # ---------------------------------------------------------------------------
 

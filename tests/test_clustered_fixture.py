@@ -98,6 +98,36 @@ def test_occupancy_skew_appears_when_width_mismatches(spark):
     )
 
 
+def test_mass_imbalance_fixture_and_matched_width_skew(spark):
+    """The mass-skew phenomenon: with component sizes on a halving
+    ladder and the index width exactly matched to the structure, the
+    fit recovers the components (tight own-center cosine per component)
+    and the occupancy skew IS the data — the realistic hot-cell regime
+    (dominant category + long tail) the adaptive store mitigates."""
+    rows = cf.clustered_mass_fixture_stats(spark, SF_DIR).collect()
+    assert [r["n"] for r in rows] == [1021, 511, 256, 129, 65, 33, 17, 16]
+    assert sum(r["n"] for r in rows) == cf.CF_N
+    for r in rows:
+        assert r["mean_cos_own"] > 0.99, r
+        assert r["mean_cos_best_other"] < 0.5, r
+    occ = cf.clustered_mass_occupancy_audit(spark, SF_DIR).collect()[0]
+    assert occ["n_cells"] == cf.CF_C
+    # the matched-width fit recovers the halving ladder exactly
+    assert occ["min_cell"] == 16 and occ["max_cell"] == 1021
+    assert occ["max_over_avg"] > 3.9
+    assert occ["cand_per_probe_weighted"] > 2.5 * occ["cand_per_probe_balanced"]
+    # driver-side twin of the generation stays in lockstep
+    got = {
+        r["vec_id"]: (r["cl"], [float(x) for x in r["embedding"]])
+        for r in cf.clustered_mass_fixture_frame(spark, SF_DIR)
+        .where("vec_id in (0, 7, 8, 9, 1000, 2047)")
+        .collect()
+    }
+    for i, (cl, emb) in got.items():
+        assert cl == cf.cm_cl(i)
+        assert emb == cf.cm_point(i), f"vec {i} diverged from driver math"
+
+
 def test_trained_quantizer_recovers_the_mixture(spark):
     """The bridge claim for the variant audit: Lloyd's (the exact fit
     arithmetic every IVF consumer uses) recovers the generative cells
