@@ -685,71 +685,88 @@ def probe_ivf_sharded_crossing(spark, sf_dir: str | None = None) -> dict:
 
 
 def probe_adaptive_skew(spark) -> dict:
-    """Occupancy-skew mitigation, measured (r9 continuation): on a
-    corpus with REAL coarse structure probed at a width that mismatches
-    it (the clustered fixture at k1 = 16 — the regime
-    clustered_ivf_occupancy_audit prices at max/avg 1.586), the adaptive
-    store splits ONLY the cells above the hot threshold. Recorded: the
-    flat vs adaptive candidates-per-probe from the store's own build
-    accounting, the leaf-count bill vs the everything-split (full
-    sharded) layout, and the probe's warm latency — the three numbers
+    """Occupancy-skew mitigation, measured (r9 continuation) in BOTH
+    skew regimes the clustered fixtures price:
+
+    - ``width_mismatch``: the balanced fixture probed at k1 = 16 (2x its
+      component count — clustered_ivf_occupancy_audit's max/avg 1.586);
+    - ``mass_imbalance``: the halving-ladder fixture at the MATCHED
+      width k1 = 8 (clustered_mass_occupancy_audit's max/avg 3.988 —
+      the realistic dominant-category regime).
+
+    Per regime: flat vs adaptive candidates-per-probe from the store's
+    own build accounting, the leaf-count bill vs the everything-split
+    (full sharded) layout, and the probe's warm latency — the numbers
     the 100 TB skew budget needs."""
     import shutil
 
     from distribution_engine_smt_spark.operators import storage as _st
     from distribution_engine_smt_spark.pipeline.clustered import (
+        CF_C,
         CF_KSPLIT,
         cf_point,
         clustered_fixture_frame,
+        clustered_mass_fixture_frame,
+        cm_point,
     )
     from distribution_engine_smt_spark.pipeline.params import ivf_cells_for
     from distribution_engine_smt_spark.tables import TPCH_TABLES
 
-    corpus = os.path.join(ROOT, "skewed-corpus")
-    shutil.rmtree(corpus, ignore_errors=True)
-    os.makedirs(corpus)
-    (
-        clustered_fixture_frame(spark, BASE)
-        .select(
-            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    def regime(label: str, frame_fn, k1: int, q_vec) -> dict:
+        corpus = os.path.join(ROOT, f"skewed-corpus-{label}")
+        shutil.rmtree(corpus, ignore_errors=True)
+        os.makedirs(corpus)
+        (
+            frame_fn(spark, BASE)
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(corpus, "embeddings.parquet"))
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(corpus, "embeddings.parquet"))
-    )
-    for name in TPCH_TABLES:
-        if name != "embeddings":
-            dst = os.path.join(corpus, f"{name}.parquet")
-            if not os.path.exists(dst):
-                os.symlink(os.path.join(BASE, f"{name}.parquet"), dst)
-    root = os.path.join(ROOT, "stores-adaptive")
-    shutil.rmtree(root, ignore_errors=True)
-    os.environ["SPARK_GRAFT_STORE_DIR"] = root
-    t0 = time.perf_counter()
-    path = _st.build_adaptive_ivf_store(spark, corpus, k1=CF_KSPLIT)
-    build_sec = round(time.perf_counter() - t0, 4)
-    meta = _st.load_adaptive_ivf_meta(corpus, CF_KSPLIT)
-    leaves = (
-        spark.read.parquet(path).select("cid1", "cid2").distinct().count()
-    )
-    full_leaves = sum(ivf_cells_for(sz) for sz in meta["sizes"].values())
-    q = cf_point(0)
-    _st.probe_adaptive_ivf(spark, corpus, q, k1=CF_KSPLIT).collect()  # warm-up
-    t0 = time.perf_counter()
-    _st.probe_adaptive_ivf(spark, corpus, q, k1=CF_KSPLIT).collect()
-    probe_warm = round(time.perf_counter() - t0, 4)
-    os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+        for name in TPCH_TABLES:
+            if name != "embeddings":
+                dst = os.path.join(corpus, f"{name}.parquet")
+                if not os.path.exists(dst):
+                    os.symlink(os.path.join(BASE, f"{name}.parquet"), dst)
+        root = os.path.join(ROOT, f"stores-adaptive-{label}")
+        shutil.rmtree(root, ignore_errors=True)
+        os.environ["SPARK_GRAFT_STORE_DIR"] = root
+        t0 = time.perf_counter()
+        path = _st.build_adaptive_ivf_store(spark, corpus, k1=k1)
+        build_sec = round(time.perf_counter() - t0, 4)
+        meta = _st.load_adaptive_ivf_meta(corpus, k1)
+        leaves = (
+            spark.read.parquet(path).select("cid1", "cid2").distinct().count()
+        )
+        full_leaves = sum(ivf_cells_for(sz) for sz in meta["sizes"].values())
+        _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=k1).collect()  # warm
+        t0 = time.perf_counter()
+        _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=k1).collect()
+        probe_warm = round(time.perf_counter() - t0, 4)
+        os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+        return {
+            "k1": k1,
+            "n_hot_cells": len(meta["hot_cells"]),
+            "hot_factor": meta["hot_factor"],
+            "max_cell": max(meta["sizes"].values()),
+            "cand_per_probe_flat": meta["cand_per_probe_flat"],
+            "cand_per_probe_adaptive": meta["cand_per_probe_adaptive"],
+            "n_leaves_adaptive": leaves,
+            "n_leaves_full_shard": full_leaves,
+            "build_sec": build_sec,
+            "probe_warm_sec": probe_warm,
+        }
+
     out = {
-        "k1": CF_KSPLIT,
-        "n_hot_cells": len(meta["hot_cells"]),
-        "hot_factor": meta["hot_factor"],
-        "max_cell": max(meta["sizes"].values()),
-        "cand_per_probe_flat": meta["cand_per_probe_flat"],
-        "cand_per_probe_adaptive": meta["cand_per_probe_adaptive"],
-        "n_leaves_adaptive": leaves,
-        "n_leaves_full_shard": full_leaves,
-        "build_sec": build_sec,
-        "probe_warm_sec": probe_warm,
+        "width_mismatch": regime(
+            "wm", clustered_fixture_frame, CF_KSPLIT, cf_point(0)
+        ),
+        "mass_imbalance": regime(
+            "mi", clustered_mass_fixture_frame, CF_C, cm_point(0)
+        ),
     }
     print(json.dumps({"adaptive_skew_mitigation": out}))
     return out
