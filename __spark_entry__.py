@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "clustered_ivf_occupancy_audit",
     "clustered_mass_fixture_stats",
     "clustered_mass_occupancy_audit",
+    "clustered_adaptive_occupancy_audit",
     "clustered_fixture_stats",
     "clustered_kmeans_agreement_audit",
     "clustered_pq_variant_audit",
@@ -82,7 +83,6 @@ _DRIVER_PRIORITY = [
     "multimodal_metadata_stats",
     "pack_sequences",
     "payout_accumulation",
-    "post_with_votes",
     "quality_filter",
     "replies_in_notin",
     "stratified_sample",
@@ -184,6 +184,7 @@ _DRIVER_ROTATE_LAST = [
     "pii_redact",
     "pq_recall_audit",
     "pq_train",
+    "post_with_votes",
     "pq_trained_recall_audit",
     "pricing_summary",
     "quantile_error_audit",

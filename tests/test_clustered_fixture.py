@@ -128,6 +128,27 @@ def test_mass_imbalance_fixture_and_matched_width_skew(spark):
         assert emb == cf.cm_point(i), f"vec {i} diverged from driver math"
 
 
+def test_adaptive_economics_audit_matches_store_build(spark):
+    """The driver-checkable adaptive row must tell the same story as
+    the store build's meta accounting (BENCH_SCALE mass_imbalance
+    entry): 2 dominant-category cells hot, ~3x scan-cost win, less
+    than half the everything-split partition bill. Also pins that the
+    audit's integer hot threshold IS the store's hot_factor."""
+    from distribution_engine_smt_spark.operators.storage import (
+        ADAPTIVE_HOT_FACTOR,
+    )
+
+    assert cf.CF_HOT_PCT == int(ADAPTIVE_HOT_FACTOR * 100)
+    r = cf.clustered_adaptive_occupancy_audit(spark, SF_DIR).collect()[0]
+    assert r["k1"] == cf.CF_C
+    assert r["n_hot_cells"] == 2
+    assert r["cand_per_probe_flat"] > 2.5 * r["cand_per_probe_adaptive"]
+    assert r["n_leaves_adaptive"] < r["n_leaves_full_shard"]
+    # consistency with the matched-width occupancy audit's flat number
+    occ = cf.clustered_mass_occupancy_audit(spark, SF_DIR).collect()[0]
+    assert r["cand_per_probe_flat"] == occ["cand_per_probe_weighted"]
+
+
 def test_trained_quantizer_recovers_the_mixture(spark):
     """The bridge claim for the variant audit: Lloyd's (the exact fit
     arithmetic every IVF consumer uses) recovers the generative cells
