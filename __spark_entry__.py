@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "clustered_mass_fixture_stats",
     "clustered_mass_occupancy_audit",
     "clustered_adaptive_occupancy_audit",
+    "clustered_adaptive_probe_recall_audit",
     "clustered_fixture_stats",
     "clustered_kmeans_agreement_audit",
     "clustered_pq_variant_audit",
@@ -82,7 +83,6 @@ _DRIVER_PRIORITY = [
     "multimodal_decode",
     "multimodal_metadata_stats",
     "pack_sequences",
-    "payout_accumulation",
     "quality_filter",
     "replies_in_notin",
     "stratified_sample",
@@ -181,6 +181,7 @@ _DRIVER_ROTATE_LAST = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "normalize_text",
+    "payout_accumulation",
     "pii_redact",
     "pq_recall_audit",
     "pq_train",

@@ -1436,6 +1436,175 @@ def clustered_adaptive_occupancy_audit(
 
 
 # ---------------------------------------------------------------------------
+# what splitting a hot cell COSTS: recall-vs-scan across level-2 probe
+# widths, priced on the dominant (structureless-interior) cell
+# ---------------------------------------------------------------------------
+
+
+def _cm_probe_recall_sql() -> str:
+    from .clustering import _dist_sql, _fit_ctes
+
+    cells = ",\n    ".join(_cm_cell_fit_ctes(c) for c in range(CF_C))
+    l2c = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cid1, cid, c FROM h{c}c1v" for c in range(CF_C)
+    )
+    l2g = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cid1, vec_id, cid AS cid2 FROM h{c}g2"
+        for c in range(CF_C)
+    )
+    return f"""
+    WITH {_CMX_CTES},
+    embeddings AS (SELECT vec_id, embedding FROM cmx),
+    {_fit_ctes(CF_C)},
+    g2m AS MATERIALIZED (SELECT vec_id, embedding, cid FROM g2),
+    szc AS MATERIALIZED (SELECT cid, count(*) AS n FROM g2m GROUP BY cid),
+    {cells},
+    qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+           FROM cmx WHERE vec_id = 0),
+    qd1 AS (
+      SELECT c.cid, {_dist_sql('qv.q', 'c.c')} AS d FROM c1v c, qv
+    ),
+    qc AS (SELECT cid FROM qd1 ORDER BY d ASC, cid ASC LIMIT 1),
+    l2c AS MATERIALIZED (
+      {l2c}
+    ),
+    l2g AS MATERIALIZED (
+      {l2g}
+    ),
+    qd2 AS (
+      SELECT l.cid AS cid2, {_dist_sql('qv.q', 'l.c')} AS d
+      FROM l2c l JOIN qc ON l.cid1 = qc.cid, qv
+    ),
+    sel1 AS (SELECT cid2 FROM qd2 ORDER BY d ASC, cid2 ASC LIMIT 1),
+    sel2 AS (SELECT cid2 FROM qd2 ORDER BY d ASC, cid2 ASC LIMIT 2),
+    members AS (
+      SELECT g.vec_id, g.cid2 FROM l2g g JOIN qc ON g.cid1 = qc.cid
+      WHERE g.vec_id <> 0
+    ),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY {_cos_sql('e.embedding', 'qv.q')} DESC,
+                 e.vec_id ASC) AS rk
+        FROM cmx e, qv WHERE e.vec_id <> 0
+      ) WHERE rk <= {CF_TOP}
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM l2c JOIN qc ON l2c.cid1 = qc.cid)
+        AS k2,
+      (SELECT CAST(count(*) AS BIGINT) FROM members
+       WHERE cid2 IN (SELECT cid2 FROM sel1)) AS scanned_p1,
+      round((SELECT count(*) FROM truth t JOIN members m ON t.vec_id = m.vec_id
+             WHERE m.cid2 IN (SELECT cid2 FROM sel1))::DOUBLE / {CF_TOP}, 6)
+        AS recall_p1,
+      (SELECT CAST(count(*) AS BIGINT) FROM members
+       WHERE cid2 IN (SELECT cid2 FROM sel2)) AS scanned_p2,
+      round((SELECT count(*) FROM truth t JOIN members m ON t.vec_id = m.vec_id
+             WHERE m.cid2 IN (SELECT cid2 FROM sel2))::DOUBLE / {CF_TOP}, 6)
+        AS recall_p2,
+      (SELECT CAST(count(*) AS BIGINT) FROM members) AS scanned_cell,
+      round((SELECT count(*) FROM truth t JOIN members m ON t.vec_id = m.vec_id)
+            ::DOUBLE / {CF_TOP}, 6) AS recall_cell
+    """
+
+
+@register("clustered_adaptive_probe_recall_audit", _cm_probe_recall_sql())
+@memoize_df
+def clustered_adaptive_probe_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the adaptive split COSTS at query time, priced where it
+    hurts most: the query's own dominant cell (1021 rows, hot, split
+    k2 ways) has a STRUCTURELESS interior — within-component placement
+    is pure noise — so level-2 cells cut the true neighborhood
+    arbitrarily, and recall@10 vs level-2 probe width is the honest
+    trade: scanned rows and recall at nprobe2 = 1, nprobe2 = 2, and the
+    full cell (recall 1.0 by construction — every true neighbor is
+    same-component). Measured (k2 = 4): nprobe2 = 1 scans 235 rows for
+    recall 0.8; nprobe2 = 2 scans 509 for recall 1.0 — HALF the
+    dominant cell's scan at full recall, or a quarter at 0.8.
+    Read NEXT TO clustered_adaptive_occupancy_audit:
+    that row prices the scan saving, this row prices the recall knob
+    that buys it back (the single-vs-multi-probe pattern of the RHP
+    family, applied to the adaptive store's level 2).
+
+    Truth = exact cosine top-10 over the corpus; membership/scan counts
+    are integers off the same per-cell dyn-width fits the economics
+    audit replays (shared _cm_cell_fit_ctes SQL; shared
+    _lloyd_fit_frame contracts on the Spark side)."""
+    from .clustering import _lloyd_fit_frame
+    from .params import ivf_cells_for
+
+    fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
+    emb = fx.select("vec_id", "embedding")
+    asg, cents = _lloyd_fit_frame(emb, [cm_point(k) for k in range(CF_C)])
+    asg = tracked_persist(asg)
+    q = cm_point(0)
+    cid0 = min(range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i))
+    sz = asg.filter(F.col("cid") == cid0).count()
+    cell = emb.join(asg.filter(F.col("cid") == cid0).select("vec_id"), "vec_id")
+    k2 = ivf_cells_for(sz)
+    seeds2 = [
+        [float(x) for x in r["embedding"]]
+        for r in cell.orderBy("vec_id").limit(k2).collect()
+    ]
+    asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+    members = tracked_persist(
+        asg2.filter(F.col("vec_id") != 0).select(
+            "vec_id", F.col("cid").alias("cid2")
+        )
+    )
+    order2 = sorted(range(len(cents2)), key=lambda i: (_cf_d2(q, cents2[i]), i))
+    sel1, sel2 = order2[:1], order2[:2]
+
+    qdf = fx.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
+    )
+    truth = tracked_persist(
+        fx.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(CF_TOP)
+        .select("vec_id")
+    )
+
+    def pair(sel, tag):
+        scanned = members.filter(F.col("cid2").isin(sel)).agg(
+            F.count("*").cast("long").alias(f"scanned_{tag}")
+        )
+        hits = (
+            truth.join(
+                members.filter(F.col("cid2").isin(sel)), "vec_id", "left_semi"
+            ).agg(
+                F.round(F.count("*").cast("double") / CF_TOP, 6).alias(
+                    f"recall_{tag}"
+                )
+            )
+        )
+        return scanned.crossJoin(hits)
+
+    k2df = spark.createDataFrame([(len(cents2),)], "k2 long")
+    full = members.agg(
+        F.count("*").cast("long").alias("scanned_cell")
+    ).crossJoin(
+        truth.join(members, "vec_id", "left_semi").agg(
+            F.round(F.count("*").cast("double") / CF_TOP, 6).alias(
+                "recall_cell"
+            )
+        )
+    )
+    return (
+        k2df.crossJoin(pair(sel1, "p1")).crossJoin(pair(sel2, "p2")).crossJoin(full)
+    )
+
+
+# ---------------------------------------------------------------------------
 # does the trained quantizer RECOVER the generative structure?
 # ---------------------------------------------------------------------------
 

@@ -149,6 +149,20 @@ def test_adaptive_economics_audit_matches_store_build(spark):
     assert r["cand_per_probe_flat"] == occ["cand_per_probe_weighted"]
 
 
+def test_adaptive_probe_recall_trade(spark):
+    """Splitting a structureless dominant cell trades recall for scan,
+    and one extra level-2 probe buys it back: recall monotone in probe
+    width, full recall reached at half the cell's scan, and the scan
+    counts strictly ordered."""
+    r = cf.clustered_adaptive_probe_recall_audit(spark, SF_DIR).collect()[0]
+    assert r["k2"] >= 2
+    assert r["scanned_p1"] < r["scanned_p2"] < r["scanned_cell"]
+    assert r["recall_p1"] <= r["recall_p2"] <= r["recall_cell"] == 1.0
+    assert r["recall_p2"] == 1.0  # two probes recover everything here
+    assert r["scanned_p2"] * 2 <= r["scanned_cell"] + r["k2"]  # ~half scan
+    assert r["recall_p1"] >= 0.5  # single-probe still holds the majority
+
+
 def test_trained_quantizer_recovers_the_mixture(spark):
     """The bridge claim for the variant audit: Lloyd's (the exact fit
     arithmetic every IVF consumer uses) recovers the generative cells
