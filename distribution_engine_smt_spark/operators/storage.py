@@ -1236,6 +1236,22 @@ def rebalance_adaptive_ivf_store(
         meta["level2"][cid] = cents2
     meta["hot_cells"] = sorted(set(meta["hot_cells"]) | set(newly_hot))
     meta["sizes"] = {str(c): sz for c, sz in sizes.items()}
+    # refresh the scan-economics accounting — the audit trail consumers
+    # (and BENCH_SCALE) read these off the meta, and the build-time
+    # numbers are stale the moment occupancy changed
+    leaf_sizes = [
+        r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cid1", "cid2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    meta["cand_per_probe_flat"] = round(
+        sum(sz * sz for sz in sizes.values()) / n, 2
+    )
+    meta["cand_per_probe_adaptive"] = round(
+        sum(s * s for s in leaf_sizes) / n, 2
+    )
     blob = dict(meta)
     blob["level2"] = {str(c): v for c, v in meta["level2"].items()}
     mtmp = os.path.join(path, f"._meta-{uuid.uuid4().hex[:8]}.json")

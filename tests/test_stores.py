@@ -940,6 +940,9 @@ def test_adaptive_ivf_rebalance_splits_drifted_cell(spark, store_dir, skewed_cor
     meta1 = storage.load_adaptive_ivf_meta(skewed_corpus, k1)
     assert meta1["hot_cells"] == [cell0]
     assert set(meta1["level2"]) == {cell0}
+    # the scan-economics audit trail is refreshed, not build-time stale
+    assert meta1["cand_per_probe_adaptive"] < meta1["cand_per_probe_flat"]
+    assert meta1["cand_per_probe_flat"] > meta0["cand_per_probe_flat"]
     # the split cell now has >1 leaf and a smaller worst leaf
     leaves = {
         (r["cid1"], r["cid2"]): r["n"]
