@@ -786,12 +786,12 @@ def test_adaptive_ivf_store_splits_only_hot_cells(spark, store_dir, skewed_corpu
     assert set(map(int, meta["level2"])) == set(meta["hot_cells"])
     # scan economics, measured at build time
     assert meta["cand_per_probe_adaptive"] < meta["cand_per_probe_flat"]
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
     leaf_sizes = {
         (r["cid1"], r["cid2"]): r["n"]
-        for r in df.groupBy("cid1", "cid2")
-        .agg(__import__("pyspark").sql.functions.count("*").alias("n"))
-        .collect()
+        for r in df.groupBy("cid1", "cid2").agg(F.count("*").alias("n")).collect()
     }
     assert sum(leaf_sizes.values()) == n
     # cold cells: exactly one (cid, 0) leaf; hot cells: >1 leaves
