@@ -1010,15 +1010,23 @@ def probe_adaptive_ivf(
     q_vec: list[float],
     k1: int,
     nprobe: int = 2,
+    nprobe2: int = 1,
     top: int = 10,
 ) -> DataFrame:
     """Serve a top-k query off the adaptive store: driver-side routing
     through the STORED quantizers (k1 level-1 distances; + k2 level-2
     distances only when the routed cell is hot — cold cells read their
-    single (cid1, 0) leaf), then one scan of the nprobe selected leaf
+    single (cid1, 0) leaf), then one scan of the selected leaf
     directories (PartitionFilters) and an exact cosine rerank. The scan
-    cost per probe is leaf-sized: ~sz/k2 for a split hot cell, sz for a
-    cold one — bounded by the hot threshold either way."""
+    cost per probe is leaf-sized: ~nprobe2·sz/k2 for a split hot cell,
+    sz for a cold one — bounded by the hot threshold either way.
+
+    ``nprobe2`` is the recall knob for split cells: a hot cell's
+    interior is often structureless (within-category placement is
+    noise), so one leaf can cut the true neighborhood —
+    clustered_adaptive_probe_recall_audit prices the curve (measured:
+    width 1 = 1/4 the dominant cell's scan at recall 0.8, width 2 =
+    1/2 scan at 1.0)."""
     meta = load_adaptive_ivf_meta(sf_dir, k1)
 
     def d2(c):
@@ -1035,8 +1043,11 @@ def probe_adaptive_ivf(
     for c1 in sel1:
         if c1 in meta["level2"]:
             cents2 = meta["level2"][c1]
-            c2 = min(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))
-            leaves.append((c1, c2))
+            order = sorted(
+                range(len(cents2)), key=lambda i: (d2(cents2[i]), i)
+            )
+            for c2 in order[:nprobe2]:
+                leaves.append((c1, c2))
         else:
             leaves.append((c1, 0))
     df = spark.read.parquet(adaptive_ivf_store_path(sf_dir, k1))

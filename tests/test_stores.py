@@ -820,41 +820,56 @@ def test_adaptive_ivf_probe_serves_and_prunes(spark, store_dir, skewed_corpus):
     storage.build_adaptive_ivf_store(spark, skewed_corpus, k1=K1)
     meta = storage.load_adaptive_ivf_meta(skewed_corpus, K1)
     q = cf_point(0)
-    df = storage.probe_adaptive_ivf(spark, skewed_corpus, q, k1=K1, nprobe=2)
-    got = [(r["vec_id"], r["cos"]) for r in df.collect()]
-    assert len(got) == 10
-    # independent recomputation of the probed leaves' exact top-10
-    def d2(c):
-        return sum((x - y) * (x - y) for x, y in zip(q, c))
-
-    sel1 = sorted(range(K1), key=lambda i: (d2(meta["cents1"][i]), i))[:2]
-    leaves = set()
-    for c1 in sel1:
-        if c1 in meta["level2"]:
-            cs = meta["level2"][c1]
-            leaves.add((c1, min(range(len(cs)), key=lambda i: (d2(cs[i]), i))))
-        else:
-            leaves.add((c1, 0))
     rows = (
         spark.read.parquet(storage.adaptive_ivf_store_path(skewed_corpus, K1))
         .collect()
     )
-    qn = m.sqrt(sum(x * x for x in q))
-    want = []
-    for r in rows:
-        if (r["cid1"], r["cid2"]) not in leaves:
-            continue
-        e = [float(x) for x in r["embedding"]]
-        dot = 0.0
-        acc = 0.0
-        for a, b in zip(e, q):
-            dot += a * b
-            acc += a * a
-        want.append((r["vec_id"], dot / (m.sqrt(acc) * qn)))
-    want = [v for v, _ in sorted(want, key=lambda t: (-t[1], t[0]))[:10]]
-    assert [v for v, _ in got] == want
-    # query vec 0's cluster is component 0: survivors are all cluster-0
-    assert all(v % 8 == 0 for v, _ in got), got
+
+    def d2(c):
+        return sum((x - y) * (x - y) for x, y in zip(q, c))
+
+    def expected_leaves(nprobe2):
+        sel1 = sorted(range(K1), key=lambda i: (d2(meta["cents1"][i]), i))[:2]
+        leaves = set()
+        for c1 in sel1:
+            if c1 in meta["level2"]:
+                cs = meta["level2"][c1]
+                order = sorted(range(len(cs)), key=lambda i: (d2(cs[i]), i))
+                leaves.update((c1, c2) for c2 in order[:nprobe2])
+            else:
+                leaves.add((c1, 0))
+        return leaves
+
+    def expected_topk(leaves):
+        qn = m.sqrt(sum(x * x for x in q))
+        want = []
+        for r in rows:
+            if (r["cid1"], r["cid2"]) not in leaves:
+                continue
+            e = [float(x) for x in r["embedding"]]
+            dot = 0.0
+            acc = 0.0
+            for a, b in zip(e, q):
+                dot += a * b
+                acc += a * a
+            want.append((r["vec_id"], dot / (m.sqrt(acc) * qn)))
+        return [v for v, _ in sorted(want, key=lambda t: (-t[1], t[0]))[:10]]
+
+    # independent recomputation of the probed leaves' exact top-10, at
+    # BOTH level-2 widths of the nprobe2 recall knob
+    for np2 in (1, 2):
+        df = storage.probe_adaptive_ivf(
+            spark, skewed_corpus, q, k1=K1, nprobe=2, nprobe2=np2
+        )
+        got = [(r["vec_id"], r["cos"]) for r in df.collect()]
+        assert len(got) == 10
+        leaves = expected_leaves(np2)
+        assert [v for v, _ in got] == expected_topk(leaves)
+        # query vec 0's cluster is component 0: survivors all cluster-0
+        assert all(v % 8 == 0 for v, _ in got), got
+    # width 2 scans strictly more leaves than width 1 (some cell split)
+    assert len(expected_leaves(2)) > len(expected_leaves(1))
+    df = storage.probe_adaptive_ivf(spark, skewed_corpus, q, k1=K1, nprobe=2)
     # pruning is physical: the leaf disjunction reaches the scan as a
     # PARTITION filter on both levels (inputFiles() lists the relation
     # pre-pruning, so inspect the plan — the established store proof)
