@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "clustered_ivf_occupancy_audit",
     "clustered_mass_fixture_stats",
     "clustered_mass_occupancy_audit",
+    "clustered_mass_semdedup_audit",
     "clustered_adaptive_occupancy_audit",
     "clustered_adaptive_probe_recall_audit",
     "clustered_fixture_stats",
@@ -84,7 +85,6 @@ _DRIVER_PRIORITY = [
     "multimodal_metadata_stats",
     "pack_sequences",
     "quality_filter",
-    "replies_in_notin",
     "stratified_sample",
     "supplier_visible_revenue",
     "text_fingerprint",
@@ -192,6 +192,7 @@ _DRIVER_ROTATE_LAST = [
     "range_join_events",
     "reblogged_by_agg",
     "regional_revenue",
+    "replies_in_notin",
     "rrf_hybrid_search",
     "sales_rollup",
     "sampled_quantiles",

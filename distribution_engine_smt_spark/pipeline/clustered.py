@@ -1436,6 +1436,112 @@ def clustered_adaptive_occupancy_audit(
 
 
 # ---------------------------------------------------------------------------
+# dedup pair work under mass imbalance: blocked all-pairs is QUADRATIC
+# in the hot cell, so category skew hits dedup harder than scans
+# ---------------------------------------------------------------------------
+
+_CM_SEM_SQL = f"""
+    WITH {_CMX_CTES},
+    sz AS (SELECT cl, count(*) AS n FROM cmx GROUP BY cl),
+    pw AS (SELECT cl, n * (n - 1) / 2 AS pairs FROM sz),
+    bp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cmx a JOIN cmx b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {CF_SEM_COS}
+    ),
+    keepers AS (
+      SELECT count(*) AS n FROM cmx s
+      LEFT JOIN (SELECT DISTINCT id_b FROM bp) d ON s.vec_id = d.id_b
+      WHERE d.id_b IS NULL
+    )
+    SELECT (SELECT n FROM keepers) AS n_keep,
+           CAST((SELECT count(*) FROM bp) AS BIGINT) AS n_dup_pairs,
+           CAST((SELECT sum(pairs) FROM pw) AS BIGINT) AS n_blocked_pairs,
+           CAST((SELECT max(pairs) FROM pw) AS BIGINT) AS max_cell_pairs,
+           round((SELECT max(pairs) FROM pw)::DOUBLE
+                 / (SELECT sum(pairs) FROM pw), 6) AS max_cell_pair_share
+    """
+
+
+@register("clustered_mass_semdedup_audit", _CM_SEM_SQL)
+@memoize_df
+def clustered_mass_semdedup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup's blocked pair work under category imbalance: pair work
+    inside a cell is sz·(sz−1)/2 — QUADRATIC — so the skew that costs a
+    scan 2.7x (clustered_mass_occupancy_audit) costs dedup far more.
+    Measured: the dominant 1021-row component holds 520,710 of the
+    694,775 blocked pairs — **74.9% of all pair work in one cell**
+    (cell share of rows: 49.9%) — while correctness is unchanged
+    (n_keep = 8, one representative per component, every same-component
+    pair a duplicate at cos >= 0.9). At 100 TB this is the straggler
+    task: the hot cell's pair stage runs ~10x the median cell, and the
+    adaptive split that fixed the scan is ALSO the right pair-blocking
+    refinement (level-2 cells cut pair work quadratically, at the
+    recall price clustered_adaptive_probe_recall_audit measures for
+    neighbors — for >= 0.9 near-duplicates the planted-pair pattern
+    shows clones co-route, so the practical loss is far smaller).
+
+    Scale shape: pair work shuffles on cl (cell interiors only); the
+    blocked-pair counts are integer arithmetic off group sizes, not an
+    enumerated cross join."""
+    fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
+    sz = fx.groupBy("cl").agg(F.count("*").alias("n"))
+    pw = sz.select(
+        "cl", (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs")
+    )
+    sides = fx.select(
+        "vec_id",
+        "cl",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cl").alias("cl_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cl").alias("cl_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    bp = tracked_persist(
+        a.join(
+            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .filter(cos >= CF_SEM_COS)
+        .select("id_a", "id_b")
+    )
+    n_keep = (
+        fx.join(
+            bp.select(F.col("id_b").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        ).agg(F.count("*").alias("n_keep"))
+    )
+    work = pw.agg(
+        F.sum("pairs").cast("long").alias("n_blocked_pairs"),
+        F.max("pairs").cast("long").alias("max_cell_pairs"),
+        F.round(
+            F.max("pairs").cast("double") / F.sum("pairs").cast("double"), 6
+        ).alias("max_cell_pair_share"),
+    )
+    dup = bp.agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    return n_keep.crossJoin(dup).crossJoin(work).select(
+        "n_keep",
+        "n_dup_pairs",
+        "n_blocked_pairs",
+        "max_cell_pairs",
+        "max_cell_pair_share",
+    )
+
+
+# ---------------------------------------------------------------------------
 # what splitting a hot cell COSTS: recall-vs-scan across level-2 probe
 # widths, priced on the dominant (structureless-interior) cell
 # ---------------------------------------------------------------------------

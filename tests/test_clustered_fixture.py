@@ -149,6 +149,18 @@ def test_adaptive_economics_audit_matches_store_build(spark):
     assert r["cand_per_probe_flat"] == occ["cand_per_probe_weighted"]
 
 
+def test_mass_semdedup_pair_work_is_quadratically_skewed(spark):
+    """Dedup's pair stage skews quadratically: the dominant cell holds
+    ~half the rows but ~3/4 of all blocked pair work, while dedup
+    correctness is unchanged (one keeper per component, every
+    same-component pair a duplicate)."""
+    r = cf.clustered_mass_semdedup_audit(spark, SF_DIR).collect()[0]
+    assert r["n_keep"] == cf.CF_C
+    assert r["n_dup_pairs"] == r["n_blocked_pairs"] == 694_775
+    assert r["max_cell_pairs"] == 520_710  # C(1021, 2)
+    assert r["max_cell_pair_share"] > 0.7  # rows share is only ~0.5
+
+
 def test_adaptive_probe_recall_trade(spark):
     """Splitting a structureless dominant cell trades recall for scan,
     and one extra level-2 probe buys it back: recall monotone in probe
