@@ -1272,6 +1272,90 @@ def rebalance_adaptive_ivf_store(
     return {"newly_hot": newly_hot, "sizes": sizes}
 
 
+def merge_cold_cells_adaptive_ivf_store(
+    spark: SparkSession, sf_dir: str, k1: int, cold_factor: float = 1.0
+) -> dict:
+    """The REVERSE lifecycle: a split cell whose occupancy drifted back
+    below ``cold_factor`` x average merges to a single (cid, 0) leaf —
+    its level-2 quantizer is dropped and its partition subtree swapped
+    in place (the rebalance discipline, run backwards). Splits are not
+    permanent: growth elsewhere dilutes an old hot spot, and keeping
+    the split costs leaf-count (small files, routing folds) with no
+    scan benefit once the cell is ordinary.
+
+    ``cold_factor`` < the build's hot_factor gives HYSTERESIS: a cell
+    must drop clearly below average to merge (1.0) but clearly above
+    to split (1.25), so occupancy noise around the threshold can't
+    flap split/merge on every maintenance tick. Same single-writer
+    rule around the swap; replay across the merge is safe for the same
+    reason as the rebalance (arrivals route through the live meta —
+    a merged cell routes everything to cid2 = 0).
+
+    Returns {"merged": [...], "sizes": {...}}."""
+    import json as _json
+
+    path = adaptive_ivf_store_path(sf_dir, k1)
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+    df = spark.read.parquet(path)
+    sizes = {
+        r["cid1"]: r["n"]
+        for r in df.groupBy("cid1").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(sizes.values())
+    threshold = cold_factor * n / k1
+    merged = sorted(
+        c for c in meta["level2"] if sizes.get(c, 0) <= threshold
+    )
+    for cid in merged:
+        rewritten = (
+            df.where(F.col("cid1") == cid)
+            .select(
+                "vec_id", "embedding", F.lit(0).alias("cid2"), "batch_id"
+            )
+        )
+        tmp = os.path.join(path, f".merge-{cid}-{uuid.uuid4().hex[:8]}")
+        (
+            rewritten.repartition("cid2")
+            .write.mode("overwrite")
+            .partitionBy("cid2", "batch_id")
+            .parquet(tmp)
+        )
+        cell_dir = os.path.join(path, f"cid1={cid}")
+        retired = f"{cell_dir}.retired-{uuid.uuid4().hex[:8]}"
+        os.rename(cell_dir, retired)
+        os.rename(tmp, cell_dir)
+        shutil.rmtree(retired)
+        marker = os.path.join(cell_dir, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        del meta["level2"][cid]
+    if merged:
+        meta["hot_cells"] = [
+            c for c in meta["hot_cells"] if c not in set(merged)
+        ]
+        meta["sizes"] = {str(c): sz for c, sz in sizes.items()}
+        leaf_sizes = [
+            r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("cid1", "cid2")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        meta["cand_per_probe_flat"] = round(
+            sum(sz * sz for sz in sizes.values()) / n, 2
+        )
+        meta["cand_per_probe_adaptive"] = round(
+            sum(s * s for s in leaf_sizes) / n, 2
+        )
+        blob = dict(meta)
+        blob["level2"] = {str(c): v for c, v in meta["level2"].items()}
+        mtmp = os.path.join(path, f"._meta-{uuid.uuid4().hex[:8]}.json")
+        with open(mtmp, "w") as f:
+            _json.dump(blob, f)
+        os.replace(mtmp, os.path.join(path, "_meta.json"))
+    return {"merged": merged, "sizes": sizes}
+
+
 def update_adaptive_ivf_store(
     spark: SparkSession,
     sf_dir: str,

@@ -1072,3 +1072,97 @@ def test_adaptive_ivf_stream_and_cron_rebalance(spark, store_dir, skewed_corpus,
     row0 = after.where("vec_id = 0").first()
     rowc = after.where("vec_id = 990001").first()
     assert (rowc["cid1"], rowc["cid2"]) == (row0["cid1"], row0["cid2"])
+
+
+def test_adaptive_ivf_merge_cold_cells(spark, store_dir, tmp_path):
+    """Reverse lifecycle: growth elsewhere dilutes an old hot spot; the
+    smaller split cell drops under the merge threshold and collapses
+    back to a single (cid, 0) leaf — level-2 quantizer dropped, rows
+    preserved, other cells' files byte-untouched, and hysteresis keeps
+    the still-hot dominant cell split."""
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        clustered_mass_fixture_frame,
+    )
+    from distribution_engine_smt_spark.tables import TPCH_TABLES
+
+    # mass-imbalance corpus at the matched width: components = cells,
+    # sizes 1021/511/256/.../16; hot at build: cells 0 (1021) and 1 (511)
+    d = str(tmp_path / "mass")
+    os.makedirs(d)
+    (
+        clustered_mass_fixture_frame(spark, SF_DIR)
+        .select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        .coalesce(1)
+        .write.parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    for name in TPCH_TABLES:
+        if name != "embeddings":
+            os.symlink(
+                os.path.join(SF_DIR, f"{name}.parquet"),
+                os.path.join(d, f"{name}.parquet"),
+            )
+    k1 = 8
+    path = storage.build_adaptive_ivf_store(spark, d, k1=k1)
+    meta0 = storage.load_adaptive_ivf_meta(d, k1)
+    assert len(meta0["hot_cells"]) == 2
+    big, small = sorted(
+        meta0["hot_cells"], key=lambda c: -int(meta0["sizes"][str(c)])
+    )
+    # nothing merges while occupancy is unchanged (hysteresis band)
+    assert storage.merge_cold_cells_adaptive_ivf_store(spark, d, k1)[
+        "merged"
+    ] == []
+    other_dir = os.path.join(path, f"cid1={big}")
+    before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(other_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # drift: 2200 clones of a tail-component vector grow ANOTHER cell,
+    # raising the average until the 511-row split cell is ordinary
+    tail_vec = (
+        spark.read.parquet(path).where("cid2 = 0").first()
+    )
+    emb16 = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    wave = (
+        emb16.where(F.col("vec_id") == tail_vec["vec_id"])
+        .crossJoin(spark.range(2200).select(F.col("id").alias("i")))
+        .select((F.lit(800_000) + F.col("i")).alias("vec_id"), "embedding")
+    )
+    storage.update_adaptive_ivf_store(spark, d, wave, "growth", k1=k1)
+    total = spark.read.parquet(path).count()
+    out = storage.merge_cold_cells_adaptive_ivf_store(spark, d, k1)
+    assert out["merged"] == [small]
+    after = spark.read.parquet(path)
+    assert after.count() == total  # rows preserved
+    meta1 = storage.load_adaptive_ivf_meta(d, k1)
+    assert small not in meta1["level2"] and big in meta1["level2"]
+    assert meta1["hot_cells"] == [big]
+    # merged cell: exactly one leaf again
+    leaves = {
+        (r["cid1"], r["cid2"])
+        for r in after.select("cid1", "cid2").distinct().collect()
+    }
+    assert [k for k in leaves if k[0] == small] == [(small, 0)]
+    assert len([k for k in leaves if k[0] == big]) > 1  # still split
+    # untouched-cell witness: the dominant cell's files are the same
+    assert sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(other_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ) == before
+    # post-merge arrivals route to the merged cell's single leaf
+    clone = emb16.where("vec_id = 1").select(
+        F.lit(990_000).cast("long").alias("vec_id"), "embedding"
+    )
+    storage.update_adaptive_ivf_store(spark, d, clone, "post", k1=k1)
+    rowc = (
+        spark.read.parquet(path).where("vec_id = 990000").first()
+    )
+    assert (rowc["cid1"], rowc["cid2"]) == (small, 0)
