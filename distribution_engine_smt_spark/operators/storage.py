@@ -874,10 +874,41 @@ def read_sharded_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADAPTIVE_HOT_FACTOR = 1.25  # cells above this x average occupancy split
 
 
-def adaptive_ivf_store_path(sf_dir: str, k1: int) -> str:
+def _distinct_seeds(cell, k2: int) -> list[list[float]]:
+    """First ``k2`` DISTINCT embeddings in vec_id order, to seed a
+    level-2 Lloyd fit. Plain ``orderBy(vec_id).limit(k2)`` seeds break
+    on clone-heavy ingest: duplicate vectors among the head members
+    give identical centroids, the lowest-index argmin starves the
+    later one, and _lloyd_fit_frame raises ValueError — wedging the
+    maintenance cron. Scanning a bounded 4*k2 head for distinct
+    vectors fixes that; when the head is duplicate-free (every
+    current fixture, and the derivation the clustered_* audit mirrors
+    assume) the result is IDENTICAL to the plain limit. Fewer than k2
+    distinct vectors in the head → fewer seeds (k shrinks), which
+    Lloyd handles natively."""
+    seeds: list[list[float]] = []
+    seen: set[tuple[float, ...]] = set()
+    for r in cell.orderBy("vec_id").limit(4 * k2).collect():
+        v = tuple(float(x) for x in r["embedding"])
+        if v in seen:
+            continue
+        seen.add(v)
+        seeds.append(list(v))
+        if len(seeds) == k2:
+            break
+    return seeds
+
+
+def adaptive_ivf_store_path(
+    sf_dir: str, k1: int, hot_factor: float = ADAPTIVE_HOT_FACTOR
+) -> str:
+    # hot_factor is part of the key (params-in-the-key discipline, like
+    # every other store): two builds with different thresholds are
+    # different layouts, and must not silently alias each other.
     fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
     return os.path.join(
-        store_root(), f"adaptive-ivf-v{STORE_VERSION}-k{k1}-{fp}"
+        store_root(),
+        f"adaptive-ivf-v{STORE_VERSION}-k{k1}-h{int(hot_factor * 100)}-{fp}",
     )
 
 
@@ -909,7 +940,7 @@ def build_adaptive_ivf_store(
     n = emb.count()
     if k1 is None:
         k1 = ivf_cells_for(n)
-    path = adaptive_ivf_store_path(sf_dir, k1)
+    path = adaptive_ivf_store_path(sf_dir, k1, hot_factor)
     if os.path.isdir(path):
         return path
     asg1, cents1 = kmeans_fit(spark, sf_dir, k=k1)
@@ -928,10 +959,7 @@ def build_adaptive_ivf_store(
         ).select("vec_id", "embedding")
         if cid in hot:
             k2 = ivf_cells_for(sizes[cid])
-            seeds2 = [
-                [float(x) for x in r["embedding"]]
-                for r in cell.orderBy("vec_id").limit(k2).collect()
-            ]
+            seeds2 = _distinct_seeds(cell, k2)
             asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
             level2[str(cid)] = cents2
             leaf_s2 += sum(
@@ -988,10 +1016,14 @@ def build_adaptive_ivf_store(
     return path
 
 
-def load_adaptive_ivf_meta(sf_dir: str, k1: int):
+def load_adaptive_ivf_meta(
+    sf_dir: str, k1: int, hot_factor: float = ADAPTIVE_HOT_FACTOR
+):
     import json as _json
 
-    meta = os.path.join(adaptive_ivf_store_path(sf_dir, k1), "_meta.json")
+    meta = os.path.join(
+        adaptive_ivf_store_path(sf_dir, k1, hot_factor), "_meta.json"
+    )
     if not os.path.isfile(meta):
         return None
     with open(meta) as f:
@@ -1119,14 +1151,16 @@ def run_adaptive_ivf_ingest_stream(
     )
 
 
-def adaptive_ivf_occupancy_from_footers(sf_dir: str, k1: int) -> dict[int, int]:
+def adaptive_ivf_occupancy_from_footers(
+    sf_dir: str, k1: int, hot_factor: float = ADAPTIVE_HOT_FACTOR
+) -> dict[int, int]:
     """Per-level-1-cell row counts read from parquet FOOTERS only — the
     occupancy check a maintenance cron runs costs zero data IO (the
     pruned_scan_stats discipline). Walks the store's cid1=* subtrees and
     sums each file's footer num_rows via pyarrow."""
     import pyarrow.parquet as papq
 
-    path = adaptive_ivf_store_path(sf_dir, k1)
+    path = adaptive_ivf_store_path(sf_dir, k1, hot_factor)
     sizes: dict[int, int] = {}
     for entry in os.listdir(path):
         if not entry.startswith("cid1="):
@@ -1139,6 +1173,40 @@ def adaptive_ivf_occupancy_from_footers(sf_dir: str, k1: int) -> dict[int, int]:
                     total += papq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
         sizes[cid] = total
     return sizes
+
+
+def _sweep_retired(path: str) -> list[str]:
+    """Remove leftover ``.retired-*`` (and orphaned ``.rebalance-*`` /
+    ``.merge-*`` staging) dirs from a crashed prior swap. The dot
+    prefix keeps them invisible to Spark partition discovery and the
+    footer walk, so a crash leaves the store readable; this sweep is
+    pure hygiene at the start of the next maintenance pass."""
+    swept = []
+    for entry in os.listdir(path):
+        if entry.startswith((".retired-", ".rebalance-", ".merge-")):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            swept.append(entry)
+    return swept
+
+
+def _swap_cell_subtree(path: str, cid: int, tmp: str) -> None:
+    """Atomically publish a rewritten ``cid1=cid`` subtree. The old
+    subtree is first renamed to a DOT-PREFIXED name inside the store
+    root (``.retired-cid1=N-<uuid>``) so a crash between rename and
+    rmtree — or a concurrent reader hitting the swap window — never
+    sees a directory that partition discovery would parse as a cid1
+    value (a bare ``cid1=N.retired-...`` breaks type inference AND
+    makes the footer occupancy walk crash on int())."""
+    cell_dir = os.path.join(path, f"cid1={cid}")
+    retired = os.path.join(path, f".retired-cid1={cid}-{uuid.uuid4().hex[:8]}")
+    os.rename(cell_dir, retired)
+    os.rename(tmp, cell_dir)
+    shutil.rmtree(retired)
+    # Spark writes a _SUCCESS marker inside the subtree; partition
+    # discovery tolerates it, but drop it to keep leaves uniform
+    marker = os.path.join(cell_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def maybe_rebalance_adaptive_ivf_store(
@@ -1199,6 +1267,7 @@ def rebalance_adaptive_ivf_store(
     from ..pipeline.params import ivf_cells_for
 
     path = adaptive_ivf_store_path(sf_dir, k1)
+    _sweep_retired(path)
     meta = load_adaptive_ivf_meta(sf_dir, k1)
     df = spark.read.parquet(path)
     sizes = {
@@ -1217,10 +1286,7 @@ def rebalance_adaptive_ivf_store(
             .select("vec_id", "embedding", "batch_id")
         )
         k2 = ivf_cells_for(sizes[cid])
-        seeds2 = [
-            [float(x) for x in r["embedding"]]
-            for r in cell.orderBy("vec_id").limit(k2).collect()
-        ]
+        seeds2 = _distinct_seeds(cell.select("vec_id", "embedding"), k2)
         asg2, cents2 = _lloyd_fit_frame(
             cell.select("vec_id", "embedding"), seeds2
         )
@@ -1234,16 +1300,7 @@ def rebalance_adaptive_ivf_store(
             .partitionBy("cid2", "batch_id")
             .parquet(tmp)
         )
-        cell_dir = os.path.join(path, f"cid1={cid}")
-        retired = f"{cell_dir}.retired-{uuid.uuid4().hex[:8]}"
-        os.rename(cell_dir, retired)
-        os.rename(tmp, cell_dir)
-        shutil.rmtree(retired)
-        # Spark writes a _SUCCESS marker inside the subtree; partition
-        # discovery tolerates it, but drop it to keep leaves uniform
-        marker = os.path.join(cell_dir, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
+        _swap_cell_subtree(path, cid, tmp)
         meta["level2"][cid] = cents2
     meta["hot_cells"] = sorted(set(meta["hot_cells"]) | set(newly_hot))
     meta["sizes"] = {str(c): sz for c, sz in sizes.items()}
@@ -1295,6 +1352,7 @@ def merge_cold_cells_adaptive_ivf_store(
     import json as _json
 
     path = adaptive_ivf_store_path(sf_dir, k1)
+    _sweep_retired(path)
     meta = load_adaptive_ivf_meta(sf_dir, k1)
     df = spark.read.parquet(path)
     sizes = {
@@ -1320,14 +1378,7 @@ def merge_cold_cells_adaptive_ivf_store(
             .partitionBy("cid2", "batch_id")
             .parquet(tmp)
         )
-        cell_dir = os.path.join(path, f"cid1={cid}")
-        retired = f"{cell_dir}.retired-{uuid.uuid4().hex[:8]}"
-        os.rename(cell_dir, retired)
-        os.rename(tmp, cell_dir)
-        shutil.rmtree(retired)
-        marker = os.path.join(cell_dir, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
+        _swap_cell_subtree(path, cid, tmp)
         del meta["level2"][cid]
     if merged:
         meta["hot_cells"] = [

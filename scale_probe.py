@@ -733,20 +733,34 @@ def probe_adaptive_skew(spark) -> dict:
                     os.symlink(os.path.join(BASE, f"{name}.parquet"), dst)
         root = os.path.join(ROOT, f"stores-adaptive-{label}")
         shutil.rmtree(root, ignore_errors=True)
+        # save/restore like the other probes (see the pair-store and
+        # ingest probes): an exception mid-regime must not leak the
+        # override into later probes or clobber a user-configured root
+        prev = os.environ.get("SPARK_GRAFT_STORE_DIR")
         os.environ["SPARK_GRAFT_STORE_DIR"] = root
-        t0 = time.perf_counter()
-        path = _st.build_adaptive_ivf_store(spark, corpus, k1=k1)
-        build_sec = round(time.perf_counter() - t0, 4)
-        meta = _st.load_adaptive_ivf_meta(corpus, k1)
-        leaves = (
-            spark.read.parquet(path).select("cid1", "cid2").distinct().count()
-        )
-        full_leaves = sum(ivf_cells_for(sz) for sz in meta["sizes"].values())
-        _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=k1).collect()  # warm
-        t0 = time.perf_counter()
-        _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=k1).collect()
-        probe_warm = round(time.perf_counter() - t0, 4)
-        os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+        try:
+            t0 = time.perf_counter()
+            path = _st.build_adaptive_ivf_store(spark, corpus, k1=k1)
+            build_sec = round(time.perf_counter() - t0, 4)
+            meta = _st.load_adaptive_ivf_meta(corpus, k1)
+            leaves = (
+                spark.read.parquet(path)
+                .select("cid1", "cid2")
+                .distinct()
+                .count()
+            )
+            full_leaves = sum(
+                ivf_cells_for(sz) for sz in meta["sizes"].values()
+            )
+            _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=k1).collect()
+            t0 = time.perf_counter()
+            _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=k1).collect()
+            probe_warm = round(time.perf_counter() - t0, 4)
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+            else:
+                os.environ["SPARK_GRAFT_STORE_DIR"] = prev
         return {
             "k1": k1,
             "n_hot_cells": len(meta["hot_cells"]),
