@@ -666,6 +666,8 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "ivfpq_codes": build_ivfpq_code_store(spark, sf_dir),
         "pq_codebook": build_pq_codebook_store(spark, sf_dir),
         "sharded_ivf": build_sharded_ivf_store(spark, sf_dir),
+        "emb_pairs": build_embedding_pair_store(spark, sf_dir),
+        "cmass_fit": build_clustered_mass_fit_store(spark, sf_dir),
     }
 
 
@@ -1124,11 +1126,25 @@ def run_adaptive_ivf_ingest_stream(
     k1: int,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    maintenance_every: int | None = None,
+    cold_factor: float = 1.0,
 ):
     """Streaming twin of ``update_adaptive_ivf_store`` — the same
     foreachBatch wrapper every store stream uses (at-least-once replay
     rewrites its own (cid1, cid2, batch_id) leaves; arrivals are
-    probe-visible at batch commit)."""
+    probe-visible at batch commit).
+
+    ``maintenance_every=N`` closes the lifecycle loop IN the stream
+    (VERDICT r9 #5): after every Nth committed batch, the footer-only
+    checks run — maybe_rebalance (split drifted-hot cells) then
+    maybe_merge (collapse diluted split cells, hysteresis at
+    ``cold_factor``). foreachBatch serializes the hook with ingest, so
+    the single-writer rule around subtree swaps holds by construction —
+    no batch write is ever in flight during a swap. Replay safety is
+    the rebalance/merge guarantee (replayed batches route through the
+    LIVE meta and self-rewrite identical leaves); decisions append to
+    ``_maintenance_log.jsonl`` in the store for the audit trail. A
+    no-op check costs a footer walk."""
 
     def ingest(batch_df, batch_id: int):
         update_adaptive_ivf_store(
@@ -1138,6 +1154,29 @@ def run_adaptive_ivf_ingest_stream(
             f"stream-{batch_id}",
             k1=k1,
         )
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            import json as _json
+
+            reb = maybe_rebalance_adaptive_ivf_store(spark, sf_dir, k1)
+            mrg = maybe_merge_adaptive_ivf_store(
+                spark, sf_dir, k1, cold_factor
+            )
+            if reb["fired"] or mrg["fired"]:
+                log = os.path.join(
+                    adaptive_ivf_store_path(sf_dir, k1),
+                    "_maintenance_log.jsonl",
+                )
+                with open(log, "a") as f:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "batch_id": batch_id,
+                                "newly_hot": reb.get("newly_hot", []),
+                                "merged": mrg.get("merged", []),
+                            }
+                        )
+                        + "\n"
+                    )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -1227,6 +1266,27 @@ def maybe_rebalance_adaptive_ivf_store(
     if not pending:
         return {"fired": False, "newly_hot": []}
     out = rebalance_adaptive_ivf_store(spark, sf_dir, k1)
+    return {"fired": True, **out}
+
+
+def maybe_merge_adaptive_ivf_store(
+    spark: SparkSession, sf_dir: str, k1: int, cold_factor: float = 1.0
+) -> dict:
+    """Merge-side twin of maybe_rebalance: footer-only occupancy check
+    (zero data IO), fire merge_cold_cells only if some SPLIT cell
+    drifted to or below ``cold_factor`` x average. The (cold 1.0 /
+    hot 1.25) pair is the hysteresis band — see
+    merge_cold_cells_adaptive_ivf_store."""
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+    sizes = adaptive_ivf_occupancy_from_footers(sf_dir, k1)
+    n = sum(sizes.values())
+    threshold = cold_factor * n / k1
+    pending = [
+        c for c in meta["level2"] if sizes.get(c, 0) <= threshold
+    ]
+    if not pending:
+        return {"fired": False, "merged": []}
+    out = merge_cold_cells_adaptive_ivf_store(spark, sf_dir, k1, cold_factor)
     return {"fired": True, **out}
 
 
@@ -2292,3 +2352,276 @@ def compact_ivf_cell(
     os.rename(cell, old)
     os.rename(tmp, cell)
     shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# embedding pair-set store: the exact-cosine baseline and every RHP probe
+# variant's verified pair set, materialized ONCE. The recall-audit family
+# (embedding_lsh_*_recall_audit) previously re-derived both sides cold per
+# audit — four audits x (baseline scan + probe chain) of pure recompute
+# (VERDICT r9 #4). At 100 TB the pair sets ARE the dedup job's output;
+# audits read the output table, they don't re-run the job.
+# ---------------------------------------------------------------------------
+
+# variant -> builder lookup is resolved lazily inside the build to avoid
+# a module cycle (pipeline.similarity imports driver_queries -> operators)
+EMBEDDING_PAIR_VARIANTS = ("cosine", "single", "mp1", "mp2", "mp3")
+
+
+def embedding_pair_store_path(sf_dir: str) -> str:
+    # widths are corpus-derived (ladder) -> the embeddings fingerprint
+    # keys them; flip counts are structural constants of the variants
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(store_root(), f"emb-pairs-v{STORE_VERSION}-{fp}")
+
+
+def build_embedding_pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (id_new, id_corpus, cos) for the exact-cosine baseline
+    and the four RHP probe variants, partitioned by ``variant`` so each
+    audit's read is partition-pruned to exactly its pair set. Content is
+    byte-equal to the live queries (the builders ARE the registered
+    query functions), so every audit's DuckDB oracle — which still
+    derives both sides from scratch — keeps hash-checking the store."""
+    path = embedding_pair_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    from ..pipeline import similarity as sim
+
+    builders = {
+        "cosine": sim.dedup_embedding_cosine,
+        "single": sim.dedup_embedding_lsh_single_probe,
+        "mp1": sim.dedup_embedding_lsh_flips1,
+        "mp2": sim.dedup_embedding_lsh_multiprobe,
+        "mp3": sim.dedup_embedding_lsh_flips3,
+    }
+    import functools
+
+    frames = [
+        builders[v](spark, sf_dir)
+        .select("id_new", "id_corpus", "cos")
+        .withColumn("variant", F.lit(v))
+        for v in EMBEDDING_PAIR_VARIANTS
+    ]
+    union = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        union.repartition("variant")
+        .write.mode("overwrite")
+        .partitionBy("variant")
+        .parquet(tmp)
+    )
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_embedding_pairs(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> DataFrame | None:
+    """Partition-pruned read of one variant's pair set, or None when no
+    store exists (callers fall back to deriving live — the
+    rhp_band_frame read-or-compute discipline)."""
+    path = embedding_pair_store_path(sf_dir)
+    if not os.path.isdir(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("variant") == variant)
+        .select("id_new", "id_corpus", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustered mass-fixture adaptive fit store: the level-1 Lloyd fit and the
+# hot-cell level-2 fits the clustered_adaptive_* audits replay. The fits
+# are deterministic functions of the fixture constants; the two audits
+# each re-ran the full two-level fit cold (13.4 s + 8.1 s, BENCH_r09
+# cold_top). A fit is an index-build artifact: build once, audit reads.
+# ---------------------------------------------------------------------------
+
+
+def clustered_mass_fit_store_path() -> str:
+    from ..pipeline.clustered import CF_C, CF_HOT_PCT, CF_N
+
+    return os.path.join(
+        store_root(),
+        f"cmass-fit-v{STORE_VERSION}-n{CF_N}-c{CF_C}-h{CF_HOT_PCT}",
+    )
+
+
+def build_clustered_mass_fit_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the mass-imbalance fixture's adaptive two-level fit:
+    (vec_id, cl, embedding, cid, cid2) rows — cid from the level-1
+    Lloyd fit at k = CF_C seeded at the component centers, cid2 from a
+    dyn-width level-2 fit inside cells above the integer hot threshold
+    (sz * CF_C * 100 > CF_HOT_PCT * CF_N; 0 elsewhere) — plus a meta
+    blob with both levels' assignment-time centroids and the cell
+    sizes. Exactly the derivation clustered_adaptive_occupancy_audit /
+    _probe_recall_audit replay (shared _lloyd_fit_frame contracts,
+    first-k2-by-vec_id seeds, ladder widths); their DuckDB oracles
+    re-derive it from scratch every round, so the store content stays
+    hash-checked."""
+    import json as _json
+
+    from ..pipeline.clustered import (
+        CF_C,
+        CF_HOT_PCT,
+        CF_N,
+        clustered_mass_fixture_frame,
+        cm_point,
+    )
+    from ..pipeline.clustering import _lloyd_fit_frame
+    from ..pipeline.params import ivf_cells_for
+
+    path = clustered_mass_fit_store_path()
+    if os.path.isdir(path):
+        return path
+    fx = clustered_mass_fixture_frame(spark, sf_dir).persist()
+    emb = fx.select("vec_id", "embedding")
+    asg, cents1 = _lloyd_fit_frame(
+        emb, [cm_point(k) for k in range(CF_C)]
+    )
+    asg = asg.persist()
+    sizes = {
+        r["cid"]: r["n"]
+        for r in asg.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    level2: dict[int, list[list[float]]] = {}
+    parts = []
+    for c in range(CF_C):
+        cell = emb.join(
+            asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
+        )
+        if sizes[c] * CF_C * 100 > CF_HOT_PCT * CF_N:
+            k2 = ivf_cells_for(sizes[c])
+            seeds2 = _distinct_seeds(cell, k2)
+            asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+            level2[c] = cents2
+            parts.append(
+                cell.join(
+                    asg2.select("vec_id", F.col("cid").alias("cid2")),
+                    "vec_id",
+                ).select("vec_id", F.lit(c).alias("cid"), "cid2")
+            )
+        else:
+            parts.append(
+                cell.select(
+                    "vec_id",
+                    F.lit(c).alias("cid"),
+                    F.lit(0).alias("cid2"),
+                )
+            )
+    import functools
+
+    assigned = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    out = fx.join(assigned, "vec_id").select(
+        "vec_id", "cl", "embedding", "cid", "cid2"
+    )
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    meta = {
+        "cents1": cents1,
+        "level2": {str(c): v for c, v in level2.items()},
+        "sizes": {str(c): sz for c, sz in sizes.items()},
+    }
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    fx.unpersist()
+    asg.unpersist()
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_clustered_mass_fit(spark: SparkSession):
+    """(frame, meta) for the materialized mass-fixture fit, or (None,
+    None) when the store hasn't been built. Meta floats round-trip
+    exactly (json double round-trip, the kmeans-fit-store discipline)."""
+    import json as _json
+
+    path = clustered_mass_fit_store_path()
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.isfile(meta_path):
+        return None, None
+    with open(meta_path) as f:
+        blob = _json.load(f)
+    meta = {
+        "cents1": [[float(x) for x in c] for c in blob["cents1"]],
+        "level2": {
+            int(c): [[float(x) for x in cc] for cc in v]
+            for c, v in blob["level2"].items()
+        },
+        "sizes": {int(c): int(v) for c, v in blob["sizes"].items()},
+    }
+    return spark.read.parquet(path), meta
+
+
+def compact_adaptive_ivf_cell(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: int,
+    cid1: int,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Cross-batch compaction for one ADAPTIVE-store cell, split or not
+    (VERDICT r9 #8): long-lived streamed ingest accretes one
+    ``batch_id=...`` directory per batch inside every (cid1, cid2)
+    leaf — hot (split) cells fastest, since they take the most arrivals.
+    Folds each cid2 leaf's batch directories into a single consolidated
+    ``batch_id=compacted-<stamp>`` directory sized at ``target_bytes``
+    per file, then publishes the whole rewritten cid1 subtree with the
+    maintenance swap (_swap_cell_subtree: dot-prefixed retirement, one
+    rename to publish — crash leaves old-or-new, never a discovery-
+    visible hybrid). Reads are byte-identical (same rows, fewer files);
+    the level-2 layout (which cid2 each row lives in) is preserved
+    exactly, so the meta/quantizers need no update.
+
+    Same replay caveat as compact_ivf_cell (the standard log-compaction
+    rule): only compact batches OUTSIDE the ingest replay window — a
+    replayed pre-compaction batch_id would dynamic-overwrite into a
+    fresh directory and duplicate its rows against the consolidated
+    files. The streaming cadence hook runs maintenance BETWEEN batches
+    (foreachBatch-serialized), which keeps the single-writer rule.
+
+    Returns {"cid2_leaves": n, "files_before": n, "files_after": n}."""
+    path = adaptive_ivf_store_path(sf_dir, k1)
+    cell = os.path.join(path, f"cid1={cid1}")
+    stamp = uuid.uuid4().hex[:8]
+    tmp = os.path.join(path, f".rebalance-{cid1}-compact-{stamp}")
+    leaves = sorted(
+        d for d in os.listdir(cell) if d.startswith("cid2=")
+    )
+    files_before = 0
+    files_after = 0
+    for leaf in leaves:
+        leaf_dir = os.path.join(cell, leaf)
+        sizes = [
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(leaf_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        files_before += len(sizes)
+        n_out = max(1, math.ceil(sum(sizes) / target_bytes))
+        files_after += n_out
+        df = spark.read.parquet(leaf_dir).drop("batch_id")
+        (
+            df.coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(tmp, leaf, f"batch_id=compacted-{stamp}")
+            )
+        )
+        marker = os.path.join(tmp, leaf, f"batch_id=compacted-{stamp}", "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+    _swap_cell_subtree(path, cid1, tmp)
+    return {
+        "cid2_leaves": len(leaves),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -957,19 +957,23 @@ def embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall per table — this audit is the regression gate that prices
     what one probe per table leaves on the floor at the auto-chosen bit
     width. Same single full-outer aggregate as lsh_recall_audit: each
-    chain referenced once per action."""
+    chain referenced once per action. Both pair sets come from the
+    materialized embedding pair store when built (stored_pairs)."""
     from ..session import tracked_persist
     from .similarity import (
         dedup_embedding_cosine,
         dedup_embedding_lsh_single_probe,
+        stored_pairs,
     )
 
-    t = tracked_persist(dedup_embedding_cosine(spark, sf_dir)).select(
-        "id_new", "id_corpus"
-    )
-    l = tracked_persist(dedup_embedding_lsh_single_probe(spark, sf_dir)).select(
-        "id_new", "id_corpus"
-    )
+    t = tracked_persist(
+        stored_pairs(spark, sf_dir, "cosine", dedup_embedding_cosine)
+    ).select("id_new", "id_corpus")
+    l = tracked_persist(
+        stored_pairs(
+            spark, sf_dir, "single", dedup_embedding_lsh_single_probe
+        )
+    ).select("id_new", "id_corpus")
     j = t.withColumn("in_t", F.lit(1)).join(
         l.withColumn("in_l", F.lit(1)), ["id_new", "id_corpus"], "full_outer"
     )
@@ -1020,17 +1024,26 @@ def _pair_recall_sql(lsh_sql: str) -> str:
     """
 
 
-def _pair_recall_frame(spark: SparkSession, sf_dir: str, pairs_fn) -> DataFrame:
+def _pair_recall_frame(
+    spark: SparkSession, sf_dir: str, pairs_fn, variant: str | None = None
+) -> DataFrame:
     """The shared pair-recall Spark template (the single full-outer
     aggregate every embedding-LSH recall audit uses): both chains
-    tracked-persisted so each is referenced once per action."""
+    tracked-persisted so each is referenced once per action. Pass the
+    LSH side's pair-store ``variant`` to read it (and the cosine
+    baseline) from the materialized store when built."""
     from ..session import tracked_persist
-    from .similarity import dedup_embedding_cosine
+    from .similarity import dedup_embedding_cosine, stored_pairs
 
-    t = tracked_persist(dedup_embedding_cosine(spark, sf_dir)).select(
-        "id_new", "id_corpus"
+    t = tracked_persist(
+        stored_pairs(spark, sf_dir, "cosine", dedup_embedding_cosine)
+    ).select("id_new", "id_corpus")
+    lsh = (
+        stored_pairs(spark, sf_dir, variant, pairs_fn)
+        if variant is not None
+        else pairs_fn(spark, sf_dir)
     )
-    l = tracked_persist(pairs_fn(spark, sf_dir)).select("id_new", "id_corpus")
+    l = tracked_persist(lsh).select("id_new", "id_corpus")
     j = t.withColumn("in_t", F.lit(1)).join(
         l.withColumn("in_l", F.lit(1)), ["id_new", "id_corpus"], "full_outer"
     )
@@ -1076,14 +1089,17 @@ def embedding_lsh_multiprobe_recall_audit(
     from .similarity import (
         dedup_embedding_cosine,
         dedup_embedding_lsh_multiprobe,
+        stored_pairs,
     )
 
-    t = tracked_persist(dedup_embedding_cosine(spark, sf_dir)).select(
-        "id_new", "id_corpus"
-    )
-    l = tracked_persist(dedup_embedding_lsh_multiprobe(spark, sf_dir)).select(
-        "id_new", "id_corpus"
-    )
+    t = tracked_persist(
+        stored_pairs(spark, sf_dir, "cosine", dedup_embedding_cosine)
+    ).select("id_new", "id_corpus")
+    l = tracked_persist(
+        stored_pairs(
+            spark, sf_dir, "mp2", dedup_embedding_lsh_multiprobe
+        )
+    ).select("id_new", "id_corpus")
     j = t.withColumn("in_t", F.lit(1)).join(
         l.withColumn("in_l", F.lit(1)), ["id_new", "id_corpus"], "full_outer"
     )
@@ -1324,4 +1340,6 @@ def embedding_lsh_flips1_recall_audit(
     audit in the family."""
     from .similarity import dedup_embedding_lsh_flips1
 
-    return _pair_recall_frame(spark, sf_dir, dedup_embedding_lsh_flips1)
+    return _pair_recall_frame(
+        spark, sf_dir, dedup_embedding_lsh_flips1, variant="mp1"
+    )

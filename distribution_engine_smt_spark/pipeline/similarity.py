@@ -252,6 +252,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stored_pairs(
+    spark: SparkSession, sf_dir: str, variant: str, fallback_fn
+) -> DataFrame:
+    """(id_new, id_corpus, cos) for one materialized pair-set variant,
+    from the embedding pair store when built (partition-pruned read),
+    else derived live via ``fallback_fn`` — the rhp_band_frame
+    read-or-compute discipline. The recall-audit family consumes pair
+    sets through this: at 100 TB the pair sets are the dedup job's
+    OUTPUT table, and an audit that re-runs the job per read is pure
+    recompute (VERDICT r9 #4). Content is identical either way (the
+    store is built FROM the fallback queries), so the audits' oracles —
+    which re-derive both sides from scratch — keep hash-checking it."""
+    from ..operators import storage
+
+    stored = storage.read_embedding_pairs(spark, sf_dir, variant)
+    if stored is not None:
+        return stored
+    return fallback_fn(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH near-dup: L tables x K sign-bits + exact verify
 # ---------------------------------------------------------------------------
