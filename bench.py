@@ -165,6 +165,94 @@ def regression_gate(warm: dict[str, float], cal_factor: float) -> dict[str, floa
     return dict(sorted(out.items(), key=lambda kv: -kv[1]))
 
 
+def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
+    """Drive the 5 hottest read endpoints end-to-end through
+    ``QueryServer.handle_json`` (VERDICT r9 #7): the wire path — param
+    validation, anchor resolution, row formatting, JSON serialization,
+    TTL cache — gets a recorded latency artifact like every query does.
+    State is derived deterministically from the sf_dir's own tables
+    (posts <- orders x customer, follows <- customer), so the artifact
+    scales with SF. Per endpoint: ``cold`` = first call (plan + collect
+    + serialize), ``warm`` = median of 3 cache hits (one immutable
+    string return — the number a fronting HTTP server sees)."""
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark import schemas, tables
+    from distribution_engine_smt_spark.serving import build_state_server
+
+    t = tables.load_tpch(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    posts = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select(
+        F.concat(
+            F.lit("@c"), F.col("o_custkey").cast("string"),
+            F.lit("/o"), F.col("o_orderkey").cast("string"),
+        ).alias("authorperm"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("author"),
+        F.col("o_orderdate").alias("created"),
+        F.lower(F.regexp_replace("o_orderpriority", "-", ",")).alias("tags"),
+        F.lit(None).cast("string").alias("app"),
+        F.lit(True).alias("main_post"),
+        F.lit(False).alias("decline_payout"),
+        F.lit("TKN").alias("token"),
+        F.col("o_totalprice").alias("vote_rshares"),
+        F.lit(None).cast("timestamp").alias("cashout_time"),
+        F.lit(None).cast("timestamp").alias("last_payout"),
+        F.lit(0).alias("total_payout_value"),
+        F.lit(0).alias("curator_payout_value"),
+        F.col("o_totalprice").cast("double").alias("score_trend"),
+        (F.col("o_totalprice") / 7.0).cast("double").alias("score_hot"),
+        F.lit(0).alias("beneficiaries_payout_value"),
+        F.lit(0).alias("promoted"),
+        F.concat(F.lit("order "), F.col("o_orderkey").cast("string")).alias(
+            "title"
+        ),
+        F.col("o_orderstatus").alias("desc"),
+        F.lit(0).alias("children"),
+        F.lit("").alias("parent_author"),
+        F.lit("").alias("parent_permlink"),
+        F.lit(0.0).alias("score_promoted"),
+        F.lit(False).alias("muted"),
+    )
+    follows = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "follower"
+        ),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+            "following"
+        ),
+        F.lit(1).alias("state"),
+    )
+    state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
+    state["posts"] = tables.conform(posts, "posts")
+    state["follows"] = tables.conform(follows, "follows")
+    srv = build_state_server(state)
+    drive = [
+        ("get_discussions_by_created", {"token": "TKN", "limit": "20"}),
+        ("get_discussions_by_trending", {"token": "TKN", "limit": "20"}),
+        ("get_discussions_by_hot", {"token": "TKN", "limit": "20"}),
+        ("get_trending_tags", {"token": "TKN", "limit": "20"}),
+        ("get_follow_count", {"account": "c1"}),
+    ]
+    out: dict[str, dict[str, float]] = {}
+    for name, params in drive:
+        t0 = time.perf_counter()
+        body = srv.handle_json(name, params)
+        cold = time.perf_counter() - t0
+        assert json.loads(body) is not None
+        hits = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            srv.handle_json(name, params)
+            hits.append(time.perf_counter() - t0)
+        out[name] = {
+            "cold": round(cold, 4),
+            "warm": round(statistics.median(hits), 6),
+        }
+    return out
+
+
 def summarize(
     warm: dict[str, float],
     cold: dict[str, float],
@@ -172,6 +260,7 @@ def summarize(
     sf_val,
     store_build_sec: float,
     calibration_sec: float = CAL_PINNED_SEC,
+    endpoints: dict | None = None,
 ) -> tuple[dict, dict]:
     """Build the (detail, summary) report dicts. ``warm`` drives the
     totals (steady-state latency is the round-over-round comparable);
@@ -234,6 +323,9 @@ def summarize(
         "store_build_sec": store_build_sec,
         "sf": sf_val,
     }
+    if endpoints is not None:
+        detail["endpoints"] = endpoints
+        summary["endpoints"] = endpoints
     return detail, summary
 
 
@@ -286,10 +378,16 @@ def main() -> None:
     cal_after = calibrate(spark)
     calibration_sec = round(statistics.median([cal_before, cal_after]), 4)
 
+    # serving-layer wire path, timed after the query loop so its state
+    # derivation doesn't share cache warmth with any query's runs
+    endpoints = bench_endpoints(spark, sf_dir)
+    release_caches(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf else sf_dir
     detail, summary = summarize(
-        warm, cold, spreads, sf_val, store_build_sec, calibration_sec
+        warm, cold, spreads, sf_val, store_build_sec, calibration_sec,
+        endpoints=endpoints,
     )
     detail["calibration_before_sec"] = cal_before
     detail["calibration_after_sec"] = cal_after

@@ -29,14 +29,22 @@ def _fake_registry(n: int) -> tuple[dict, dict, dict]:
 
 
 def test_summary_line_parses_and_fits_driver_cap():
-    warm, cold, spread = _fake_registry(140)  # headroom over today's 118
-    detail, summary = bench.summarize(warm, cold, spread, 0.1, 12.3456)
+    warm, cold, spread = _fake_registry(180)  # headroom over today's 165
+    endpoints = {
+        f"get_discussions_by_a_long_route_{i}": {"cold": 99.1234, "warm": 0.000123}
+        for i in range(5)
+    }
+    detail, summary = bench.summarize(
+        warm, cold, spread, 0.1, 12.3456, endpoints=endpoints
+    )
     line = json.dumps(summary)
     assert json.loads(line)["metric"] == "query_suite_wall_seconds"
     assert len(line) < 2048, f"summary line {len(line)}B >= 2KB driver cap"
     # detail carries the full per-query cold/warm/spread maps
     assert set(detail["queries"]) == set(warm)
     assert set(detail["cold"]) == set(cold)
+    # the serving wire path is a first-class artifact (VERDICT r9 #7)
+    assert summary["endpoints"] == endpoints and detail["endpoints"] == endpoints
 
 
 def test_summary_reports_cold_and_store_build():
