@@ -36,72 +36,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # --- r9 head, in priority order:
-    # 1) new this round (zero driver rows): the clustered-embedding
-    #    fixture trio (VERDICT r8 #3), the END-TO-END trained/residual
-    #    probes + audits and the width-mismatch occupancy audit (r10
-    #    roadmap #1/#2), the explicit single-probe cheap path, and the
-    #    flips=1/3 multi-probe curve points (r8 #5/#7)
-    "clustered_ivfpq_trained_topk",
-    "clustered_ivfpq_trained_recall_audit",
-    "clustered_ivfpq_residual_topk",
-    "clustered_ivfpq_residual_recall_audit",
-    "clustered_ivf_occupancy_audit",
-    "clustered_mass_fixture_stats",
-    "clustered_mass_occupancy_audit",
-    "clustered_mass_semdedup_audit",
+    # --- r10 head: VERDICT r9 #1 verbatim — "fill the entire r10 head
+    # with the stalest 50; new work goes BEHIND them". In order:
+    # 1) zero driver rows (new this round): the adaptive-lifecycle
+    #    decision rows (VERDICT r9 #5/#6)
+    "adaptive_maintenance_audit",
+    "clustered_adaptive_merge_audit",
+    # 2) the staleness tail, stalest-first: every query whose last green
+    #    driver row is r06 or older — 10 at r03 (the five deferred from
+    #    the r9 head promise lead), 4 at r04, 10 at r05, 19 of 21 at r06.
+    #    Two r06 queries (deterministic_shuffle, source_vocab_overlap —
+    #    age 4 after this round, still inside the bound) defer to the
+    #    r11 head to make room for the round-modified audits below;
+    #    tests/test_local_correctness.py asserts the age bound holds.
+    "discussions_by_promoted",
+    "feed_semijoin",
+    "follow_counts",
+    "latest_event_per_key",
+    "payout_accumulation",
+    "post_with_votes",
+    "reblogged_by_agg",
+    "replies_in_notin",
+    "set_diff_reconcile",
+    "tag_membership",
+    "kmv_distinct",
+    "range_join_events",
+    "sessionize",
+    "tumbling_event_counts",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_dim_stats",
+    "multimodal_frame_sample",
+    "pricing_summary",
+    "regional_revenue",
+    "sampled_quantiles",
+    "token_count_quantiles",
+    "weighted_sample",
+    "zipf_slope",
+    "daily_moving_avg",
+    "events_pivot",
+    "graph_pagerank",
+    "hll_daily_merge",
+    "hll_distinct",
+    "hourly_hll_distinct",
+    "kmv_set_ops",
+    "langid_confusion",
+    "length_histogram",
+    "multimodal_resize",
+    "normalize_text",
+    "pii_redact",
+    "sales_rollup",
+    "segment_region_cube",
+    "shipping_priority",
+    "sliding_event_counts",
+    "top_ngrams",
+    "unigram_perplexity",
+    "url_density",
+    # 3) round-modified (r09-green, re-verified because their
+    #    implementation changed this round — see _ROUND_MODIFIED)
+    "embedding_lsh_recall_audit",
+    "embedding_lsh_multiprobe_recall_audit",
+    "embedding_lsh_flips1_recall_audit",
     "clustered_adaptive_occupancy_audit",
     "clustered_adaptive_probe_recall_audit",
-    "clustered_fixture_stats",
-    "clustered_kmeans_agreement_audit",
-    "clustered_pq_variant_audit",
-    "clustered_semdedup_audit",
-    "dedup_embedding_lsh_flips1",
-    "dedup_embedding_lsh_flips3",
-    "dedup_embedding_lsh_single_probe",
-    "embedding_lsh_flips1_recall_audit",
-    # 2) the driver-row staleness tail (VERDICT r8 #2): queries with no
-    #    green driver row since r03 (7 since r02 lead), stalest-first.
-    #    The five end-to-end fixture queries above displaced 5 of the
-    #    original 36 (zero-row queries outrank stale-but-triple-green
-    #    ones, per the no-starve invariant); the five deferred —
-    #    discussions_by_promoted, follow_counts, reblogged_by_agg,
-    #    set_diff_reconcile, tag_membership, all green r1-r3 and
-    #    byte-untouched since — move to the next-round head.
-    "json_double_decode",
-    "json_props_sum",
-    "prefix_select",
-    "recent_orders_window",
-    "reward_curves",
-    "segment_nation_counts",
-    "time_format_wire",
-    "decontaminate",
-    "dedup_exact_keep_first",
-    "discussions_by_created",
-    "discussions_by_hot",
-    "discussions_by_payout_keyset",
-    "discussions_by_trending",
-    "multimodal_decode",
-    "multimodal_metadata_stats",
-    "pack_sequences",
-    "quality_filter",
-    "stratified_sample",
-    "supplier_visible_revenue",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition",
-    "text_token_counts",
-    "thread_tree",
-    "trending_tags",
 ]
-# multi-round-green (2+ driver rows each) AND untouched this round —
-# rotated past the cap. With 138 registered queries and the 50-slot cap,
-# exactly 88 sit here so the cut is EXPLICIT (chosen stable queries)
-# rather than whatever lands at positions 51+ of registration order.
+# multi-round-green AND untouched this round — rotated past the 50-slot
+# cap (regenerated each round so head + this = registry). Every one
+# stays hash-checked locally each round (tests/test_driver_queries.py)
+# and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
-    # multi-round-green AND untouched this round - rotated past the
-    # 50-slot cap (regenerated each round so head + this = registry)
     "above_nation_avg_balance",
     "account_history_page",
     "ann_ivf_kmeans_nprobe",
@@ -111,6 +114,7 @@ _DRIVER_ROTATE_LAST = [
     "ann_ivf_sharded_topk",
     "ann_ivf_topk",
     "ann_ivfpq_batch",
+    "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "ann_pq_topk",
@@ -131,90 +135,91 @@ _DRIVER_ROTATE_LAST = [
     "chunk_dedup",
     "chunk_documents",
     "chunk_excise",
+    "clustered_fixture_stats",
+    "clustered_ivf_occupancy_audit",
+    "clustered_ivfpq_residual_recall_audit",
+    "clustered_ivfpq_residual_topk",
+    "clustered_ivfpq_trained_recall_audit",
+    "clustered_ivfpq_trained_topk",
+    "clustered_kmeans_agreement_audit",
+    "clustered_mass_fixture_stats",
+    "clustered_mass_occupancy_audit",
+    "clustered_mass_semdedup_audit",
+    "clustered_pq_variant_audit",
+    "clustered_semdedup_audit",
     "cms_heavy_hitters",
     "corpus_datasheet",
     "cross_source_dup_matrix",
     "curated_corpus",
     "curriculum_buckets",
-    "daily_moving_avg",
+    "decontaminate",
     "dedup_best_representative",
     "dedup_cluster_stats",
     "dedup_clusters",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_flips1",
+    "dedup_embedding_lsh_flips3",
+    "dedup_embedding_lsh_multiprobe",
+    "dedup_embedding_lsh_single_probe",
     "dedup_exact",
+    "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "discussions_by_promoted",
     "deterministic_shuffle",
+    "discussions_by_created",
+    "discussions_by_hot",
+    "discussions_by_payout_keyset",
+    "discussions_by_trending",
     "doc_novelty",
     "dup_inflation",
     "earliest_event_per_user",
-    "embedding_dim_stats",
     "embedding_kmeans",
+    "embedding_lsh_planted_recall_audit",
     "embedding_outliers",
     "event_funnel",
     "event_zscore_anomaly",
-    "events_pivot",
-    "feed_semijoin",
-    "follow_counts",
-    "graph_pagerank",
     "hard_negatives",
-    "hll_daily_merge",
-    "hll_distinct",
-    "hourly_hll_distinct",
     "index_occupancy_audit",
     "ivfpq_recall_audit",
     "ivfpq_residual_recall_audit",
     "ivfpq_trained_recall_audit",
-    "kmv_distinct",
-    "kmv_set_ops",
-    "langid_confusion",
-    "latest_event_per_key",
+    "json_double_decode",
+    "json_props_sum",
     "leakage_free_split",
-    "length_histogram",
     "lsh_recall_audit",
     "lsh_recall_audit_sampled",
     "minhash_decontaminate",
     "mixture_weights",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "normalize_text",
-    "payout_accumulation",
-    "pii_redact",
+    "multimodal_decode",
+    "multimodal_metadata_stats",
+    "pack_sequences",
     "pq_recall_audit",
     "pq_train",
-    "post_with_votes",
     "pq_trained_recall_audit",
-    "pricing_summary",
+    "prefix_select",
+    "quality_filter",
     "quantile_error_audit",
-    "range_join_events",
-    "reblogged_by_agg",
-    "regional_revenue",
-    "replies_in_notin",
+    "recent_orders_window",
+    "reward_curves",
     "rrf_hybrid_search",
-    "sales_rollup",
-    "sampled_quantiles",
-    "segment_region_cube",
+    "segment_nation_counts",
     "semdedup",
-    "sessionize",
-    "set_diff_reconcile",
-    "shipping_priority",
-    "sliding_event_counts",
     "source_vocab_overlap",
     "split_leakage_audit",
+    "stratified_sample",
     "substring_dup_spans",
-    "tag_membership",
+    "supplier_visible_revenue",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition",
+    "text_token_counts",
     "tfidf_keywords",
-    "token_count_quantiles",
+    "thread_tree",
+    "time_format_wire",
     "top_boilerplate_spans",
-    "top_ngrams",
-    "tumbling_event_counts",
-    "unigram_perplexity",
-    "url_density",
-    "weighted_sample",
-    "zipf_slope",
+    "trending_tags",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -226,18 +231,16 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r9 (this round): the headline-name swap (dedup_embedding_lsh is
-    # now the T=4 multi-probe pair set, oracle swapped; VERDICT r8 #5),
-    # the flips-generalized multi-probe CTE builder (regenerates the
-    # multiprobe + planted oracle SQL texts), the recall audit re-pointed
-    # at the explicit single-probe symbol, and the residual IVF-PQ
-    # nested-LUT-CASE fix (ADVICE r8 #2).
-    "dedup_embedding_lsh",
-    "dedup_embedding_lsh_multiprobe",
-    "embedding_lsh_multiprobe_recall_audit",
-    "embedding_lsh_planted_recall_audit",
+    # r10 (this round): the recall-audit family now reads the
+    # materialized embedding pair store (stored_pairs read-or-compute)
+    # and the two clustered_adaptive audits read the materialized
+    # mass-fixture fit store — execution path changed, results
+    # hash-pinned unchanged, re-verified this round.
     "embedding_lsh_recall_audit",
-    "ann_ivfpq_residual_topk",
+    "embedding_lsh_multiprobe_recall_audit",
+    "embedding_lsh_flips1_recall_audit",
+    "clustered_adaptive_occupancy_audit",
+    "clustered_adaptive_probe_recall_audit",
 ]
 
 
