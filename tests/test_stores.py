@@ -1381,3 +1381,50 @@ def test_compact_adaptive_ivf_cell(spark, store_dir, tmp_path):
     storage.update_adaptive_ivf_store(spark, d, clone, "post", k1=k1)
     rowc = spark.read.parquet(path).where("vec_id = 990123").first()
     assert rowc["cid1"] == hot
+
+
+def test_adaptive_ivf_crash_leftovers_and_clone_seeds(spark, store_dir, tmp_path):
+    """ADVICE r9 hardening, pinned: (a) a crashed swap's leftover dirs
+    are DOT-prefixed — partition discovery and the footer walk skip
+    them, the store stays readable, and the next maintenance pass sweeps
+    them; (b) a clone-heavy cell (duplicate embeddings among the seed
+    head) still fits — _distinct_seeds dedupes instead of wedging Lloyd
+    with an empty cluster; (c) hot_factor is part of the store key, so
+    builds at different thresholds cannot alias."""
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-crash"))
+    # (b) clone-heavy ingest BEFORE the build: duplicate the dominant
+    # cell's first vectors so the seed head contains exact clones
+    emb_path = os.path.join(d, "embeddings.parquet")
+    emb = spark.read.parquet(emb_path)
+    v0 = emb.orderBy("vec_id").first()
+    clones = spark.createDataFrame(
+        [(600_000 + i, v0["embedding"]) for i in range(600)],
+        "vec_id long, embedding array<float>",
+    )
+    emb.unionByName(clones).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "emb2.parquet")
+    )
+    os.remove(emb_path) if os.path.isfile(emb_path) else __import__(
+        "shutil"
+    ).rmtree(emb_path)
+    os.rename(str(tmp_path / "emb2.parquet"), emb_path)
+    path = storage.build_adaptive_ivf_store(spark, d, k1=k1)  # must not raise
+    meta = storage.load_adaptive_ivf_meta(d, k1)
+    assert meta["hot_cells"], "clone-heavy corpus should still have hot cells"
+    # (c) a different hot_factor is a DIFFERENT store
+    assert storage.adaptive_ivf_store_path(
+        d, k1, hot_factor=2.0
+    ) != storage.adaptive_ivf_store_path(d, k1)
+    # (a) simulate a crash-stranded swap leftover
+    stranded = os.path.join(path, ".retired-cid1=0-deadbeef")
+    os.makedirs(stranded)
+    with open(os.path.join(stranded, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    total = sum(storage.adaptive_ivf_occupancy_from_footers(d, k1).values())
+    assert total == 2048 + 600  # footer walk skips the dot dir
+    assert spark.read.parquet(path).count() == total  # discovery skips it
+    storage.rebalance_adaptive_ivf_store(spark, d, k1)  # sweeps on entry
+    assert not os.path.isdir(stranded)
