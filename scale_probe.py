@@ -957,5 +957,157 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def main_flagship(mult: int = 30) -> None:
+    """VERDICT r9 #3: one measured point PAST 10x for the flagship
+    family — dedup_minhash_lsh, dedup_embedding_lsh (T=4 multiprobe),
+    ann_ivfpq_topk, the occupancy audit's cand-per-probe columns, and
+    the adaptive-store probe — at ``mult``x of sf0.1 (~18 M rows across
+    tables at 30x). 30x is where the ladders genuinely CROSS rungs
+    (minhash (8,4,2)->(24,8,3), rhp 5->10 bits, ivf 8->32 cells), so
+    each rung gets a crossed-or-held verdict with the measured
+    cand-per-probe next to it. Results merge into BENCH_SCALE.json
+    under ``flagship_30x`` (existing sections untouched)."""
+    import shutil
+
+    from distribution_engine_smt_spark import driver_queries as _dq
+    from distribution_engine_smt_spark.operators import storage as _st
+    from distribution_engine_smt_spark.pipeline.params import (
+        ivf_cells_for,
+        minhash_widths_for,
+        rhp_bits_for,
+    )
+    from distribution_engine_smt_spark.session import release_caches
+    from distribution_engine_smt_spark.tables import load_tpch
+
+    spark = get_spark("desmt-scale-flagship")
+    spark.sparkContext.setLogLevel("ERROR")
+    prev = os.environ.get("SPARK_GRAFT_STORE_DIR")
+    os.environ["SPARK_GRAFT_STORE_DIR"] = os.path.join(
+        ROOT, "no-stores-flagship"
+    )
+    try:
+        dirs = {1: BASE, mult: build_scale_dir(spark, mult)}
+        driver_queries.QUERIES["trending_tags"](spark, BASE).count()  # warm JVM
+        release_caches(spark)
+
+        queries: dict[str, dict] = {}
+        for name in ("dedup_minhash_lsh", "dedup_embedding_lsh", "ann_ivfpq_topk"):
+            fn = driver_queries.QUERIES[name]
+            per = {}
+            for m in (1, mult):
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = fn(spark, dirs[m]).count()
+                    runs.append(round(time.perf_counter() - t0, 4))
+                per[str(m)] = {"cold": runs[0], "warm": runs[1], "rows": n}
+                release_caches(spark)
+            ratio = round(
+                per[str(mult)]["warm"] / max(per["1"]["warm"], 1e-9), 2
+            )
+            queries[name] = {"scales": per, f"warm_ratio_{mult}x_vs_1x": ratio}
+            print(json.dumps({"flagship": name, **queries[name]}))
+
+        # cand-per-probe columns at 1x and multx (ladder flatness proof)
+        cands: dict[str, dict] = {}
+        for m in (1, mult):
+            release_caches(spark)
+            rows = _dq.QUERIES["index_occupancy_audit"](spark, dirs[m]).collect()
+            cands[str(m)] = {
+                r["structure"]: {
+                    "n_items": r["n_items"],
+                    "width": r["width"],
+                    "cand_per_probe": r["cand_per_probe"],
+                }
+                for r in rows
+            }
+            print(json.dumps({"flagship_candidates": m, **cands[str(m)]}))
+        for s, stats in cands[str(mult)].items():
+            base = cands["1"].get(s)
+            if base:
+                stats[f"ratio_{mult}x_vs_1x"] = round(
+                    stats["cand_per_probe"] / max(base["cand_per_probe"], 1e-9),
+                    2,
+                )
+
+        # adaptive store: build at the ladder width on each corpus, probe
+        adaptive: dict[str, dict] = {}
+        for m in (1, mult):
+            root = os.path.join(ROOT, f"stores-flagship-x{m}")
+            shutil.rmtree(root, ignore_errors=True)
+            os.environ["SPARK_GRAFT_STORE_DIR"] = root
+            release_caches(spark)
+            n = load_tpch(spark, dirs[m])["embeddings"].count()
+            k1 = ivf_cells_for(n)
+            q_vec = [
+                float(x)
+                for x in load_tpch(spark, dirs[m])["embeddings"]
+                .where("vec_id = 0")
+                .first()["embedding"]
+            ]
+            t0 = time.perf_counter()
+            _st.build_adaptive_ivf_store(spark, dirs[m], k1=k1)
+            build_sec = round(time.perf_counter() - t0, 4)
+            meta = _st.load_adaptive_ivf_meta(dirs[m], k1)
+            _st.probe_adaptive_ivf(spark, dirs[m], q_vec, k1=k1).collect()
+            t0 = time.perf_counter()
+            _st.probe_adaptive_ivf(spark, dirs[m], q_vec, k1=k1).collect()
+            adaptive[str(m)] = {
+                "k1": k1,
+                "n": n,
+                "n_hot_cells": len(meta["hot_cells"]),
+                "cand_per_probe_flat": meta["cand_per_probe_flat"],
+                "cand_per_probe_adaptive": meta["cand_per_probe_adaptive"],
+                "build_sec": build_sec,
+                "probe_warm_sec": round(time.perf_counter() - t0, 4),
+            }
+            print(json.dumps({"flagship_adaptive": m, **adaptive[str(m)]}))
+        os.environ["SPARK_GRAFT_STORE_DIR"] = os.path.join(
+            ROOT, "no-stores-flagship"
+        )
+
+        # rung verdicts: did each ladder cross a rung between 1x and multx,
+        # and did the economics hold (cand-per-probe ~flat / probe bounded)?
+        n1 = load_tpch(spark, dirs[1])["embeddings"].count()
+        d1 = load_tpch(spark, dirs[1])["documents"].count()
+        nm, dm = n1 * mult, d1 * mult
+        rungs = {
+            "minhash": {
+                "1": list(minhash_widths_for(d1)),
+                str(mult): list(minhash_widths_for(dm)),
+            },
+            "rhp_bits": {"1": rhp_bits_for(n1), str(mult): rhp_bits_for(nm)},
+            "ivf_cells": {"1": ivf_cells_for(n1), str(mult): ivf_cells_for(nm)},
+        }
+        for name, r in rungs.items():
+            r["verdict"] = (
+                "crossed" if r["1"] != r[str(mult)] else "held"
+            )
+        report_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+        )
+        with open(report_path) as f:
+            report = json.load(f)
+        report[f"flagship_{mult}x"] = {
+            "queries": queries,
+            "candidates_per_probe": cands,
+            "adaptive_store": adaptive,
+            "ladder_rungs": rungs,
+        }
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({"flagship_done": mult, "rungs": rungs}))
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_STORE_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_STORE_DIR"] = prev
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--flagship":
+        main_flagship(int(sys.argv[2]))
+    else:
+        main()
