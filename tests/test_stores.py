@@ -1428,3 +1428,85 @@ def test_adaptive_ivf_crash_leftovers_and_clone_seeds(spark, store_dir, tmp_path
     assert spark.read.parquet(path).count() == total  # discovery skips it
     storage.rebalance_adaptive_ivf_store(spark, d, k1)  # sweeps on entry
     assert not os.path.isdir(stranded)
+
+
+def test_embedding_pair_store_pruned_and_matches_derived(spark, store_dir):
+    """The audit-family pair store: (a) each variant's read prunes to its
+    partition directory (the audits pay for ONE variant's files, never
+    the union); (b) stored content equals the live derivation for every
+    variant, so the audits' oracles — which re-derive from scratch —
+    keep hash-checking the store."""
+    from distribution_engine_smt_spark.pipeline import similarity as sim
+
+    builders = {
+        "cosine": sim.dedup_embedding_cosine,
+        "single": sim.dedup_embedding_lsh_single_probe,
+        "mp1": sim.dedup_embedding_lsh_flips1,
+        "mp2": sim.dedup_embedding_lsh_multiprobe,
+        "mp3": sim.dedup_embedding_lsh_flips3,
+    }
+    storage.build_embedding_pair_store(spark, SF_DIR)
+
+    def key(df):
+        return sorted(
+            (r["id_new"], r["id_corpus"], round(r["cos"], 9))
+            for r in df.collect()
+        )
+
+    for variant, fn in builders.items():
+        stored = storage.read_embedding_pairs(spark, SF_DIR, variant)
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, plan
+        assert "variant" in pf[1].split("]", 1)[0]
+        assert key(stored) == key(fn(spark, SF_DIR)), variant
+    # stored_pairs helper: store present -> reads it; absent -> falls back
+    got = sim.stored_pairs(spark, SF_DIR, "cosine", builders["cosine"])
+    assert key(got) == key(builders["cosine"](spark, SF_DIR))
+
+
+def test_clustered_mass_fit_store_matches_derived(spark, store_dir):
+    """The materialized mass-fixture fit equals the live two-level
+    derivation the occupancy audit's fallback branch runs: same level-1
+    assignment (shared Lloyd contracts), same hot set, same level-2
+    leaf sizes."""
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        CF_C,
+        CF_HOT_PCT,
+        CF_N,
+        clustered_mass_fixture_frame,
+        cm_point,
+    )
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        _lloyd_fit_frame,
+    )
+
+    storage.build_clustered_mass_fit_store(spark, SF_DIR)
+    stored, meta = storage.read_clustered_mass_fit(spark)
+    assert stored.count() == CF_N
+    fx = clustered_mass_fixture_frame(spark, SF_DIR)
+    asg, cents1 = _lloyd_fit_frame(
+        fx.select("vec_id", "embedding"), [cm_point(k) for k in range(CF_C)]
+    )
+    live = {(r["vec_id"], r["cid"]) for r in asg.collect()}
+    assert {
+        (r["vec_id"], r["cid"]) for r in stored.select("vec_id", "cid").collect()
+    } == live
+    assert meta["cents1"] == cents1  # exact JSON double round-trip
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r["cid"]: r["n"]
+        for r in stored.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == meta["sizes"]
+    hot = {c for c, sz in sizes.items() if sz * CF_C * 100 > CF_HOT_PCT * CF_N}
+    assert set(meta["level2"]) == hot
+    # cold cells are single-leaf; hot cells are split
+    leaves = {
+        (r["cid"], r["cid2"])
+        for r in stored.select("cid", "cid2").distinct().collect()
+    }
+    for c in sizes:
+        n_leaves = len([k for k in leaves if k[0] == c])
+        assert (n_leaves > 1) == (c in hot)
