@@ -952,42 +952,49 @@ def build_adaptive_ivf_store(
     }
     threshold = hot_factor * n / k1
     hot = sorted(c for c, sz in sizes.items() if sz > threshold)
-    frames = []
+    # One pass over the corpus, not k1 per-cell scans: only HOT cells
+    # need a per-cell frame (their level-2 Lloyd fit); cold cells get
+    # cid2 = 0 via a left join against the union of hot-cell level-2
+    # assignments. The previous k1-way union of per-cell joins built a
+    # plan with k1 corpus scans — at k1 = 64 (the 100x ladder width)
+    # Catalyst's plan alone exhausted an 8 GiB driver with ZERO hot
+    # cells in it. Plan cost now scales with |hot|, not k1.
     level2: dict[str, list[list[float]]] = {}
-    leaf_s2 = 0
-    for cid in range(k1):
+    leaf_s2 = sum(
+        sizes[c] * sizes[c] for c in range(k1) if c not in hot
+    )
+    asg2_frames = []
+    for cid in hot:
         cell = emb.join(
             asg1.filter(F.col("cid") == cid).select("vec_id"), "vec_id"
         ).select("vec_id", "embedding")
-        if cid in hot:
-            k2 = ivf_cells_for(sizes[cid])
-            seeds2 = _distinct_seeds(cell, k2)
-            asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
-            level2[str(cid)] = cents2
-            leaf_s2 += sum(
-                r["n"] * r["n"]
-                for r in asg2.groupBy("cid")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            )
-            frames.append(
-                cell.join(
-                    asg2.withColumnRenamed("cid", "cid2"), "vec_id"
-                ).select(
-                    "vec_id", "embedding", F.lit(cid).alias("cid1"), "cid2"
-                )
-            )
-        else:
-            leaf_s2 += sizes[cid] * sizes[cid]
-            frames.append(
-                cell.select(
-                    "vec_id",
-                    "embedding",
-                    F.lit(cid).alias("cid1"),
-                    F.lit(0).alias("cid2"),
-                )
-            )
-    union = functools.reduce(lambda a, b: a.unionByName(b), frames).withColumn(
+        k2 = ivf_cells_for(sizes[cid])
+        seeds2 = _distinct_seeds(cell, k2)
+        asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+        level2[str(cid)] = cents2
+        leaf_s2 += sum(
+            r["n"] * r["n"]
+            for r in asg2.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        )
+        asg2_frames.append(asg2.select("vec_id", F.col("cid").alias("cid2")))
+    assigned = emb.join(asg1.select("vec_id", "cid"), "vec_id").select(
+        "vec_id", "embedding", F.col("cid").alias("cid1")
+    )
+    if asg2_frames:
+        hot_asg = functools.reduce(
+            lambda a, b: a.unionByName(b), asg2_frames
+        )
+        union = assigned.join(hot_asg, "vec_id", "left").select(
+            "vec_id",
+            "embedding",
+            "cid1",
+            F.coalesce(F.col("cid2"), F.lit(0)).alias("cid2"),
+        )
+    else:
+        union = assigned.select(
+            "vec_id", "embedding", "cid1", F.lit(0).alias("cid2")
+        )
+    union = union.withColumn(
         "batch_id", F.lit("base")
     )
     os.makedirs(store_root(), exist_ok=True)
