@@ -86,6 +86,29 @@ def _copies(df, m: int, exprs):
     return out
 
 
+def _perm_embedding(i: int):
+    """Copy i's vectors under a deterministic cosine-isometric coordinate
+    permutation: rotate by i % DIM, and REVERSE for the second block of
+    DIM copies (supports m up to 2*DIM = 128; rotation alone runs out of
+    distinct shifts at DIM and slice() rejects a negative tail length —
+    the 100x lesson). Permutations preserve norms and within-copy cosine
+    structure (pair counts scale exactly m-fold) while cross-copy
+    cosines stay uncorrelated, like the original rotation family."""
+    if i == 0:
+        return F.col("embedding")
+    k = i % DIM
+    rot = (
+        F.col("embedding")
+        if k == 0
+        else F.concat(
+            F.slice("embedding", k + 1, DIM - k), F.slice("embedding", 1, k)
+        )
+    )
+    if (i // DIM) % 2 == 1:
+        return F.reverse(rot)
+    return rot
+
+
 def build_scale_dir(spark, m: int) -> str:
     """Materialize the m-fold corpus (idempotent, atomic per table via
     write-then-rename of the whole directory)."""
@@ -115,13 +138,7 @@ def build_scale_dir(spark, m: int) -> str:
         ],
         "embeddings": lambda i: [
             off("vec_id", i),
-            (
-                F.col("embedding")
-                if i == 0
-                else F.concat(
-                    F.slice("embedding", i + 1, DIM - i), F.slice("embedding", 1, i)
-                )
-            ).alias("embedding"),
+            _perm_embedding(i).alias("embedding"),
             "label",
         ],
         "events": lambda i: [
