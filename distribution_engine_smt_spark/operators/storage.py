@@ -696,8 +696,7 @@ def build_sharded_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     The per-cell fits are a bounded driver loop (k1 cells, each fit
     collecting k2 x DIM decimal means per iteration — the same bounded
     quantizer state every fit in the family holds); the write is one
-    union + one partitioned write."""
-    import functools
+    cell-sized partitioned write per cell (plan size O(1) in k1)."""
     import json as _json
 
     from ..pipeline.clustering import _lloyd_fit_frame, kmeans_fit
@@ -710,7 +709,19 @@ def build_sharded_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     emb = load_tpch(spark, sf_dir)["embeddings"]
     asg1, cents1 = kmeans_fit(spark, sf_dir)
     k1 = len(cents1)
-    frames = []
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    # One cell-sized write per cell instead of a k1-way union plan: the
+    # union embedded every cell's fit chain in ONE Catalyst plan, which
+    # grows with the ladder width (the adaptive builder's k1 = 64 plan
+    # exhausted an 8 GiB driver at 100x). Writing each cell's subtree
+    # directly keeps plan size O(1) in k1 — the index-build job is k1
+    # bounded jobs, exactly how a cluster would shard it. batch_id
+    # sub-partition from the start (the ivfpq-code-store layout rule:
+    # mixed partition depths break discovery once the ingest stream
+    # appends) — the base build is just batch "base".
     level2: dict[str, list[list[float]]] = {}
     for cid in range(k1):
         cell = emb.join(
@@ -723,30 +734,19 @@ def build_sharded_ivf_store(spark: SparkSession, sf_dir: str) -> str:
         ]
         asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
         level2[str(cid)] = cents2
-        frames.append(
-            cell.join(asg2.withColumnRenamed("cid", "cid2"), "vec_id").select(
-                "vec_id",
-                "embedding",
-                F.lit(cid).alias("cid1"),
-                F.col("cid2"),
-            )
+        out = cell.join(
+            asg2.withColumnRenamed("cid", "cid2"), "vec_id"
+        ).select("vec_id", "embedding", "cid2")
+        (
+            out.repartition("cid2")
+            .withColumn("batch_id", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("cid2", "batch_id")
+            .parquet(os.path.join(tmp, f"cid1={cid}"))
         )
-    # batch_id sub-partition from the start (the ivfpq-code-store layout
-    # rule: mixed partition depths break discovery once the ingest
-    # stream appends) — the base build is just batch "base"
-    union = functools.reduce(lambda a, b: a.unionByName(b), frames).withColumn(
-        "batch_id", F.lit("base")
-    )
-    os.makedirs(store_root(), exist_ok=True)
-    tmp = os.path.join(
-        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
-    )
-    (
-        union.repartition("cid1", "cid2")
-        .write.mode("overwrite")
-        .partitionBy("cid1", "cid2", "batch_id")
-        .parquet(tmp)
-    )
+        marker = os.path.join(tmp, f"cid1={cid}", "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         _json.dump({"k1": k1, "cents1": cents1, "level2": level2}, f)
     _atomic_publish(tmp, path)
