@@ -1135,6 +1135,7 @@ def run_adaptive_ivf_ingest_stream(
     max_files_per_trigger: int | None = None,
     maintenance_every: int | None = None,
     cold_factor: float = 1.0,
+    compact_max_batch_dirs: int | None = None,
 ):
     """Streaming twin of ``update_adaptive_ivf_store`` — the same
     foreachBatch wrapper every store stream uses (at-least-once replay
@@ -1168,7 +1169,19 @@ def run_adaptive_ivf_ingest_stream(
             mrg = maybe_merge_adaptive_ivf_store(
                 spark, sf_dir, k1, cold_factor
             )
-            if reb["fired"] or mrg["fired"]:
+            cmp_out = {"fired": False, "compacted": []}
+            if compact_max_batch_dirs is not None:
+                # the in-flight batch is the only replayable one (the
+                # checkpoint commits AFTER this hook): its directory
+                # carries over untouched so a replay stays idempotent
+                cmp_out = maybe_compact_adaptive_ivf_store(
+                    spark,
+                    sf_dir,
+                    k1,
+                    max_batch_dirs=compact_max_batch_dirs,
+                    exclude_batch_ids={f"stream-{batch_id}"},
+                )
+            if reb["fired"] or mrg["fired"] or cmp_out["fired"]:
                 log = os.path.join(
                     adaptive_ivf_store_path(sf_dir, k1),
                     "_maintenance_log.jsonl",
@@ -1180,6 +1193,7 @@ def run_adaptive_ivf_ingest_stream(
                                 "batch_id": batch_id,
                                 "newly_hot": reb.get("newly_hot", []),
                                 "merged": mrg.get("merged", []),
+                                "compacted": cmp_out["compacted"],
                             }
                         )
                         + "\n"
@@ -2573,6 +2587,7 @@ def compact_adaptive_ivf_cell(
     k1: int,
     cid1: int,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    exclude_batch_ids: tuple[str, ...] | set[str] = (),
 ) -> dict:
     """Cross-batch compaction for one ADAPTIVE-store cell, split or not
     (VERDICT r9 #8): long-lived streamed ingest accretes one
@@ -2591,7 +2606,12 @@ def compact_adaptive_ivf_cell(
     rule): only compact batches OUTSIDE the ingest replay window — a
     replayed pre-compaction batch_id would dynamic-overwrite into a
     fresh directory and duplicate its rows against the consolidated
-    files. The streaming cadence hook runs maintenance BETWEEN batches
+    files. ``exclude_batch_ids`` makes that rule enforceable from the
+    stream: the in-flight batch (the only replayable one under the
+    foreachBatch wrapper — it commits to the checkpoint AFTER the hook
+    runs) keeps its own directory untouched, so a post-crash replay
+    regenerates exactly the directory it left and dynamic overwrite
+    stays idempotent. The hook runs maintenance BETWEEN batches
     (foreachBatch-serialized), which keeps the single-writer rule.
 
     Returns {"cid2_leaves": n, "files_before": n, "files_after": n}."""
@@ -2599,6 +2619,7 @@ def compact_adaptive_ivf_cell(
     cell = os.path.join(path, f"cid1={cid1}")
     stamp = uuid.uuid4().hex[:8]
     tmp = os.path.join(path, f".rebalance-{cid1}-compact-{stamp}")
+    exclude = set(exclude_batch_ids or ())
     leaves = sorted(
         d for d in os.listdir(cell) if d.startswith("cid2=")
     )
@@ -2606,29 +2627,97 @@ def compact_adaptive_ivf_cell(
     files_after = 0
     for leaf in leaves:
         leaf_dir = os.path.join(cell, leaf)
+        batch_dirs = sorted(
+            d for d in os.listdir(leaf_dir) if d.startswith("batch_id=")
+        )
+        fold = [
+            d for d in batch_dirs
+            if d.split("=", 1)[1] not in exclude
+        ]
+        keep = [d for d in batch_dirs if d not in fold]
         sizes = [
             os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(leaf_dir)
+            for d in fold
+            for dp, _, fs in os.walk(os.path.join(leaf_dir, d))
             for f in fs
             if f.endswith(".parquet")
         ]
         files_before += len(sizes)
-        n_out = max(1, math.ceil(sum(sizes) / target_bytes))
-        files_after += n_out
-        df = spark.read.parquet(leaf_dir).drop("batch_id")
-        (
-            df.coalesce(n_out)
-            .write.mode("overwrite")
-            .parquet(
-                os.path.join(tmp, leaf, f"batch_id=compacted-{stamp}")
+        os.makedirs(os.path.join(tmp, leaf), exist_ok=True)
+        if fold:
+            n_out = max(1, math.ceil(sum(sizes) / target_bytes))
+            files_after += n_out
+            df = spark.read.parquet(
+                *[os.path.join(leaf_dir, d) for d in fold]
+            ).drop("batch_id", "cid2")
+            (
+                df.coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(tmp, leaf, f"batch_id=compacted-{stamp}")
+                )
             )
-        )
-        marker = os.path.join(tmp, leaf, f"batch_id=compacted-{stamp}", "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
+            marker = os.path.join(
+                tmp, leaf, f"batch_id=compacted-{stamp}", "_SUCCESS"
+            )
+            if os.path.exists(marker):
+                os.remove(marker)
+        # replay-window (excluded) batch dirs carry over byte-untouched
+        for d in keep:
+            shutil.copytree(
+                os.path.join(leaf_dir, d), os.path.join(tmp, leaf, d)
+            )
     _swap_cell_subtree(path, cid1, tmp)
     return {
         "cid2_leaves": len(leaves),
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def maybe_compact_adaptive_ivf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: int,
+    max_batch_dirs: int = 8,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    exclude_batch_ids: tuple[str, ...] | set[str] = (),
+) -> dict:
+    """Compaction-side twin of maybe_rebalance/maybe_merge: a directory
+    walk (zero data IO) counts batch directories per (cid1, cid2) leaf
+    and compacts exactly the cells with a leaf past ``max_batch_dirs``
+    — the small-file self-heal a long-lived ingest stream needs, fired
+    on the same maintenance cadence as split/merge. Replay-window
+    batches carry over untouched via ``exclude_batch_ids``.
+
+    Returns {"fired": bool, "compacted": [cid1...]}."""
+    path = adaptive_ivf_store_path(sf_dir, k1)
+    pending = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("cid1="):
+            continue
+        cell = os.path.join(path, entry)
+        worst = 0
+        for leaf in os.listdir(cell):
+            if not leaf.startswith("cid2="):
+                continue
+            n = len(
+                [
+                    d
+                    for d in os.listdir(os.path.join(cell, leaf))
+                    if d.startswith("batch_id=")
+                ]
+            )
+            worst = max(worst, n)
+        if worst > max_batch_dirs:
+            pending.append(int(entry.split("=", 1)[1]))
+    for cid in pending:
+        compact_adaptive_ivf_cell(
+            spark,
+            sf_dir,
+            k1,
+            cid,
+            target_bytes=target_bytes,
+            exclude_batch_ids=exclude_batch_ids,
+        )
+    return {"fired": bool(pending), "compacted": pending}

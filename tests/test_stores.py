@@ -1510,3 +1510,81 @@ def test_clustered_mass_fit_store_matches_derived(spark, store_dir):
     for c in sizes:
         n_leaves = len([k for k in leaves if k[0] == c])
         assert (n_leaves > 1) == (c in hot)
+
+
+def test_adaptive_ivf_stream_compaction_selfheal(spark, store_dir, tmp_path):
+    """Compaction closed into the stream loop: with a batch-dir
+    threshold on the maintenance cadence, a long-lived ingest stream
+    self-heals its small files — batch dirs per leaf stay bounded, rows
+    complete — and the replay window is respected: the in-flight batch's
+    directory carries over untouched, so replaying it after compaction
+    is an idempotent overwrite, not a duplication."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-sc"))
+    storage.build_adaptive_ivf_store(spark, d, k1=k1)
+    path = storage.adaptive_ivf_store_path(d, k1)
+    meta = storage.load_adaptive_ivf_meta(d, k1)
+    hot = sorted(meta["level2"])[0]
+    v_hot = [
+        float(x)
+        for x in spark.read.parquet(path)
+        .where(F.col("cid1") == hot)
+        .orderBy("vec_id")
+        .first()["embedding"]
+    ]
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    waves = []
+    for w in range(6):
+        rows = [(910_000 + 10 * w + j, v_hot) for j in range(5)]
+        waves.append(rows)
+        papq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [e for _, e in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(incoming / f"w{w}.parquet"),
+        )
+    q = storage.run_adaptive_ivf_ingest_stream(
+        spark, str(incoming), "vec_id long, embedding array<float>",
+        d, k1, str(tmp_path / "ck"),
+        max_files_per_trigger=1, maintenance_every=1,
+        compact_max_batch_dirs=2,
+    )
+    q.awaitTermination(300)
+    total = spark.read.parquet(path).count()
+    assert total == 2048 + 30  # every wave's rows present exactly once
+    # bounded batch dirs in every leaf of the hot cell (compacted dir +
+    # at most the replay-window batch)
+    cell = os.path.join(path, f"cid1={hot}")
+    for leaf in os.listdir(cell):
+        if not leaf.startswith("cid2="):
+            continue
+        bd = [
+            x
+            for x in os.listdir(os.path.join(cell, leaf))
+            if x.startswith("batch_id=")
+        ]
+        assert len(bd) <= 2, (leaf, bd)
+    log = [
+        json.loads(line)
+        for line in open(os.path.join(path, "_maintenance_log.jsonl"))
+    ]
+    assert any(hot in e.get("compacted", []) for e in log)
+    # replay the LAST batch (the only replayable one): its directory was
+    # excluded from every compaction, so the overwrite is idempotent
+    last = spark.createDataFrame(
+        waves[-1], "vec_id long, embedding array<float>"
+    )
+    storage.update_adaptive_ivf_store(spark, d, last, "stream-5", k1=k1)
+    assert spark.read.parquet(path).count() == total
