@@ -2721,3 +2721,70 @@ def maybe_compact_adaptive_ivf_store(
             exclude_batch_ids=exclude_batch_ids,
         )
     return {"fired": bool(pending), "compacted": pending}
+
+
+def clustered_cf_fit_store_path() -> str:
+    from ..pipeline.clustered import CF_C, CF_N
+
+    return os.path.join(
+        store_root(), f"cf-fit-v{STORE_VERSION}-n{CF_N}-c{CF_C}"
+    )
+
+
+def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the CF (balanced-mixture) fixture's coarse fit and
+    trained-PQ virtual seeds — the shared derivations every
+    clustered_ivfpq_* probe re-runs cold (~6-8 s each, BENCH cold_top).
+    Mirrors the mass-fixture fit store: (vec_id, cl, embedding, cid)
+    rows + meta {cents, pq_vseeds} with exact JSON double round-trip.
+    NOT yet consumed by the registered queries — the r10 driver head was
+    reserved for the staleness tail, so _cf_coarse_fit/_cf_pq_train_fit
+    switch to read-or-compute in r11 (docs/PLANS.md r11 #1); content
+    equality is pytest-pinned now so the switch is a two-line change."""
+    import json as _json
+
+    from ..pipeline.clustered import (
+        CF_C,
+        cf_point,
+        clustered_fixture_frame,
+        _cf_pq_train_fit,
+    )
+    from ..pipeline.clustering import _lloyd_fit_frame
+
+    path = clustered_cf_fit_store_path()
+    if os.path.isdir(path):
+        return path
+    fx = clustered_fixture_frame(spark, sf_dir).persist()
+    seeds = [cf_point(k) for k in range(CF_C)]
+    asg, cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    out = fx.join(asg.select("vec_id", "cid"), "vec_id").select(
+        "vec_id", "cl", "embedding", "cid"
+    )
+    vseeds = _cf_pq_train_fit(spark, sf_dir)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        _json.dump({"cents": cents, "pq_vseeds": vseeds}, f)
+    fx.unpersist()
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_clustered_cf_fit(spark: SparkSession):
+    """(frame, meta) for the materialized CF fit, or (None, None)."""
+    import json as _json
+
+    path = clustered_cf_fit_store_path()
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.isfile(meta_path):
+        return None, None
+    with open(meta_path) as f:
+        blob = _json.load(f)
+    meta = {
+        "cents": [[float(x) for x in c] for c in blob["cents"]],
+        "pq_vseeds": [[float(x) for x in c] for c in blob["pq_vseeds"]],
+    }
+    return spark.read.parquet(path), meta

@@ -1588,3 +1588,25 @@ def test_adaptive_ivf_stream_compaction_selfheal(spark, store_dir, tmp_path):
     )
     storage.update_adaptive_ivf_store(spark, d, last, "stream-5", k1=k1)
     assert spark.read.parquet(path).count() == total
+
+
+def test_clustered_cf_fit_store_matches_derived(spark, store_dir):
+    """The materialized CF-fixture fit equals the live derivation the
+    clustered_ivfpq_* probes run (_cf_coarse_fit + _cf_pq_train_fit) —
+    pinned NOW so the r11 read-or-compute switch is a two-line change
+    with hash-identical query results (docs/PLANS.md r11 #1)."""
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        CF_N,
+        _cf_coarse_fit,
+        _cf_pq_train_fit,
+    )
+
+    storage.build_clustered_cf_fit_store(spark, SF_DIR)
+    stored, meta = storage.read_clustered_cf_fit(spark)
+    assert stored.count() == CF_N
+    _fx, asg, cents = _cf_coarse_fit(spark, SF_DIR)
+    assert meta["cents"] == cents  # exact JSON double round-trip
+    assert {
+        (r["vec_id"], r["cid"]) for r in stored.select("vec_id", "cid").collect()
+    } == {(r["vec_id"], r["cid"]) for r in asg.collect()}
+    assert meta["pq_vseeds"] == _cf_pq_train_fit(spark, SF_DIR)
