@@ -1236,14 +1236,36 @@ def adaptive_ivf_occupancy_from_footers(
 
 
 def _sweep_retired(path: str) -> list[str]:
-    """Remove leftover ``.retired-*`` (and orphaned ``.rebalance-*`` /
-    ``.merge-*`` staging) dirs from a crashed prior swap. The dot
-    prefix keeps them invisible to Spark partition discovery and the
-    footer walk, so a crash leaves the store readable; this sweep is
-    pure hygiene at the start of the next maintenance pass."""
+    """Recover-then-clean leftover swap dirs from a crashed prior
+    maintenance pass. The dot prefix keeps them invisible to Spark
+    partition discovery and the footer walk, so a crash leaves the
+    store readable; this sweep restores the old-or-new promise at the
+    start of the next pass:
+
+    - A ``.retired-cid1=N-*`` whose live ``cid1=N`` is MISSING is the
+      ONLY copy of that cell (crash landed between the two renames of
+      _swap_cell_subtree): it is renamed BACK into place — the swap
+      rolls back to the old state — never deleted.
+    - A ``.retired-*`` whose live cell exists is a completed swap's
+      stranded old copy: deleted (roll forward).
+    - ``.rebalance-*`` / ``.merge-*`` staging is never the only copy
+      (the live cell or its retired copy always holds the data):
+      deleted after any restore."""
     swept = []
-    for entry in os.listdir(path):
-        if entry.startswith((".retired-", ".rebalance-", ".merge-")):
+    entries = sorted(os.listdir(path))
+    for entry in entries:
+        if not entry.startswith(".retired-"):
+            continue
+        # .retired-cid1=N-<uuid> -> live name cid1=N
+        live = entry[len(".retired-"):].rsplit("-", 1)[0]
+        live_dir = os.path.join(path, live)
+        if os.path.isdir(live_dir):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        else:
+            os.rename(os.path.join(path, entry), live_dir)
+        swept.append(entry)
+    for entry in entries:
+        if entry.startswith((".rebalance-", ".merge-")):
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
             swept.append(entry)
     return swept

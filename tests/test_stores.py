@@ -1610,3 +1610,42 @@ def test_clustered_cf_fit_store_matches_derived(spark, store_dir):
         (r["vec_id"], r["cid"]) for r in stored.select("vec_id", "cid").collect()
     } == {(r["vec_id"], r["cid"]) for r in asg.collect()}
     assert meta["pq_vseeds"] == _cf_pq_train_fit(spark, SF_DIR)
+
+
+def test_adaptive_ivf_swap_crash_window_rolls_back(spark, store_dir, tmp_path):
+    """Crash BETWEEN the two renames of a cell swap (the live cell is
+    missing; its .retired-* dir holds the only copy, staging holds the
+    new one): the next maintenance pass must RESTORE the retired copy
+    (old-state rollback), never delete it — and must still drop the
+    staging dir. The old-or-new docstring promise, enforced."""
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-window"))
+    storage.build_adaptive_ivf_store(spark, d, k1=k1)
+    path = storage.adaptive_ivf_store_path(d, k1)
+    total = spark.read.parquet(path).count()
+    cells = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("cid1=")
+    )
+    victim = cells[0]
+    rows_victim = (
+        spark.read.parquet(path).where(F.col("cid1") == victim).count()
+    )
+    # simulate the window-A crash state
+    os.rename(
+        os.path.join(path, f"cid1={victim}"),
+        os.path.join(path, f".retired-cid1={victim}-cafef00d"),
+    )
+    staging = os.path.join(path, f".rebalance-{victim}-deadbeef")
+    os.makedirs(staging)
+    assert spark.read.parquet(path).count() == total - rows_victim
+    swept = storage._sweep_retired(path)
+    assert f".retired-cid1={victim}-cafef00d" in swept
+    assert os.path.isdir(os.path.join(path, f"cid1={victim}"))  # restored
+    assert not os.path.isdir(staging)
+    assert spark.read.parquet(path).count() == total  # nothing lost
+    occ = storage.adaptive_ivf_occupancy_from_footers(d, k1)
+    assert sum(occ.values()) == total
