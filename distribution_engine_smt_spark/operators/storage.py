@@ -2714,6 +2714,7 @@ def maybe_compact_adaptive_ivf_store(
 
     Returns {"fired": bool, "compacted": [cid1...]}."""
     path = adaptive_ivf_store_path(sf_dir, k1)
+    _sweep_retired(path)  # restore-or-clean any crashed prior swap first
     pending = []
     for entry in sorted(os.listdir(path)):
         if not entry.startswith("cid1="):
