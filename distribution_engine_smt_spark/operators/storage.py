@@ -1297,8 +1297,14 @@ def maybe_rebalance_adaptive_ivf_store(
     """The cron-shaped maintenance loop: check occupancy from footers
     (no scan), fire the rebalance only if some unsplit cell crossed the
     hot threshold. Returns {"fired": bool, "newly_hot": [...]} — a
-    no-op check on a healthy store costs a directory walk."""
+    no-op check on a healthy store costs a directory walk.
+
+    Sweeps crash leftovers before reading footers — a mid-swap crash
+    leaves a cell's only copy in a dot-prefixed retired dir the footer
+    walk skips, so thresholds computed pre-sweep would miss that
+    cell's mass (and readers its rows) until some maintenance fired."""
     meta = load_adaptive_ivf_meta(sf_dir, k1)
+    _sweep_retired(adaptive_ivf_store_path(sf_dir, k1))
     sizes = adaptive_ivf_occupancy_from_footers(sf_dir, k1)
     n = sum(sizes.values())
     threshold = meta["hot_factor"] * n / k1
@@ -1319,8 +1325,11 @@ def maybe_merge_adaptive_ivf_store(
     (zero data IO), fire merge_cold_cells only if some SPLIT cell
     drifted to or below ``cold_factor`` x average. The (cold 1.0 /
     hot 1.25) pair is the hysteresis band — see
-    merge_cold_cells_adaptive_ivf_store."""
+    merge_cold_cells_adaptive_ivf_store. Sweeps crash leftovers first,
+    like maybe_rebalance — footer occupancy must include a cell whose
+    only copy a mid-swap crash left in a retired dot-dir."""
     meta = load_adaptive_ivf_meta(sf_dir, k1)
+    _sweep_retired(adaptive_ivf_store_path(sf_dir, k1))
     sizes = adaptive_ivf_occupancy_from_footers(sf_dir, k1)
     n = sum(sizes.values())
     threshold = cold_factor * n / k1
@@ -1522,12 +1531,23 @@ def update_adaptive_ivf_store(
     only on rows routed into hot cells (per-branch filtered selects,
     never k1 x k2 folds; cold-cell rows take cid2 = 0) — and land the
     batch under its own (cid1, cid2, batch_id) leaves with dynamic
-    partition overwrite (at-least-once replay rewrites itself)."""
+    partition overwrite (at-least-once replay rewrites itself).
+
+    Sweeps crash leftovers FIRST: if a prior maintenance pass died
+    between _swap_cell_subtree's two renames, the retired dot-dir is
+    the only copy of that cell. Writing the batch before restoring it
+    would recreate the live ``cid1=N`` with only the batch's rows, and
+    the next sweep would then roll FORWARD (delete the retired copy) —
+    silently dropping the cell's pre-crash rows. Restoring before the
+    write keeps the old-or-new guarantee."""
     import functools
 
     from ..pipeline.clustering import _argmin_case, _dist_to_literal
     from ..session import tracked_persist
 
+    store_path = adaptive_ivf_store_path(sf_dir, k1)
+    if os.path.isdir(store_path):
+        _sweep_retired(store_path)
     meta = load_adaptive_ivf_meta(sf_dir, k1)
     d1 = [_dist_to_literal(F.col("embedding"), c) for c in meta["cents1"]]
     routed = tracked_persist(

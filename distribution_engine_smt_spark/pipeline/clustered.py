@@ -1667,7 +1667,14 @@ def clustered_adaptive_probe_recall_audit(
 
     q = cm_point(0)
     stored, meta = read_clustered_mass_fit(spark)
-    if stored is not None:
+    # The store only carries level-2 fits for HOT cells; if fixture
+    # constants ever route the query into a cold cell, fall through to
+    # the live derivation (which fits level 2 unconditionally) instead
+    # of KeyError-ing — the two paths must degrade identically.
+    if stored is not None and min(
+        range(len(meta["cents1"])),
+        key=lambda i: (_cf_d2(q, meta["cents1"][i]), i),
+    ) in meta["level2"]:
         fx = tracked_persist(stored)
         cents = meta["cents1"]
         cid0 = min(
@@ -1957,8 +1964,15 @@ def clustered_adaptive_merge_audit(
     t_grow = min(sizes, key=lambda c: (sizes[c], c))
     s1 = {c: sz + (w if c == t_grow else 0) for c, sz in sizes.items()}
     merged = {c for c in hot0 if s1[c] * k1 * 100 <= CM_MERGE_PCT * n1}
-    mm = min((CM_MERGE_PCT * n1 - s1[c] * k1 * 100) for c in merged)
-    rg = min((CF_HOT_PCT * n1 - s1[c] * k1 * 100) for c in merged)
+    # default=None mirrors the oracle's MIN() over an empty set (NULL):
+    # a fixture-constant tweak that empties `merged` must degrade to a
+    # hash-comparable NULL row on BOTH engines, not a Python ValueError.
+    mm = min(
+        ((CM_MERGE_PCT * n1 - s1[c] * k1 * 100) for c in merged), default=None
+    )
+    rg = min(
+        ((CF_HOT_PCT * n1 - s1[c] * k1 * 100) for c in merged), default=None
+    )
     return spark.createDataFrame(
         [(k1, n0, n1, len(hot0), len(merged), len(hot0) - len(merged), mm, rg)],
         "k1 int, n_before long, n_after long, n_hot_before long, "

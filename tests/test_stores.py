@@ -1649,3 +1649,86 @@ def test_adaptive_ivf_swap_crash_window_rolls_back(spark, store_dir, tmp_path):
     assert spark.read.parquet(path).count() == total  # nothing lost
     occ = storage.adaptive_ivf_occupancy_from_footers(d, k1)
     assert sum(occ.values()) == total
+
+
+def test_adaptive_ivf_ingest_after_swap_crash_restores_first(
+    spark, store_dir, tmp_path
+):
+    """A batch write landing AFTER a mid-swap crash but BEFORE any
+    maintenance pass must not destroy the crashed cell (ADVICE r10
+    medium): if update_adaptive_ivf_store recreated the live cid1=N
+    with only the batch's rows, the next _sweep_retired would see the
+    live dir present and roll FORWARD — rmtree'ing the retired dir
+    that holds the cell's only pre-crash copy. The ingest path now
+    sweeps (restores) on entry, so the batch lands on top of the
+    restored cell and nothing is lost."""
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-ingest-crash"))
+    storage.build_adaptive_ivf_store(spark, d, k1=k1)
+    path = storage.adaptive_ivf_store_path(d, k1)
+    total = spark.read.parquet(path).count()
+    cells = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("cid1=")
+    )
+    victim = cells[0]
+    # crash window A: live cell gone, retired dot-dir is the only copy
+    os.rename(
+        os.path.join(path, f"cid1={victim}"),
+        os.path.join(path, f".retired-cid1={victim}-0badc0de"),
+    )
+    # the stream restarts and replays a batch straight into ingest
+    from distribution_engine_smt_spark.pipeline.clustered import cm_point
+
+    batch = spark.createDataFrame(
+        [(10_000_000 + i, cm_point(i)) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    storage.update_adaptive_ivf_store(spark, d, batch, "stream-crash", k1=k1)
+    # the retired copy was restored BEFORE the write: no rows lost
+    assert not any(
+        e.startswith(".retired-") for e in os.listdir(path)
+    )
+    assert spark.read.parquet(path).count() == total + 20
+    assert (
+        spark.read.parquet(path)
+        .where((F.col("cid1") == victim) & (F.col("batch_id") != "stream-crash"))
+        .count()
+        > 0
+    )
+
+
+def test_maybe_checks_sweep_crash_leftovers_before_footers(
+    spark, store_dir, tmp_path
+):
+    """maybe_rebalance / maybe_merge read footer occupancy; after a
+    mid-swap crash the victim cell's rows live only in a retired
+    dot-dir the footer walk skips. Both checks must sweep (restore)
+    first so their thresholds see the true occupancy (ADVICE r10 low)."""
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-maybe-crash"))
+    storage.build_adaptive_ivf_store(spark, d, k1=k1)
+    path = storage.adaptive_ivf_store_path(d, k1)
+    total = spark.read.parquet(path).count()
+    cells = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("cid1=")
+    )
+    for fn, victim in (
+        (storage.maybe_rebalance_adaptive_ivf_store, cells[0]),
+        (storage.maybe_merge_adaptive_ivf_store, cells[1]),
+    ):
+        os.rename(
+            os.path.join(path, f"cid1={victim}"),
+            os.path.join(path, f".retired-cid1={victim}-feedface"),
+        )
+        pre = storage.adaptive_ivf_occupancy_from_footers(d, k1)
+        assert sum(pre.values()) < total  # the blind spot, pre-sweep
+        fn(spark, d, k1)
+        assert os.path.isdir(os.path.join(path, f"cid1={victim}"))
+        post = storage.adaptive_ivf_occupancy_from_footers(d, k1)
+        assert sum(post.values()) == total
