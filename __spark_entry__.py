@@ -36,122 +36,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query keeps its oracle and stays hash-checked locally each round
 # regardless of position (tests/test_driver_queries.py).
 _DRIVER_PRIORITY = [
-    # --- r10 head: VERDICT r9 #1 verbatim — "fill the entire r10 head
-    # with the stalest 50; new work goes BEHIND them". In order:
-    # 1) zero driver rows (new this round): the adaptive-lifecycle
-    #    decision rows (VERDICT r9 #5/#6)
-    "adaptive_maintenance_audit",
-    "clustered_adaptive_merge_audit",
-    # 2) the staleness tail, stalest-first: every query whose last green
-    #    driver row is r06 or older — 10 at r03 (the five deferred from
-    #    the r9 head promise lead), 4 at r04, 10 at r05, 19 of 21 at r06.
-    #    Two r06 queries (deterministic_shuffle, source_vocab_overlap —
-    #    age 4 after this round, still inside the bound) defer to the
-    #    r11 head to make room for the round-modified audits below;
-    #    tests/test_local_correctness.py asserts the age bound holds.
-    "discussions_by_promoted",
-    "feed_semijoin",
-    "follow_counts",
-    "latest_event_per_key",
-    "payout_accumulation",
-    "post_with_votes",
-    "reblogged_by_agg",
-    "replies_in_notin",
-    "set_diff_reconcile",
-    "tag_membership",
-    "kmv_distinct",
-    "range_join_events",
-    "sessionize",
-    "tumbling_event_counts",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embedding_dim_stats",
-    "multimodal_frame_sample",
-    "pricing_summary",
-    "regional_revenue",
-    "sampled_quantiles",
-    "token_count_quantiles",
-    "weighted_sample",
-    "zipf_slope",
-    "daily_moving_avg",
-    "events_pivot",
-    "graph_pagerank",
-    "hll_daily_merge",
-    "hll_distinct",
-    "hourly_hll_distinct",
-    "kmv_set_ops",
-    "langid_confusion",
-    "length_histogram",
-    "multimodal_resize",
-    "normalize_text",
-    "pii_redact",
-    "sales_rollup",
-    "segment_region_cube",
-    "shipping_priority",
-    "sliding_event_counts",
-    "top_ngrams",
-    "unigram_perplexity",
-    "url_density",
-    # 3) round-modified (r09-green, re-verified because their
-    #    implementation changed this round — see _ROUND_MODIFIED)
-    "embedding_lsh_recall_audit",
-    "embedding_lsh_multiprobe_recall_audit",
-    "embedding_lsh_flips1_recall_audit",
-    "clustered_adaptive_occupancy_audit",
-    "clustered_adaptive_probe_recall_audit",
+    # --- r11 head: VERDICT r10 #1 — evidence-freshness rotation. In order:
+    # 1) the two r06-green queries deferred from the r10 head (age 5 after
+    #    this round if left outside; tests/test_local_correctness.py
+    #    enforces the <= 4 bound)
+    "deterministic_shuffle",
+    "source_vocab_overlap",
+    # 2) the 24-query r07 cohort (age 4 after this round)
+    "above_nation_avg_balance",
+    "ann_ivf_nprobe_topk",
+    "ann_pq_topk",
+    "ann_query_batch",
+    "ann_sq8_topk",
+    "asof_purchase_attribution",
+    "authorperm_codec",
+    "balanced_sample",
+    "bigram_perplexity",
+    "bloom_membership",
+    "bm25_search",
+    "build_vocab",
+    "chunk_dedup",
+    "chunk_documents",
+    "chunk_excise",
+    "cms_heavy_hitters",
+    "curated_corpus",
+    "curriculum_buckets",
+    "dedup_ngram_jaccard",
+    "dup_inflation",
+    "earliest_event_per_user",
+    "event_funnel",
+    "event_zscore_anomaly",
+    "pq_recall_audit",
+    # 3) fill to 50 from the r08 cohort, stalest-next: the two text-LSH
+    #    recall audits lead because this round rewires them onto the
+    #    materialized ngram pair store (VERDICT r10 #5), then
+    #    alphabetical r08
+    "lsh_recall_audit",
+    "lsh_recall_audit_sampled",
+    "account_history_page",
+    "ann_ivf_kmeans_nprobe",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_sharded_recall_audit",
+    "ann_ivf_sharded_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_pq_trained_topk",
+    "ann_recall_audit",
+    "ann_topk_bruteforce",
+    "blog_union_minjoin",
+    "children_counts",
+    "corpus_datasheet",
 ]
 # multi-round-green AND untouched this round — rotated past the 50-slot
 # cap (regenerated each round so head + this = registry). Every one
 # stays hash-checked locally each round (tests/test_driver_queries.py)
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
-    "above_nation_avg_balance",
-    "account_history_page",
-    "ann_ivf_kmeans_nprobe",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_nprobe_topk",
-    "ann_ivf_sharded_recall_audit",
-    "ann_ivf_sharded_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_batch",
     "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained_topk",
-    "ann_pq_topk",
-    "ann_pq_trained_topk",
-    "ann_query_batch",
-    "ann_recall_audit",
-    "ann_sq8_topk",
-    "ann_topk_bruteforce",
-    "asof_purchase_attribution",
-    "authorperm_codec",
-    "balanced_sample",
-    "bigram_perplexity",
-    "blog_union_minjoin",
-    "bloom_membership",
-    "bm25_search",
-    "build_vocab",
-    "children_counts",
-    "chunk_dedup",
-    "chunk_documents",
-    "chunk_excise",
+    "clustered_adaptive_occupancy_audit",
     "clustered_fixture_stats",
     "clustered_ivf_occupancy_audit",
-    "clustered_ivfpq_residual_recall_audit",
-    "clustered_ivfpq_residual_topk",
-    "clustered_ivfpq_trained_recall_audit",
-    "clustered_ivfpq_trained_topk",
     "clustered_kmeans_agreement_audit",
     "clustered_mass_fixture_stats",
     "clustered_mass_occupancy_audit",
     "clustered_mass_semdedup_audit",
     "clustered_pq_variant_audit",
     "clustered_semdedup_audit",
-    "cms_heavy_hitters",
-    "corpus_datasheet",
     "cross_source_dup_matrix",
-    "curated_corpus",
-    "curriculum_buckets",
+    "daily_moving_avg",
     "decontaminate",
     "dedup_best_representative",
     "dedup_cluster_stats",
@@ -165,51 +119,79 @@ _DRIVER_ROTATE_LAST = [
     "dedup_exact",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "deterministic_shuffle",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
+    "discussions_by_promoted",
     "discussions_by_trending",
     "doc_novelty",
-    "dup_inflation",
-    "earliest_event_per_user",
+    "embedding_dim_stats",
     "embedding_kmeans",
+    "embedding_lsh_flips1_recall_audit",
+    "embedding_lsh_multiprobe_recall_audit",
     "embedding_lsh_planted_recall_audit",
+    "embedding_lsh_recall_audit",
     "embedding_outliers",
-    "event_funnel",
-    "event_zscore_anomaly",
+    "events_pivot",
+    "feed_semijoin",
+    "follow_counts",
+    "graph_pagerank",
     "hard_negatives",
+    "hll_daily_merge",
+    "hll_distinct",
+    "hourly_hll_distinct",
     "index_occupancy_audit",
     "ivfpq_recall_audit",
     "ivfpq_residual_recall_audit",
     "ivfpq_trained_recall_audit",
     "json_double_decode",
     "json_props_sum",
+    "kmv_distinct",
+    "kmv_set_ops",
+    "langid_confusion",
+    "latest_event_per_key",
     "leakage_free_split",
-    "lsh_recall_audit",
-    "lsh_recall_audit_sampled",
+    "length_histogram",
     "minhash_decontaminate",
     "mixture_weights",
     "multimodal_decode",
+    "multimodal_frame_sample",
     "multimodal_metadata_stats",
+    "multimodal_resize",
+    "normalize_text",
     "pack_sequences",
-    "pq_recall_audit",
+    "payout_accumulation",
+    "pii_redact",
+    "post_with_votes",
     "pq_train",
     "pq_trained_recall_audit",
     "prefix_select",
+    "pricing_summary",
     "quality_filter",
     "quantile_error_audit",
+    "range_join_events",
+    "reblogged_by_agg",
     "recent_orders_window",
+    "regional_revenue",
+    "replies_in_notin",
     "reward_curves",
     "rrf_hybrid_search",
+    "sales_rollup",
+    "sampled_quantiles",
     "segment_nation_counts",
+    "segment_region_cube",
     "semdedup",
-    "source_vocab_overlap",
+    "sessionize",
+    "set_diff_reconcile",
+    "shipping_priority",
+    "sliding_event_counts",
     "split_leakage_audit",
     "stratified_sample",
     "substring_dup_spans",
     "supplier_visible_revenue",
+    "tag_membership",
     "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
@@ -218,8 +200,15 @@ _DRIVER_ROTATE_LAST = [
     "tfidf_keywords",
     "thread_tree",
     "time_format_wire",
+    "token_count_quantiles",
     "top_boilerplate_spans",
+    "top_ngrams",
     "trending_tags",
+    "tumbling_event_counts",
+    "unigram_perplexity",
+    "url_density",
+    "weighted_sample",
+    "zipf_slope",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -231,16 +220,29 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r10 (this round): the recall-audit family now reads the
-    # materialized embedding pair store (stored_pairs read-or-compute)
-    # and the two clustered_adaptive audits read the materialized
-    # mass-fixture fit store — execution path changed, results
-    # hash-pinned unchanged, re-verified this round.
-    "embedding_lsh_recall_audit",
-    "embedding_lsh_multiprobe_recall_audit",
-    "embedding_lsh_flips1_recall_audit",
-    "clustered_adaptive_occupancy_audit",
+    # r11 (this round): the adaptive-store maintenance path now sweeps
+    # crash leftovers on entry to ingest and both maybe_* occupancy
+    # checks (ADVICE r10); the merge audit degrades to NULL like its
+    # oracle when no cell crosses the threshold; the probe recall audit
+    # guards the stored-fit branch against cold query cells — execution
+    # paths changed, results hash-pinned unchanged, re-verified this
+    # round.
+    "adaptive_maintenance_audit",
+    "clustered_adaptive_merge_audit",
     "clustered_adaptive_probe_recall_audit",
+    # the four CF-fixture probes now read the materialized fit + code
+    # store (read-or-compute; VERDICT r10 #4) — cold 5.8-7.5 s -> <2 s,
+    # results hash-pinned unchanged
+    "clustered_ivfpq_trained_topk",
+    "clustered_ivfpq_residual_topk",
+    "clustered_ivfpq_trained_recall_audit",
+    "clustered_ivfpq_residual_recall_audit",
+    # the text-LSH recall audits and the exact ngram baseline now read
+    # the materialized pair stores (ngram pair store new this round;
+    # the LSH side reads the existing dedup pair store) — VERDICT r10 #5
+    "lsh_recall_audit",
+    "lsh_recall_audit_sampled",
+    "dedup_ngram_jaccard",
 ]
 
 

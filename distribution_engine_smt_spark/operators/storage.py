@@ -667,7 +667,9 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "pq_codebook": build_pq_codebook_store(spark, sf_dir),
         "sharded_ivf": build_sharded_ivf_store(spark, sf_dir),
         "emb_pairs": build_embedding_pair_store(spark, sf_dir),
+        "ngram_pairs": build_ngram_pair_store(spark, sf_dir),
         "cmass_fit": build_clustered_mass_fit_store(spark, sf_dir),
+        "cf_fit": build_clustered_cf_fit_store(spark, sf_dir),
     }
 
 
@@ -2497,6 +2499,81 @@ def read_embedding_pairs(
 
 
 # ---------------------------------------------------------------------------
+# ngram (text) pair store: the exact Jaccard baseline the text-LSH recall
+# audits replay. The embedding cosine baseline got its store in r10
+# (stored_pairs); this is the text twin (VERDICT r10 #5) — lsh_recall_audit
+# / lsh_recall_audit_sampled re-derived dedup_ngram_jaccard's capped
+# posting self-join cold (~6.9 s each, BENCH_r10 cold_top).
+# ---------------------------------------------------------------------------
+
+NGRAM_PAIR_VARIANTS = ("full", "sampled")
+
+
+def ngram_pair_store_path(sf_dir: str) -> str:
+    from ..pipeline.dedup import JACCARD_THRESHOLD, SHINGLE_DF_CAP
+
+    fp = _sf_fingerprint(sf_dir, ("documents.parquet",))
+    params = f"t{int(JACCARD_THRESHOLD * 100)}-cap{SHINGLE_DF_CAP}"
+    return os.path.join(
+        store_root(), f"ngram-pairs-v{STORE_VERSION}-{params}-{fp}"
+    )
+
+
+def build_ngram_pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (d1, d2, jaccard) for the exact ngram-Jaccard baseline,
+    full and probe-sampled, partitioned by ``variant`` — the
+    embedding-pair-store discipline: the builders ARE the registered
+    query functions (run with the store absent), so content is byte-equal
+    to the live derivation and every consumer's DuckDB oracle — which
+    still derives from scratch — keeps hash-checking the store."""
+    path = ngram_pair_store_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    import functools
+
+    from ..pipeline.dedup import dedup_ngram_jaccard, jaccard_pairs_sampled
+
+    builders = {
+        "full": dedup_ngram_jaccard,
+        "sampled": jaccard_pairs_sampled,
+    }
+    frames = [
+        builders[v](spark, sf_dir)
+        .select("d1", "d2", "jaccard")
+        .withColumn("variant", F.lit(v))
+        for v in NGRAM_PAIR_VARIANTS
+    ]
+    union = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        union.repartition("variant")
+        .write.mode("overwrite")
+        .partitionBy("variant")
+        .parquet(tmp)
+    )
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_ngram_pairs(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> DataFrame | None:
+    """Partition-pruned read of one ngram-pair variant, or None when no
+    store exists (callers fall back to deriving live)."""
+    path = ngram_pair_store_path(sf_dir)
+    if not os.path.isdir(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("variant") == variant)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # clustered mass-fixture adaptive fit store: the level-1 Lloyd fit and the
 # hot-cell level-2 fits the clustered_adaptive_* audits replay. The fits
 # are deterministic functions of the fixture constants; the two audits
@@ -2769,21 +2846,31 @@ def maybe_compact_adaptive_ivf_store(
 def clustered_cf_fit_store_path() -> str:
     from ..pipeline.clustered import CF_C, CF_N
 
+    # l2 layout: fit/ + codes-trained/ + codes-residual/ subtrees (the
+    # r10 l1 store held only the fit rows at the root)
     return os.path.join(
-        store_root(), f"cf-fit-v{STORE_VERSION}-n{CF_N}-c{CF_C}"
+        store_root(), f"cf-fit-v{STORE_VERSION}l2-n{CF_N}-c{CF_C}"
     )
 
 
 def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the CF (balanced-mixture) fixture's coarse fit and
-    trained-PQ virtual seeds — the shared derivations every
-    clustered_ivfpq_* probe re-runs cold (~6-8 s each, BENCH cold_top).
-    Mirrors the mass-fixture fit store: (vec_id, cl, embedding, cid)
-    rows + meta {cents, pq_vseeds} with exact JSON double round-trip.
-    NOT yet consumed by the registered queries — the r10 driver head was
-    reserved for the staleness tail, so _cf_coarse_fit/_cf_pq_train_fit
-    switch to read-or-compute in r11 (docs/PLANS.md r11 #1); content
-    equality is pytest-pinned now so the switch is a two-line change."""
+    """Materialize the CF (balanced-mixture) fixture's coarse fit,
+    trained-PQ virtual seeds, AND both encoded code tables — everything
+    the clustered_ivfpq_* probes re-derived cold (~6-8 s each, BENCH_r10
+    cold_top; VERDICT r10 #4). Layout::
+
+        fit/             (vec_id, cl, embedding, cid)
+        codes-trained/   (vec_id, cid, c0..c{S-1})   encoded vs pq_vseeds
+        codes-residual/  (vec_id, cid, c0..c{S-1})   encoded vs pq_rseeds
+        _meta.json       {cents, pq_vseeds, pq_rseeds}
+
+    Meta floats round-trip exactly (json double round-trip, the
+    kmeans-fit-store discipline), so store-read LUTs equal live-derived
+    ones bit-for-bit; content equality of every table vs the live
+    derivation is pinned by test_clustered_cf_fit_store_matches_derived.
+    The codes matter as much as the fit: on a 2k-row fixture the cold
+    cost is PLANNING the S x K encode expressions, and a real deployment
+    encodes once at ingest (the pq_codes_frame discipline)."""
     import json as _json
 
     from ..pipeline.clustered import (
@@ -2791,8 +2878,10 @@ def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
         cf_point,
         clustered_fixture_frame,
         _cf_pq_train_fit,
+        _cf_residual_parts,
     )
     from ..pipeline.clustering import _lloyd_fit_frame
+    from ..pipeline.similarity import pq_encode
 
     path = clustered_cf_fit_store_path()
     if os.path.isdir(path):
@@ -2804,20 +2893,33 @@ def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
         "vec_id", "cl", "embedding", "cid"
     )
     vseeds = _cf_pq_train_fit(spark, sf_dir)
+    trained = pq_encode(fx.select("vec_id", "embedding"), vseeds).join(
+        asg.select("vec_id", "cid"), "vec_id"
+    )
+    resid, rseeds = _cf_residual_parts(spark, fx, asg, cents)
+    residual = pq_encode(resid, rseeds, keep=("cid",))
     os.makedirs(store_root(), exist_ok=True)
     tmp = os.path.join(
         store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
     )
-    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    out.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "fit"))
+    trained.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codes-trained")
+    )
+    residual.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codes-residual")
+    )
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
-        _json.dump({"cents": cents, "pq_vseeds": vseeds}, f)
+        _json.dump(
+            {"cents": cents, "pq_vseeds": vseeds, "pq_rseeds": rseeds}, f
+        )
     fx.unpersist()
     _atomic_publish(tmp, path)
     return path
 
 
 def read_clustered_cf_fit(spark: SparkSession):
-    """(frame, meta) for the materialized CF fit, or (None, None)."""
+    """(fit frame, meta) for the materialized CF fit, or (None, None)."""
     import json as _json
 
     path = clustered_cf_fit_store_path()
@@ -2829,5 +2931,15 @@ def read_clustered_cf_fit(spark: SparkSession):
     meta = {
         "cents": [[float(x) for x in c] for c in blob["cents"]],
         "pq_vseeds": [[float(x) for x in c] for c in blob["pq_vseeds"]],
+        "pq_rseeds": [[float(x) for x in c] for c in blob["pq_rseeds"]],
     }
-    return spark.read.parquet(path), meta
+    return spark.read.parquet(os.path.join(path, "fit")), meta
+
+
+def read_clustered_cf_codes(spark: SparkSession, variant: str):
+    """The materialized (vec_id, cid, c0..c{S-1}) code table for
+    ``variant`` in {"trained", "residual"}, or None when unbuilt."""
+    path = os.path.join(clustered_cf_fit_store_path(), f"codes-{variant}")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)

@@ -679,9 +679,23 @@ def _cf_coarse_fit(spark: SparkSession, sf_dir: str):
     exact fit clustered_kmeans_agreement_audit proved recovers the
     generative cells (agreement 1.0). The probes below route and
     residual-encode against THESE fitted centroids (means of members),
-    not the generative centers — the end-to-end trained pipeline."""
+    not the generative centers — the end-to-end trained pipeline.
+
+    Reads the materialized fit store when built (read-or-compute, the
+    mass-fixture discipline: VERDICT r10 #4) — content equality vs the
+    live derivation is pinned by
+    test_clustered_cf_fit_store_matches_derived, and every oracle
+    re-derives from scratch, keeping the store hash-checked."""
+    from ..operators.storage import read_clustered_cf_fit
     from .clustering import _lloyd_fit_frame
 
+    stored, meta = read_clustered_cf_fit(spark)
+    if stored is not None:
+        return (
+            stored.select("vec_id", "cl", "embedding"),
+            stored.select("vec_id", "cid"),
+            meta["cents"],
+        )
     fx = clustered_fixture_frame(spark, sf_dir)
     seeds = [cf_point(k) for k in range(CF_C)]
     asg, cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
@@ -694,10 +708,15 @@ def _cf_pq_train_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     shared _assigned_slices kernel, returning trained virtual-seed
     vectors. No module cache — the callers are @memoize_df queries, so
     the fit runs once per session and release_caches keeps bench cold
-    numbers honest."""
+    numbers honest. Reads the fit store's pq_vseeds when built (exact
+    JSON double round-trip; oracles re-derive from scratch)."""
+    from ..operators.storage import read_clustered_cf_fit
     from .clustering import _dec
     from .pq import PQT_ITERS, _assigned_slices
 
+    _stored, _meta = read_clustered_cf_fit(spark)
+    if _meta is not None:
+        return [list(c) for c in _meta["pq_vseeds"]]
     fx = clustered_fixture_frame(spark, sf_dir).select("vec_id", "embedding")
     vseeds = [cf_point(k) for k in range(PQ_K)]
     for _ in range(PQT_ITERS - 1):
@@ -726,6 +745,44 @@ def _cf_pq_train_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             for i in range(PQ_DSUB):
                 vseeds[r["code"]][o + i] = r[f"c{i + 1}"]
     return vseeds
+
+
+def _cf_residual_parts(
+    spark: SparkSession, fx: DataFrame, asg: DataFrame, cents: list[list[float]]
+):
+    """(residual frame, residual-seeded codebooks) — the shared residual
+    derivation of clustered_ivfpq_residual_topk and the fit-store build
+    (both must encode against the SAME rseeds or codes aren't
+    comparable). Residuals are x − centroid(cell); seeds are the first
+    PQ_K fixture vectors re-expressed as residuals of THEIR cells."""
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, cents[i]) for i in range(len(cents))],
+            "cid int, cent array<double>",
+        )
+    )
+    resid = (
+        fx.select("vec_id", "embedding")
+        .join(asg.select("vec_id", "cid"), "vec_id")
+        .join(cdf, "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(
+                "embedding", "cent", lambda x, y: x.cast("double") - y
+            ).alias("embedding"),
+        )
+    )
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in asg.filter(F.col("vec_id") < PQ_K).collect()  # 8 rows
+    }
+    seeds = [cf_point(k) for k in range(PQ_K)]
+    rseeds = [
+        [seeds[k][j] - cents[cid_of[k]][j] for j in range(DIM)]
+        for k in range(PQ_K)
+    ]
+    return resid, rseeds
 
 
 def _cf_d2(q_vec: list[float], c: list[float]) -> float:
@@ -788,6 +845,7 @@ def clustered_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     below reads 1.0 at the identical budget and cut. The pair is the
     end-to-end, cell-pruned version of clustered_pq_variant_audit's
     rank-level statement (residual 0.64 vs plain 0.23 at cut 50)."""
+    from ..operators.storage import read_clustered_cf_codes
     from .clustering import NPROBE
 
     fx, asg, cents = _cf_coarse_fit(spark, sf_dir)
@@ -797,9 +855,14 @@ def clustered_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = sorted(range(len(cents)), key=lambda i: (_cf_d2(q_vec, cents[i]), i))[
         :NPROBE
     ]
-    codes = pq_encode(fx.select("vec_id", "embedding"), vseeds).join(
-        asg.select("vec_id", "cid"), "vec_id"
-    )
+    # codes are store-read when built: planning the S x K encode
+    # expressions dominates this 2k-row fixture's cold time, and a real
+    # deployment encodes once at ingest (the pq_codes_frame discipline)
+    codes = read_clustered_cf_codes(spark, "trained")
+    if codes is None:
+        codes = pq_encode(fx.select("vec_id", "embedding"), vseeds).join(
+            asg.select("vec_id", "cid"), "vec_id"
+        )
     lut = pq_query_lut(vseeds, q_vec)
     cand = tracked_persist(
         codes.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
@@ -829,6 +892,7 @@ def clustered_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     production composition of ann_ivfpq_residual_topk, on data where
     cells capture real structure. Read with
     clustered_ivfpq_residual_recall_audit vs the trained twin's audit."""
+    from ..operators.storage import read_clustered_cf_codes, read_clustered_cf_fit
     from .clustering import NPROBE
 
     fx, asg, cents = _cf_coarse_fit(spark, sf_dir)
@@ -837,36 +901,20 @@ def clustered_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     sel = sorted(range(len(cents)), key=lambda i: (_cf_d2(q_vec, cents[i]), i))[
         :NPROBE
     ]
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(i, cents[i]) for i in range(len(cents))],
-            "cid int, cent array<double>",
+    # residual codes + rseeds are store-read when built (same planning
+    # economics as the trained twin; rseeds round-trip exactly via JSON)
+    stored_codes = read_clustered_cf_codes(spark, "residual")
+    if stored_codes is not None:
+        _f, _meta = read_clustered_cf_fit(spark)
+        rseeds = _meta["pq_rseeds"]
+        codes = stored_codes.where(
+            F.col("cid").isin(sel) & (F.col("vec_id") != 0)
         )
-    )
-    resid = (
-        fx.select("vec_id", "embedding")
-        .join(asg.select("vec_id", "cid"), "vec_id")
-        .join(cdf, "cid")
-        .select(
-            "vec_id",
-            "cid",
-            F.zip_with(
-                "embedding", "cent", lambda x, y: x.cast("double") - y
-            ).alias("embedding"),
+    else:
+        resid, rseeds = _cf_residual_parts(spark, fx, asg, cents)
+        codes = pq_encode(resid, rseeds, keep=("cid",)).where(
+            F.col("cid").isin(sel) & (F.col("vec_id") != 0)
         )
-    )
-    cid_of = {
-        r["vec_id"]: r["cid"]
-        for r in asg.filter(F.col("vec_id") < PQ_K).collect()  # 8 rows
-    }
-    seeds = [cf_point(k) for k in range(PQ_K)]
-    rseeds = [
-        [seeds[k][j] - cents[cid_of[k]][j] for j in range(DIM)]
-        for k in range(PQ_K)
-    ]
-    codes = pq_encode(resid, rseeds, keep=("cid",)).where(
-        F.col("cid").isin(sel) & (F.col("vec_id") != 0)
-    )
     luts = {
         c: pq_query_lut(rseeds, [q_vec[j] - cents[c][j] for j in range(DIM)])
         for c in sel
@@ -906,7 +954,17 @@ def _cf_recall_audit_sql(probe_sql: str) -> str:
 def _cf_recall_audit_frame(
     spark: SparkSession, sf_dir: str, probe: DataFrame
 ) -> DataFrame:
-    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    # the exact-cosine baseline reads the stored fit rows when built
+    # (same vectors; equality pinned by the fit-store test) instead of
+    # re-generating the fixture — the oracle still derives from scratch
+    from ..operators.storage import read_clustered_cf_fit
+
+    _stored, _ = read_clustered_cf_fit(spark)
+    fx = tracked_persist(
+        _stored.select("vec_id", "cl", "embedding")
+        if _stored is not None
+        else clustered_fixture_frame(spark, sf_dir)
+    )
     q = fx.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )

@@ -190,7 +190,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs Jaccard via the inverted shingle index. The join key is the
     shingle, so only docs sharing a shingle ever meet — still quadratic in
     the worst case (hot shingles); the LSH variant below is the scale path.
-    """
+
+    Reads the materialized pair store when built (read-or-compute, the
+    embedding-pair discipline: VERDICT r10 #5) — the capped self-join is
+    a one-time baseline build, and the recall audits that replay this
+    set become a partition-pruned parquet read. The oracle re-derives
+    from scratch, keeping the store hash-checked."""
+    from ..operators import storage as _storage
+
+    stored = _storage.read_ngram_pairs(spark, sf_dir, "full")
+    if stored is not None:
+        return tracked_persist(stored)
     return _jaccard_pairs_impl(spark, sf_dir)
 
 
@@ -211,7 +221,12 @@ def jaccard_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact baseline restricted to the deterministic probe sample —
     memoized like the full baseline so repeated audit actions re-read the
     persisted pair set instead of re-running the (already p-scaled)
-    posting self-join."""
+    posting self-join. Store-read when built, like the full baseline."""
+    from ..operators import storage as _storage
+
+    stored = _storage.read_ngram_pairs(spark, sf_dir, "sampled")
+    if stored is not None:
+        return tracked_persist(stored)
     return _jaccard_pairs_impl(spark, sf_dir, d1_pred=audit_sample_pred)
 
 

@@ -1590,26 +1590,56 @@ def test_adaptive_ivf_stream_compaction_selfheal(spark, store_dir, tmp_path):
     assert spark.read.parquet(path).count() == total
 
 
-def test_clustered_cf_fit_store_matches_derived(spark, store_dir):
-    """The materialized CF-fixture fit equals the live derivation the
-    clustered_ivfpq_* probes run (_cf_coarse_fit + _cf_pq_train_fit) —
-    pinned NOW so the r11 read-or-compute switch is a two-line change
-    with hash-identical query results (docs/PLANS.md r11 #1)."""
+def test_clustered_cf_fit_store_matches_derived(spark, store_dir, monkeypatch):
+    """Every table of the materialized CF-fixture store (fit, trained
+    codes, residual codes, meta) equals the live derivation the
+    clustered_ivfpq_* probes run when no store exists — so the
+    read-or-compute switch is hash-invisible to the driver's oracle
+    compare (VERDICT r10 #4)."""
     from distribution_engine_smt_spark.pipeline.clustered import (
         CF_N,
         _cf_coarse_fit,
         _cf_pq_train_fit,
+        _cf_residual_parts,
     )
+    from distribution_engine_smt_spark.pipeline.similarity import pq_encode
 
     storage.build_clustered_cf_fit_store(spark, SF_DIR)
     stored, meta = storage.read_clustered_cf_fit(spark)
     assert stored.count() == CF_N
-    _fx, asg, cents = _cf_coarse_fit(spark, SF_DIR)
+
+    # live derivation: force the no-store path by pointing the store
+    # root elsewhere (the consumers are read-or-compute on this path)
+    with_store = storage.clustered_cf_fit_store_path()
+    assert os.path.isdir(with_store)
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(store_dir) + "-empty")
+    fx, asg, cents = _cf_coarse_fit(spark, SF_DIR)
     assert meta["cents"] == cents  # exact JSON double round-trip
     assert {
         (r["vec_id"], r["cid"]) for r in stored.select("vec_id", "cid").collect()
     } == {(r["vec_id"], r["cid"]) for r in asg.collect()}
-    assert meta["pq_vseeds"] == _cf_pq_train_fit(spark, SF_DIR)
+    vseeds = _cf_pq_train_fit(spark, SF_DIR)
+    assert meta["pq_vseeds"] == vseeds
+    resid, rseeds = _cf_residual_parts(spark, fx, asg, cents)
+    assert meta["pq_rseeds"] == rseeds
+
+    def code_set(df):
+        cols = sorted(c for c in df.columns if c.startswith("c") and c != "cid")
+        return {
+            tuple(r[c] for c in ["vec_id", "cid", *cols]) for r in df.collect()
+        }
+
+    live_trained = pq_encode(fx.select("vec_id", "embedding"), vseeds).join(
+        asg.select("vec_id", "cid"), "vec_id"
+    )
+    live_residual = pq_encode(resid, rseeds, keep=("cid",))
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", os.path.dirname(with_store))
+    assert code_set(storage.read_clustered_cf_codes(spark, "trained")) == code_set(
+        live_trained
+    )
+    assert code_set(
+        storage.read_clustered_cf_codes(spark, "residual")
+    ) == code_set(live_residual)
 
 
 def test_adaptive_ivf_swap_crash_window_rolls_back(spark, store_dir, tmp_path):
@@ -1732,3 +1762,47 @@ def test_maybe_checks_sweep_crash_leftovers_before_footers(
         assert os.path.isdir(os.path.join(path, f"cid1={victim}"))
         post = storage.adaptive_ivf_occupancy_from_footers(d, k1)
         assert sum(post.values()) == total
+
+
+def test_ngram_pair_store_matches_derived(spark, store_dir, monkeypatch):
+    """Both ngram-pair variants (full, probe-sampled) equal the live
+    capped posting self-join — so the store-read dedup_ngram_jaccard /
+    jaccard_pairs_sampled are hash-invisible to the driver's oracle
+    compare (VERDICT r10 #5), and the reads are partition-pruned."""
+    from distribution_engine_smt_spark.pipeline.dedup import (
+        dedup_ngram_jaccard,
+        jaccard_pairs_sampled,
+    )
+
+    storage.build_ngram_pair_store(spark, SF_DIR)
+    with_store = storage.ngram_pair_store_path(SF_DIR)
+    assert os.path.isdir(with_store)
+
+    def pairs(df):
+        return sorted(
+            (r["d1"], r["d2"], r["jaccard"]) for r in df.collect()
+        )
+
+    stored_full = pairs(storage.read_ngram_pairs(spark, SF_DIR, "full"))
+    stored_sampled = pairs(storage.read_ngram_pairs(spark, SF_DIR, "sampled"))
+    assert stored_full, "sf0.001 yields no jaccard pairs; test is vacuous"
+    # live derivation: force the no-store path (memoize is keyed per
+    # session+args, so call the impl through fresh store-less env)
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(store_dir) + "-none")
+    from distribution_engine_smt_spark.pipeline.dedup import (
+        _jaccard_pairs_impl,
+        audit_sample_pred,
+    )
+
+    assert stored_full == pairs(_jaccard_pairs_impl(spark, SF_DIR))
+    assert stored_sampled == pairs(
+        _jaccard_pairs_impl(spark, SF_DIR, d1_pred=audit_sample_pred)
+    )
+    # sampled is the full set filtered on the probe predicate over d1
+    import hashlib
+
+    def in_sample(doc_id):
+        h = hashlib.md5(f"smp:{doc_id}".encode()).hexdigest()
+        return h[0] in ("0", "1")
+
+    assert stored_sampled == [t for t in stored_full if in_sample(t[0])]
