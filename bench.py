@@ -165,6 +165,60 @@ def regression_gate(warm: dict[str, float], cal_factor: float) -> dict[str, floa
     return dict(sorted(out.items(), key=lambda kv: -kv[1]))
 
 
+def confirm_regressions(
+    provisional: dict[str, float],
+    recheck: dict[str, dict[str, float]] | None,
+) -> dict[str, float]:
+    """Separate "plan regressed" from "machine hiccuped" (VERDICT r10
+    #2): BENCH_r10 flagged two byte-unchanged plans at 2.0-2.3x because
+    ONE calibration factor covered a 4-minute suite on a machine whose
+    speed drifted 2.09 -> 1.86 within the run. A provisional flag is
+    only RECORDED if the query breaches again in its own re-measure
+    window — best-of-3 warm runs normalized by a calibration pass taken
+    adjacent in time (per-window calibration, so drift between the
+    suite's start and this query's slot cancels). A query flagged
+    provisionally but clean on re-measure was a hiccup; both sets land
+    in the detail artifact so the distinction is readable."""
+    if not provisional:
+        return {}
+    if recheck is None:
+        return dict(provisional)
+    out = {}
+    for name, first_ratio in provisional.items():
+        rc = recheck.get(name)
+        if rc is None:
+            out[name] = first_ratio
+            continue
+        pinned = R1_PER_QUERY[name]
+        cal_factor = min(max(rc["cal"] / CAL_PINNED_SEC, 0.5), 4.0)
+        norm = rc["warm"] / cal_factor
+        if norm > REGRESSION_RATIO * pinned and norm - pinned > REGRESSION_FLOOR_SEC:
+            out[name] = round(norm / pinned, 2)
+    return dict(sorted(out.items(), key=lambda kv: -kv[1]))
+
+
+def remeasure_flagged(spark, sf_dir: str, flagged) -> dict[str, dict[str, float]]:
+    """Re-measure each provisionally-flagged query in its own window:
+    one adjacent single-pass calibration (the machine's speed NOW, not
+    minutes ago), one unbilled warm-up execution, then best-of-3 timed
+    runs. Best-of-N is the right statistic for confirmation: scheduler
+    jitter only ever inflates a wall time, so the minimum is the
+    tightest unbiased view of the plan's true cost."""
+    out: dict[str, dict[str, float]] = {}
+    for name in flagged:
+        fn = driver_queries.QUERIES[name]
+        cal = calibration_run(spark)
+        fn(spark, sf_dir).count()  # warm-up, not billed
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        release_caches(spark)
+        out[name] = {"warm": round(min(runs), 4), "cal": round(cal, 4)}
+    return out
+
+
 def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     """Drive the 5 hottest read endpoints end-to-end through
     ``QueryServer.handle_json`` (VERDICT r9 #7): the wire path — param
@@ -261,6 +315,7 @@ def summarize(
     store_build_sec: float,
     calibration_sec: float = CAL_PINNED_SEC,
     endpoints: dict | None = None,
+    recheck: dict[str, dict[str, float]] | None = None,
 ) -> tuple[dict, dict]:
     """Build the (detail, summary) report dicts. ``warm`` drives the
     totals (steady-state latency is the round-over-round comparable);
@@ -279,7 +334,8 @@ def summarize(
     # out, the reported number — both raw and normalized are emitted)
     cal_factor = min(max(calibration_sec / CAL_PINNED_SEC, 0.5), 4.0)
     r01_norm = round(r01_subset / cal_factor, 4)
-    regressions = regression_gate(warm, cal_factor)
+    provisional = regression_gate(warm, cal_factor)
+    regressions = confirm_regressions(provisional, recheck)
     detail = {
         "metric": "query_suite_wall_seconds_detail",
         "value": total,
@@ -291,6 +347,8 @@ def summarize(
         "r01_subset_sec": r01_subset,
         "r01_subset_normalized_sec": r01_norm,
         "regressions": regressions,
+        "regressions_provisional": provisional,
+        "regression_recheck": recheck or {},
         "calibration_sec": calibration_sec,
         "calibration_pinned_sec": CAL_PINNED_SEC,
         "store_build_sec": store_build_sec,
@@ -378,6 +436,18 @@ def main() -> None:
     cal_after = calibrate(spark)
     calibration_sec = round(statistics.median([cal_before, cal_after]), 4)
 
+    # re-measure any provisionally-flagged query in its own window
+    # (adjacent calibration + best-of-3) BEFORE recording a regression —
+    # a suite-wide calibration factor can't tell a drifting machine from
+    # a regressed plan (VERDICT r10 #2)
+    cal_factor = min(max(calibration_sec / CAL_PINNED_SEC, 0.5), 4.0)
+    provisional = regression_gate(warm, cal_factor)
+    recheck = (
+        remeasure_flagged(spark, sf_dir, list(provisional))
+        if provisional
+        else {}
+    )
+
     # serving-layer wire path, timed after the query loop so its state
     # derivation doesn't share cache warmth with any query's runs
     endpoints = bench_endpoints(spark, sf_dir)
@@ -387,7 +457,7 @@ def main() -> None:
     sf_val = float(sf) if sf else sf_dir
     detail, summary = summarize(
         warm, cold, spreads, sf_val, store_build_sec, calibration_sec,
-        endpoints=endpoints,
+        endpoints=endpoints, recheck=recheck,
     )
     detail["calibration_before_sec"] = cal_before
     detail["calibration_after_sec"] = cal_after

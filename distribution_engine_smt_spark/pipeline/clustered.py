@@ -1153,7 +1153,18 @@ def clustered_mass_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered_fixture_frame generation shape (explode-per-coordinate,
     ordered-collect assembly, everything in codegen) with the
     trailing-zeros component map and the 'cm' noise namespace."""
-    base = spark.range(CF_N).select(
+    return clustered_mass_corpus_frame(spark, CF_N)
+
+
+def clustered_mass_corpus_frame(spark: SparkSession, n: int) -> DataFrame:
+    """The mass-imbalance mixture at an arbitrary corpus size ``n`` —
+    the trailing-zeros component map is SCALE-FREE (component
+    proportions are independent of n), so growing n keeps the halving
+    ladder's category imbalance intact with fresh per-row noise. This
+    is how the scale probe feeds the adaptive store genuinely skewed
+    data at 30x+ (VERDICT r10 #3) instead of the near-uniform driver
+    corpus whose hot-cell count is structurally zero."""
+    base = spark.range(n).select(
         F.col("id").alias("vec_id"), _cm_cl_col(F.col("id")).alias("cl")
     )
     coords = base.select(

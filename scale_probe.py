@@ -1085,6 +1085,79 @@ def main_flagship(mult: int = 30) -> None:
             ROOT, "no-stores-flagship"
         )
 
+        # skewed regime (VERDICT r10 #3): the driver corpus is
+        # near-uniform, so the adaptive machinery above never fires
+        # (n_hot_cells = 0 — itself a finding, kept). Feed it the
+        # mass-imbalance halving ladder grown to mult x CF_N rows (the
+        # trailing-zeros component map is scale-free, so category
+        # proportions hold with fresh per-row noise) at the MATCHED
+        # width k1 = CF_C — real corpora skew by category mass, and a
+        # perfectly-sized index still goes hot. This is where the
+        # split actually fires at scale and the flat-vs-adaptive
+        # cand/probe gap gets a measured >= mult x point.
+        from distribution_engine_smt_spark.pipeline.clustered import (
+            CF_C,
+            CF_N,
+            clustered_mass_corpus_frame,
+            cm_point,
+        )
+        from distribution_engine_smt_spark.tables import TPCH_TABLES
+
+        adaptive_skewed: dict[str, dict] = {}
+        q_vec = cm_point(0)
+        for m in (1, mult):
+            corpus = os.path.join(ROOT, f"skewed-flagship-x{m}")
+            shutil.rmtree(corpus, ignore_errors=True)
+            os.makedirs(corpus)
+            (
+                clustered_mass_corpus_frame(spark, m * CF_N)
+                .select(
+                    "vec_id",
+                    F.col("embedding").cast("array<float>").alias("embedding"),
+                )
+                .coalesce(max(1, m // 4))
+                .write.mode("overwrite")
+                .parquet(os.path.join(corpus, "embeddings.parquet"))
+            )
+            for name in TPCH_TABLES:
+                if name != "embeddings":
+                    dst = os.path.join(corpus, f"{name}.parquet")
+                    if not os.path.exists(dst):
+                        os.symlink(
+                            os.path.join(BASE, f"{name}.parquet"), dst
+                        )
+            root = os.path.join(ROOT, f"stores-flagship-skewed-x{m}")
+            shutil.rmtree(root, ignore_errors=True)
+            os.environ["SPARK_GRAFT_STORE_DIR"] = root
+            release_caches(spark)
+            t0 = time.perf_counter()
+            _st.build_adaptive_ivf_store(spark, corpus, k1=CF_C)
+            build_sec = round(time.perf_counter() - t0, 4)
+            meta = _st.load_adaptive_ivf_meta(corpus, CF_C)
+            _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=CF_C).collect()
+            t0 = time.perf_counter()
+            _st.probe_adaptive_ivf(spark, corpus, q_vec, k1=CF_C).collect()
+            flat = meta["cand_per_probe_flat"]
+            adp = meta["cand_per_probe_adaptive"]
+            adaptive_skewed[str(m)] = {
+                "k1": CF_C,
+                "n": m * CF_N,
+                "n_hot_cells": len(meta["hot_cells"]),
+                "cand_per_probe_flat": flat,
+                "cand_per_probe_adaptive": adp,
+                "mitigation_ratio": round(flat / max(adp, 1e-9), 2),
+                "build_sec": build_sec,
+                "probe_warm_sec": round(time.perf_counter() - t0, 4),
+            }
+            print(
+                json.dumps(
+                    {"flagship_adaptive_skewed": m, **adaptive_skewed[str(m)]}
+                )
+            )
+        os.environ["SPARK_GRAFT_STORE_DIR"] = os.path.join(
+            ROOT, "no-stores-flagship"
+        )
+
         # rung verdicts: did each ladder cross a rung between 1x and multx,
         # and did the economics hold (cand-per-probe ~flat / probe bounded)?
         n1 = load_tpch(spark, dirs[1])["embeddings"].count()
@@ -1111,6 +1184,7 @@ def main_flagship(mult: int = 30) -> None:
             "queries": queries,
             "candidates_per_probe": cands,
             "adaptive_store": adaptive,
+            "adaptive_store_skewed": adaptive_skewed,
             "ladder_rungs": rungs,
         }
         with open(report_path, "w") as f:

@@ -156,3 +156,45 @@ def test_r01_subset_names_still_registered():
     assert not missing, f"r01 anchor queries missing from registry: {missing}"
     watch_missing = sorted(set(bench.WATCH) - set(QUERIES))
     assert not watch_missing, f"watchlist names not registered: {watch_missing}"
+
+
+def test_regression_recheck_separates_hiccup_from_plan():
+    """VERDICT r10 #2: a provisional flag is only RECORDED if the query
+    breaches again in its own re-measure window (best-of-3 + adjacent
+    calibration). BENCH_r10 flagged two byte-unchanged plans because one
+    calibration factor covered a drifting 4-minute suite."""
+    pinned = bench.R1_PER_QUERY["trending_tags"]
+    provisional = {"trending_tags": 2.3}
+    # machine hiccup: the re-measure window reads a clean time
+    clean_rc = {"trending_tags": {"warm": 1.1 * pinned, "cal": bench.CAL_PINNED_SEC}}
+    assert bench.confirm_regressions(provisional, clean_rc) == {}
+    # true regression: the re-measure still breaches -> recorded at the
+    # re-measured ratio (the confirmation is the number of record)
+    bad_rc = {"trending_tags": {"warm": 2.5 * pinned, "cal": bench.CAL_PINNED_SEC}}
+    assert bench.confirm_regressions(provisional, bad_rc) == {"trending_tags": 2.5}
+    # the re-measure window normalizes by ITS OWN calibration: a 2x-slow
+    # window with a raw 2.5x reading normalizes to 1.25x -> clean
+    slow_rc = {"trending_tags": {"warm": 2.5 * pinned, "cal": 2 * bench.CAL_PINNED_SEC}}
+    assert bench.confirm_regressions(provisional, slow_rc) == {}
+    # a flagged query that somehow got no recheck entry stays flagged
+    # (fail shut, never silently dropped)
+    assert bench.confirm_regressions(provisional, {}) == provisional
+    # no recheck pass at all (recheck=None): provisional IS the record
+    assert bench.confirm_regressions(provisional, None) == provisional
+    assert bench.confirm_regressions({}, None) == {}
+
+
+def test_summarize_records_provisional_and_recheck_in_detail():
+    """The detail artifact must separate "plan regressed" from "machine
+    hiccuped": provisional flags and their re-measure windows are both
+    recorded even when the final regressions map is empty."""
+    pinned = bench.R1_PER_QUERY["trending_tags"]
+    warm = {"trending_tags": 2.4 * pinned}
+    rc = {"trending_tags": {"warm": 1.0 * pinned, "cal": bench.CAL_PINNED_SEC}}
+    detail, summary = bench.summarize(
+        warm, dict(warm), {}, 0.1, 0.0, bench.CAL_PINNED_SEC, recheck=rc
+    )
+    assert summary["regressions"] == {}
+    assert detail["regressions"] == {}
+    assert detail["regressions_provisional"] == {"trending_tags": 2.4}
+    assert detail["regression_recheck"] == rc
