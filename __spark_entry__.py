@@ -83,10 +83,6 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "ann_pq_trained_topk",
-    "ann_recall_audit",
-    "ann_topk_bruteforce",
-    "blog_union_minjoin",
-    "children_counts",
     "corpus_datasheet",
 ]
 # multi-round-green AND untouched this round — rotated past the 50-slot
@@ -95,6 +91,10 @@ _DRIVER_PRIORITY = [
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
     "ann_ivfpq_residual_topk",
+    "ann_recall_audit",
+    "ann_topk_bruteforce",
+    "blog_union_minjoin",
+    "children_counts",
     "clustered_adaptive_occupancy_audit",
     "clustered_fixture_stats",
     "clustered_ivf_occupancy_audit",
@@ -104,6 +104,7 @@ _DRIVER_ROTATE_LAST = [
     "clustered_mass_semdedup_audit",
     "clustered_pq_variant_audit",
     "clustered_semdedup_audit",
+    "corpus_datasheet",
     "cross_source_dup_matrix",
     "daily_moving_avg",
     "decontaminate",
@@ -243,6 +244,10 @@ _ROUND_MODIFIED = [
     "lsh_recall_audit",
     "lsh_recall_audit_sampled",
     "dedup_ngram_jaccard",
+    # NEW this round (zero driver rows -> head by policy): the served
+    # nprobe2 recall-knob variants on the adaptive store (VERDICT r10 #7)
+    "clustered_adaptive_topk_p1",
+    "clustered_adaptive_topk_p2",
 ]
 
 

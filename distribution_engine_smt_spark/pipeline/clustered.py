@@ -1635,6 +1635,65 @@ def clustered_mass_semdedup_audit(
 # ---------------------------------------------------------------------------
 
 
+def _cm_query_cell_fit(spark: SparkSession, sf_dir: str):
+    """(fixture frame, query-cell members (vec_id, cid2), level-2
+    centroids) for the mass fixture's query-nearest level-1 cell — the
+    shared derivation of the probe recall audit AND the served
+    clustered_adaptive_topk_* variants (both must route through the
+    same fits or recall numbers and served results diverge). Reads the
+    materialized fit store when built; the store only carries level-2
+    fits for HOT cells, so a cold query cell falls through to the live
+    derivation (which fits level 2 unconditionally) instead of
+    KeyError-ing — the two paths must degrade identically."""
+    from ..operators.storage import read_clustered_mass_fit
+    from .clustering import _lloyd_fit_frame
+    from .params import ivf_cells_for
+
+    q = cm_point(0)
+    stored, meta = read_clustered_mass_fit(spark)
+    if stored is not None and min(
+        range(len(meta["cents1"])),
+        key=lambda i: (_cf_d2(q, meta["cents1"][i]), i),
+    ) in meta["level2"]:
+        fx = tracked_persist(stored)
+        cents = meta["cents1"]
+        cid0 = min(
+            range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i)
+        )
+        cents2 = meta["level2"][cid0]
+        members = tracked_persist(
+            fx.filter(
+                (F.col("cid") == cid0) & (F.col("vec_id") != 0)
+            ).select("vec_id", "cid2")
+        )
+    else:
+        fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
+        emb = fx.select("vec_id", "embedding")
+        asg, cents = _lloyd_fit_frame(
+            emb, [cm_point(k) for k in range(CF_C)]
+        )
+        asg = tracked_persist(asg)
+        cid0 = min(
+            range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i)
+        )
+        sz = asg.filter(F.col("cid") == cid0).count()
+        cell = emb.join(
+            asg.filter(F.col("cid") == cid0).select("vec_id"), "vec_id"
+        )
+        k2 = ivf_cells_for(sz)
+        seeds2 = [
+            [float(x) for x in r["embedding"]]
+            for r in cell.orderBy("vec_id").limit(k2).collect()
+        ]
+        asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
+        members = tracked_persist(
+            asg2.filter(F.col("vec_id") != 0).select(
+                "vec_id", F.col("cid").alias("cid2")
+            )
+        )
+    return fx, members, cents2
+
+
 def _cm_probe_recall_sql() -> str:
     from .clustering import _dist_sql, _fit_ctes
 
@@ -1730,56 +1789,8 @@ def clustered_adaptive_probe_recall_audit(
     materialized fit store when built (same read-or-compute discipline
     as the occupancy audit; the oracle re-derives everything from
     scratch, keeping the store hash-checked)."""
-    from ..operators.storage import read_clustered_mass_fit
-    from .clustering import _lloyd_fit_frame
-    from .params import ivf_cells_for
-
+    fx, members, cents2 = _cm_query_cell_fit(spark, sf_dir)
     q = cm_point(0)
-    stored, meta = read_clustered_mass_fit(spark)
-    # The store only carries level-2 fits for HOT cells; if fixture
-    # constants ever route the query into a cold cell, fall through to
-    # the live derivation (which fits level 2 unconditionally) instead
-    # of KeyError-ing — the two paths must degrade identically.
-    if stored is not None and min(
-        range(len(meta["cents1"])),
-        key=lambda i: (_cf_d2(q, meta["cents1"][i]), i),
-    ) in meta["level2"]:
-        fx = tracked_persist(stored)
-        cents = meta["cents1"]
-        cid0 = min(
-            range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i)
-        )
-        cents2 = meta["level2"][cid0]
-        members = tracked_persist(
-            fx.filter(
-                (F.col("cid") == cid0) & (F.col("vec_id") != 0)
-            ).select("vec_id", "cid2")
-        )
-    else:
-        fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
-        emb = fx.select("vec_id", "embedding")
-        asg, cents = _lloyd_fit_frame(
-            emb, [cm_point(k) for k in range(CF_C)]
-        )
-        asg = tracked_persist(asg)
-        cid0 = min(
-            range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i)
-        )
-        sz = asg.filter(F.col("cid") == cid0).count()
-        cell = emb.join(
-            asg.filter(F.col("cid") == cid0).select("vec_id"), "vec_id"
-        )
-        k2 = ivf_cells_for(sz)
-        seeds2 = [
-            [float(x) for x in r["embedding"]]
-            for r in cell.orderBy("vec_id").limit(k2).collect()
-        ]
-        asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
-        members = tracked_persist(
-            asg2.filter(F.col("vec_id") != 0).select(
-                "vec_id", F.col("cid").alias("cid2")
-            )
-        )
     order2 = sorted(range(len(cents2)), key=lambda i: (_cf_d2(q, cents2[i]), i))
     sel1, sel2 = order2[:1], order2[:2]
 
@@ -1827,6 +1838,93 @@ def clustered_adaptive_probe_recall_audit(
     return (
         k2df.crossJoin(pair(sel1, "p1")).crossJoin(pair(sel2, "p2")).crossJoin(full)
     )
+
+
+def _cm_adaptive_topk_sql(nprobe2: int) -> str:
+    from .clustering import _dist_sql, _fit_ctes
+
+    cells = ",\n    ".join(_cm_cell_fit_ctes(c) for c in range(CF_C))
+    l2c = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cid1, cid, c FROM h{c}c1v" for c in range(CF_C)
+    )
+    l2g = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cid1, vec_id, cid AS cid2 FROM h{c}g2"
+        for c in range(CF_C)
+    )
+    return f"""
+    WITH {_CMX_CTES},
+    embeddings AS (SELECT vec_id, embedding FROM cmx),
+    {_fit_ctes(CF_C)},
+    g2m AS MATERIALIZED (SELECT vec_id, embedding, cid FROM g2),
+    szc AS MATERIALIZED (SELECT cid, count(*) AS n FROM g2m GROUP BY cid),
+    {cells},
+    qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+           FROM cmx WHERE vec_id = 0),
+    qd1 AS (
+      SELECT c.cid, {_dist_sql('qv.q', 'c.c')} AS d FROM c1v c, qv
+    ),
+    qc AS (SELECT cid FROM qd1 ORDER BY d ASC, cid ASC LIMIT 1),
+    l2c AS MATERIALIZED (
+      {l2c}
+    ),
+    l2g AS MATERIALIZED (
+      {l2g}
+    ),
+    qd2 AS (
+      SELECT l.cid AS cid2, {_dist_sql('qv.q', 'l.c')} AS d
+      FROM l2c l JOIN qc ON l.cid1 = qc.cid, qv
+    ),
+    sel AS (SELECT cid2 FROM qd2 ORDER BY d ASC, cid2 ASC LIMIT {nprobe2}),
+    members AS (
+      SELECT g.vec_id FROM l2g g JOIN qc ON g.cid1 = qc.cid
+      WHERE g.vec_id <> 0 AND g.cid2 IN (SELECT cid2 FROM sel)
+    )
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'qv.q')} AS cos
+    FROM cmx e JOIN members m ON e.vec_id = m.vec_id, qv
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT {CF_TOP}
+    """
+
+
+def _cm_adaptive_topk(
+    spark: SparkSession, sf_dir: str, nprobe2: int
+) -> DataFrame:
+    fx, members, cents2 = _cm_query_cell_fit(spark, sf_dir)
+    q = cm_point(0)
+    sel = sorted(
+        range(len(cents2)), key=lambda i: (_cf_d2(q, cents2[i]), i)
+    )[:nprobe2]
+    cand = members.filter(F.col("cid2").isin(sel)).select("vec_id")
+    return _cf_rerank(fx, cand)
+
+
+@register("clustered_adaptive_topk_p1", _cm_adaptive_topk_sql(1))
+@memoize_df
+def clustered_adaptive_topk_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED result at the cheap end of the adaptive store's
+    level-2 recall knob (VERDICT r10 #7): route the fixture query
+    through the stored two-level fit, scan nprobe2 = 1 leaf of the hot
+    routed cell, exact-cosine rerank — the query a latency-first caller
+    runs. clustered_adaptive_probe_recall_audit prices this exact
+    width (recall 0.8 at ~1/4 the dominant cell's scan); the p2 twin
+    below is the recall-first setting. Together with the audit row the
+    recall/cost curve is readable off CORRECTNESS like the RHP flips
+    family. Same plan family as probe_adaptive_ivf(nprobe2=1) —
+    partition-pruned leaf read + rerank — replayed on the fixture fits
+    so DuckDB can re-derive it from scratch."""
+    return _cm_adaptive_topk(spark, sf_dir, 1)
+
+
+@register("clustered_adaptive_topk_p2", _cm_adaptive_topk_sql(2))
+@memoize_df
+def clustered_adaptive_topk_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-first twin of clustered_adaptive_topk_p1: nprobe2 = 2
+    leaves of the hot routed cell (measured recall 1.0 at half the
+    cell's scan — the audit's width-2 point). The pair prices the
+    nprobe2 runtime knob end-to-end: same routing, one more leaf in the
+    PartitionFilters, strictly more candidates into the same rerank."""
+    return _cm_adaptive_topk(spark, sf_dir, 2)
+
 
 
 # ---------------------------------------------------------------------------
