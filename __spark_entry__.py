@@ -82,7 +82,6 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_batch",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
-    "ann_pq_trained_topk",
     "corpus_datasheet",
 ]
 # multi-round-green AND untouched this round — rotated past the 50-slot
@@ -91,6 +90,7 @@ _DRIVER_PRIORITY = [
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
     "ann_ivfpq_residual_topk",
+    "ann_pq_trained_topk",
     "ann_recall_audit",
     "ann_topk_bruteforce",
     "blog_union_minjoin",
@@ -248,6 +248,9 @@ _ROUND_MODIFIED = [
     # nprobe2 recall-knob variants on the adaptive store (VERDICT r10 #7)
     "clustered_adaptive_topk_p1",
     "clustered_adaptive_topk_p2",
+    # NEW: IVF-PQ served through the adaptive hot-split layout — the
+    # compressed-scan twin of the p2 variant (VERDICT r10 #6)
+    "clustered_adaptive_ivfpq_topk",
 ]
 
 

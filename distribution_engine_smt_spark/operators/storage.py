@@ -1027,6 +1027,149 @@ def build_adaptive_ivf_store(
     return path
 
 
+def adaptive_ivfpq_code_store_path(
+    sf_dir: str, k1: int, hot_factor: float = ADAPTIVE_HOT_FACTOR
+) -> str:
+    from ..pipeline.similarity import PQ_K, PQ_S
+
+    fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
+    return os.path.join(
+        store_root(),
+        f"adaptive-ivfpq-codes-v{STORE_VERSION}-k{k1}"
+        f"-h{int(hot_factor * 100)}-s{PQ_S}k{PQ_K}-{fp}",
+    )
+
+
+def build_adaptive_ivfpq_code_store(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: int | None = None,
+    hot_factor: float = ADAPTIVE_HOT_FACTOR,
+) -> str:
+    """The ADC twin of the adaptive vector store (VERDICT r10 #6): the
+    ADC scan skews exactly like the float scan — a hot cell's code list
+    is as oversized as its vector list — but the flat cid-partitioned
+    code store split nothing, so one dominant category made every probe
+    of that cell read the whole oversized list. PQ codes now land in
+    the SAME (cid1, cid2, batch_id) hot-split layout as the vectors:
+    encoding is one map-only pass over the adaptive store's own rows
+    (routing is inherited by construction, never re-derived, so the
+    code leaves can't disagree with the vector leaves), and a probe's
+    nprobe2 leaf selection prunes the ADC read the same way it prunes
+    the float read. Cold cells keep (cid1, 0) and pay nothing."""
+    from ..pipeline.similarity import pq_encode, pq_seed_vectors
+    from ..pipeline.params import corpus_count, ivf_cells_for
+
+    if k1 is None:
+        k1 = ivf_cells_for(corpus_count(spark, sf_dir, "embeddings"))
+    path = adaptive_ivfpq_code_store_path(sf_dir, k1, hot_factor)
+    if os.path.isdir(path):
+        return path
+    build_adaptive_ivf_store(spark, sf_dir, k1=k1, hot_factor=hot_factor)
+    vec = spark.read.parquet(adaptive_ivf_store_path(sf_dir, k1, hot_factor))
+    codes = pq_encode(
+        vec, pq_seed_vectors(spark, sf_dir), keep=("cid1", "cid2", "batch_id")
+    )
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        codes.repartition("cid1", "cid2")
+        .write.mode("overwrite")
+        .partitionBy("cid1", "cid2", "batch_id")
+        .parquet(tmp)
+    )
+    _atomic_publish(tmp, path)
+    return path
+
+
+def probe_adaptive_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    q_vec: list[float],
+    k1: int,
+    nprobe: int = 2,
+    nprobe2: int = 1,
+    cand: int = 50,
+    top: int = 10,
+) -> DataFrame:
+    """Serve a top-k query off the adaptive CODE store: the same
+    driver-side two-level routing as probe_adaptive_ivf selects the
+    leaves, the ADC scan reads ONLY those leaves' PQ_S-byte code rows
+    (PartitionFilters — pinned by test_adaptive_ivfpq_probe_prunes),
+    the best ``cand`` ADC candidates rerank exactly against the vector
+    store's SAME leaves. Per probed hot cell the read is
+    ~nprobe2/k2 of the cell's codes — the two prunings (cell, leaf)
+    multiply, and both apply to the compressed table."""
+    from ..pipeline.similarity import pq_query_lut, pq_adc_col, pq_seed_vectors
+
+    meta = load_adaptive_ivf_meta(sf_dir, k1)
+
+    def d2(c):
+        acc = 0.0
+        for x, y in zip(q_vec, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cents1 = meta["cents1"]
+    sel1 = sorted(range(len(cents1)), key=lambda i: (d2(cents1[i]), i))[:nprobe]
+    leaves = []
+    for c1 in sel1:
+        if c1 in meta["level2"]:
+            cents2 = meta["level2"][c1]
+            order = sorted(
+                range(len(cents2)), key=lambda i: (d2(cents2[i]), i)
+            )
+            for c2 in order[:nprobe2]:
+                leaves.append((c1, c2))
+        else:
+            leaves.append((c1, 0))
+    cond = None
+    for c1, c2 in leaves:
+        leaf = (F.col("cid1") == c1) & (F.col("cid2") == c2)
+        cond = leaf if cond is None else cond | leaf
+    codes = spark.read.parquet(
+        adaptive_ivfpq_code_store_path(sf_dir, k1)
+    ).where(cond)
+    lut = pq_query_lut(pq_seed_vectors(spark, sf_dir), q_vec)
+    shortlist = (
+        codes.select("vec_id", pq_adc_col(lut).alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(cand)
+    )
+    vec = spark.read.parquet(
+        adaptive_ivf_store_path(sf_dir, k1)
+    ).where(cond)
+    qn = math.sqrt(sum(x * x for x in q_vec))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(float(x)) for x in q_vec]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        vec.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .select("vec_id", (dot / (norm * F.lit(qn))).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(top)
+    )
+
+
 def load_adaptive_ivf_meta(
     sf_dir: str, k1: int, hot_factor: float = ADAPTIVE_HOT_FACTOR
 ):

@@ -1927,6 +1927,116 @@ def clustered_adaptive_topk_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _cm_adaptive_ivfpq_sql() -> str:
+    from .clustering import _dist_sql, _fit_ctes
+    from .similarity import (
+        _pq_adc_sql,
+        _pq_code_cols_sql,
+        _pq_cw_list_sql,
+        _pq_dist_lists_sql,
+        _pq_lut_cols_sql,
+        _pq_seeds_sql,
+    )
+
+    cells = ",\n    ".join(_cm_cell_fit_ctes(c) for c in range(CF_C))
+    l2c = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cid1, cid, c FROM h{c}c1v" for c in range(CF_C)
+    )
+    l2g = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cid1, vec_id, cid AS cid2 FROM h{c}g2"
+        for c in range(CF_C)
+    )
+    return f"""
+    WITH {_CMX_CTES},
+    embeddings AS (SELECT vec_id, embedding FROM cmx),
+    {_fit_ctes(CF_C)},
+    g2m AS MATERIALIZED (SELECT vec_id, embedding, cid FROM g2),
+    szc AS MATERIALIZED (SELECT cid, count(*) AS n FROM g2m GROUP BY cid),
+    {cells},
+    qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+           FROM cmx WHERE vec_id = 0),
+    qd1 AS (
+      SELECT c.cid, {_dist_sql('qv.q', 'c.c')} AS d FROM c1v c, qv
+    ),
+    qc AS (SELECT cid FROM qd1 ORDER BY d ASC, cid ASC LIMIT 1),
+    l2c AS MATERIALIZED (
+      {l2c}
+    ),
+    l2g AS MATERIALIZED (
+      {l2g}
+    ),
+    qd2 AS (
+      SELECT l.cid AS cid2, {_dist_sql('qv.q', 'l.c')} AS d
+      FROM l2c l JOIN qc ON l.cid1 = qc.cid, qv
+    ),
+    sel AS (SELECT cid2 FROM qd2 ORDER BY d ASC, cid2 ASC LIMIT 2),
+    members AS (
+      SELECT g.vec_id FROM l2g g JOIN qc ON g.cid1 = qc.cid
+      WHERE g.vec_id <> 0 AND g.cid2 IN (SELECT cid2 FROM sel)
+    ),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    lut AS (SELECT {_pq_lut_cols_sql()} FROM q, {_pq_seeds_sql()}),
+    cws AS (SELECT {_pq_cw_list_sql()} AS cw FROM {_pq_seeds_sql()}),
+    codes AS (
+      SELECT vec_id, {_pq_code_cols_sql()}
+      FROM (
+        SELECT e.vec_id, {_pq_dist_lists_sql()}
+        FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, cws
+      ) dl
+    ),
+    cand AS (
+      SELECT vec_id, {_pq_adc_sql()} AS approx
+      FROM codes, lut
+      ORDER BY approx ASC, vec_id ASC
+      LIMIT {CF_IVFPQ_CAND}
+    )
+    SELECT c.vec_id, {_cos_sql('emb.embedding', 'q.q_emb')} AS cos
+    FROM cand c JOIN embeddings emb ON emb.vec_id = c.vec_id
+    CROSS JOIN q
+    ORDER BY cos DESC, c.vec_id ASC
+    LIMIT {CF_TOP}
+    """
+
+
+@register("clustered_adaptive_ivfpq_topk", _cm_adaptive_ivfpq_sql())
+@memoize_df
+def clustered_adaptive_ivfpq_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ served THROUGH the adaptive hot-split layout (VERDICT r10
+    #6, end-to-end row): route the mass fixture's query to its (hot,
+    split) level-1 cell, select the nprobe2 = 2 nearest level-2 leaves,
+    ADC-rank ONLY those leaves' seeded PQ codes, exact-rerank the
+    CF_IVFPQ_CAND survivors. The compressed-scan twin of
+    clustered_adaptive_topk_p2: same routing, same scanned member set,
+    but the scan reads PQ_S-byte codes instead of float vectors — the
+    layout build_adaptive_ivfpq_code_store materializes, replayed on
+    the fixture fits so DuckDB re-derives everything from scratch."""
+    from .similarity import pq_adc_col, pq_encode, pq_query_lut
+
+    fx, members, cents2 = _cm_query_cell_fit(spark, sf_dir)
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in fx.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    ]
+    q_vec = seeds[0]  # vec_id 0 doubles as the query vector
+    sel = sorted(
+        range(len(cents2)), key=lambda i: (_cf_d2(q_vec, cents2[i]), i)
+    )[:2]
+    scanned = members.filter(F.col("cid2").isin(sel)).select("vec_id")
+    codes = pq_encode(
+        fx.select("vec_id", "embedding").join(scanned, "vec_id"), seeds
+    )
+    lut = pq_query_lut(seeds, q_vec)
+    cand = (
+        codes.select("vec_id", pq_adc_col(lut).alias("approx"))
+        .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
+        .limit(CF_IVFPQ_CAND)
+    )
+    return _cf_rerank(fx, cand)
+
+
+
 # ---------------------------------------------------------------------------
 # does the trained quantizer RECOVER the generative structure?
 # ---------------------------------------------------------------------------

@@ -1806,3 +1806,114 @@ def test_ngram_pair_store_matches_derived(spark, store_dir, monkeypatch):
         return h[0] in ("0", "1")
 
     assert stored_sampled == [t for t in stored_full if in_sample(t[0])]
+
+
+def test_adaptive_ivfpq_code_store_mirrors_vector_layout(
+    spark, store_dir, tmp_path
+):
+    """The adaptive CODE store's (cid1, cid2) leaf set equals the
+    vector store's (routing inherited by construction), hot cells are
+    split in BOTH, and every leaf's code rows are the same vec_ids as
+    its vector rows (VERDICT r10 #6)."""
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-codes"))
+    storage.build_adaptive_ivfpq_code_store(spark, d, k1=k1)
+    vpath = storage.adaptive_ivf_store_path(d, k1)
+    cpath = storage.adaptive_ivfpq_code_store_path(d, k1)
+    meta = storage.load_adaptive_ivf_meta(d, k1)
+    assert meta["hot_cells"], "fixture must split at least one cell"
+    vec = spark.read.parquet(vpath)
+    codes = spark.read.parquet(cpath)
+    vleaves = {
+        (r["cid1"], r["cid2"])
+        for r in vec.select("cid1", "cid2").distinct().collect()
+    }
+    cleaves = {
+        (r["cid1"], r["cid2"])
+        for r in codes.select("cid1", "cid2").distinct().collect()
+    }
+    assert vleaves == cleaves
+    assert any(c2 > 0 for _, c2 in cleaves)  # hot cells actually split
+    per_leaf_v = {
+        (r["cid1"], r["cid2"]): r["n"]
+        for r in vec.groupBy("cid1", "cid2").count().withColumnRenamed("count", "n").collect()
+    }
+    per_leaf_c = {
+        (r["cid1"], r["cid2"]): r["n"]
+        for r in codes.groupBy("cid1", "cid2").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_leaf_v == per_leaf_c
+
+
+def test_adaptive_ivfpq_probe_prunes_and_ranks(spark, store_dir, tmp_path):
+    """probe_adaptive_ivfpq reads ONLY the routed leaves (the leaf
+    predicate must reach the code scan as a PartitionFilter) and its
+    top-k equals the exact cosine order over the same leaves' members
+    restricted to its ADC shortlist."""
+    from distribution_engine_smt_spark.pipeline.clustered import cm_point
+
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-codes-probe"))
+    storage.build_adaptive_ivfpq_code_store(spark, d, k1=k1)
+    q = cm_point(0)
+    out = storage.probe_adaptive_ivfpq(spark, d, q, k1=k1, nprobe=2, nprobe2=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    parts = [seg.split("]", 1)[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    # both scans (codes for ADC, vectors for rerank) are leaf-pruned
+    assert len(parts) >= 2 and all("cid1" in p and "cid2" in p for p in parts), plan
+    rows = out.collect()
+    assert len(rows) == 10
+    # rerank order is exact cosine: strictly non-increasing
+    cos = [r["cos"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    # with the ADC cut wider than the scanned leaves, the shortlist is
+    # every scanned row and the probe MUST equal exact cosine top-10
+    # over those leaves — python-recomputed here, independent of the
+    # probe's own rerank expressions
+    import math as _math
+
+    wide = storage.probe_adaptive_ivfpq(
+        spark, d, q, k1=k1, nprobe=2, nprobe2=2, cand=10**6
+    )
+    got = [(r["vec_id"], r["cos"]) for r in wide.collect()]
+    meta = storage.load_adaptive_ivf_meta(d, k1)
+
+    def d2(c):
+        return sum((x - y) * (x - y) for x, y in zip(q, c))
+
+    sel1 = sorted(range(k1), key=lambda i: (d2(meta["cents1"][i]), i))[:2]
+    leaves = []
+    for c1 in sel1:
+        if c1 in meta["level2"]:
+            c2s = meta["level2"][c1]
+            order = sorted(range(len(c2s)), key=lambda i: (d2(c2s[i]), i))
+            leaves += [(c1, c2) for c2 in order[:2]]
+        else:
+            leaves.append((c1, 0))
+    vec = spark.read.parquet(storage.adaptive_ivf_store_path(d, k1))
+    members = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in vec.collect()
+        if (r["cid1"], r["cid2"]) in set(leaves)
+    ]
+    qn = _math.sqrt(sum(x * x for x in q))
+    ref = sorted(
+        (
+            (
+                vid,
+                sum(a * b for a, b in zip(v, q))
+                / (_math.sqrt(sum(a * a for a in v)) * qn),
+            )
+            for vid, v in members
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [v for v, _ in got] == [v for v, _ in ref]
+    # widening the knob widens the SCAN: width-2 reads strictly more
+    # code rows than width-1 in the split hot cell
+    codes = spark.read.parquet(storage.adaptive_ivfpq_code_store_path(d, k1))
+    n1 = codes.where(
+        (codes["cid1"] == sel1[0]) & (codes["cid2"] == leaves[0][1])
+    ).count()
+    ncell = codes.where(codes["cid1"] == sel1[0]).count()
+    assert 0 < n1 < ncell
