@@ -81,7 +81,6 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "ann_ivfpq_batch",
     "ann_ivfpq_topk",
-    "ann_ivfpq_trained_topk",
     "corpus_datasheet",
 ]
 # multi-round-green AND untouched this round — rotated past the 50-slot
@@ -90,6 +89,7 @@ _DRIVER_PRIORITY = [
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
     "ann_ivfpq_residual_topk",
+    "ann_ivfpq_trained_topk",
     "ann_pq_trained_topk",
     "ann_recall_audit",
     "ann_topk_bruteforce",
@@ -251,6 +251,9 @@ _ROUND_MODIFIED = [
     # NEW: IVF-PQ served through the adaptive hot-split layout — the
     # compressed-scan twin of the p2 variant (VERDICT r10 #6)
     "clustered_adaptive_ivfpq_topk",
+    # NEW: adaptive-leaf pair-blocking audit — the measured answer to
+    # "is the split the right SemDeDup blocking key" (VERDICT r10 #8)
+    "clustered_adaptive_semdedup_audit",
 ]
 
 
