@@ -79,7 +79,6 @@ _DRIVER_PRIORITY = [
     "ann_ivf_sharded_recall_audit",
     "ann_ivf_sharded_topk",
     "ann_ivf_topk",
-    "ann_ivfpq_batch",
     "ann_ivfpq_topk",
     "corpus_datasheet",
 ]
@@ -88,6 +87,7 @@ _DRIVER_PRIORITY = [
 # stays hash-checked locally each round (tests/test_driver_queries.py)
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
+    "ann_ivfpq_batch",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_trained_topk",
     "ann_pq_trained_topk",
@@ -254,6 +254,9 @@ _ROUND_MODIFIED = [
     # NEW: adaptive-leaf pair-blocking audit — the measured answer to
     # "is the split the right SemDeDup blocking key" (VERDICT r10 #8)
     "clustered_adaptive_semdedup_audit",
+    # NEW: the width-2 bracket of the pair-blocking trade (recall 0.90
+    # but pair work above the unsplit baseline at ladder k2)
+    "clustered_adaptive_semdedup_w2_audit",
 ]
 
 

@@ -1782,6 +1782,240 @@ def clustered_adaptive_semdedup_audit(
 
 
 
+def _cm_adaptive_sem_w2_sql() -> str:
+    from .clustering import _dist_sql, _fit_ctes
+
+    cells = ",\n    ".join(_cm_cell_fit_ctes(c) for c in range(CF_C))
+    d = _dist_sql("e.embedding", "s.c")
+    w2 = "\n      UNION ALL ".join(
+        f"""SELECT {c} AS cid, vec_id, cid2 FROM (
+        SELECT e.vec_id, s.cid AS cid2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d} ASC, s.cid ASC) AS rk
+        FROM h{c}g1 e, h{c}c1v s
+      ) WHERE rk <= 2"""
+        for c in range(CF_C)
+    )
+    return f"""
+    WITH {_CMX_CTES},
+    embeddings AS (SELECT vec_id, embedding FROM cmx),
+    {_fit_ctes(CF_C)},
+    g2m AS MATERIALIZED (SELECT vec_id, embedding, cid FROM g2),
+    szc AS MATERIALIZED (SELECT cid, count(*) AS n FROM g2m GROUP BY cid),
+    {cells},
+    hotw2 AS MATERIALIZED (
+      {w2}
+    ),
+    asgw AS MATERIALIZED (
+      SELECT cid, vec_id, cid2 FROM hotw2
+      UNION ALL
+      SELECT g.cid, g.vec_id, 0 AS cid2 FROM g2m g
+      WHERE g.cid NOT IN (SELECT DISTINCT cid FROM hotw2)
+    ),
+    lsz AS (SELECT cid, cid2, count(*) AS n FROM asgw GROUP BY cid, cid2),
+    csz AS (SELECT cl, count(*) AS n FROM cmx GROUP BY cl),
+    bp AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cmx a JOIN cmx b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {CF_SEM_COS}
+    ),
+    hit AS (
+      SELECT DISTINCT bp.id_a, bp.id_b FROM bp
+      JOIN asgw la ON bp.id_a = la.vec_id
+      JOIN asgw lb ON bp.id_b = lb.vec_id
+       AND la.cid = lb.cid AND la.cid2 = lb.cid2
+    )
+    SELECT
+      CAST((SELECT sum(n * (n - 1) / 2) FROM csz) AS BIGINT)
+        AS blocked_pairs_cl,
+      CAST((SELECT sum(n * (n - 1) / 2) FROM lsz) AS BIGINT)
+        AS blocked_pairs_w2,
+      CAST((SELECT max(n * (n - 1) / 2) FROM lsz) AS BIGINT)
+        AS max_leaf_pairs_w2,
+      round((SELECT sum(n * (n - 1) / 2) FROM csz)::DOUBLE
+            / (SELECT sum(n * (n - 1) / 2) FROM lsz), 6)
+        AS pair_work_ratio,
+      CAST((SELECT count(*) FROM bp) AS BIGINT) AS n_dup_pairs,
+      CAST((SELECT count(*) FROM bp) - (SELECT count(*) FROM hit) AS BIGINT)
+        AS missed_dup_pairs,
+      round((SELECT count(*) FROM hit)::DOUBLE
+            / (SELECT count(*) FROM bp), 6) AS pair_recall
+    """
+
+
+@register("clustered_adaptive_semdedup_w2_audit", _cm_adaptive_sem_w2_sql())
+@memoize_df
+def clustered_adaptive_semdedup_w2_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leaf-WIDENED pair blocking — the buy-back knob for the recall
+    clustered_adaptive_semdedup_audit showed the plain split loses
+    (pair recall 0.34): every hot-cell member is assigned to its TWO
+    nearest level-2 cells (the pair analog of the probe's nprobe2 —
+    multi-assignment at index time instead of multi-probe at query
+    time), cold cells stay single-leaf, and a candidate pair is any
+    co-occurrence in some assigned leaf. Measured, with the width-1 row
+    as the other bracket: recall recovers 0.34 -> 0.90 but blocked
+    pair work rises to 782,523 — MORE than the 694,775 the unsplit
+    cl-blocking costs (ratio 0.89). The arithmetic generalizes: width-w
+    assignment into k2 leaves costs ~(w^2/k2)·sz^2 per hot cell, so the
+    quadratic win survives only when k2 >> w^2 — and the ladder width
+    at this cell size is k2 = 4, exactly w^2. Conclusion for the 100 TB
+    SemDeDup stage (completing the width-1 row's NO): under
+    structureless interiors the adaptive split is not a usable pair-
+    blocking refinement at ladder widths in EITHER width — level-1
+    (category) blocking with straggler-aware scheduling remains the
+    right key; leaf blocking pays only for clone-like duplicates or
+    cells split far wider than the assignment width. Assignment
+    tie-break is (distance, cid2) ascending in BOTH engines."""
+    # width-2 assignment inside every hot cell: replay the same fitted
+    # level-2 centroids the single-assignment layout used (stored mass
+    # fit when built, else the live derivation)
+    from ..operators.storage import read_clustered_mass_fit
+    from .clustering import _dist_to_literal, _lloyd_fit_frame
+    from .params import ivf_cells_for
+    from pyspark.sql import Window
+
+    stored, meta = read_clustered_mass_fit(spark)
+    fx2 = tracked_persist(
+        stored.select("vec_id", "cl", "embedding")
+        if stored is not None
+        else clustered_mass_fixture_frame(spark, sf_dir)
+    )
+    emb = fx2.select("vec_id", "embedding")
+    if stored is not None:
+        asg = stored.select("vec_id", "cid")
+        level2 = meta["level2"]
+    else:
+        asg, _cents = _lloyd_fit_frame(
+            emb, [cm_point(k) for k in range(CF_C)]
+        )
+        asg = tracked_persist(asg)
+        sizes = {
+            r["cid"]: r["n"]
+            for r in asg.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        }
+        level2 = {}
+        for c in range(CF_C):
+            if sizes[c] * CF_C * 100 > CF_HOT_PCT * CF_N:
+                cell = emb.join(
+                    asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
+                )
+                k2 = ivf_cells_for(sizes[c])
+                seeds2 = [
+                    [float(x) for x in r["embedding"]]
+                    for r in cell.orderBy("vec_id").limit(k2).collect()
+                ]
+                _asg2, cents2c = _lloyd_fit_frame(cell, seeds2)
+                level2[c] = cents2c
+    parts = []
+    for c in sorted(level2):
+        cell = emb.join(
+            asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
+        )
+        dists = cell.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            _dist_to_literal(
+                                F.col("embedding"), level2[c][i]
+                            ).alias("d"),
+                            F.lit(i).alias("cid2"),
+                        )
+                        for i in range(len(level2[c]))
+                    ]
+                )
+            ).alias("dc"),
+        ).select("vec_id", F.col("dc.d").alias("d"), F.col("dc.cid2").alias("cid2"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("cid2").asc()
+        )
+        parts.append(
+            dists.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 2)
+            .select("vec_id", F.lit(c).alias("cid"), "cid2")
+        )
+    import functools
+
+    hot_set = sorted(level2)
+    cold = asg.filter(~F.col("cid").isin(hot_set)).select(
+        "vec_id", "cid", F.lit(0).alias("cid2")
+    )
+    asgw = tracked_persist(
+        functools.reduce(lambda x, y: x.unionByName(y), parts + [cold])
+    )
+    lsz = asgw.groupBy("cid", "cid2").agg(F.count("*").alias("n"))
+    csz = fx2.groupBy("cl").agg(F.count("*").alias("n"))
+    pairs = lambda col: (col * (col - 1) / 2).cast("long")  # noqa: E731
+    sides = fx2.select(
+        "vec_id",
+        "cl",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cl").alias("cl_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cl").alias("cl_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    bp = tracked_persist(
+        a.join(
+            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .filter(cos >= CF_SEM_COS)
+        .select("id_a", "id_b")
+    )
+    la = asgw.select(
+        F.col("vec_id").alias("id_a"), "cid", "cid2"
+    )
+    lb = asgw.select(
+        F.col("vec_id").alias("id_b"), "cid", "cid2"
+    )
+    hit = (
+        bp.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), ["id_b", "cid", "cid2"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    work_cl = csz.agg(F.sum(pairs(F.col("n"))).alias("blocked_pairs_cl"))
+    work_leaf = lsz.agg(
+        F.sum(pairs(F.col("n"))).alias("blocked_pairs_w2"),
+        F.max(pairs(F.col("n"))).alias("max_leaf_pairs_w2"),
+    )
+    dup = bp.agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        work_cl.crossJoin(work_leaf).crossJoin(dup).crossJoin(nh).select(
+            F.col("blocked_pairs_cl").cast("long"),
+            F.col("blocked_pairs_w2").cast("long"),
+            F.col("max_leaf_pairs_w2").cast("long"),
+            F.round(
+                F.col("blocked_pairs_cl").cast("double")
+                / F.col("blocked_pairs_w2"),
+                6,
+            ).alias("pair_work_ratio"),
+            "n_dup_pairs",
+            (F.col("n_dup_pairs") - F.col("n_hit"))
+            .cast("long")
+            .alias("missed_dup_pairs"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_dup_pairs"), 6
+            ).alias("pair_recall"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # what splitting a hot cell COSTS: recall-vs-scan across level-2 probe
 # widths, priced on the dominant (structureless-interior) cell
