@@ -76,7 +76,6 @@ _DRIVER_PRIORITY = [
     "account_history_page",
     "ann_ivf_kmeans_nprobe",
     "ann_ivf_kmeans_topk",
-    "ann_ivf_sharded_recall_audit",
     "ann_ivf_sharded_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -87,6 +86,7 @@ _DRIVER_PRIORITY = [
 # stays hash-checked locally each round (tests/test_driver_queries.py)
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 _DRIVER_ROTATE_LAST = [
+    "ann_ivf_sharded_recall_audit",
     "ann_ivfpq_batch",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_trained_topk",
@@ -101,7 +101,6 @@ _DRIVER_ROTATE_LAST = [
     "clustered_kmeans_agreement_audit",
     "clustered_mass_fixture_stats",
     "clustered_mass_occupancy_audit",
-    "clustered_mass_semdedup_audit",
     "clustered_pq_variant_audit",
     "clustered_semdedup_audit",
     "corpus_datasheet",
@@ -257,6 +256,9 @@ _ROUND_MODIFIED = [
     # NEW: the width-2 bracket of the pair-blocking trade (recall 0.90
     # but pair work above the unsplit baseline at ladder k2)
     "clustered_adaptive_semdedup_w2_audit",
+    # the mass semdedup audit (and both brackets above) now read the
+    # materialized truth-pair store + the l2 fit layout (cid2b column)
+    "clustered_mass_semdedup_audit",
 ]
 
 

@@ -669,6 +669,7 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "emb_pairs": build_embedding_pair_store(spark, sf_dir),
         "ngram_pairs": build_ngram_pair_store(spark, sf_dir),
         "cmass_fit": build_clustered_mass_fit_store(spark, sf_dir),
+        "cmass_sem_pairs": build_clustered_mass_sem_pair_store(spark, sf_dir),
         "cf_fit": build_clustered_cf_fit_store(spark, sf_dir),
     }
 
@@ -2725,12 +2726,58 @@ def read_ngram_pairs(
 # ---------------------------------------------------------------------------
 
 
-def clustered_mass_fit_store_path() -> str:
-    from ..pipeline.clustered import CF_C, CF_HOT_PCT, CF_N
+def clustered_mass_sem_pair_store_path() -> str:
+    from ..pipeline.clustered import CF_C, CF_N, CF_SEM_COS
 
     return os.path.join(
         store_root(),
-        f"cmass-fit-v{STORE_VERSION}-n{CF_N}-c{CF_C}-h{CF_HOT_PCT}",
+        f"cmass-sem-pairs-v{STORE_VERSION}-n{CF_N}-c{CF_C}"
+        f"-t{int(CF_SEM_COS * 100)}",
+    )
+
+
+def build_clustered_mass_sem_pair_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the mass fixture's verified >= CF_SEM_COS same-
+    category pair set — the truth baseline all three mass semdedup
+    audits replay (each re-derived the ~695k-pair within-category
+    cosine verify cold; the pair-store discipline applies to fixture
+    baselines exactly as it did to the embedding and ngram ones). The
+    builder IS the shared live derivation, run with the store absent,
+    so content is byte-equal and every audit's oracle — which still
+    derives from scratch — keeps hash-checking it."""
+    from ..pipeline.clustered import _cm_sem_truth_pairs
+
+    path = clustered_mass_sem_pair_store_path()
+    if os.path.isdir(path):
+        return path
+    bp = _cm_sem_truth_pairs(spark, sf_dir)
+    os.makedirs(store_root(), exist_ok=True)
+    tmp = os.path.join(
+        store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
+    )
+    bp.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _atomic_publish(tmp, path)
+    return path
+
+
+def read_clustered_mass_sem_pairs(spark: SparkSession):
+    """(id_a, id_b) truth pairs from the store, or None when unbuilt."""
+    path = clustered_mass_sem_pair_store_path()
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def clustered_mass_fit_store_path() -> str:
+    from ..pipeline.clustered import CF_C, CF_HOT_PCT, CF_N
+
+    # l2 layout: rows carry cid2b (second-nearest level-2 leaf inside
+    # hot cells; ties (distance, cid) ascending) next to cid2 — the
+    # width-2 blocking audit reads it instead of re-deriving the
+    # assignment per cold run
+    return os.path.join(
+        store_root(),
+        f"cmass-fit-v{STORE_VERSION}l2-n{CF_N}-c{CF_C}-h{CF_HOT_PCT}",
     )
 
 
@@ -2782,11 +2829,43 @@ def build_clustered_mass_fit_store(spark: SparkSession, sf_dir: str) -> str:
             seeds2 = _distinct_seeds(cell, k2)
             asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
             level2[c] = cents2
+            from ..pipeline.clustering import _dist_to_literal
+            from pyspark.sql import Window as _W
+
+            dists = cell.select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                _dist_to_literal(
+                                    F.col("embedding"), cents2[i]
+                                ).alias("d"),
+                                F.lit(i).alias("c2"),
+                            )
+                            for i in range(len(cents2))
+                        ]
+                    )
+                ).alias("dc"),
+            ).select(
+                "vec_id",
+                F.col("dc.d").alias("d"),
+                F.col("dc.c2").alias("c2"),
+            )
+            w = _W.partitionBy("vec_id").orderBy(
+                F.col("d").asc(), F.col("c2").asc()
+            )
+            ranked = dists.withColumn("rk", F.row_number().over(w))
+            second = ranked.filter(F.col("rk") == 2).select(
+                "vec_id", F.col("c2").alias("cid2b")
+            )
             parts.append(
                 cell.join(
                     asg2.select("vec_id", F.col("cid").alias("cid2")),
                     "vec_id",
-                ).select("vec_id", F.lit(c).alias("cid"), "cid2")
+                )
+                .join(second, "vec_id")
+                .select("vec_id", F.lit(c).alias("cid"), "cid2", "cid2b")
             )
         else:
             parts.append(
@@ -2794,13 +2873,14 @@ def build_clustered_mass_fit_store(spark: SparkSession, sf_dir: str) -> str:
                     "vec_id",
                     F.lit(c).alias("cid"),
                     F.lit(0).alias("cid2"),
+                    F.lit(0).alias("cid2b"),
                 )
             )
     import functools
 
     assigned = functools.reduce(lambda a, b: a.unionByName(b), parts)
     out = fx.join(assigned, "vec_id").select(
-        "vec_id", "cl", "embedding", "cid", "cid2"
+        "vec_id", "cl", "embedding", "cid", "cid2", "cid2b"
     )
     os.makedirs(store_root(), exist_ok=True)
     tmp = os.path.join(

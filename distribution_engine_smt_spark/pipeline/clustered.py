@@ -1574,37 +1574,19 @@ def clustered_mass_semdedup_audit(
     Scale shape: pair work shuffles on cl (cell interiors only); the
     blocked-pair counts are integer arithmetic off group sizes, not an
     enumerated cross join."""
-    fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
+    from ..operators.storage import read_clustered_mass_fit
+
+    _stored, _ = read_clustered_mass_fit(spark)
+    fx = tracked_persist(
+        _stored.select("vec_id", "cl", "embedding")
+        if _stored is not None
+        else clustered_mass_fixture_frame(spark, sf_dir)
+    )
     sz = fx.groupBy("cl").agg(F.count("*").alias("n"))
     pw = sz.select(
         "cl", (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs")
     )
-    sides = fx.select(
-        "vec_id",
-        "cl",
-        "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
-    a = sides.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cl").alias("cl_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
-    )
-    b = sides.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cl").alias("cl_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
-    )
-    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    bp = tracked_persist(
-        a.join(
-            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
-        )
-        .filter(cos >= CF_SEM_COS)
-        .select("id_a", "id_b")
-    )
+    bp = _cm_sem_truth_pairs(spark, sf_dir)
     n_keep = (
         fx.join(
             bp.select(F.col("id_b").alias("vec_id")).distinct(),
@@ -1712,32 +1694,7 @@ def clustered_adaptive_semdedup_audit(
     csz = fx.groupBy("cl").agg(F.count("*").alias("n"))
     lsz = leaf.groupBy("cid", "cid2").agg(F.count("*").alias("n"))
     pairs = lambda col: (col * (col - 1) / 2).cast("long")  # noqa: E731
-    sides = fx.select(
-        "vec_id",
-        "cl",
-        "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
-    a = sides.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cl").alias("cl_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
-    )
-    b = sides.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cl").alias("cl_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
-    )
-    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    bp = tracked_persist(
-        a.join(
-            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
-        )
-        .filter(cos >= CF_SEM_COS)
-        .select("id_a", "id_b")
-    )
+    bp = _cm_sem_truth_pairs(spark, sf_dir)
     la = leaf.select(
         F.col("vec_id").alias("id_a"),
         F.col("cid").alias("ca"),
@@ -1884,9 +1841,23 @@ def clustered_adaptive_semdedup_w2_audit(
     )
     emb = fx2.select("vec_id", "embedding")
     if stored is not None:
-        asg = stored.select("vec_id", "cid")
-        level2 = meta["level2"]
-    else:
+        # the l2-layout fit store materializes the width-2 assignment
+        # (cid2 = nearest, cid2b = second-nearest leaf for hot cells):
+        # the audit reads it back instead of re-deriving the per-cell
+        # distance ranking each cold run
+        hot_rows = stored.where(F.col("cid2b") != F.col("cid2")).select(
+            "vec_id", "cid", "cid2"
+        ).unionByName(
+            stored.where(F.col("cid2b") != F.col("cid2")).select(
+                "vec_id", "cid", F.col("cid2b").alias("cid2")
+            )
+        )
+        cold_rows = stored.where(F.col("cid2b") == F.col("cid2")).select(
+            "vec_id", "cid", "cid2"
+        )
+        asgw = tracked_persist(hot_rows.unionByName(cold_rows))
+        return _cm_sem_w2_report(spark, sf_dir, fx2, asgw)
+    if True:
         asg, _cents = _lloyd_fit_frame(
             emb, [cm_point(k) for k in range(CF_C)]
         )
@@ -1946,35 +1917,21 @@ def clustered_adaptive_semdedup_w2_audit(
     asgw = tracked_persist(
         functools.reduce(lambda x, y: x.unionByName(y), parts + [cold])
     )
+    return _cm_sem_w2_report(spark, sf_dir, fx2, asgw)
+
+
+def _cm_sem_w2_report(
+    spark: SparkSession, sf_dir: str, fx2: DataFrame, asgw: DataFrame
+) -> DataFrame:
+    """Shared report tail of the width-2 blocking audit: pair-work and
+    recall accounting over a (vec_id, cid, cid2) multi-assignment frame
+    (two rows per hot-cell member, one per cold) — identical whether
+    the assignment came from the fit store's cid2b column or the live
+    per-cell distance ranking."""
     lsz = asgw.groupBy("cid", "cid2").agg(F.count("*").alias("n"))
     csz = fx2.groupBy("cl").agg(F.count("*").alias("n"))
     pairs = lambda col: (col * (col - 1) / 2).cast("long")  # noqa: E731
-    sides = fx2.select(
-        "vec_id",
-        "cl",
-        "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
-    a = sides.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cl").alias("cl_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
-    )
-    b = sides.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cl").alias("cl_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
-    )
-    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    bp = tracked_persist(
-        a.join(
-            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
-        )
-        .filter(cos >= CF_SEM_COS)
-        .select("id_a", "id_b")
-    )
+    bp = _cm_sem_truth_pairs(spark, sf_dir)
     la = asgw.select(
         F.col("vec_id").alias("id_a"), "cid", "cid2"
     )
@@ -2078,6 +2035,55 @@ def _cm_leaf_assignments(spark: SparkSession, sf_dir: str):
         functools.reduce(lambda x, y: x.unionByName(y), parts)
     )
     return fx, leaf
+
+
+def _cm_sem_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) verified same-category pairs at cos >= CF_SEM_COS —
+    the truth baseline every mass semdedup audit replays. Store-read
+    when built (build_clustered_mass_sem_pair_store; a fixture baseline
+    is an index-build artifact like the embedding and ngram pair sets);
+    the live derivation below is the builder, and every audit's oracle
+    re-derives it from scratch, keeping the store hash-checked."""
+    from ..operators.storage import (
+        read_clustered_mass_fit,
+        read_clustered_mass_sem_pairs,
+    )
+
+    stored_pairs = read_clustered_mass_sem_pairs(spark)
+    if stored_pairs is not None:
+        return tracked_persist(stored_pairs)
+    stored, _meta = read_clustered_mass_fit(spark)
+    fx = tracked_persist(
+        stored.select("vec_id", "cl", "embedding")
+        if stored is not None
+        else clustered_mass_fixture_frame(spark, sf_dir)
+    )
+    sides = fx.select(
+        "vec_id",
+        "cl",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cl").alias("cl_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cl").alias("cl_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return tracked_persist(
+        a.join(
+            b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .filter(cos >= CF_SEM_COS)
+        .select("id_a", "id_b")
+    )
 
 
 def _cm_query_cell_fit(spark: SparkSession, sf_dir: str):

@@ -1917,3 +1917,25 @@ def test_adaptive_ivfpq_probe_prunes_and_ranks(spark, store_dir, tmp_path):
     ).count()
     ncell = codes.where(codes["cid1"] == sel1[0]).count()
     assert 0 < n1 < ncell
+
+
+def test_mass_sem_pair_store_matches_derived(spark, store_dir, monkeypatch):
+    """The materialized mass-fixture truth-pair set equals the live
+    within-category cosine verify, so the store-read semdedup audits
+    stay hash-invisible to the driver's oracle compare."""
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        _cm_sem_truth_pairs,
+    )
+
+    storage.build_clustered_mass_sem_pair_store(spark, SF_DIR)
+    stored = {
+        (r["id_a"], r["id_b"])
+        for r in storage.read_clustered_mass_sem_pairs(spark).collect()
+    }
+    assert stored, "fixture yields no truth pairs; test is vacuous"
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(store_dir) + "-none")
+    live = {
+        (r["id_a"], r["id_b"])
+        for r in _cm_sem_truth_pairs(spark, SF_DIR).collect()
+    }
+    assert stored == live
