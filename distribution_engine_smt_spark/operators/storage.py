@@ -1085,6 +1085,80 @@ def build_adaptive_ivfpq_code_store(
     return path
 
 
+def sync_adaptive_ivfpq_code_cells(
+    spark: SparkSession, sf_dir: str, k1: int, cids
+) -> list[int]:
+    """Code-store side of a vector-store rebalance/merge: re-encode the
+    given cid1 subtrees from the (already rewritten) vector store and
+    swap them into the code store with the same dot-retire discipline.
+    A split or merge changes a cell's (cid2) leaf set; a code store
+    left on the old layout would make probe_adaptive_ivfpq select
+    leaves that DON'T EXIST in the codes — an empty ADC scan, i.e.
+    silently missing results, not an error. Routing is inherited from
+    the vector rows (never re-derived), so the two stores cannot
+    disagree. No-op when no code store has been built."""
+    from ..pipeline.similarity import pq_encode, pq_seed_vectors
+
+    cpath = adaptive_ivfpq_code_store_path(sf_dir, k1)
+    if not os.path.isdir(cpath):
+        return []
+    _sweep_retired(cpath)
+    vpath = adaptive_ivf_store_path(sf_dir, k1)
+    seeds = pq_seed_vectors(spark, sf_dir)
+    synced = []
+    for cid in sorted(cids):
+        vec = (
+            spark.read.parquet(vpath)
+            .where(F.col("cid1") == cid)
+            .select("vec_id", "embedding", "cid2", "batch_id")
+        )
+        codes = pq_encode(vec, seeds, keep=("cid2", "batch_id"))
+        tmp = os.path.join(cpath, f".rebalance-{cid}-{uuid.uuid4().hex[:8]}")
+        (
+            codes.repartition("cid2")
+            .write.mode("overwrite")
+            .partitionBy("cid2", "batch_id")
+            .parquet(tmp)
+        )
+        _swap_cell_subtree(cpath, cid, tmp)
+        synced.append(cid)
+    return synced
+
+
+def update_adaptive_ivfpq_codes(
+    spark: SparkSession, sf_dir: str, k1: int, batch_id: str
+) -> bool:
+    """Ingest-side code-store maintenance: encode exactly one committed
+    batch's vector rows (read back from the vector store, so routing is
+    inherited) and land them under the same (cid1, cid2, batch_id)
+    leaves with dynamic partition overwrite — at-least-once replay
+    rewrites itself, like the vector write it mirrors. Without this, a
+    probe's ADC scan silently misses every post-build arrival. No-op
+    when no code store has been built."""
+    from ..pipeline.similarity import pq_encode, pq_seed_vectors
+
+    cpath = adaptive_ivfpq_code_store_path(sf_dir, k1)
+    if not os.path.isdir(cpath):
+        return False
+    _sweep_retired(cpath)
+    vec = (
+        spark.read.parquet(adaptive_ivf_store_path(sf_dir, k1))
+        .where(F.col("batch_id") == batch_id)
+        .select("vec_id", "embedding", "cid1", "cid2", "batch_id")
+    )
+    codes = pq_encode(
+        vec, pq_seed_vectors(spark, sf_dir), keep=("cid1", "cid2", "batch_id")
+    )
+    (
+        codes.repartition("cid1", "cid2")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid1", "cid2", "batch_id")
+        .parquet(cpath)
+    )
+    return True
+
+
 def probe_adaptive_ivfpq(
     spark: SparkSession,
     sf_dir: str,
@@ -1584,6 +1658,8 @@ def rebalance_adaptive_ivf_store(
     with open(mtmp, "w") as f:
         _json.dump(blob, f)
     os.replace(mtmp, os.path.join(path, "_meta.json"))
+    # keep the code-store twin's leaf layout mirrored (no-op if unbuilt)
+    sync_adaptive_ivfpq_code_cells(spark, sf_dir, k1, newly_hot)
     return {"newly_hot": newly_hot, "sizes": sizes}
 
 
@@ -1662,6 +1738,8 @@ def merge_cold_cells_adaptive_ivf_store(
         with open(mtmp, "w") as f:
             _json.dump(blob, f)
         os.replace(mtmp, os.path.join(path, "_meta.json"))
+    # merged cells collapsed to a single (cid, 0) leaf: mirror the codes
+    sync_adaptive_ivfpq_code_cells(spark, sf_dir, k1, merged)
     return {"merged": merged, "sizes": sizes}
 
 
@@ -1728,6 +1806,10 @@ def update_adaptive_ivf_store(
         .partitionBy("cid1", "cid2", "batch_id")
         .parquet(adaptive_ivf_store_path(sf_dir, k1))
     )
+    # mirror the batch into the code-store twin (no-op if unbuilt):
+    # probes over the compressed layout must see arrivals at the same
+    # batch-commit boundary the vector layout does
+    update_adaptive_ivfpq_codes(spark, sf_dir, k1, batch_id)
 
 
 # ---------------------------------------------------------------------------

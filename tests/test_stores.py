@@ -1939,3 +1939,92 @@ def test_mass_sem_pair_store_matches_derived(spark, store_dir, monkeypatch):
         for r in _cm_sem_truth_pairs(spark, SF_DIR).collect()
     }
     assert stored == live
+
+
+def test_adaptive_ivfpq_codes_follow_lifecycle(spark, store_dir, skewed_corpus):
+    """The code store mirrors the vector store across the FULL
+    lifecycle: ingest (batch codes land at the same commit boundary),
+    rebalance (a split cell's code subtree re-leafs — without the sync
+    a probe would select leaves that don't exist in the codes and
+    silently scan nothing), and the probe stays equal to an exact
+    recompute over the scanned leaves afterwards."""
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    storage.build_adaptive_ivfpq_code_store(spark, skewed_corpus, k1=k1)
+    vpath = storage.adaptive_ivf_store_path(skewed_corpus, k1)
+    cpath = storage.adaptive_ivfpq_code_store_path(skewed_corpus, k1)
+    emb = spark.read.parquet(
+        os.path.join(skewed_corpus, "embeddings.parquet")
+    )
+    cell0 = spark.read.parquet(vpath).where("vec_id = 0").first()["cid1"]
+
+    # ingest: the batch's codes land with the batch
+    wave = (
+        emb.where("vec_id = 0")
+        .crossJoin(spark.range(200).select(F.col("id").alias("i")))
+        .select((F.lit(900_000) + F.col("i")).alias("vec_id"), "embedding")
+    )
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, wave, "drift", k1=k1)
+    codes = spark.read.parquet(cpath)
+    assert codes.where("batch_id = 'drift'").count() == 200
+
+    # rebalance: the drifted cell splits in BOTH stores
+    out = storage.maybe_rebalance_adaptive_ivf_store(spark, skewed_corpus, k1)
+    assert out["fired"] and out["newly_hot"] == [cell0]
+    vec = spark.read.parquet(vpath)
+    codes = spark.read.parquet(cpath)
+    vleaves = {
+        (r["cid1"], r["cid2"], r["n"])
+        for r in vec.groupBy("cid1", "cid2").agg(F.count("*").alias("n")).collect()
+    }
+    cleaves = {
+        (r["cid1"], r["cid2"], r["n"])
+        for r in codes.groupBy("cid1", "cid2").agg(F.count("*").alias("n")).collect()
+    }
+    assert vleaves == cleaves
+    assert any(c1 == cell0 and c2 > 0 for c1, c2, _ in cleaves)
+
+    # the probe over the post-rebalance layout equals an independent
+    # exact recompute over the same leaves (cand cut wider than leaves)
+    import math as _math
+
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in storage.probe_adaptive_ivfpq(
+            spark, skewed_corpus, q, k1=k1, nprobe=2, nprobe2=2, cand=10**6
+        ).collect()
+    ]
+    meta = storage.load_adaptive_ivf_meta(skewed_corpus, k1)
+
+    def d2(c):
+        return sum((x - y) * (x - y) for x, y in zip(q, c))
+
+    sel1 = sorted(range(k1), key=lambda i: (d2(meta["cents1"][i]), i))[:2]
+    leaves = []
+    for c1 in sel1:
+        if c1 in meta["level2"]:
+            c2s = meta["level2"][c1]
+            order = sorted(range(len(c2s)), key=lambda i: (d2(c2s[i]), i))
+            leaves += [(c1, c2) for c2 in order[:2]]
+        else:
+            leaves.append((c1, 0))
+    members = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in vec.collect()
+        if (r["cid1"], r["cid2"]) in set(leaves)
+    ]
+    qn = _math.sqrt(sum(x * x for x in q))
+    ref = sorted(
+        (
+            (
+                vid,
+                sum(a * b for a, b in zip(v, q))
+                / (_math.sqrt(sum(a * a for a in v)) * qn),
+            )
+            for vid, v in members
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == [v for v, _ in ref]
