@@ -1085,8 +1085,53 @@ def build_adaptive_ivfpq_code_store(
     return path
 
 
+def _code_sync_marker_path(cpath: str) -> str:
+    # dot-prefixed: invisible to Spark partition discovery and the
+    # footer occupancy walk, like every maintenance staging artifact
+    return os.path.join(cpath, "._pending_code_sync.json")
+
+
+def _pending_code_sync_cells(cpath: str) -> list[int]:
+    """Cells whose code subtrees a prior maintenance pass promised to
+    re-encode but may not have finished (crash window between the
+    vector swap + meta publish and the trailing code sync)."""
+    import json as _json
+
+    marker = _code_sync_marker_path(cpath)
+    if not os.path.isfile(marker):
+        return []
+    with open(marker) as f:
+        return sorted(int(c) for c in _json.load(f).get("cells", []))
+
+
+def record_pending_code_sync(sf_dir: str, k1: int, cids) -> bool:
+    """Durably record cells whose code subtrees will need re-encoding,
+    BEFORE the vector-store swap that invalidates them (ADVICE r11 #1).
+    Without this, a crash after the vector swap + meta publish but
+    before sync_adaptive_ivfpq_code_cells leaves the code store's leaf
+    layout permanently diverged from meta — probe_adaptive_ivfpq then
+    selects leaves absent from the codes and silently returns partial
+    results, and nothing reconciles until another maintenance pass
+    happens to touch the same cells. The marker is merged (never
+    overwritten) and replayed by every maintenance/ingest entry point
+    via sync_adaptive_ivfpq_code_cells. No-op when no code store has
+    been built (there is nothing to diverge)."""
+    import json as _json
+
+    cpath = adaptive_ivfpq_code_store_path(sf_dir, k1)
+    if not os.path.isdir(cpath):
+        return False
+    cells = sorted(set(_pending_code_sync_cells(cpath)) | {int(c) for c in cids})
+    marker = _code_sync_marker_path(cpath)
+    tmp = f"{marker}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        _json.dump({"cells": cells}, f)
+    os.replace(tmp, marker)
+    return True
+
+
 def sync_adaptive_ivfpq_code_cells(
-    spark: SparkSession, sf_dir: str, k1: int, cids
+    spark: SparkSession, sf_dir: str, k1: int, cids=()
 ) -> list[int]:
     """Code-store side of a vector-store rebalance/merge: re-encode the
     given cid1 subtrees from the (already rewritten) vector store and
@@ -1096,17 +1141,31 @@ def sync_adaptive_ivfpq_code_cells(
     leaves that DON'T EXIST in the codes — an empty ADC scan, i.e.
     silently missing results, not an error. Routing is inherited from
     the vector rows (never re-derived), so the two stores cannot
-    disagree. No-op when no code store has been built."""
+    disagree. No-op when no code store has been built.
+
+    Crash safety (ADVICE r11 #1): the full work list (requested cells
+    merged with any durable pending-sync marker from a crashed prior
+    pass) is re-recorded BEFORE the first swap and cleared only after
+    the last, so a crash mid-sync replays the remainder on the next
+    maintenance or ingest entry. Re-encoding an already-synced cell is
+    an idempotent rewrite of identical content. A cell with no live
+    code subtree (e.g. merged while its occupancy drifted to zero) is
+    CREATED rather than swapped (ADVICE r11 #4 — the bare rename raised
+    FileNotFoundError and turned maintenance into a crash)."""
     from ..pipeline.similarity import pq_encode, pq_seed_vectors
 
     cpath = adaptive_ivfpq_code_store_path(sf_dir, k1)
     if not os.path.isdir(cpath):
         return []
     _sweep_retired(cpath)
+    cells = sorted(set(_pending_code_sync_cells(cpath)) | {int(c) for c in cids})
+    if not cells:
+        return []
+    record_pending_code_sync(sf_dir, k1, cells)
     vpath = adaptive_ivf_store_path(sf_dir, k1)
     seeds = pq_seed_vectors(spark, sf_dir)
     synced = []
-    for cid in sorted(cids):
+    for cid in cells:
         vec = (
             spark.read.parquet(vpath)
             .where(F.col("cid1") == cid)
@@ -1120,8 +1179,11 @@ def sync_adaptive_ivfpq_code_cells(
             .partitionBy("cid2", "batch_id")
             .parquet(tmp)
         )
-        _swap_cell_subtree(cpath, cid, tmp)
+        _swap_cell_subtree(cpath, cid, tmp, allow_missing=True)
         synced.append(cid)
+    marker = _code_sync_marker_path(cpath)
+    if os.path.isfile(marker):
+        os.remove(marker)
     return synced
 
 
@@ -1141,6 +1203,7 @@ def update_adaptive_ivfpq_codes(
     if not os.path.isdir(cpath):
         return False
     _sweep_retired(cpath)
+    replay_pending_code_sync(spark, sf_dir, k1)
     vec = (
         spark.read.parquet(adaptive_ivf_store_path(sf_dir, k1))
         .where(F.col("batch_id") == batch_id)
@@ -1157,6 +1220,18 @@ def update_adaptive_ivfpq_codes(
         .parquet(cpath)
     )
     return True
+
+
+def replay_pending_code_sync(spark: SparkSession, sf_dir: str, k1: int) -> list[int]:
+    """Re-run any code-cell syncs a crashed maintenance pass left
+    behind (durable marker in the code store root). Called on entry by
+    the maybe_* occupancy checks and the ingest-side code update — the
+    same sweep-on-entry discipline the vector store's retired-dir
+    recovery uses. No-op with no code store or no marker."""
+    cpath = adaptive_ivfpq_code_store_path(sf_dir, k1)
+    if not os.path.isdir(cpath) or not _pending_code_sync_cells(cpath):
+        return []
+    return sync_adaptive_ivfpq_code_cells(spark, sf_dir, k1)
 
 
 def probe_adaptive_ivfpq(
@@ -1200,13 +1275,28 @@ def probe_adaptive_ivfpq(
                 leaves.append((c1, c2))
         else:
             leaves.append((c1, 0))
+    # last-line read-side guard (ADVICE r11 #1): if a crashed
+    # maintenance pass left a selected split leaf absent from the CODE
+    # store (meta already published the new layout, sync not yet
+    # replayed), widen that cell's read to all its code leaves instead
+    # of silently ADC-scanning nothing — a superset read, never a miss
+    cpath = adaptive_ivfpq_code_store_path(sf_dir, k1)
+    widened: set[int] = set()
+    for c1, c2 in leaves:
+        if c2 != 0 and not os.path.isdir(
+            os.path.join(cpath, f"cid1={c1}", f"cid2={c2}")
+        ):
+            widened.add(c1)
     cond = None
     for c1, c2 in leaves:
+        if c1 in widened:
+            continue
         leaf = (F.col("cid1") == c1) & (F.col("cid2") == c2)
         cond = leaf if cond is None else cond | leaf
-    codes = spark.read.parquet(
-        adaptive_ivfpq_code_store_path(sf_dir, k1)
-    ).where(cond)
+    for c1 in sorted(widened):
+        leaf = F.col("cid1") == c1
+        cond = leaf if cond is None else cond | leaf
+    codes = spark.read.parquet(cpath).where(cond)
     lut = pq_query_lut(pq_seed_vectors(spark, sf_dir), q_vec)
     shortlist = (
         codes.select("vec_id", pq_adc_col(lut).alias("approx"))
@@ -1491,15 +1581,28 @@ def _sweep_retired(path: str) -> list[str]:
     return swept
 
 
-def _swap_cell_subtree(path: str, cid: int, tmp: str) -> None:
+def _swap_cell_subtree(
+    path: str, cid: int, tmp: str, allow_missing: bool = False
+) -> None:
     """Atomically publish a rewritten ``cid1=cid`` subtree. The old
     subtree is first renamed to a DOT-PREFIXED name inside the store
     root (``.retired-cid1=N-<uuid>``) so a crash between rename and
     rmtree — or a concurrent reader hitting the swap window — never
     sees a directory that partition discovery would parse as a cid1
     value (a bare ``cid1=N.retired-...`` breaks type inference AND
-    makes the footer occupancy walk crash on int())."""
+    makes the footer occupancy walk crash on int()).
+
+    ``allow_missing``: publish tmp directly when no live subtree exists
+    (a replayed code sync for a cell whose subtree was never written,
+    or was removed by a crash) — rename-into-place instead of a
+    FileNotFoundError out of the first rename (ADVICE r11 #4)."""
     cell_dir = os.path.join(path, f"cid1={cid}")
+    if allow_missing and not os.path.isdir(cell_dir):
+        os.rename(tmp, cell_dir)
+        marker = os.path.join(cell_dir, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        return
     retired = os.path.join(path, f".retired-cid1={cid}-{uuid.uuid4().hex[:8]}")
     os.rename(cell_dir, retired)
     os.rename(tmp, cell_dir)
@@ -1525,6 +1628,7 @@ def maybe_rebalance_adaptive_ivf_store(
     cell's mass (and readers its rows) until some maintenance fired."""
     meta = load_adaptive_ivf_meta(sf_dir, k1)
     _sweep_retired(adaptive_ivf_store_path(sf_dir, k1))
+    replay_pending_code_sync(spark, sf_dir, k1)
     sizes = adaptive_ivf_occupancy_from_footers(sf_dir, k1)
     n = sum(sizes.values())
     threshold = meta["hot_factor"] * n / k1
@@ -1550,6 +1654,7 @@ def maybe_merge_adaptive_ivf_store(
     only copy a mid-swap crash left in a retired dot-dir."""
     meta = load_adaptive_ivf_meta(sf_dir, k1)
     _sweep_retired(adaptive_ivf_store_path(sf_dir, k1))
+    replay_pending_code_sync(spark, sf_dir, k1)
     sizes = adaptive_ivf_occupancy_from_footers(sf_dir, k1)
     n = sum(sizes.values())
     threshold = cold_factor * n / k1
@@ -1612,6 +1717,13 @@ def rebalance_adaptive_ivf_store(
         c for c, sz in sizes.items()
         if sz > threshold and c not in meta["level2"]
     )
+    # durable promise BEFORE the vector swaps invalidate the code
+    # store's leaf layout: a crash anywhere after the first swap is
+    # replayed from the marker on the next maintenance/ingest entry
+    # (ADVICE r11 #1 — the window between meta publish and the trailing
+    # sync left the layouts permanently diverged)
+    if newly_hot:
+        record_pending_code_sync(sf_dir, k1, newly_hot)
     for cid in newly_hot:
         cell = (
             df.where(F.col("cid1") == cid)
@@ -1698,6 +1810,9 @@ def merge_cold_cells_adaptive_ivf_store(
     merged = sorted(
         c for c in meta["level2"] if sizes.get(c, 0) <= threshold
     )
+    # same durable pre-swap promise as the rebalance (ADVICE r11 #1)
+    if merged:
+        record_pending_code_sync(sf_dir, k1, merged)
     for cid in merged:
         rewritten = (
             df.where(F.col("cid1") == cid)

@@ -2092,25 +2092,37 @@ def _cm_query_cell_fit(spark: SparkSession, sf_dir: str):
     shared derivation of the probe recall audit AND the served
     clustered_adaptive_topk_* variants (both must route through the
     same fits or recall numbers and served results diverge). Reads the
-    materialized fit store when built; the store only carries level-2
-    fits for HOT cells, so a cold query cell falls through to the live
-    derivation (which fits level 2 unconditionally) instead of
-    KeyError-ing — the two paths must degrade identically."""
+    materialized fit store when built.
+
+    A COLD query cell has no level-2 quantizer in EITHER engine: the
+    SQL oracles hot-gate their per-cell fit CTEs (``_cm_cell_fit_ctes``
+    — a cold cell's CTE chain is empty, so ``members`` is empty), and
+    this function mirrors that gating exactly (ADVICE r11 #2: the old
+    live fallthrough fit level 2 unconditionally, a latent Spark/oracle
+    divergence the fixture's currently-hot query cell masked). Cold
+    query cell => ``cents2 = []`` and an empty member frame, so every
+    consumer degrades to zero candidates like its DuckDB twin."""
     from ..operators.storage import read_clustered_mass_fit
     from .clustering import _lloyd_fit_frame
     from .params import ivf_cells_for
 
     q = cm_point(0)
     stored, meta = read_clustered_mass_fit(spark)
-    if stored is not None and min(
-        range(len(meta["cents1"])),
-        key=lambda i: (_cf_d2(q, meta["cents1"][i]), i),
-    ) in meta["level2"]:
+    if stored is not None:
         fx = tracked_persist(stored)
         cents = meta["cents1"]
         cid0 = min(
             range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i)
         )
+        if cid0 not in meta["level2"]:
+            # cold query cell: no level-2 fit exists — degrade exactly
+            # like the SQL's hot-gated CTEs (empty members)
+            empty = tracked_persist(
+                fx.filter(F.lit(False)).select(
+                    "vec_id", F.lit(0).alias("cid2")
+                )
+            )
+            return fx, empty, []
         cents2 = meta["level2"][cid0]
         members = tracked_persist(
             fx.filter(
@@ -2128,6 +2140,15 @@ def _cm_query_cell_fit(spark: SparkSession, sf_dir: str):
             range(len(cents)), key=lambda i: (_cf_d2(q, cents[i]), i)
         )
         sz = asg.filter(F.col("cid") == cid0).count()
+        if sz * CF_C * 100 <= CF_HOT_PCT * CF_N:
+            # same integer hot gate as the store build and the SQL
+            # oracles: a cold query cell fits nothing
+            empty = tracked_persist(
+                fx.filter(F.lit(False)).select(
+                    "vec_id", F.lit(0).alias("cid2")
+                )
+            )
+            return fx, empty, []
         cell = emb.join(
             asg.filter(F.col("cid") == cid0).select("vec_id"), "vec_id"
         )
@@ -2262,12 +2283,13 @@ def clustered_adaptive_probe_recall_audit(
     )
 
     def pair(sel, tag):
-        scanned = members.filter(F.col("cid2").isin(sel)).agg(
+        picked = members.filter(F.col("cid2").isin(sel)) if sel else members
+        scanned = picked.agg(
             F.count("*").cast("long").alias(f"scanned_{tag}")
         )
         hits = (
             truth.join(
-                members.filter(F.col("cid2").isin(sel)), "vec_id", "left_semi"
+                picked, "vec_id", "left_semi"
             ).agg(
                 F.round(F.count("*").cast("double") / CF_TOP, 6).alias(
                     f"recall_{tag}"
@@ -2345,7 +2367,11 @@ def _cm_adaptive_topk(
     sel = sorted(
         range(len(cents2)), key=lambda i: (_cf_d2(q, cents2[i]), i)
     )[:nprobe2]
-    cand = members.filter(F.col("cid2").isin(sel)).select("vec_id")
+    # cold query cell (cents2 == []): members is already empty — skip
+    # the isin so the plan never carries an empty IN list
+    cand = (
+        members.filter(F.col("cid2").isin(sel)) if sel else members
+    ).select("vec_id")
     return _cf_rerank(fx, cand)
 
 
@@ -2474,7 +2500,9 @@ def clustered_adaptive_ivfpq_topk(
     sel = sorted(
         range(len(cents2)), key=lambda i: (_cf_d2(q_vec, cents2[i]), i)
     )[:2]
-    scanned = members.filter(F.col("cid2").isin(sel)).select("vec_id")
+    scanned = (
+        members.filter(F.col("cid2").isin(sel)) if sel else members
+    ).select("vec_id")
     codes = pq_encode(
         fx.select("vec_id", "embedding").join(scanned, "vec_id"), seeds
     )

@@ -184,3 +184,44 @@ def test_trained_quantizer_recovers_the_mixture(spark):
     assert r["n"] == cf.CF_N
     assert r["agreement"] == 1.0
     assert r["min_cell"] == r["max_cell"] == cf.CF_N // cf.CF_C
+
+
+def test_cold_query_cell_degrades_like_sql(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #2: the SQL oracles hot-gate their level-2 fit CTEs,
+    so a COLD query cell yields empty members in DuckDB. Both live
+    branches of _cm_query_cell_fit must degrade identically — no
+    unconditional level-2 fit, no candidates — in the store-read path
+    (meta lacks the query cell) and the live path (hot gate fails)."""
+    from distribution_engine_smt_spark.operators import storage as st
+
+    # store-read branch: real store, meta doctored so the query cell
+    # has no level-2 fit
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path / "stores"))
+    st.build_clustered_mass_fit_store(spark, SF_DIR)
+    stored, meta = st.read_clustered_mass_fit(spark)
+    q = cf.cm_point(0)
+    cid0 = min(
+        range(len(meta["cents1"])),
+        key=lambda i: (cf._cf_d2(q, meta["cents1"][i]), i),
+    )
+    assert cid0 in meta["level2"]  # the fixture's query cell IS hot
+    cold_meta = dict(meta)
+    cold_meta["level2"] = {
+        c: v for c, v in meta["level2"].items() if c != cid0
+    }
+    with monkeypatch.context() as m:
+        m.setattr(
+            st, "read_clustered_mass_fit", lambda _s: (stored, cold_meta)
+        )
+        fx, members, cents2 = cf._cm_query_cell_fit(spark, SF_DIR)
+        assert cents2 == []
+        assert members.count() == 0
+        assert cf._cm_adaptive_topk(spark, SF_DIR, 1).count() == 0
+
+    # live branch: no store, hot gate forced to fail
+    with monkeypatch.context() as m:
+        m.setattr(st, "read_clustered_mass_fit", lambda _s: (None, None))
+        m.setattr(cf, "CF_HOT_PCT", 10_000_000)
+        fx, members, cents2 = cf._cm_query_cell_fit(spark, SF_DIR)
+        assert cents2 == []
+        assert members.count() == 0

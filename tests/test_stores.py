@@ -2028,3 +2028,137 @@ def test_adaptive_ivfpq_codes_follow_lifecycle(spark, store_dir, skewed_corpus):
         key=lambda t: (-t[1], t[0]),
     )[:10]
     assert got == [v for v, _ in ref]
+
+
+def test_pending_code_sync_marker_replays_after_crash(
+    spark, store_dir, skewed_corpus, monkeypatch
+):
+    """ADVICE r11 #1 closed: a crash in the window between the vector
+    swap + meta publish and the trailing code sync leaves a DURABLE
+    marker recorded before the first swap; (a) probe_adaptive_ivfpq
+    degrades to a widened whole-cell code read instead of silently
+    ADC-scanning nothing, and (b) the next maintenance entry replays
+    the sync from the marker, restoring the mirrored layout."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    k1 = 8
+    storage.build_adaptive_ivfpq_code_store(spark, skewed_corpus, k1=k1)
+    vpath = storage.adaptive_ivf_store_path(skewed_corpus, k1)
+    cpath = storage.adaptive_ivfpq_code_store_path(skewed_corpus, k1)
+    emb = spark.read.parquet(os.path.join(skewed_corpus, "embeddings.parquet"))
+    cell0 = spark.read.parquet(vpath).where("vec_id = 0").first()["cid1"]
+    wave = (
+        emb.where("vec_id = 0")
+        .crossJoin(spark.range(200).select(F.col("id").alias("i")))
+        .select((F.lit(900_000) + F.col("i")).alias("vec_id"), "embedding")
+    )
+    storage.update_adaptive_ivf_store(spark, skewed_corpus, wave, "drift", k1=k1)
+    # crash the trailing sync: the rebalance swaps the vector subtrees
+    # and publishes meta; the code store stays on the OLD (unsplit)
+    # layout for cell0
+    with monkeypatch.context() as m:
+        m.setattr(
+            storage, "sync_adaptive_ivfpq_code_cells", lambda *a, **k: []
+        )
+        out = storage.rebalance_adaptive_ivf_store(spark, skewed_corpus, k1)
+    assert out["newly_hot"] == [cell0]
+    assert storage._pending_code_sync_cells(cpath) == [cell0]
+    codes = spark.read.parquet(cpath)
+    assert codes.where(f"cid1 = {cell0} and cid2 > 0").count() == 0
+
+    # (a) read-side guard: the probe widens the diverged cell to a
+    # whole-cell read; with the ADC cut wide open its result equals
+    # exact cosine top-10 over exactly the vec rows it reranks
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in storage.probe_adaptive_ivfpq(
+            spark, skewed_corpus, q, k1=k1, nprobe=2, nprobe2=2, cand=10**6
+        ).collect()
+    ]
+    meta = storage.load_adaptive_ivf_meta(skewed_corpus, k1)
+
+    def d2(c):
+        return sum((x - y) * (x - y) for x, y in zip(q, c))
+
+    sel1 = sorted(range(k1), key=lambda i: (d2(meta["cents1"][i]), i))[:2]
+    keep = set()
+    vec = spark.read.parquet(vpath)
+    for c1 in sel1:
+        if c1 == cell0:  # widened: the whole cell
+            keep |= {
+                (r["cid1"], r["cid2"])
+                for r in vec.where(f"cid1 = {c1}")
+                .select("cid1", "cid2")
+                .distinct()
+                .collect()
+            }
+        elif c1 in meta["level2"]:
+            c2s = meta["level2"][c1]
+            order = sorted(range(len(c2s)), key=lambda i: (d2(c2s[i]), i))
+            keep |= {(c1, c2) for c2 in order[:2]}
+        else:
+            keep.add((c1, 0))
+    members = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in vec.collect()
+        if (r["cid1"], r["cid2"]) in keep
+    ]
+    qn = _math.sqrt(sum(x * x for x in q))
+    ref = sorted(
+        (
+            (
+                vid,
+                sum(a * b for a, b in zip(v, q))
+                / (_math.sqrt(sum(a * a for a in v)) * qn),
+            )
+            for vid, v in members
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == [v for v, _ in ref]
+
+    # (b) the next maintenance entry replays the sync from the marker
+    out2 = storage.maybe_rebalance_adaptive_ivf_store(spark, skewed_corpus, k1)
+    assert out2["fired"] is False  # nothing newly hot — only the replay
+    assert storage._pending_code_sync_cells(cpath) == []
+    vleaves = {
+        (r["cid1"], r["cid2"], r["n"])
+        for r in vec.groupBy("cid1", "cid2").agg(F.count("*").alias("n")).collect()
+    }
+    cleaves = {
+        (r["cid1"], r["cid2"], r["n"])
+        for r in spark.read.parquet(cpath)
+        .groupBy("cid1", "cid2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert vleaves == cleaves
+
+
+def test_code_sync_creates_missing_cell_subtree(
+    spark, store_dir, skewed_corpus
+):
+    """ADVICE r11 #4: a sync for a cell with no live code subtree
+    (crash-removed, or occupancy drifted to zero before a merge)
+    CREATES the subtree instead of raising FileNotFoundError out of
+    the swap's first rename."""
+    import shutil as _sh
+
+    k1 = 8
+    storage.build_adaptive_ivfpq_code_store(spark, skewed_corpus, k1=k1)
+    vpath = storage.adaptive_ivf_store_path(skewed_corpus, k1)
+    cpath = storage.adaptive_ivfpq_code_store_path(skewed_corpus, k1)
+    cell = spark.read.parquet(vpath).where("vec_id = 0").first()["cid1"]
+    _sh.rmtree(os.path.join(cpath, f"cid1={cell}"))
+    synced = storage.sync_adaptive_ivfpq_code_cells(
+        spark, skewed_corpus, k1, [cell]
+    )
+    assert synced == [cell]
+    n_vec = spark.read.parquet(vpath).where(f"cid1 = {cell}").count()
+    n_code = spark.read.parquet(cpath).where(f"cid1 = {cell}").count()
+    assert n_code == n_vec and n_code > 0
+    # and the marker is clear — the sync completed
+    assert storage._pending_code_sync_cells(cpath) == []
