@@ -3266,10 +3266,14 @@ def maybe_compact_adaptive_ivf_store(
 def clustered_cf_fit_store_path() -> str:
     from ..pipeline.clustered import CF_C, CF_N
 
-    # l2 layout: fit/ + codes-trained/ + codes-residual/ subtrees (the
-    # r10 l1 store held only the fit rows at the root)
+    # l3 layout: l2's fit/ + codes-trained/ + codes-residual/ plus the
+    # AUDIT widths (VERDICT r11 #1): fit-ksplit/ (the k = 2C
+    # width-mismatch fit), codes-plain/ and codes-residgen/ (the
+    # variant-pricing audit's seeded codes vs the generative centers).
+    # The tag bump retires l2 stores so a stale layout is simply never
+    # found (the fingerprint discipline applied to the layout itself).
     return os.path.join(
-        store_root(), f"cf-fit-v{STORE_VERSION}l2-n{CF_N}-c{CF_C}"
+        store_root(), f"cf-fit-v{STORE_VERSION}l3-n{CF_N}-c{CF_C}"
     )
 
 
@@ -3280,9 +3284,21 @@ def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
     cold_top; VERDICT r10 #4). Layout::
 
         fit/             (vec_id, cl, embedding, cid)
+        fit-ksplit/      (vec_id, cid)   Lloyd at k = CF_KSPLIT (= 2C)
         codes-trained/   (vec_id, cid, c0..c{S-1})   encoded vs pq_vseeds
         codes-residual/  (vec_id, cid, c0..c{S-1})   encoded vs pq_rseeds
+        codes-plain/     (vec_id, c0..c{S-1})        seeded plain codes
+        codes-residgen/  (vec_id, cl, c0..c{S-1})    residual vs cf_center
         _meta.json       {cents, pq_vseeds, pq_rseeds}
+
+    The l3 additions carry the AUDIT widths (VERDICT r11 #1): the four
+    fixture audits that dominated BENCH_r11 cold_top each re-ran a
+    Lloyd fit or a PQ encode at a width the l2 store didn't hold
+    (clustered_ivf_occupancy_audit at CF_KSPLIT 7.55 s,
+    clustered_kmeans_agreement_audit at CF_C 5.86 s,
+    clustered_pq_variant_audit's two seeded encodes 3.08 s). Audits
+    read-or-compute; their oracles re-derive from scratch, keeping
+    every table hash-checked.
 
     Meta floats round-trip exactly (json double round-trip, the
     kmeans-fit-store discipline), so store-read LUTs equal live-derived
@@ -3295,6 +3311,10 @@ def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
 
     from ..pipeline.clustered import (
         CF_C,
+        CF_KSPLIT,
+        DIM,
+        PQ_K,
+        cf_center,
         cf_point,
         clustered_fixture_frame,
         _cf_pq_train_fit,
@@ -3318,6 +3338,38 @@ def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
     )
     resid, rseeds = _cf_residual_parts(spark, fx, asg, cents)
     residual = pq_encode(resid, rseeds, keep=("cid",))
+    # the audit widths (exactly the audits' own live derivations):
+    # the width-mismatch fit at k = CF_KSPLIT ...
+    asg16, _c16 = _lloyd_fit_frame(
+        fx.select("vec_id", "embedding"),
+        [cf_point(k) for k in range(CF_KSPLIT)],
+    )
+    # ... and the variant audit's seeded codes: plain vs fixture-vector
+    # seeds, residual vs the GENERATIVE centers (not the fitted cents —
+    # the audit isolates codebook quality from coarse-fit quality)
+    pseeds = [cf_point(k) for k in range(PQ_K)]
+    gcents = [cf_center(c) for c in range(CF_C)]
+    grseeds = [
+        [pseeds[k][j] - gcents[k % CF_C][j] for j in range(DIM)]
+        for k in range(PQ_K)
+    ]
+    plain = pq_encode(fx.select("vec_id", "embedding"), pseeds)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(c, gcents[c]) for c in range(CF_C)], "c int, cent array<double>"
+        )
+    )
+    gresid = (
+        fx.join(cdf, fx["cl"] == cdf["c"])
+        .select(
+            "vec_id",
+            "cl",
+            F.zip_with("embedding", "cent", lambda x, y: x - y).alias(
+                "embedding"
+            ),
+        )
+    )
+    residgen = pq_encode(gresid, grseeds, keep=("cl",))
     os.makedirs(store_root(), exist_ok=True)
     tmp = os.path.join(
         store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
@@ -3328,6 +3380,15 @@ def build_clustered_cf_fit_store(spark: SparkSession, sf_dir: str) -> str:
     )
     residual.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(tmp, "codes-residual")
+    )
+    asg16.select("vec_id", "cid").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "fit-ksplit")
+    )
+    plain.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codes-plain")
+    )
+    residgen.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codes-residgen")
     )
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         _json.dump(
@@ -3357,9 +3418,19 @@ def read_clustered_cf_fit(spark: SparkSession):
 
 
 def read_clustered_cf_codes(spark: SparkSession, variant: str):
-    """The materialized (vec_id, cid, c0..c{S-1}) code table for
-    ``variant`` in {"trained", "residual"}, or None when unbuilt."""
+    """The materialized code table for ``variant`` in {"trained",
+    "residual", "plain", "residgen"}, or None when unbuilt."""
     path = os.path.join(clustered_cf_fit_store_path(), f"codes-{variant}")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def read_clustered_cf_ksplit(spark: SparkSession):
+    """The materialized (vec_id, cid) assignment of the k = CF_KSPLIT
+    width-mismatch Lloyd fit, or None when unbuilt — the
+    clustered_ivf_occupancy_audit's read-or-compute input."""
+    path = os.path.join(clustered_cf_fit_store_path(), "fit-ksplit")
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path)

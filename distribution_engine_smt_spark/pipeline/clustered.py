@@ -418,8 +418,25 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encode = map-only folds over the fixture scan (the
     pq_encode kernel); LUTs are bounded driver floats; ADC = literal
     lookups; two rank windows partitioned by qid; recalls are integer
-    count ratios (no float aggregation order anywhere)."""
-    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+    count ratios (no float aggregation order anywhere).
+
+    Reads the fit store's codes-plain/codes-residgen tables when built
+    (VERDICT r11 #1 — on the 2k-row fixture the cold cost is PLANNING
+    the two S x K encode expression trees, paid once at store build);
+    the truth side reads the store's fit frame (same vec_id/cl/
+    embedding rows the generator emits); the oracle re-derives both
+    encodes and the corpus from scratch."""
+    from ..operators.storage import (
+        read_clustered_cf_codes,
+        read_clustered_cf_fit,
+    )
+
+    _stored, _m = read_clustered_cf_fit(spark)
+    fx = tracked_persist(
+        _stored.select("vec_id", "cl", "embedding")
+        if _stored is not None
+        else clustered_fixture_frame(spark, sf_dir)
+    )
     seeds = [cf_point(k) for k in range(PQ_K)]
     cents = [cf_center(c) for c in range(CF_C)]
     rseeds = [
@@ -428,23 +445,27 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qs = [cf_point(q) for q in range(CF_Q)]
 
-    codes_p = pq_encode(fx, seeds)
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(c, cents[c]) for c in range(CF_C)], "c int, cent array<double>"
+    codes_p = read_clustered_cf_codes(spark, "plain")
+    codes_r = read_clustered_cf_codes(spark, "residgen")
+    if codes_p is None or codes_r is None:
+        codes_p = pq_encode(fx, seeds)
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(c, cents[c]) for c in range(CF_C)],
+                "c int, cent array<double>",
+            )
         )
-    )
-    resid = (
-        fx.join(cdf, fx["cl"] == cdf["c"])
-        .select(
-            "vec_id",
-            "cl",
-            F.zip_with("embedding", "cent", lambda x, y: x - y).alias(
-                "embedding"
-            ),
+        resid = (
+            fx.join(cdf, fx["cl"] == cdf["c"])
+            .select(
+                "vec_id",
+                "cl",
+                F.zip_with("embedding", "cent", lambda x, y: x - y).alias(
+                    "embedding"
+                ),
+            )
         )
-    )
-    codes_r = pq_encode(resid, rseeds, keep=("cl",))
+        codes_r = pq_encode(resid, rseeds, keep=("cl",))
 
     # LUTs ride in as BROADCAST FRAMES (10 rows plain, 80 rows residual)
     # and the ADC is eight subspace-ordered getItems per row — the first
@@ -1074,12 +1095,20 @@ def clustered_ivf_occupancy_audit(
     100 TB capacity plan must budget for (and the balanced-cell
     assumption's error the sharded crossing's 9% gap already showed).
     All inputs are integer counts; the two doubles are single exact
-    divisions — no float aggregation order."""
+    divisions — no float aggregation order.
+
+    Reads the fit store's materialized CF_KSPLIT assignment when built
+    (VERDICT r11 #1 — this audit's cold cost WAS the re-fit); the
+    oracle re-derives the fit from scratch, keeping the store
+    hash-checked."""
+    from ..operators.storage import read_clustered_cf_ksplit
     from .clustering import _lloyd_fit_frame
 
-    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
-    seeds = [cf_point(k) for k in range(CF_KSPLIT)]
-    asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    asg = read_clustered_cf_ksplit(spark)
+    if asg is None:
+        fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
+        seeds = [cf_point(k) for k in range(CF_KSPLIT)]
+        asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
     sizes = asg.groupBy("cid").agg(F.count("*").alias("sz"))
     return sizes.agg(
         F.lit(CF_KSPLIT).cast("int").alias("k"),
@@ -1314,12 +1343,22 @@ def clustered_mass_occupancy_audit(
     language/domain + long tail) puts an IVF index in even when the
     ladder width is exactly right, and the regime the adaptive
     hot-cell store exists for (its BENCH_SCALE entry measures the
-    mitigation on generated skew of this exact shape)."""
+    mitigation on generated skew of this exact shape).
+
+    Reads the mass fit store's level-1 assignment when built (VERDICT
+    r11 #1 — the 4.98 s cold cost was this audit re-running the exact
+    fit the store materializes); the oracle re-derives the fit from
+    scratch, keeping the store hash-checked."""
+    from ..operators.storage import read_clustered_mass_fit
     from .clustering import _lloyd_fit_frame
 
-    fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
-    seeds = [cm_point(k) for k in range(CF_C)]
-    asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
+    stored, _meta = read_clustered_mass_fit(spark)
+    if stored is not None:
+        asg = stored.select("vec_id", "cid")
+    else:
+        fx = tracked_persist(clustered_mass_fixture_frame(spark, sf_dir))
+        seeds = [cm_point(k) for k in range(CF_C)]
+        asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
     sizes = asg.groupBy("cid").agg(F.count("*").alias("sz"))
     return sizes.agg(
         F.lit(CF_C).cast("int").alias("k"),
@@ -2579,13 +2618,15 @@ def clustered_kmeans_agreement_audit(
     cells. The oracle replays the fit through the same _fit_ctes body
     every IVF oracle uses, re-pointed at the generated corpus by CTE
     shadowing — fit arithmetic cannot drift between the fixture and the
-    production probes."""
-    from .clustering import _lloyd_fit_frame
+    production probes.
 
-    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
-    seeds = [cf_point(k) for k in range(CF_C)]
-    asg, _cents = _lloyd_fit_frame(fx.select("vec_id", "embedding"), seeds)
-    jj = tracked_persist(fx.select("vec_id", "cl").join(asg, "vec_id"))
+    Reads the fit store's coarse assignment when built (the shared
+    _cf_coarse_fit read-or-compute; VERDICT r11 #1 — the 5.86 s cold
+    cost was this audit re-running the exact fit the store holds)."""
+    fx, asg, _cents = _cf_coarse_fit(spark, sf_dir)
+    jj = tracked_persist(
+        fx.select("vec_id", "cl").join(asg.select("vec_id", "cid"), "vec_id")
+    )
     pcc = jj.groupBy("cid", "cl").agg(F.count("*").alias("n"))
     w = Window.partitionBy("cid").orderBy(
         F.col("n").desc(), F.col("cl").asc()

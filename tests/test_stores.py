@@ -1633,6 +1633,46 @@ def test_clustered_cf_fit_store_matches_derived(spark, store_dir, monkeypatch):
         asg.select("vec_id", "cid"), "vec_id"
     )
     live_residual = pq_encode(resid, rseeds, keep=("cid",))
+    # l3 audit-width tables, derived live while the store is hidden
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        CF_C,
+        CF_KSPLIT,
+        DIM,
+        PQ_K,
+        cf_center,
+        cf_point,
+    )
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        _lloyd_fit_frame,
+    )
+    from pyspark.sql import functions as F
+
+    asg16, _ = _lloyd_fit_frame(
+        fx.select("vec_id", "embedding"),
+        [cf_point(k) for k in range(CF_KSPLIT)],
+    )
+    live_ksplit = {(r["vec_id"], r["cid"]) for r in asg16.collect()}
+    pseeds = [cf_point(k) for k in range(PQ_K)]
+    gcents = [cf_center(c) for c in range(CF_C)]
+    grseeds = [
+        [pseeds[k][j] - gcents[k % CF_C][j] for j in range(DIM)]
+        for k in range(PQ_K)
+    ]
+    live_plain = pq_encode(fx.select("vec_id", "embedding"), pseeds)
+    cdf = spark.createDataFrame(
+        [(c, gcents[c]) for c in range(CF_C)], "c int, cent array<double>"
+    )
+    gresid = fx.join(cdf, fx["cl"] == cdf["c"]).select(
+        "vec_id",
+        "cl",
+        F.zip_with("embedding", "cent", lambda x, y: x - y).alias("embedding"),
+    )
+    live_residgen = pq_encode(gresid, grseeds, keep=("cl",))
+
+    def row_set(df):
+        cols = sorted(df.columns)
+        return {tuple(r[c] for c in cols) for r in df.collect()}
+
     monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", os.path.dirname(with_store))
     assert code_set(storage.read_clustered_cf_codes(spark, "trained")) == code_set(
         live_trained
@@ -1640,6 +1680,16 @@ def test_clustered_cf_fit_store_matches_derived(spark, store_dir, monkeypatch):
     assert code_set(
         storage.read_clustered_cf_codes(spark, "residual")
     ) == code_set(live_residual)
+    assert {
+        (r["vec_id"], r["cid"])
+        for r in storage.read_clustered_cf_ksplit(spark).collect()
+    } == live_ksplit
+    assert row_set(storage.read_clustered_cf_codes(spark, "plain")) == row_set(
+        live_plain
+    )
+    assert row_set(
+        storage.read_clustered_cf_codes(spark, "residgen")
+    ) == row_set(live_residgen)
 
 
 def test_adaptive_ivf_swap_crash_window_rolls_back(spark, store_dir, tmp_path):
