@@ -2771,14 +2771,17 @@ def compact_ivf_cell(
 
 # variant -> builder lookup is resolved lazily inside the build to avoid
 # a module cycle (pipeline.similarity imports driver_queries -> operators)
-EMBEDDING_PAIR_VARIANTS = ("cosine", "single", "mp1", "mp2", "mp3")
+EMBEDDING_PAIR_VARIANTS = ("cosine", "single", "mp1", "mp2", "mp3", "planted")
 
 
 def embedding_pair_store_path(sf_dir: str) -> str:
     # widths are corpus-derived (ladder) -> the embeddings fingerprint
-    # keys them; flip counts are structural constants of the variants
+    # keys them; flip counts are structural constants of the variants.
+    # "p" layout tag: adds the planted-recovery variant (VERDICT r11
+    # #4) — the tag retires pre-r12 stores, whose missing variant
+    # partition would otherwise read as an EMPTY pair set, not a miss
     fp = _sf_fingerprint(sf_dir, ("embeddings.parquet",))
-    return os.path.join(store_root(), f"emb-pairs-v{STORE_VERSION}-{fp}")
+    return os.path.join(store_root(), f"emb-pairs-v{STORE_VERSION}p-{fp}")
 
 
 def build_embedding_pair_store(spark: SparkSession, sf_dir: str) -> str:
@@ -2791,14 +2794,19 @@ def build_embedding_pair_store(spark: SparkSession, sf_dir: str) -> str:
     path = embedding_pair_store_path(sf_dir)
     if os.path.isdir(path):
         return path
+    from ..pipeline import audit as aud
     from ..pipeline import similarity as sim
 
+    # builders are the LIVE derivations (multiprobe_lsh_pairs directly,
+    # not the registered names — since r12 the mp* registered queries
+    # are store-read, and the store must be built from the live chain)
     builders = {
         "cosine": sim.dedup_embedding_cosine,
         "single": sim.dedup_embedding_lsh_single_probe,
-        "mp1": sim.dedup_embedding_lsh_flips1,
-        "mp2": sim.dedup_embedding_lsh_multiprobe,
-        "mp3": sim.dedup_embedding_lsh_flips3,
+        "mp1": lambda s, d: sim.multiprobe_lsh_pairs(s, d, 1),
+        "mp2": lambda s, d: sim.multiprobe_lsh_pairs(s, d, sim.RHP_MP_FLIP),
+        "mp3": lambda s, d: sim.multiprobe_lsh_pairs(s, d, 3),
+        "planted": aud.planted_recovered_pairs,
     }
     import functools
 
@@ -2828,9 +2836,13 @@ def read_embedding_pairs(
 ) -> DataFrame | None:
     """Partition-pruned read of one variant's pair set, or None when no
     store exists (callers fall back to deriving live — the
-    rhp_band_frame read-or-compute discipline)."""
+    rhp_band_frame read-or-compute discipline). A store that predates
+    a variant returns None for it too — a missing partition dir must
+    read as "no store", never as an empty pair set."""
     path = embedding_pair_store_path(sf_dir)
     if not os.path.isdir(path):
+        return None
+    if not os.path.isdir(os.path.join(path, f"variant={variant}")):
         return None
     return (
         spark.read.parquet(path)

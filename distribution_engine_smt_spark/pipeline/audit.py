@@ -1300,10 +1300,40 @@ def embedding_lsh_planted_recall_audit(
     derivation (rhp_multiprobe_buckets), one join against the stored
     band table keyed (tbl, bucket) with the source-identity filter, one
     distinct + count. At 100 TB this is the canary the index-maintenance
-    job runs per rung crossing: plant, probe, alert on misses."""
+    job runs per rung crossing: plant, probe, alert on misses.
+
+    Reads the materialized "planted" pair set when the embedding pair
+    store is built (VERDICT r11 #4 — the probe chain re-ran per cold
+    read); the store is built FROM planted_recovered_pairs below, and
+    the oracle re-derives the whole plant-probe-recover chain from
+    scratch, keeping the store hash-checked."""
+    from .similarity import stored_pairs
+
+    rec = tracked_persist(
+        stored_pairs(spark, sf_dir, "planted", planted_recovered_pairs)
+        .select(F.col("id_new").alias("src"))
+        .distinct()
+    )
+    return rec.agg(F.count("*").cast("long").alias("n_recovered")).select(
+        F.lit(PLANT_N).cast("long").alias("n_planted"),
+        "n_recovered",
+        F.round(
+            F.col("n_recovered").cast("double") / PLANT_N, 6
+        ).alias("recall"),
+    )
+
+
+def planted_recovered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_new = src, id_corpus = src + PLANT_OFF, cos) for each planted
+    clone RECOVERED by the multi-probe chain against the stored band
+    table — the planted audit's candidate set, with the exact verify
+    cosine of (source, clone) resolved like every other pair-set
+    variant. This is the live derivation the embedding pair store's
+    "planted" partition materializes."""
     from .params import corpus_count, rhp_bits_for
     from .similarity import (
         RHP_MP_FLIP,
+        dot_fold,
         rhp_band_frame,
         rhp_multiprobe_buckets,
     )
@@ -1329,12 +1359,23 @@ def embedding_lsh_planted_recall_audit(
         .select("src")
         .distinct()
     )
-    return rec.agg(F.count("*").cast("long").alias("n_recovered")).select(
-        F.lit(PLANT_N).cast("long").alias("n_planted"),
-        "n_recovered",
-        F.round(
-            F.col("n_recovered").cast("double") / PLANT_N, 6
-        ).alias("recall"),
+    e1 = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("e1"))
+    e2 = planted.select(
+        (F.col("vec_id") - PLANT_OFF).alias("src"),
+        F.col("embedding").alias("e2"),
+    )
+    cos = dot_fold(F.col("e1"), F.col("e2")) / (
+        F.sqrt(dot_fold(F.col("e1"), F.col("e1")))
+        * F.sqrt(dot_fold(F.col("e2"), F.col("e2")))
+    )
+    return (
+        rec.join(e1, "src")
+        .join(e2, "src")
+        .select(
+            F.col("src").alias("id_new"),
+            (F.col("src") + PLANT_OFF).alias("id_corpus"),
+            cos.alias("cos"),
+        )
     )
 
 

@@ -749,19 +749,37 @@ def dedup_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     embedding_lsh_multiprobe_recall_audit measures what the extra probes
     buy vs the single-probe audit. Memoized per session (the audit
     consumes the SAME frame the query built — VERDICT r7 #5: the pair
-    must not pay for the probe chain twice)."""
-    return multiprobe_lsh_pairs(spark, sf_dir, RHP_MP_FLIP)
+    must not pay for the probe chain twice).
+
+    NON-headline curve point since r12: reads the materialized "mp2"
+    pair set when the embedding pair store is built (VERDICT r11 #4 —
+    every curve point re-derived its probe chain + exact verify cold,
+    ~25 s across the family); falls back to the live chain, which is
+    also what the store builder materializes, so content is identical
+    either way and the oracle re-derives from scratch."""
+    return stored_pairs(
+        spark,
+        sf_dir,
+        "mp2",
+        lambda s, d: multiprobe_lsh_pairs(s, d, RHP_MP_FLIP),
+    ).orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
 
 
 # the HEADLINE embedding-dedup name is the multi-probe path (VERDICT r8
 # #5): the name a user reaches for first should be the one whose recall
 # holds at 1.0 across ladder rungs; single-probe stays registered as the
-# explicit ``_single_probe`` cheap alternative. Registered as the SAME
-# memoized callable as dedup_embedding_lsh_multiprobe, so the two names
-# share one derivation per session and cannot drift.
-dedup_embedding_lsh = register("dedup_embedding_lsh", _RHP_MP_SQL)(
-    dedup_embedding_lsh_multiprobe
-)
+# explicit ``_single_probe`` cheap alternative. The headline stays LIVE
+# (it is the measured operator — bench times the real probe chain);
+# the ``_multiprobe`` curve point reads the pair store when built.
+# Content cannot drift: the store is built FROM this live chain.
+@register("dedup_embedding_lsh", _RHP_MP_SQL)
+@memoize_df
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline embedding near-dup operator: multi-probe RHP LSH at
+    flips=RHP_MP_FLIP (T=4 probes/table) — always the live probe chain
+    (see dedup_embedding_lsh_multiprobe for the design notes; that name
+    is the store-read twin on the recall curve)."""
+    return multiprobe_lsh_pairs(spark, sf_dir, RHP_MP_FLIP)
 
 
 @register("dedup_embedding_lsh_flips1", _mp_sql_at(1))
@@ -771,8 +789,11 @@ def dedup_embedding_lsh_flips1(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve, registered with its own oracle so the curve is DRIVER-checkable
     (VERDICT r8 #7) rather than only probe-measured: half the probe reads
     of the T=4 headline, recall between single-probe and T=4 (monotone
-    coverage pinned by tests/test_multiprobe_ladder.py)."""
-    return multiprobe_lsh_pairs(spark, sf_dir, 1)
+    coverage pinned by tests/test_multiprobe_ladder.py). Reads the
+    materialized "mp1" pair set when built (VERDICT r11 #4)."""
+    return stored_pairs(
+        spark, sf_dir, "mp1", lambda s, d: multiprobe_lsh_pairs(s, d, 1)
+    ).orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
 
 
 @register("dedup_embedding_lsh_flips3", _mp_sql_at(3))
@@ -782,8 +803,11 @@ def dedup_embedding_lsh_flips3(spark: SparkSession, sf_dir: str) -> DataFrame:
     T=4 operating point — the knob a 100 TB operator turns when a recall
     audit dips after a corpus growth spurt and re-banding at the next
     ladder rung hasn't run yet. Covers a strict superset of the T=4
-    buckets by construction."""
-    return multiprobe_lsh_pairs(spark, sf_dir, 3)
+    buckets by construction. Reads the materialized "mp3" pair set when
+    built (VERDICT r11 #4)."""
+    return stored_pairs(
+        spark, sf_dir, "mp3", lambda s, d: multiprobe_lsh_pairs(s, d, 3)
+    ).orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
 
 
 # ---------------------------------------------------------------------------

@@ -21,14 +21,21 @@ def _pairs(df):
 
 
 def test_headline_name_is_the_multiprobe_path(spark):
-    """VERDICT r8 #5: the name a user reaches for first must be the
-    multi-probe path — same registered callable, same memoized frame."""
-    assert dedup_embedding_lsh is dedup_embedding_lsh_multiprobe
+    """VERDICT r8 #5 (amended r12 per VERDICT r11 #4): the name a user
+    reaches for first is the multi-probe path and shares the ORACLE
+    with the ``_multiprobe`` curve point — but the two are now distinct
+    callables: the headline stays LIVE (the measured operator), the
+    curve point reads the materialized pair store when built. Their
+    pair sets must be identical (same derivation; the store is built
+    from the live chain)."""
+    assert dedup_embedding_lsh is not dedup_embedding_lsh_multiprobe
     from distribution_engine_smt_spark.driver_queries import ORACLE_SQL, QUERIES
 
-    assert QUERIES["dedup_embedding_lsh"] is QUERIES["dedup_embedding_lsh_multiprobe"]
     assert ORACLE_SQL["dedup_embedding_lsh"] == ORACLE_SQL["dedup_embedding_lsh_multiprobe"]
     assert "dedup_embedding_lsh_single_probe" in QUERIES
+    assert _pairs(dedup_embedding_lsh(spark, SF_DIR)) == _pairs(
+        dedup_embedding_lsh_multiprobe(spark, SF_DIR)
+    )
 
 
 def test_flips_zero_equals_single_probe_and_coverage_is_monotone(spark):

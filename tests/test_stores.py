@@ -2212,3 +2212,24 @@ def test_code_sync_creates_missing_cell_subtree(
     assert n_code == n_vec and n_code > 0
     # and the marker is clear — the sync completed
     assert storage._pending_code_sync_cells(cpath) == []
+
+
+def test_missing_pair_variant_reads_as_no_store(spark, store_dir):
+    """A pair store that predates a variant must read as None (fall
+    back to live derivation), never as an empty pair set — the silent
+    failure mode of filtering a partition that was never written."""
+    import shutil as _sh
+
+    path = storage.build_embedding_pair_store(spark, SF_DIR)
+    assert storage.read_embedding_pairs(spark, SF_DIR, "planted") is not None
+    _sh.rmtree(os.path.join(path, "variant=planted"))
+    assert storage.read_embedding_pairs(spark, SF_DIR, "planted") is None
+    # and the planted audit still runs (live fallback), same row shape
+    from distribution_engine_smt_spark.pipeline.audit import (
+        embedding_lsh_planted_recall_audit,
+    )
+    from distribution_engine_smt_spark.driver_queries import _DF_CACHE
+
+    _DF_CACHE.clear()
+    r = embedding_lsh_planted_recall_audit(spark, SF_DIR).collect()[0]
+    assert r["n_planted"] == 50 and 0.0 <= r["recall"] <= 1.0
