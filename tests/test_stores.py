@@ -2233,3 +2233,112 @@ def test_missing_pair_variant_reads_as_no_store(spark, store_dir):
     _DF_CACHE.clear()
     r = embedding_lsh_planted_recall_audit(spark, SF_DIR).collect()[0]
     assert r["n_planted"] == 50 and 0.0 <= r["recall"] <= 1.0
+
+
+def test_adaptive_ivfpq_code_store_stream_drain_equality(
+    spark, store_dir, tmp_path
+):
+    """VERDICT r11 #2: the vector store has a two-wave checkpoint-
+    restart drain proof; this is the CODE store's. A drift wave (split
+    fires in-stream), a checkpoint restart, a growth wave (merge +
+    growth-cell split fire) — and after the drain the code store (a)
+    mirrors the vector store's (cid1, cid2, batch_id) leaf layout
+    row-for-row, and (b) equals a from-scratch encode of the drained
+    vector store: same vec_ids, same leaves, same code words. Without
+    the in-stream sync the split/merge would leave the code layout
+    frozen at build time and (a) fails."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        pq_encode,
+        pq_seed_vectors,
+    )
+
+    k1 = 8
+    d = _mass_corpus(spark, str(tmp_path / "mass-codes-stream"))
+    storage.build_adaptive_ivfpq_code_store(spark, d, k1=k1)
+    vpath = storage.adaptive_ivf_store_path(d, k1)
+    cpath = storage.adaptive_ivfpq_code_store_path(d, k1)
+    meta0 = storage.load_adaptive_ivf_meta(d, k1)
+    sizes0 = {int(c): int(v) for c, v in meta0["sizes"].items()}
+    hot0 = set(meta0["hot_cells"])
+    t_split = max(
+        (c for c in sizes0 if c not in hot0), key=lambda c: (sizes0[c], -c)
+    )
+    t_grow = min(sizes0, key=lambda c: (sizes0[c], c))
+    store0 = spark.read.parquet(vpath)
+    v_split = [
+        float(x)
+        for x in store0.where(F.col("cid1") == t_split)
+        .orderBy("vec_id")
+        .first()["embedding"]
+    ]
+    v_grow = [
+        float(x)
+        for x in store0.where(F.col("cid1") == t_grow)
+        .orderBy("vec_id")
+        .first()["embedding"]
+    ]
+    w1 = [(700_000 + i, v_split) for i in range(300)]
+    w2 = [(800_000 + i, v_grow) for i in range(2200)]
+
+    def wave(p, rows):
+        papq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [e for _, e in rows], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(p),
+        )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    ckpt = str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<float>"
+    wave(incoming / "w1.parquet", w1)
+    q = storage.run_adaptive_ivf_ingest_stream(
+        spark, str(incoming), schema, d, k1, ckpt,
+        max_files_per_trigger=1, maintenance_every=1,
+    )
+    q.awaitTermination(120)
+    assert t_split in storage.load_adaptive_ivf_meta(d, k1)["level2"]
+    # restart from the checkpoint for the second wave
+    wave(incoming / "w2.parquet", w2)
+    q2 = storage.run_adaptive_ivf_ingest_stream(
+        spark, str(incoming), schema, d, k1, ckpt,
+        max_files_per_trigger=1, maintenance_every=1,
+    )
+    q2.awaitTermination(180)
+    meta2 = storage.load_adaptive_ivf_meta(d, k1)
+    assert t_grow in meta2["level2"], "growth cell did not split"
+    assert t_split not in meta2["level2"], "diluted cell did not merge"
+    vec = spark.read.parquet(vpath)
+    codes = spark.read.parquet(cpath)
+    assert vec.count() == 2048 + 300 + 2200
+    # (a) leaf layout mirrored per (cid1, cid2, batch_id)
+    layout = lambda df: sorted(  # noqa: E731
+        (r["cid1"], r["cid2"], r["batch_id"], r["n"])
+        for r in df.groupBy("cid1", "cid2", "batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert layout(vec) == layout(codes)
+    # (b) equal to a from-scratch encode of the drained vector store
+    scratch = pq_encode(
+        vec.select("vec_id", "embedding", "cid1", "cid2", "batch_id"),
+        pq_seed_vectors(spark, d),
+        keep=("cid1", "cid2", "batch_id"),
+    )
+    cols = sorted(scratch.columns)
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+    assert rows(codes) == rows(scratch)
+    # no pending-sync debt after a clean drain
+    assert storage._pending_code_sync_cells(cpath) == []
