@@ -653,6 +653,8 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Build every derived-artifact store for ``sf_dir`` that doesn't
     exist yet. bench.py runs this before the timed loop and reports the
     cost as ``store_build_sec`` — the one-time index-build line item."""
+    from ..pipeline.clustered import CW_N, CW_PROBE
+
     # order matters: signatures + postings feed the pair build, pairs
     # feed clusters
     return {
@@ -671,6 +673,12 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "cmass_fit": build_clustered_mass_fit_store(spark, sf_dir),
         "cmass_sem_pairs": build_clustered_mass_sem_pair_store(spark, sf_dir),
         "cf_fit": build_clustered_cf_fit_store(spark, sf_dir),
+        "cmass_fit_wide": build_clustered_mass_fit_store(
+            spark, sf_dir, n=CW_N
+        ),
+        "cmass_sem_pairs_wide": build_clustered_mass_sem_pair_store(
+            spark, sf_dir, n=CW_N, probe=CW_PROBE
+        ),
     }
 
 
@@ -2935,31 +2943,45 @@ def read_ngram_pairs(
 # ---------------------------------------------------------------------------
 
 
-def clustered_mass_sem_pair_store_path() -> str:
+def clustered_mass_sem_pair_store_path(
+    n: int | None = None, probe: int | None = None
+) -> str:
     from ..pipeline.clustered import CF_C, CF_N, CF_SEM_COS
 
+    n = CF_N if n is None else n
+    suffix = f"-p{probe}" if probe is not None else ""
     return os.path.join(
         store_root(),
-        f"cmass-sem-pairs-v{STORE_VERSION}-n{CF_N}-c{CF_C}"
-        f"-t{int(CF_SEM_COS * 100)}",
+        f"cmass-sem-pairs-v{STORE_VERSION}-n{n}-c{CF_C}"
+        f"-t{int(CF_SEM_COS * 100)}{suffix}",
     )
 
 
-def build_clustered_mass_sem_pair_store(spark: SparkSession, sf_dir: str) -> str:
+def build_clustered_mass_sem_pair_store(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int | None = None,
+    probe: int | None = None,
+) -> str:
     """Materialize the mass fixture's verified >= CF_SEM_COS same-
-    category pair set — the truth baseline all three mass semdedup
-    audits replay (each re-derived the ~695k-pair within-category
-    cosine verify cold; the pair-store discipline applies to fixture
-    baselines exactly as it did to the embedding and ngram ones). The
-    builder IS the shared live derivation, run with the store absent,
-    so content is byte-equal and every audit's oracle — which still
-    derives from scratch — keeps hash-checking it."""
-    from ..pipeline.clustered import _cm_sem_truth_pairs
+    category pair set — the truth baseline all the mass semdedup
+    audits replay (each re-derived the within-category cosine verify
+    cold; the pair-store discipline applies to fixture baselines
+    exactly as it did to the embedding and ngram ones). The builder IS
+    the shared live derivation, run with the store absent, so content
+    is byte-equal and every audit's oracle — which still derives from
+    scratch — keeps hash-checking it.
 
-    path = clustered_mass_sem_pair_store_path()
+    ``n``/``probe`` select the fixture size and an optional sampled
+    probe side (id_a < probe) — the wide k2 >= 16 fixture's full pair
+    set is ~45M pairs, so its truth baseline is probe-sampled, the
+    lsh_recall_audit_sampled shape (VERDICT r11 #5)."""
+    from ..pipeline.clustered import _cm_sem_truth_pairs_live
+
+    path = clustered_mass_sem_pair_store_path(n, probe)
     if os.path.isdir(path):
         return path
-    bp = _cm_sem_truth_pairs(spark, sf_dir)
+    bp = _cm_sem_truth_pairs_live(spark, sf_dir, n=n, probe=probe)
     os.makedirs(store_root(), exist_ok=True)
     tmp = os.path.join(
         store_root(), f".{os.path.basename(path)}.build-{uuid.uuid4().hex[:8]}"
@@ -2969,55 +2991,64 @@ def build_clustered_mass_sem_pair_store(spark: SparkSession, sf_dir: str) -> str
     return path
 
 
-def read_clustered_mass_sem_pairs(spark: SparkSession):
+def read_clustered_mass_sem_pairs(
+    spark: SparkSession, n: int | None = None, probe: int | None = None
+):
     """(id_a, id_b) truth pairs from the store, or None when unbuilt."""
-    path = clustered_mass_sem_pair_store_path()
+    path = clustered_mass_sem_pair_store_path(n, probe)
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
 
 
-def clustered_mass_fit_store_path() -> str:
+def clustered_mass_fit_store_path(n: int | None = None) -> str:
     from ..pipeline.clustered import CF_C, CF_HOT_PCT, CF_N
 
     # l2 layout: rows carry cid2b (second-nearest level-2 leaf inside
     # hot cells; ties (distance, cid) ascending) next to cid2 — the
     # width-2 blocking audit reads it instead of re-deriving the
-    # assignment per cold run
+    # assignment per cold run. ``n`` selects the fixture size (the
+    # scale-free trailing-zeros construction; default CF_N, the wide
+    # k2 >= 16 fixture uses CW_N).
+    n = CF_N if n is None else n
     return os.path.join(
         store_root(),
-        f"cmass-fit-v{STORE_VERSION}l2-n{CF_N}-c{CF_C}-h{CF_HOT_PCT}",
+        f"cmass-fit-v{STORE_VERSION}l2-n{n}-c{CF_C}-h{CF_HOT_PCT}",
     )
 
 
-def build_clustered_mass_fit_store(spark: SparkSession, sf_dir: str) -> str:
+def build_clustered_mass_fit_store(
+    spark: SparkSession, sf_dir: str, n: int | None = None
+) -> str:
     """Materialize the mass-imbalance fixture's adaptive two-level fit:
     (vec_id, cl, embedding, cid, cid2) rows — cid from the level-1
     Lloyd fit at k = CF_C seeded at the component centers, cid2 from a
     dyn-width level-2 fit inside cells above the integer hot threshold
-    (sz * CF_C * 100 > CF_HOT_PCT * CF_N; 0 elsewhere) — plus a meta
+    (sz * CF_C * 100 > CF_HOT_PCT * n; 0 elsewhere) — plus a meta
     blob with both levels' assignment-time centroids and the cell
     sizes. Exactly the derivation clustered_adaptive_occupancy_audit /
     _probe_recall_audit replay (shared _lloyd_fit_frame contracts,
     first-k2-by-vec_id seeds, ladder widths); their DuckDB oracles
     re-derive it from scratch every round, so the store content stays
-    hash-checked."""
+    hash-checked. ``n`` selects the fixture size (the construction is
+    scale-free); the wide k2 >= 16 fixture builds at n = CW_N."""
     import json as _json
 
     from ..pipeline.clustered import (
         CF_C,
         CF_HOT_PCT,
         CF_N,
-        clustered_mass_fixture_frame,
+        clustered_mass_corpus_frame,
         cm_point,
     )
     from ..pipeline.clustering import _lloyd_fit_frame
     from ..pipeline.params import ivf_cells_for
 
-    path = clustered_mass_fit_store_path()
+    n_fix = CF_N if n is None else n
+    path = clustered_mass_fit_store_path(n)
     if os.path.isdir(path):
         return path
-    fx = clustered_mass_fixture_frame(spark, sf_dir).persist()
+    fx = clustered_mass_corpus_frame(spark, n_fix).persist()
     emb = fx.select("vec_id", "embedding")
     asg, cents1 = _lloyd_fit_frame(
         emb, [cm_point(k) for k in range(CF_C)]
@@ -3033,7 +3064,7 @@ def build_clustered_mass_fit_store(spark: SparkSession, sf_dir: str) -> str:
         cell = emb.join(
             asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
         )
-        if sizes[c] * CF_C * 100 > CF_HOT_PCT * CF_N:
+        if sizes[c] * CF_C * 100 > CF_HOT_PCT * n_fix:
             k2 = ivf_cells_for(sizes[c])
             seeds2 = _distinct_seeds(cell, k2)
             asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
@@ -3109,13 +3140,14 @@ def build_clustered_mass_fit_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def read_clustered_mass_fit(spark: SparkSession):
-    """(frame, meta) for the materialized mass-fixture fit, or (None,
-    None) when the store hasn't been built. Meta floats round-trip
-    exactly (json double round-trip, the kmeans-fit-store discipline)."""
+def read_clustered_mass_fit(spark: SparkSession, n: int | None = None):
+    """(frame, meta) for the materialized mass-fixture fit at size
+    ``n`` (default CF_N), or (None, None) when the store hasn't been
+    built. Meta floats round-trip exactly (json double round-trip, the
+    kmeans-fit-store discipline)."""
     import json as _json
 
-    path = clustered_mass_fit_store_path()
+    path = clustered_mass_fit_store_path(n)
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.isfile(meta_path):
         return None, None

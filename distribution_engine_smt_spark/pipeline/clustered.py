@@ -1231,12 +1231,20 @@ def clustered_mass_corpus_frame(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-_CMX_CTES = f"""cmx AS (
+def _cmx_ctes_at(n: int, materialized: bool = False) -> str:
+    """The mass-fixture generation CTEs at an arbitrary corpus size
+    (the construction is scale-free — see clustered_mass_corpus_frame).
+    ``materialized`` pins cmx for oracles whose CTE chains reference it
+    many times (the g2m AS MATERIALIZED lesson applied to the corpus
+    itself — at the wide fixture's 16384 x DIM md5 terms, re-inlining
+    the generation per consumer dominates the oracle)."""
+    mat = " MATERIALIZED" if materialized else ""
+    return f"""cmx AS{mat} (
       SELECT i AS vec_id, {_cm_cl_sql()} AS cl,
              list_transform(generate_series(1, {DIM}), j ->
                {_cfx_coord_sql('cc', _cm_cl_sql(), '1000.0')}
                + {_cfx_coord_sql('cm', 'i', '20000.0')}) AS embedding
-      FROM generate_series(0, {CF_N - 1}) t(i)
+      FROM generate_series(0, {n - 1}) t(i)
     ),
     cctr AS (
       SELECT CAST(c AS INT) AS c,
@@ -1244,6 +1252,9 @@ _CMX_CTES = f"""cmx AS (
                {_cfx_coord_sql('cc', 'c', '1000.0')}) AS cent
       FROM generate_series(0, {CF_C - 1}) t(c)
     )"""
+
+
+_CMX_CTES = _cmx_ctes_at(CF_N)
 
 _CM_STATS_SQL = f"""
     WITH {_CMX_CTES},
@@ -1386,15 +1397,15 @@ def clustered_mass_occupancy_audit(
 CF_HOT_PCT = 125  # = storage.ADAPTIVE_HOT_FACTOR * 100 (pinned by test)
 
 
-def _cm_hot_pred(c: int) -> str:
+def _cm_hot_pred(c: int, n: int = CF_N) -> str:
     """Integer-exact hot test for cell c: sz * k1 * 100 > PCT * N."""
     return (
         f"(SELECT n FROM szc WHERE cid = {c}) * {CF_C * 100} "
-        f"> {CF_HOT_PCT * CF_N}"
+        f"> {CF_HOT_PCT * n}"
     )
 
 
-def _cm_cell_fit_ctes(c: int) -> str:
+def _cm_cell_fit_ctes(c: int, n: int = CF_N) -> str:
     """Level-2 dyn-width Lloyd replay INSIDE cell ``c``, gated on the
     hot predicate (cold cells produce empty CTEs and cost nothing —
     the _fit_ctes guard idea applied per cell). Width = the ladder of
@@ -1409,7 +1420,7 @@ def _cm_cell_fit_ctes(c: int) -> str:
     d = _dist_sql("e.embedding", "s.c")
     return f"""cell{c} AS (
       SELECT vec_id, embedding FROM g2m
-      WHERE cid = {c} AND {_cm_hot_pred(c)}
+      WHERE cid = {c} AND {_cm_hot_pred(c, n)}
     ),
     {p}k AS (SELECT {ivf_cells_sql(f'(SELECT count(*) FROM cell{c})')} AS k),
     {p}seeds AS (
@@ -1864,19 +1875,28 @@ def clustered_adaptive_semdedup_w2_audit(
     right key; leaf blocking pays only for clone-like duplicates or
     cells split far wider than the assignment width. Assignment
     tie-break is (distance, cid2) ascending in BOTH engines."""
-    # width-2 assignment inside every hot cell: replay the same fitted
-    # level-2 centroids the single-assignment layout used (stored mass
-    # fit when built, else the live derivation)
+    fx2, asgw = _cm_w2_assignments(spark, sf_dir)
+    return _cm_sem_w2_report(spark, sf_dir, fx2, asgw)
+
+
+def _cm_w2_assignments(spark: SparkSession, sf_dir: str, n: int = CF_N):
+    """(fixture frame, width-2 (vec_id, cid, cid2) multi-assignment)
+    for the mass fixture at size ``n``: every hot-cell member assigned
+    to its TWO nearest level-2 leaves ((distance, cid2) ascending tie-
+    break), cold cells single-leaf. Reads the l2-layout fit store when
+    built (cid2 = nearest, cid2b = second-nearest), else replays the
+    per-cell fits + distance ranking live — shared by the w2 audit
+    (n = CF_N) and the wide k2 >= 16 audit (n = CW_N)."""
     from ..operators.storage import read_clustered_mass_fit
     from .clustering import _dist_to_literal, _lloyd_fit_frame
     from .params import ivf_cells_for
     from pyspark.sql import Window
 
-    stored, meta = read_clustered_mass_fit(spark)
+    stored, meta = read_clustered_mass_fit(spark, n=n)
     fx2 = tracked_persist(
         stored.select("vec_id", "cl", "embedding")
         if stored is not None
-        else clustered_mass_fixture_frame(spark, sf_dir)
+        else clustered_mass_corpus_frame(spark, n)
     )
     emb = fx2.select("vec_id", "embedding")
     if stored is not None:
@@ -1894,30 +1914,28 @@ def clustered_adaptive_semdedup_w2_audit(
         cold_rows = stored.where(F.col("cid2b") == F.col("cid2")).select(
             "vec_id", "cid", "cid2"
         )
-        asgw = tracked_persist(hot_rows.unionByName(cold_rows))
-        return _cm_sem_w2_report(spark, sf_dir, fx2, asgw)
-    if True:
-        asg, _cents = _lloyd_fit_frame(
-            emb, [cm_point(k) for k in range(CF_C)]
-        )
-        asg = tracked_persist(asg)
-        sizes = {
-            r["cid"]: r["n"]
-            for r in asg.groupBy("cid").agg(F.count("*").alias("n")).collect()
-        }
-        level2 = {}
-        for c in range(CF_C):
-            if sizes[c] * CF_C * 100 > CF_HOT_PCT * CF_N:
-                cell = emb.join(
-                    asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
-                )
-                k2 = ivf_cells_for(sizes[c])
-                seeds2 = [
-                    [float(x) for x in r["embedding"]]
-                    for r in cell.orderBy("vec_id").limit(k2).collect()
-                ]
-                _asg2, cents2c = _lloyd_fit_frame(cell, seeds2)
-                level2[c] = cents2c
+        return fx2, tracked_persist(hot_rows.unionByName(cold_rows))
+    asg, _cents = _lloyd_fit_frame(
+        emb, [cm_point(k) for k in range(CF_C)]
+    )
+    asg = tracked_persist(asg)
+    sizes = {
+        r["cid"]: r["n"]
+        for r in asg.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    level2 = {}
+    for c in range(CF_C):
+        if sizes[c] * CF_C * 100 > CF_HOT_PCT * n:
+            cell = emb.join(
+                asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
+            )
+            k2 = ivf_cells_for(sizes[c])
+            seeds2 = [
+                [float(x) for x in r["embedding"]]
+                for r in cell.orderBy("vec_id").limit(k2).collect()
+            ]
+            _asg2, cents2c = _lloyd_fit_frame(cell, seeds2)
+            level2[c] = cents2c
     parts = []
     for c in sorted(level2):
         cell = emb.join(
@@ -1956,21 +1974,30 @@ def clustered_adaptive_semdedup_w2_audit(
     asgw = tracked_persist(
         functools.reduce(lambda x, y: x.unionByName(y), parts + [cold])
     )
-    return _cm_sem_w2_report(spark, sf_dir, fx2, asgw)
+    return fx2, asgw
 
 
 def _cm_sem_w2_report(
-    spark: SparkSession, sf_dir: str, fx2: DataFrame, asgw: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    fx2: DataFrame,
+    asgw: DataFrame,
+    bp: DataFrame | None = None,
+    with_k2: bool = False,
 ) -> DataFrame:
-    """Shared report tail of the width-2 blocking audit: pair-work and
+    """Shared report tail of the width-2 blocking audits: pair-work and
     recall accounting over a (vec_id, cid, cid2) multi-assignment frame
     (two rows per hot-cell member, one per cold) — identical whether
     the assignment came from the fit store's cid2b column or the live
-    per-cell distance ranking."""
+    per-cell distance ranking. ``bp`` overrides the truth-pair set (the
+    wide audit's probe-sampled baseline); ``with_k2`` prepends the
+    widest per-cell leaf count (the k2 the crossover claim is about),
+    derived from the assignment frame in BOTH engines."""
     lsz = asgw.groupBy("cid", "cid2").agg(F.count("*").alias("n"))
     csz = fx2.groupBy("cl").agg(F.count("*").alias("n"))
     pairs = lambda col: (col * (col - 1) / 2).cast("long")  # noqa: E731
-    bp = _cm_sem_truth_pairs(spark, sf_dir)
+    if bp is None:
+        bp = _cm_sem_truth_pairs(spark, sf_dir)
     la = asgw.select(
         F.col("vec_id").alias("id_a"), "cid", "cid2"
     )
@@ -1990,7 +2017,7 @@ def _cm_sem_w2_report(
     )
     dup = bp.agg(F.count("*").cast("long").alias("n_dup_pairs"))
     nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
-    return (
+    out = (
         work_cl.crossJoin(work_leaf).crossJoin(dup).crossJoin(nh).select(
             F.col("blocked_pairs_cl").cast("long"),
             F.col("blocked_pairs_w2").cast("long"),
@@ -2009,7 +2036,135 @@ def _cm_sem_w2_report(
             ).alias("pair_recall"),
         )
     )
+    if not with_k2:
+        return out
+    k2m = (
+        asgw.groupBy("cid")
+        .agg(F.count_distinct("cid2").alias("k2"))
+        .agg(F.max("k2").cast("long").alias("k2_max"))
+    )
+    return k2m.crossJoin(out)
 
+
+
+# ---------------------------------------------------------------------------
+# WIDE mass fixture: the w2/k2 crossover MEASURED, not extrapolated
+# (VERDICT r11 #5). The w2 audit's "width-2 loses at k2 = w^2" conclusion
+# came from one point (the 1021-row hot cell, ladder k2 = 4 = w^2); the
+# arithmetic says width-w assignment costs ~(w^2/k2) x the cell's pair
+# work, so width-2 should WIN once k2 >> 4. The trailing-zeros fixture is
+# scale-free, so the same construction at CW_N = 16384 puts the dominant
+# component at ~8189 rows (ladder k2 = 16) and the second at ~4095
+# (k2 = 8) — two crossover points in one row. Truth pairs are probe-
+# sampled (id_a < CW_PROBE): the full pair set is ~45M, and recall over a
+# probe sample is the lsh_recall_audit_sampled discipline.
+# ---------------------------------------------------------------------------
+
+CW_N = 16384   # wide fixture size: dominant component ~8189 -> k2 = 16
+CW_PROBE = 128  # sampled probe side for the truth-pair baseline
+
+
+def _cmw_sem_w2k16_sql() -> str:
+    from .clustering import _dist_sql, _fit_ctes
+
+    cells = ",\n    ".join(
+        _cm_cell_fit_ctes(c, n=CW_N) for c in range(CF_C)
+    )
+    d = _dist_sql("e.embedding", "s.c")
+    w2 = "\n      UNION ALL ".join(
+        f"""SELECT {c} AS cid, vec_id, cid2 FROM (
+        SELECT e.vec_id, s.cid AS cid2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d} ASC, s.cid ASC) AS rk
+        FROM h{c}g1 e, h{c}c1v s
+      ) WHERE rk <= 2"""
+        for c in range(CF_C)
+    )
+    return f"""
+    WITH {_cmx_ctes_at(CW_N, materialized=True)},
+    embeddings AS (SELECT vec_id, embedding FROM cmx),
+    {_fit_ctes(CF_C)},
+    g2m AS MATERIALIZED (SELECT vec_id, embedding, cid FROM g2),
+    szc AS MATERIALIZED (SELECT cid, count(*) AS n FROM g2m GROUP BY cid),
+    {cells},
+    hotw2 AS MATERIALIZED (
+      {w2}
+    ),
+    asgw AS MATERIALIZED (
+      SELECT cid, vec_id, cid2 FROM hotw2
+      UNION ALL
+      SELECT g.cid, g.vec_id, 0 AS cid2 FROM g2m g
+      WHERE g.cid NOT IN (SELECT DISTINCT cid FROM hotw2)
+    ),
+    lsz AS (SELECT cid, cid2, count(*) AS n FROM asgw GROUP BY cid, cid2),
+    csz AS (SELECT cl, count(*) AS n FROM cmx GROUP BY cl),
+    bp AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cmx a JOIN cmx b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE a.vec_id < {CW_PROBE}
+        AND {_cos_sql('a.embedding', 'b.embedding')} >= {CF_SEM_COS}
+    ),
+    hit AS (
+      SELECT DISTINCT bp.id_a, bp.id_b FROM bp
+      JOIN asgw la ON bp.id_a = la.vec_id
+      JOIN asgw lb ON bp.id_b = lb.vec_id
+       AND la.cid = lb.cid AND la.cid2 = lb.cid2
+    )
+    SELECT
+      CAST((SELECT max(k2) FROM (
+        SELECT count(DISTINCT cid2) AS k2 FROM asgw GROUP BY cid
+      )) AS BIGINT) AS k2_max,
+      CAST((SELECT sum(n * (n - 1) / 2) FROM csz) AS BIGINT)
+        AS blocked_pairs_cl,
+      CAST((SELECT sum(n * (n - 1) / 2) FROM lsz) AS BIGINT)
+        AS blocked_pairs_w2,
+      CAST((SELECT max(n * (n - 1) / 2) FROM lsz) AS BIGINT)
+        AS max_leaf_pairs_w2,
+      round((SELECT sum(n * (n - 1) / 2) FROM csz)::DOUBLE
+            / (SELECT sum(n * (n - 1) / 2) FROM lsz), 6)
+        AS pair_work_ratio,
+      CAST((SELECT count(*) FROM bp) AS BIGINT) AS n_dup_pairs,
+      CAST((SELECT count(*) FROM bp) - (SELECT count(*) FROM hit) AS BIGINT)
+        AS missed_dup_pairs,
+      round((SELECT count(*) FROM hit)::DOUBLE
+            / (SELECT count(*) FROM bp), 6) AS pair_recall
+    """
+
+
+@register("clustered_adaptive_semdedup_w2k16_audit", _cmw_sem_w2k16_sql())
+@memoize_df
+def clustered_adaptive_semdedup_w2k16_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The w2/k2 crossover MEASURED (VERDICT r11 #5): width-2 leaf
+    blocking on a fixture whose dominant cell splits k2 = 16 ways
+    (8189-row component; the second splits k2 = 8). The width-2
+    arithmetic — ~(w^2/k2) x sz^2 pair work per hot cell — predicted a
+    COST win for k2 >> w^2 from the CF_N fixture's single losing point
+    (k2 = 4 = w^2, ratio 0.89), and the cost side lands as predicted:
+    pair work 44.7M -> 16.1M blocked pairs, ratio 2.78, worst leaf
+    2.1M. But the measured RECALL kills the trade anyway: 0.35 at
+    k2 = 16 vs the 0.90 the same width-2 assignment bought at k2 = 4 —
+    under a structureless hot-cell interior, P(two category-level
+    near-duplicates co-occur in one of each other's w assigned leaves)
+    decays like ~w^2/k2 TOO, so widening the split cuts cost and
+    recall together and leaf blocking never becomes a usable SemDeDup
+    key for category-level duplicates at ANY ladder width. Read with
+    clustered_adaptive_semdedup_w2_audit: the two rows bracket the
+    rule a 100 TB SemDeDup stage plans by — level-1 (category)
+    blocking with straggler-aware scheduling is the right key; leaf
+    blocking pays only for clone-like duplicates that co-route by
+    construction (planted-pair regime, recall 1.0 there).
+
+    Truth pairs are probe-sampled (id_a < CW_PROBE, ~670k verified
+    pairs); pair-work columns are integer arithmetic off group sizes,
+    never enumerated. Reads the wide fit store (l2 layout, cid2b) and
+    the sampled pair store when built; the oracle re-derives the
+    corpus, both fit levels, the width-2 ranking and the sampled
+    verify from scratch."""
+    fx2, asgw = _cm_w2_assignments(spark, sf_dir, n=CW_N)
+    bp = _cmw_sem_truth_pairs(spark, sf_dir)
+    return _cm_sem_w2_report(spark, sf_dir, fx2, asgw, bp=bp, with_k2=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2076,26 +2231,26 @@ def _cm_leaf_assignments(spark: SparkSession, sf_dir: str):
     return fx, leaf
 
 
-def _cm_sem_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b) verified same-category pairs at cos >= CF_SEM_COS —
-    the truth baseline every mass semdedup audit replays. Store-read
-    when built (build_clustered_mass_sem_pair_store; a fixture baseline
-    is an index-build artifact like the embedding and ngram pair sets);
-    the live derivation below is the builder, and every audit's oracle
-    re-derives it from scratch, keeping the store hash-checked."""
-    from ..operators.storage import (
-        read_clustered_mass_fit,
-        read_clustered_mass_sem_pairs,
-    )
+def _cm_sem_truth_pairs_live(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int | None = None,
+    probe: int | None = None,
+) -> DataFrame:
+    """LIVE derivation of the verified same-category pair set at
+    fixture size ``n`` (no pair-store read — this is what the pair
+    store builder materializes): within-category exact-cosine verify
+    at >= CF_SEM_COS, optionally probe-sampled (id_a < probe) — the
+    wide fixture's full pair set is ~45M, so its truth baseline is
+    sampled like lsh_recall_audit_sampled's."""
+    from ..operators.storage import read_clustered_mass_fit
 
-    stored_pairs = read_clustered_mass_sem_pairs(spark)
-    if stored_pairs is not None:
-        return tracked_persist(stored_pairs)
-    stored, _meta = read_clustered_mass_fit(spark)
+    n = CF_N if n is None else n
+    stored, _meta = read_clustered_mass_fit(spark, n=n)
     fx = tracked_persist(
         stored.select("vec_id", "cl", "embedding")
         if stored is not None
-        else clustered_mass_fixture_frame(spark, sf_dir)
+        else clustered_mass_corpus_frame(spark, n)
     )
     sides = fx.select(
         "vec_id",
@@ -2109,6 +2264,8 @@ def _cm_sem_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("e_a"),
         F.col("norm").alias("n_a"),
     )
+    if probe is not None:
+        a = a.filter(F.col("id_a") < probe)
     b = sides.select(
         F.col("vec_id").alias("id_b"),
         F.col("cl").alias("cl_b"),
@@ -2123,6 +2280,35 @@ def _cm_sem_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= CF_SEM_COS)
         .select("id_a", "id_b")
     )
+
+
+def _cm_sem_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) verified same-category pairs at cos >= CF_SEM_COS —
+    the truth baseline every mass semdedup audit replays. Store-read
+    when built (build_clustered_mass_sem_pair_store; a fixture baseline
+    is an index-build artifact like the embedding and ngram pair sets);
+    the live derivation (_cm_sem_truth_pairs_live) is the builder, and
+    every audit's oracle re-derives it from scratch, keeping the store
+    hash-checked."""
+    from ..operators.storage import read_clustered_mass_sem_pairs
+
+    stored_pairs = read_clustered_mass_sem_pairs(spark)
+    if stored_pairs is not None:
+        return tracked_persist(stored_pairs)
+    return _cm_sem_truth_pairs_live(spark, sf_dir)
+
+
+def _cmw_sem_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE fixture's probe-sampled truth pairs (id_a < CW_PROBE),
+    store-read when built, else derived live."""
+    from ..operators.storage import read_clustered_mass_sem_pairs
+
+    stored_pairs = read_clustered_mass_sem_pairs(
+        spark, n=CW_N, probe=CW_PROBE
+    )
+    if stored_pairs is not None:
+        return tracked_persist(stored_pairs)
+    return _cm_sem_truth_pairs_live(spark, sf_dir, n=CW_N, probe=CW_PROBE)
 
 
 def _cm_query_cell_fit(spark: SparkSession, sf_dir: str):

@@ -225,3 +225,19 @@ def test_cold_query_cell_degrades_like_sql(spark, tmp_path, monkeypatch):
         fx, members, cents2 = cf._cm_query_cell_fit(spark, SF_DIR)
         assert cents2 == []
         assert members.count() == 0
+
+
+def test_wide_fixture_w2_crossover_wins_cost_loses_recall(spark):
+    """VERDICT r11 #5 measured: at k2 = 16 (dominant cell 8189 rows)
+    width-2 leaf blocking WINS on pair work (~w^2/k2 per hot cell, so
+    the ratio must clear 2x) — and simultaneously LOSES on recall
+    (co-occurrence probability decays like w^2/k2 too under a
+    structureless interior). Both inequalities are the claim; a silent
+    fixture regression could stay hash-consistent while erasing
+    either side."""
+    r = cf.clustered_adaptive_semdedup_w2k16_audit(spark, SF_DIR).collect()[0]
+    assert r["k2_max"] == 16
+    assert r["blocked_pairs_w2"] < r["blocked_pairs_cl"]
+    assert r["pair_work_ratio"] > 2.0
+    assert r["pair_recall"] < 0.5
+    assert r["n_dup_pairs"] > 100_000  # the sampled baseline is non-trivial
