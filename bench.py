@@ -220,15 +220,19 @@ def remeasure_flagged(spark, sf_dir: str, flagged) -> dict[str, dict[str, float]
 
 
 def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
-    """Drive the 5 hottest read endpoints end-to-end through
-    ``QueryServer.handle_json`` (VERDICT r9 #7): the wire path — param
-    validation, anchor resolution, row formatting, JSON serialization,
-    TTL cache — gets a recorded latency artifact like every query does.
-    State is derived deterministically from the sf_dir's own tables
-    (posts <- orders x customer, follows <- customer), so the artifact
-    scales with SF. Per endpoint: ``cold`` = first call (plan + collect
-    + serialize), ``warm`` = median of 3 cache hits (one immutable
-    string return — the number a fronting HTTP server sees)."""
+    """Drive the hottest read endpoints PLUS the long-tail paths
+    (VERDICT r9 #7; r11 #7 added get_thread / get_feed /
+    get_account_history — the recursive, semi-join and offset paths)
+    end-to-end through ``QueryServer.handle_json``: the wire path —
+    param validation, anchor resolution, row formatting, JSON
+    serialization, TTL cache — gets a recorded latency artifact like
+    every query does. State is derived deterministically from the
+    sf_dir's own tables (posts <- orders x customer, comments <-
+    lineitem, history <- orders, follows <- customer->customer), so
+    the artifact scales with SF. Per endpoint: ``cold`` = first call
+    (plan + collect + serialize), ``warm`` = median of 3 cache hits
+    (one immutable string return — the number a fronting HTTP server
+    sees)."""
     from pyspark.sql import functions as F
 
     from distribution_engine_smt_spark import schemas, tables
@@ -278,6 +282,104 @@ def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         ),
         F.lit(1).alias("state"),
     )
+    # --- long-tail state (served by a SECOND server so the 5 hot
+    # routes keep the exact r11 state and stay round-over-round
+    # comparable) ---
+    # follows2 point at other CUSTOMERS (authors), so get_feed's
+    # follows-semi-join path returns real rows, not an empty page
+    follows2 = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+            "follower"
+        ),
+        F.concat(
+            F.lit("c"), ((F.col("c_custkey") % 1000) + 1).cast("string")
+        ).alias("following"),
+        F.lit(1).alias("state"),
+    )
+    # comments <- lineitem (depth-1 replies to the order post): the
+    # get_thread recursive walk has real children to expand
+    lineitem = t["lineitem"]
+    li = lineitem.filter(F.col("l_linenumber") <= 3).join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    )
+    c_ap = F.concat(
+        F.lit("@s"), F.col("l_suppkey").cast("string"),
+        F.lit("/o"), F.col("o_orderkey").cast("string"),
+        F.lit("l"), F.col("l_linenumber").cast("string"),
+    )
+    comments = li.select(
+        c_ap.alias("authorperm"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("author"),
+        F.col("o_orderdate").alias("created"),
+        F.lit("reply").alias("tags"),
+        F.lit(None).cast("string").alias("app"),
+        F.lit(False).alias("main_post"),
+        F.lit(False).alias("decline_payout"),
+        F.lit("TKN").alias("token"),
+        F.col("l_extendedprice").alias("vote_rshares"),
+        F.lit(None).cast("timestamp").alias("cashout_time"),
+        F.lit(None).cast("timestamp").alias("last_payout"),
+        F.lit(0).alias("total_payout_value"),
+        F.lit(0).alias("curator_payout_value"),
+        F.col("l_extendedprice").cast("double").alias("score_trend"),
+        (F.col("l_extendedprice") / 7.0).cast("double").alias("score_hot"),
+        F.lit(0).alias("beneficiaries_payout_value"),
+        F.lit(0).alias("promoted"),
+        F.concat(F.lit("line "), F.col("l_linenumber").cast("string")).alias(
+            "title"
+        ),
+        F.col("l_returnflag").alias("desc"),
+        F.lit(0).alias("children"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "parent_author"
+        ),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "parent_permlink"
+        ),
+        F.lit(0.0).alias("score_promoted"),
+        F.lit(False).alias("muted"),
+    )
+    meta = posts.select(
+        "authorperm", F.lit(None).cast("string").alias("parent_authorperm")
+    ).unionByName(
+        comments.select(
+            "authorperm",
+            F.concat(
+                F.lit("@"), F.col("parent_author"),
+                F.lit("/"), F.col("parent_permlink"),
+            ).alias("parent_authorperm"),
+        )
+    ).select(
+        "authorperm",
+        F.lit("").alias("body"),
+        F.lit("{}").alias("json_metadata"),
+        F.lit("").alias("tags"),
+        F.lit(0).alias("children"),
+        "parent_authorperm",
+        F.lit("").alias("url"),
+        F.when(F.col("parent_authorperm").isNull(), 0).otherwise(1).alias(
+            "depth"
+        ),
+    )
+    # account_history <- orders (the offset-pagination path)
+    history = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "account"
+        ),
+        F.lit("TKN").alias("token"),
+        F.col("o_orderdate").alias("timestamp"),
+        F.col("o_totalprice").alias("quantity"),
+        F.concat(F.lit("trx"), F.col("o_orderkey").cast("string")).alias(
+            "trx"
+        ),
+        F.col("o_orderstatus").alias("type"),
+        F.concat(
+            F.lit("@c"), F.col("o_custkey").cast("string"),
+            F.lit("/o"), F.col("o_orderkey").cast("string"),
+        ).alias("authorperm"),
+    )
     state = {n: tables.empty_table(spark, n) for n in schemas.STATE_TABLES}
     state["posts"] = tables.conform(posts, "posts")
     state["follows"] = tables.conform(follows, "follows")
@@ -289,21 +391,70 @@ def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         ("get_trending_tags", {"token": "TKN", "limit": "20"}),
         ("get_follow_count", {"account": "c1"}),
     ]
-    out: dict[str, dict[str, float]] = {}
-    for name, params in drive:
-        t0 = time.perf_counter()
-        body = srv.handle_json(name, params)
-        cold = time.perf_counter() - t0
-        assert json.loads(body) is not None
-        hits = []
-        for _ in range(3):
+
+    def time_routes(server, routes, out):
+        for name, params in routes:
             t0 = time.perf_counter()
-            srv.handle_json(name, params)
-            hits.append(time.perf_counter() - t0)
-        out[name] = {
-            "cold": round(cold, 4),
-            "warm": round(statistics.median(hits), 6),
-        }
+            body = server.handle_json(name, params)
+            cold = time.perf_counter() - t0
+            assert json.loads(body) is not None
+            hits = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                server.handle_json(name, params)
+                hits.append(time.perf_counter() - t0)
+            out[name] = {
+                "cold": round(cold, 4),
+                "warm": round(statistics.median(hits), 6),
+            }
+
+    out: dict[str, dict[str, float]] = {}
+    time_routes(srv, drive, out)
+
+    # long-tail paths (VERDICT r11 #7): recursive thread walk, follows
+    # semi-join feed, offset-paginated history — served from the
+    # extended state. That state is materialized ONCE first (its own
+    # labeled line item): in production these tables are the stream
+    # runner's parquet outputs, not a live orders x lineitem
+    # derivation — without the persist, get_thread's per-level
+    # recursive jobs would re-run the synthetic joins and the artifact
+    # would price the fixture, not the wire path.
+    state2 = dict(state)
+    state2["posts"] = tables.conform(posts, "posts").unionByName(
+        tables.conform(comments, "posts")
+    )
+    state2["follows"] = tables.conform(follows2, "follows")
+    state2["post_metadata"] = tables.conform(meta, "post_metadata")
+    state2["account_history"] = tables.conform(history, "account_history")
+    mat = ("posts", "follows", "post_metadata", "account_history")
+    t0 = time.perf_counter()
+    for name in mat:
+        state2[name] = state2[name].persist()
+        state2[name].count()
+    out["state_materialize"] = {
+        "cold": round(time.perf_counter() - t0, 4), "warm": 0.0,
+    }
+    srv2 = build_state_server(state2)
+    anchor = orders.select("o_orderkey", "o_custkey").orderBy("o_orderkey").first()
+    acct = f"c{anchor['o_custkey']}"
+    drive2 = [
+        (
+            "get_thread",
+            {
+                "token": "TKN",
+                "author": acct,
+                "permlink": f"o{anchor['o_orderkey']}",
+            },
+        ),
+        ("get_feed", {"token": "TKN", "account": "c1", "limit": "20"}),
+        (
+            "get_account_history",
+            {"token": "TKN", "account": acct, "limit": "20", "offset": "20"},
+        ),
+    ]
+    time_routes(srv2, drive2, out)
+    for name in mat:
+        state2[name].unpersist()
     return out
 
 
@@ -316,6 +467,7 @@ def summarize(
     calibration_sec: float = CAL_PINNED_SEC,
     endpoints: dict | None = None,
     recheck: dict[str, dict[str, float]] | None = None,
+    stores_prebuilt: bool | None = None,
 ) -> tuple[dict, dict]:
     """Build the (detail, summary) report dicts. ``warm`` drives the
     totals (steady-state latency is the round-over-round comparable);
@@ -352,6 +504,7 @@ def summarize(
         "calibration_sec": calibration_sec,
         "calibration_pinned_sec": CAL_PINNED_SEC,
         "store_build_sec": store_build_sec,
+        "stores_prebuilt": bool(stores_prebuilt),
         "sf": sf_val,
     }
     # per-query cold numbers would double the line width; report the five
@@ -379,6 +532,7 @@ def summarize(
         "calibration_sec": calibration_sec,
         "calibration_pinned_sec": CAL_PINNED_SEC,
         "store_build_sec": store_build_sec,
+        "stores_prebuilt": bool(stores_prebuilt),
         "sf": sf_val,
     }
     if endpoints is not None:
@@ -389,6 +543,12 @@ def summarize(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # fail LOUD if the pinned r1 subset ever stops being a subset of the
+    # registry (the module-level aggregation the subset totals rely on
+    # only holds because pipeline modules registered above — VERDICT r11
+    # "what's wrong" #1)
+    missing = R1_QUERIES - set(driver_queries.QUERIES)
+    assert not missing, f"R1 subset names not in the registry: {sorted(missing)}"
     spark = get_spark("desmt-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -401,11 +561,25 @@ def main() -> None:
 
     # one-time store builds (pair store, k-means fit store): the index-build
     # job of the 100 TB pipeline, timed and reported on its own line item
-    from distribution_engine_smt_spark.operators.storage import ensure_stores
+    from distribution_engine_smt_spark.operators.storage import (
+        ensure_stores,
+        store_root,
+    )
 
+    # record whether this run PAID the build or inherited stores from an
+    # earlier run in the same environment (VERDICT r11 "what's wrong"
+    # #2: the driver's 0.42 s store_build_sec was an inherited-store
+    # no-op, not the ~35 s cold-build price — label it so the line item
+    # can't be misread)
+    before = (
+        set(os.listdir(store_root())) if os.path.isdir(store_root()) else set()
+    )
     t0 = time.perf_counter()
-    ensure_stores(spark, sf_dir)
+    stores = ensure_stores(spark, sf_dir)
     store_build_sec = round(time.perf_counter() - t0, 4)
+    stores_prebuilt = all(
+        os.path.basename(p) in before for p in stores.values()
+    )
     spark.catalog.clearCache()
 
     warm: dict[str, float] = {}
@@ -457,7 +631,7 @@ def main() -> None:
     sf_val = float(sf) if sf else sf_dir
     detail, summary = summarize(
         warm, cold, spreads, sf_val, store_build_sec, calibration_sec,
-        endpoints=endpoints, recheck=recheck,
+        endpoints=endpoints, recheck=recheck, stores_prebuilt=stores_prebuilt,
     )
     detail["calibration_before_sec"] = cal_before
     detail["calibration_after_sec"] = cal_after

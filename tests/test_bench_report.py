@@ -198,3 +198,37 @@ def test_summarize_records_provisional_and_recheck_in_detail():
     assert detail["regressions"] == {}
     assert detail["regressions_provisional"] == {"trending_tags": 2.4}
     assert detail["regression_recheck"] == rc
+
+
+def test_summary_records_stores_prebuilt_and_r1_subset_guard():
+    """VERDICT r11 'what's wrong' #1/#2 (roadmap #6): (a) the artifact
+    labels whether store_build_sec paid a real build or inherited
+    stores built earlier in the environment — so a 0.42 s no-op can't
+    be misread as the cold-build price; (b) the pinned r1 subset must
+    be a subset of the live registry, asserted loud at bench start."""
+    warm, cold, spread = _fake_registry(150)
+    detail, summary = bench.summarize(
+        warm, cold, spread, 0.1, 1.0, 1.7, stores_prebuilt=True
+    )
+    assert summary["stores_prebuilt"] is True
+    assert detail["stores_prebuilt"] is True
+    _, summary2 = bench.summarize(warm, cold, spread, 0.1, 1.0, 1.7)
+    assert summary2["stores_prebuilt"] is False  # default: not claimed
+    assert len(json.dumps(summary)) < 2048
+    # (b): the guard's premise — every pinned name registered
+    import distribution_engine_smt_spark.pipeline  # noqa: F401
+    from distribution_engine_smt_spark.driver_queries import QUERIES
+
+    assert bench.R1_QUERIES <= set(QUERIES)
+
+
+def test_endpoint_drive_list_covers_the_long_tail():
+    """VERDICT r11 #7: the recursive (get_thread), semi-join (get_feed)
+    and offset (get_account_history) wire paths are in the bench's
+    endpoint drive list — pinned by source inspection so a refactor
+    can't silently drop them."""
+    import inspect
+
+    src = inspect.getsource(bench.bench_endpoints)
+    for route in ("get_thread", "get_feed", "get_account_history"):
+        assert f'"{route}"' in src, route
