@@ -29,22 +29,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver caps its oracle pass at 50 queries per round (observed in r2;
-# see docs/PLANS.md "Driver 50-query cap"), so we rotate: queries with ZERO
-# driver rows across r1-r4 run FIRST (retiring the verification debt VERDICT
-# r4 flagged), then this round's modified queries, then the once-verified
-# r4 additions, and multi-round-green untouched queries rotate past the cap.
-# Every query keeps its oracle and stays hash-checked locally each round
-# regardless of position (tests/test_driver_queries.py).
+# see docs/PLANS.md "Driver 50-query cap"), so we rotate: the r12 head is
+# the 33-query cohort whose last driver-green row is r08 (age 3 — the
+# stalest evidence in the registry; VERDICT r11 #3) followed by this
+# round's modified queries. Together they fill the cap exactly; every
+# other query keeps its oracle and stays hash-checked locally each round
+# regardless of position (tests/test_driver_queries.py +
+# LOCAL_CORRECTNESS artifact).
 _DRIVER_PRIORITY = [
-    # --- r11 head: VERDICT r10 #1 — evidence-freshness rotation. In order:
-    # 1) the two r06-green queries deferred from the r10 head (age 5 after
-    #    this round if left outside; tests/test_local_correctness.py
-    #    enforces the <= 4 bound)
-    "deterministic_shuffle",
-    "source_vocab_overlap",
-    # 2) the 24-query r07 cohort (age 4 after this round)
+    # --- r12 head part 1: the r08 cohort (driver evidence age 3 after
+    # r11; re-greening them here keeps the registry's worst-case age at
+    # 3 after this round — tests/test_local_correctness.py enforces the
+    # <= 4 hard bound)
+    "ann_ivfpq_trained_topk",
+    "ann_pq_trained_topk",
+    "ann_recall_audit",
+    "ann_topk_bruteforce",
+    "blog_union_minjoin",
+    "children_counts",
+    "cross_source_dup_matrix",
+    "dedup_best_representative",
+    "dedup_cluster_stats",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_novelty",
+    "embedding_kmeans",
+    "embedding_outliers",
+    "hard_negatives",
+    "index_occupancy_audit",
+    "ivfpq_recall_audit",
+    "ivfpq_residual_recall_audit",
+    "ivfpq_trained_recall_audit",
+    "leakage_free_split",
+    "minhash_decontaminate",
+    "mixture_weights",
+    "pq_train",
+    "pq_trained_recall_audit",
+    "quantile_error_audit",
+    "rrf_hybrid_search",
+    "semdedup",
+    "split_leakage_audit",
+    "substring_dup_spans",
+    "tfidf_keywords",
+    "top_boilerplate_spans",
+]
+# multi-round-green AND untouched this round — rotated past the 50-slot
+# cap (regenerated each round so head + this = registry). Every one
+# stays hash-checked locally each round (tests/test_driver_queries.py)
+# and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
+# Disjoint from _DRIVER_PRIORITY and _ROUND_MODIFIED by construction
+# (ADVICE r11 #3: a name listed twice double-counted in the cap math);
+# test_rotation_lists_are_disjoint pins it.
+_DRIVER_ROTATE_LAST = [
     "above_nation_avg_balance",
+    "account_history_page",
+    "adaptive_maintenance_audit",
+    "ann_ivf_kmeans_nprobe",
+    "ann_ivf_kmeans_topk",
     "ann_ivf_nprobe_topk",
+    "ann_ivf_sharded_recall_audit",
+    "ann_ivf_sharded_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
     "ann_pq_topk",
     "ann_query_batch",
     "ann_sq8_topk",
@@ -58,104 +108,56 @@ _DRIVER_PRIORITY = [
     "chunk_dedup",
     "chunk_documents",
     "chunk_excise",
-    "cms_heavy_hitters",
-    "curated_corpus",
-    "curriculum_buckets",
-    "dedup_ngram_jaccard",
-    "dup_inflation",
-    "earliest_event_per_user",
-    "event_funnel",
-    "event_zscore_anomaly",
-    "pq_recall_audit",
-    # 3) fill to 50 from the r08 cohort, stalest-next: the two text-LSH
-    #    recall audits lead because this round rewires them onto the
-    #    materialized ngram pair store (VERDICT r10 #5), then
-    #    alphabetical r08
-    "lsh_recall_audit",
-    "lsh_recall_audit_sampled",
-    "account_history_page",
-    "ann_ivf_kmeans_nprobe",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_sharded_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "corpus_datasheet",
-]
-# multi-round-green AND untouched this round — rotated past the 50-slot
-# cap (regenerated each round so head + this = registry). Every one
-# stays hash-checked locally each round (tests/test_driver_queries.py)
-# and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
-_DRIVER_ROTATE_LAST = [
-    "ann_ivf_sharded_recall_audit",
-    "ann_ivfpq_batch",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_trained_topk",
-    "ann_pq_trained_topk",
-    "ann_recall_audit",
-    "ann_topk_bruteforce",
-    "blog_union_minjoin",
-    "children_counts",
+    "clustered_adaptive_merge_audit",
     "clustered_adaptive_occupancy_audit",
     "clustered_fixture_stats",
-    "clustered_ivf_occupancy_audit",
-    "clustered_kmeans_agreement_audit",
+    "clustered_ivfpq_residual_recall_audit",
+    "clustered_ivfpq_residual_topk",
+    "clustered_ivfpq_trained_recall_audit",
+    "clustered_ivfpq_trained_topk",
     "clustered_mass_fixture_stats",
-    "clustered_mass_occupancy_audit",
-    "clustered_pq_variant_audit",
     "clustered_semdedup_audit",
+    "cms_heavy_hitters",
     "corpus_datasheet",
-    "cross_source_dup_matrix",
+    "curated_corpus",
+    "curriculum_buckets",
     "daily_moving_avg",
     "decontaminate",
-    "dedup_best_representative",
-    "dedup_cluster_stats",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_embedding_lsh_flips1",
-    "dedup_embedding_lsh_flips3",
-    "dedup_embedding_lsh_multiprobe",
     "dedup_embedding_lsh_single_probe",
-    "dedup_exact",
     "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "deterministic_shuffle",
     "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
     "discussions_by_promoted",
     "discussions_by_trending",
-    "doc_novelty",
+    "dup_inflation",
+    "earliest_event_per_user",
     "embedding_dim_stats",
-    "embedding_kmeans",
     "embedding_lsh_flips1_recall_audit",
     "embedding_lsh_multiprobe_recall_audit",
-    "embedding_lsh_planted_recall_audit",
     "embedding_lsh_recall_audit",
-    "embedding_outliers",
+    "event_funnel",
+    "event_zscore_anomaly",
     "events_pivot",
     "feed_semijoin",
     "follow_counts",
     "graph_pagerank",
-    "hard_negatives",
     "hll_daily_merge",
     "hll_distinct",
     "hourly_hll_distinct",
-    "index_occupancy_audit",
-    "ivfpq_recall_audit",
-    "ivfpq_residual_recall_audit",
-    "ivfpq_trained_recall_audit",
     "json_double_decode",
     "json_props_sum",
     "kmv_distinct",
     "kmv_set_ops",
     "langid_confusion",
     "latest_event_per_key",
-    "leakage_free_split",
     "length_histogram",
-    "minhash_decontaminate",
-    "mixture_weights",
+    "lsh_recall_audit",
+    "lsh_recall_audit_sampled",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
@@ -165,31 +167,26 @@ _DRIVER_ROTATE_LAST = [
     "payout_accumulation",
     "pii_redact",
     "post_with_votes",
-    "pq_train",
-    "pq_trained_recall_audit",
+    "pq_recall_audit",
     "prefix_select",
     "pricing_summary",
     "quality_filter",
-    "quantile_error_audit",
     "range_join_events",
     "reblogged_by_agg",
     "recent_orders_window",
     "regional_revenue",
     "replies_in_notin",
     "reward_curves",
-    "rrf_hybrid_search",
     "sales_rollup",
     "sampled_quantiles",
     "segment_nation_counts",
     "segment_region_cube",
-    "semdedup",
     "sessionize",
     "set_diff_reconcile",
     "shipping_priority",
     "sliding_event_counts",
-    "split_leakage_audit",
+    "source_vocab_overlap",
     "stratified_sample",
-    "substring_dup_spans",
     "supplier_visible_revenue",
     "tag_membership",
     "text_fingerprint",
@@ -197,11 +194,9 @@ _DRIVER_ROTATE_LAST = [
     "text_quality_score",
     "text_repetition",
     "text_token_counts",
-    "tfidf_keywords",
     "thread_tree",
     "time_format_wire",
     "token_count_quantiles",
-    "top_boilerplate_spans",
     "top_ngrams",
     "trending_tags",
     "tumbling_event_counts",
@@ -220,45 +215,39 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r11 (this round): the adaptive-store maintenance path now sweeps
-    # crash leftovers on entry to ingest and both maybe_* occupancy
-    # checks (ADVICE r10); the merge audit degrades to NULL like its
-    # oracle when no cell crosses the threshold; the probe recall audit
-    # guards the stored-fit branch against cold query cells — execution
-    # paths changed, results hash-pinned unchanged, re-verified this
-    # round.
-    "adaptive_maintenance_audit",
-    "clustered_adaptive_merge_audit",
-    "clustered_adaptive_probe_recall_audit",
-    # the four CF-fixture probes now read the materialized fit + code
-    # store (read-or-compute; VERDICT r10 #4) — cold 5.8-7.5 s -> <2 s,
+    # r12: the four CF/mass fixture audits now read the l3 fit store's
+    # audit-width tables (fit-ksplit, codes-plain/residgen, mass level-1
+    # assignment; VERDICT r11 #1) — cold 7.55/5.86/4.98/3.08 s -> <2 s,
     # results hash-pinned unchanged
-    "clustered_ivfpq_trained_topk",
-    "clustered_ivfpq_residual_topk",
-    "clustered_ivfpq_trained_recall_audit",
-    "clustered_ivfpq_residual_recall_audit",
-    # the text-LSH recall audits and the exact ngram baseline now read
-    # the materialized pair stores (ngram pair store new this round;
-    # the LSH side reads the existing dedup pair store) — VERDICT r10 #5
-    "lsh_recall_audit",
-    "lsh_recall_audit_sampled",
-    "dedup_ngram_jaccard",
-    # NEW this round (zero driver rows -> head by policy): the served
-    # nprobe2 recall-knob variants on the adaptive store (VERDICT r10 #7)
+    "clustered_ivf_occupancy_audit",
+    "clustered_kmeans_agreement_audit",
+    "clustered_mass_occupancy_audit",
+    "clustered_pq_variant_audit",
+    # the non-headline flips-curve points + the planted audit read the
+    # materialized pair store (VERDICT r11 #4); the headline
+    # dedup_embedding_lsh is now its own LIVE callable (was an alias of
+    # _multiprobe), so its identity changed too
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_multiprobe",
+    "dedup_embedding_lsh_flips1",
+    "dedup_embedding_lsh_flips3",
+    "embedding_lsh_planted_recall_audit",
+    # _cm_query_cell_fit now hot-gates level-2 fitting in both branches
+    # (ADVICE r11 #2) — execution path changed for every consumer,
+    # results hash-pinned unchanged
     "clustered_adaptive_topk_p1",
     "clustered_adaptive_topk_p2",
-    # NEW: IVF-PQ served through the adaptive hot-split layout — the
-    # compressed-scan twin of the p2 variant (VERDICT r10 #6)
     "clustered_adaptive_ivfpq_topk",
-    # NEW: adaptive-leaf pair-blocking audit — the measured answer to
-    # "is the split the right SemDeDup blocking key" (VERDICT r10 #8)
-    "clustered_adaptive_semdedup_audit",
-    # NEW: the width-2 bracket of the pair-blocking trade (recall 0.90
-    # but pair work above the unsplit baseline at ladder k2)
-    "clustered_adaptive_semdedup_w2_audit",
-    # the mass semdedup audit (and both brackets above) now read the
-    # materialized truth-pair store + the l2 fit layout (cid2b column)
+    "clustered_adaptive_probe_recall_audit",
+    # the truth-pair derivation and width-2 assignment were refactored
+    # into size-parameterized shared helpers for the wide fixture —
+    # same arithmetic, shared code path, re-verified this round
     "clustered_mass_semdedup_audit",
+    "clustered_adaptive_semdedup_audit",
+    "clustered_adaptive_semdedup_w2_audit",
+    # NEW this round (zero driver rows -> head by policy): the w2/k2
+    # crossover measured at k2 = 16 (VERDICT r11 #5)
+    "clustered_adaptive_semdedup_w2k16_audit",
 ]
 
 

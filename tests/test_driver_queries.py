@@ -83,3 +83,20 @@ def test_no_query_starves_without_driver_rows():
         "queries with zero driver rows rotated past the 50-slot cap "
         f"(would never get driver verification): {starved}"
     )
+
+
+def test_rotation_lists_are_disjoint():
+    """ADVICE r11 #3: a name in both _DRIVER_PRIORITY and
+    _DRIVER_ROTATE_LAST is emitted twice by _ordered() (only dict
+    dedupe in queries() hides it) and double-counts in the cap math —
+    the three rotation lists must be pairwise disjoint."""
+    import __spark_entry__ as e
+
+    assert not set(e._DRIVER_PRIORITY) & set(e._DRIVER_ROTATE_LAST)
+    assert not set(e._ROUND_MODIFIED) & set(e._DRIVER_ROTATE_LAST)
+    # priority/modified may legitimately overlap only if a head query
+    # was also modified — but each name must appear once in _ordered()
+    names = list(e.queries())
+    assert len(names) == len(set(names))
+    ordered = e._ordered(names)
+    assert len(ordered) == len(set(ordered)) == len(names)
