@@ -452,6 +452,32 @@ def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
             {"token": "TKN", "account": acct, "limit": "20", "offset": "20"},
         ),
     ]
+    # unbilled warm-up with DIFFERENT params: the 5 hot routes' plan
+    # shapes are warmed by the query suite that ran before this, but
+    # these three shapes (recursive walk, feed semi-join, offset page)
+    # first appear here — one throwaway call each so codegen/JIT isn't
+    # billed to the measured params' cold (the bench.py warm-up
+    # discipline; the TTL cache is params-keyed, so the measured call
+    # is still a full plan+collect+serialize pass)
+    second = (
+        orders.select("o_orderkey", "o_custkey")
+        .orderBy(F.col("o_orderkey").desc())
+        .first()
+    )
+    acct2 = f"c{second['o_custkey']}"
+    for name, params in [
+        (
+            "get_thread",
+            {
+                "token": "TKN",
+                "author": acct2,
+                "permlink": f"o{second['o_orderkey']}",
+            },
+        ),
+        ("get_feed", {"token": "TKN", "account": "c2", "limit": "20"}),
+        ("get_account_history", {"token": "TKN", "account": acct2, "limit": "20"}),
+    ]:
+        srv2.handle_json(name, params)
     time_routes(srv2, drive2, out)
     for name in mat:
         state2[name].unpersist()
