@@ -248,6 +248,12 @@ _ROUND_MODIFIED = [
     # NEW this round (zero driver rows -> head by policy): the w2/k2
     # crossover measured at k2 = 16 (VERDICT r11 #5)
     "clustered_adaptive_semdedup_w2k16_audit",
+    # the signature-agreement scan is now a posting-list join on
+    # (component, value) instead of a train x bench broadcast nested
+    # loop (the bench side grows with the corpus under BENCH_MOD
+    # sampling, so the old plan was quadratic at scale) — already in
+    # the head via the r08 cohort; result hash-pinned unchanged
+    "minhash_decontaminate",
 ]
 
 

@@ -239,11 +239,17 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest-id benchmark doc achieving it, and a flag at est J >= 0.5.
 
     Scale: signatures are one groupBy pass (shared machinery with
-    dedup_minhash_lsh); the BENCHMARK signature table is tiny by
-    construction (eval suites, not corpus), so the pair scan is a
-    broadcast nested loop over 8 fixed-width comparisons per pair —
-    map-only against the corpus, one doc_id shuffle for the max. The
-    argmax is decomposed as max + min-id-at-max (both order-independent
+    dedup_minhash_lsh). Agreement is a POSTING-LIST join, not a
+    train x bench scan (r12 — the broadcast nested loop was the cold_top
+    entry at sf0.1 and is O(train x bench) at any scale): both sides
+    explode to (component position, value) rows, the tiny benchmark side
+    broadcasts, and one equi-join on (h, val) yields exactly the pairs
+    sharing >= 1 signature component — a MinHash component can only
+    agree by colliding, so the join IS the agreement test and pair work
+    is O(matching components), the LSH banding discipline. Pairs with
+    zero agreement (the overwhelming majority) never materialize; the
+    left join at the end restores their n_agree = 0 rows. The argmax is
+    decomposed as max + min-id-at-max (both order-independent
     aggregates), never an engine-specific max_by."""
     from .dedup import N_HASHES, minhash_signature
 
@@ -253,18 +259,26 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"m{h}").alias(f"b{h}") for h in range(N_HASHES)],
     )
     train = sig.filter(F.col("doc_id") % BENCH_MOD != 0)
-    agree = None
-    for h in range(N_HASHES):
-        term = F.when(F.col(f"m{h}") == F.col(f"b{h}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
+    train_long = train.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{h}") for h in range(N_HASHES)])
+        ).alias("h", "val"),
+    )
+    bench_long = bench.select(
+        "bench_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{h}") for h in range(N_HASHES)])
+        ).alias("h", "val"),
+    )
     pairs = tracked_persist(
-        train.crossJoin(F.broadcast(bench))
-        .select("doc_id", "bench_id", agree.alias("n_agree"))
+        train_long.join(F.broadcast(bench_long), ["h", "val"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("int").alias("n_agree"))
     )  # tracked: feeds both the max and the min-id-at-max passes
     best = pairs.groupBy("doc_id").agg(F.max("n_agree").alias("n_agree"))
     hit = (
         pairs.join(best, ["doc_id", "n_agree"])
-        .filter(F.col("n_agree") >= 1)
         .groupBy("doc_id", "n_agree")
         .agg(F.min("bench_id").alias("best_match"))
     )
