@@ -2158,10 +2158,27 @@ def clustered_adaptive_semdedup_w2k16_audit(
 
     Truth pairs are probe-sampled (id_a < CW_PROBE, ~670k verified
     pairs); pair-work columns are integer arithmetic off group sizes,
-    never enumerated. Reads the wide fit store (l2 layout, cid2b) and
-    the sampled pair store when built; the oracle re-derives the
-    corpus, both fit levels, the width-2 ranking and the sampled
-    verify from scratch."""
+    never enumerated. The wide fixture's fit + sampled pair baseline
+    are corpus-independent deterministic artifacts (their store paths
+    carry no sf fingerprint), and re-deriving them live costs ~45 s
+    per cold session — so this audit ENSURES the stores exist
+    (idempotent, atomic-publish; the build is one live derivation plus
+    a write) instead of paying that derivation every cold run; with a
+    read-only store root it degrades to the live path. The oracle
+    re-derives the corpus, both fit levels, the width-2 ranking and
+    the sampled verify from scratch, keeping both stores hash-checked."""
+    from ..operators.storage import (
+        build_clustered_mass_fit_store,
+        build_clustered_mass_sem_pair_store,
+    )
+
+    try:
+        build_clustered_mass_fit_store(spark, sf_dir, n=CW_N)
+        build_clustered_mass_sem_pair_store(
+            spark, sf_dir, n=CW_N, probe=CW_PROBE
+        )
+    except OSError:
+        pass  # read-only store root: fall through to the live derivation
     fx2, asgw = _cm_w2_assignments(spark, sf_dir, n=CW_N)
     bp = _cmw_sem_truth_pairs(spark, sf_dir)
     return _cm_sem_w2_report(spark, sf_dir, fx2, asgw, bp=bp, with_k2=True)
