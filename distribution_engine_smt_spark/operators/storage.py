@@ -2923,9 +2923,13 @@ def read_ngram_pairs(
     spark: SparkSession, sf_dir: str, variant: str
 ) -> DataFrame | None:
     """Partition-pruned read of one ngram-pair variant, or None when no
-    store exists (callers fall back to deriving live)."""
+    store exists (callers fall back to deriving live). Same guard as
+    read_embedding_pairs: a store that predates a variant must read as
+    None, never as an empty pair set."""
     path = ngram_pair_store_path(sf_dir)
     if not os.path.isdir(path):
+        return None
+    if not os.path.isdir(os.path.join(path, f"variant={variant}")):
         return None
     return (
         spark.read.parquet(path)
