@@ -324,3 +324,13 @@ def test_flips_variants_share_the_multiprobe_shape(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_decontaminate_is_posting_joined(spark):
+    """r12: the signature-agreement scan must stay a posting-list
+    equi-join on (component, value) — the benchmark side grows with the
+    corpus under BENCH_MOD sampling, so a broadcast nested loop here is
+    O(n^2/BENCH_MOD) at scale (the plan it replaced)."""
+    plan = _plan(spark, "minhash_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
