@@ -2342,3 +2342,24 @@ def test_adaptive_ivfpq_code_store_stream_drain_equality(
     assert rows(codes) == rows(scratch)
     # no pending-sync debt after a clean drain
     assert storage._pending_code_sync_cells(cpath) == []
+
+
+def test_pending_code_sync_marker_merges_and_sorts(spark, store_dir, tmp_path):
+    """Marker semantics: records MERGE (never overwrite) across calls,
+    ints sorted/deduped, absent store -> no-op False, and the reader
+    returns [] for a store with no marker."""
+    k1 = 8
+    # no store yet: recording is a no-op
+    assert storage.record_pending_code_sync(SF_DIR, k1, [3, 1]) is False
+    cpath = storage.adaptive_ivfpq_code_store_path(SF_DIR, k1)
+    os.makedirs(cpath)
+    try:
+        assert storage._pending_code_sync_cells(cpath) == []
+        assert storage.record_pending_code_sync(SF_DIR, k1, [3, 1]) is True
+        assert storage._pending_code_sync_cells(cpath) == [1, 3]
+        storage.record_pending_code_sync(SF_DIR, k1, [2, 3])
+        assert storage._pending_code_sync_cells(cpath) == [1, 2, 3]
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(cpath, ignore_errors=True)
