@@ -564,6 +564,17 @@ def summarize(
     if endpoints is not None:
         detail["endpoints"] = endpoints
         summary["endpoints"] = endpoints
+        # the driver parses a bounded stdout tail (round 4's 7 KB line
+        # went unrecorded); with 9 endpoint entries the line sits ~300 B
+        # under the 2 KB cap, so degrade deterministically rather than
+        # ever crossing it: drop warm (always ~10 us cache hits) first,
+        # then fall back to a pointer at the detail artifact
+        if len(json.dumps(summary)) >= 2000:
+            summary["endpoints"] = {
+                k: {"cold": v["cold"]} for k, v in endpoints.items()
+            }
+        if len(json.dumps(summary)) >= 2000:
+            summary["endpoints"] = {"see": "BENCH_DETAIL.json"}
     return detail, summary
 
 

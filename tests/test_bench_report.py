@@ -232,3 +232,32 @@ def test_endpoint_drive_list_covers_the_long_tail():
     src = inspect.getsource(bench.bench_endpoints)
     for route in ("get_thread", "get_feed", "get_account_history"):
         assert f'"{route}"' in src, route
+
+
+def test_summary_endpoint_payload_degrades_under_the_cap():
+    """The endpoint list grew to 9 entries in r12 (~300 B of headroom
+    left); the summary must degrade deterministically (drop warm, then
+    point at the detail artifact) instead of ever crossing the 2 KB
+    driver cap — the round-4 unrecorded-bench failure mode."""
+    warm, cold, spread = _fake_registry(180)
+    endpoints = {
+        f"get_some_long_route_name_number_{i:02d}": {
+            "cold": 99.1234, "warm": 0.000123,
+        }
+        for i in range(40)  # adversarial: far more routes than today
+    }
+    detail, summary = bench.summarize(
+        warm, cold, spread, 0.1, 12.3456, endpoints=endpoints
+    )
+    assert len(json.dumps(summary)) < 2048
+    # detail always carries the full endpoint map
+    assert detail["endpoints"] == endpoints
+    # today's real width (9 entries) survives intact
+    endpoints9 = {
+        f"get_route_{i}": {"cold": 1.2345, "warm": 1e-05} for i in range(9)
+    }
+    _, summary9 = bench.summarize(
+        warm, cold, spread, 0.1, 12.3456, endpoints=endpoints9
+    )
+    assert summary9["endpoints"] == endpoints9
+    assert len(json.dumps(summary9)) < 2048
