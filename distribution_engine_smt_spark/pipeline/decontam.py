@@ -251,37 +251,12 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join at the end restores their n_agree = 0 rows. The argmax is
     decomposed as max + min-id-at-max (both order-independent
     aggregates), never an engine-specific max_by."""
-    from .dedup import N_HASHES, minhash_signature
+    from .dedup import minhash_signature
 
     sig = minhash_signature(spark, sf_dir)
-    bench = sig.filter(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"),
-        *[F.col(f"m{h}").alias(f"b{h}") for h in range(N_HASHES)],
-    )
+    bench = sig.filter(F.col("doc_id") % BENCH_MOD == 0)
     train = sig.filter(F.col("doc_id") % BENCH_MOD != 0)
-    train_long = train.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"m{h}") for h in range(N_HASHES)])
-        ).alias("h", "val"),
-    )
-    bench_long = bench.select(
-        "bench_id",
-        F.posexplode(
-            F.array(*[F.col(f"b{h}") for h in range(N_HASHES)])
-        ).alias("h", "val"),
-    )
-    pairs = tracked_persist(
-        train_long.join(F.broadcast(bench_long), ["h", "val"])
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").cast("int").alias("n_agree"))
-    )  # tracked: feeds both the max and the min-id-at-max passes
-    best = pairs.groupBy("doc_id").agg(F.max("n_agree").alias("n_agree"))
-    hit = (
-        pairs.join(best, ["doc_id", "n_agree"])
-        .groupBy("doc_id", "n_agree")
-        .agg(F.min("bench_id").alias("best_match"))
-    )
+    hit = _best_agreement(train, bench)
     return (
         train.select("doc_id")
         .join(hit, "doc_id", "left")
@@ -294,6 +269,43 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("doc_id").asc())
+    )
+
+
+def _sig_long(sig: DataFrame, id_alias: str) -> DataFrame:
+    """(id, h, val) posting rows of a signature frame — one row per
+    signature component, the join-side shape of the agreement test."""
+    from .dedup import N_HASHES
+
+    return sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(
+            F.array(*[F.col(f"m{h}") for h in range(N_HASHES)])
+        ).alias("h", "val"),
+    )
+
+
+def _best_agreement(train_sig: DataFrame, bench_sig: DataFrame) -> DataFrame:
+    """(doc_id, n_agree, best_match) for every TRAIN doc sharing >= 1
+    signature component with some BENCH doc — the posting-join agreement
+    core shared by the batch query and the streaming flag maintenance.
+    n_agree = max agreeing components over the given bench docs;
+    best_match = lowest bench id achieving it. Both aggregates are
+    order-independent AND the (max, min-at-max) pair is ASSOCIATIVE
+    across bench subsets — merging per-batch results reproduces the
+    all-at-once answer, which is what makes the streaming twin's
+    drain-equals-batch proof possible."""
+    pairs = tracked_persist(
+        _sig_long(train_sig, "doc_id")
+        .join(F.broadcast(_sig_long(bench_sig, "bench_id")), ["h", "val"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("int").alias("n_agree"))
+    )  # tracked: feeds both the max and the min-id-at-max passes
+    best = pairs.groupBy("doc_id").agg(F.max("n_agree").alias("n_agree"))
+    return (
+        pairs.join(best, ["doc_id", "n_agree"])
+        .groupBy("doc_id", "n_agree")
+        .agg(F.min("bench_id").alias("best_match"))
     )
 
 
@@ -365,4 +377,153 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
         .orderBy(F.col("doc_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING decontamination: eval suites grow over releases, and
+# re-flagging a 100 TB corpus per bench drop is a full posting join the
+# pipeline should never re-pay. The flag table is maintained
+# incrementally: each arriving wave of benchmark doc ids (1) leaves the
+# train universe (delete_by_keys — a doc can't be both train and bench),
+# (2) posting-joins ITS signatures against the remaining train
+# signatures only, and (3) max-merges the per-batch (n_agree,
+# best_match) into the table. The (max, min-id-at-max) pair is
+# associative across bench subsets (see _best_agreement), so any split
+# of the bench set into batches — including at-least-once replays, the
+# merge is idempotent — drains to exactly the all-at-once batch answer
+# (pinned by test_decontam_flag_stream_drain_equals_batch).
+#
+# Publication is a versioned-directory pointer (v-<uuid>/ + _current,
+# os.replace — atomic): a crash anywhere leaves the previous version
+# live and at worst an orphaned build directory, swept on the next
+# publish. Single writer (foreachBatch-serialized), like every
+# maintenance job here.
+# ---------------------------------------------------------------------------
+
+
+def _flags_current_path(flag_dir: str) -> str:
+    import os
+
+    return os.path.join(flag_dir, "_current")
+
+
+def read_decontam_flags(spark: SparkSession, flag_dir: str) -> DataFrame:
+    """The live flag table (doc_id, n_agree, best_match, flagged)."""
+    import os
+
+    with open(_flags_current_path(flag_dir)) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(flag_dir, v))
+
+
+def _publish_decontam_flags(df: DataFrame, flag_dir: str) -> None:
+    import os
+    import shutil
+    import uuid as _uuid
+
+    os.makedirs(flag_dir, exist_ok=True)
+    v = f"v-{_uuid.uuid4().hex[:8]}"
+    # default partitioning: the flag table is corpus-sized. (At 100 TB
+    # the version dir is partitioned by a doc_id range bucket and only
+    # buckets containing changed rows are rewritten per wave — dynamic
+    # partition overwrite, the adaptive-store batch discipline; the
+    # versioned pointer stays the publication mechanism either way.)
+    df.write.parquet(os.path.join(flag_dir, v))
+    ptr = _flags_current_path(flag_dir)
+    tmp = f"{ptr}.{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(v)
+    os.replace(tmp, ptr)
+    for entry in os.listdir(flag_dir):  # sweep superseded versions
+        if entry.startswith("v-") and entry != v:
+            shutil.rmtree(os.path.join(flag_dir, entry), ignore_errors=True)
+
+
+def init_decontam_flags(spark: SparkSession, sf_dir: str, flag_dir: str) -> str:
+    """Bootstrap the flag table: EVERY corpus doc is train (no benchmark
+    has arrived yet), n_agree = 0, unflagged."""
+    docs = _t(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_agree"),
+        F.lit(None).cast("long").alias("best_match"),
+        F.lit(False).alias("flagged"),
+    )
+    _publish_decontam_flags(docs, flag_dir)
+    return flag_dir
+
+
+def update_decontam_flags(
+    spark: SparkSession, sf_dir: str, new_bench_ids: DataFrame, flag_dir: str
+) -> dict:
+    """One incremental maintenance step for a wave of newly-arrived
+    benchmark doc ids. Returns {"n_bench": ..., "n_changed": ...}."""
+    from ..operators.merge import delete_by_keys
+    from .dedup import minhash_signature
+    from ..session import tracked_persist as _tp
+
+    ids = _tp(new_bench_ids.select("doc_id").distinct())
+    n_bench = ids.count()  # materializes ids once; bench waves are tiny
+    cur = read_decontam_flags(spark, flag_dir)
+    remaining = _tp(delete_by_keys(cur, ids, ["doc_id"]))
+    sig = minhash_signature(spark, sf_dir)
+    bench_sig = sig.join(F.broadcast(ids), "doc_id", "left_semi")
+    train_sig = sig.join(
+        F.broadcast(remaining.select("doc_id")), "doc_id", "left_semi"
+    )
+    delta = _best_agreement(train_sig, bench_sig).select(
+        "doc_id",
+        F.col("n_agree").cast("long").alias("n_new"),
+        F.col("best_match").alias("best_new"),
+    )
+    merged = remaining.join(F.broadcast(delta), "doc_id", "left").select(
+        "doc_id",
+        F.greatest(
+            F.col("n_agree"), F.coalesce(F.col("n_new"), F.lit(0))
+        ).alias("n_agree"),
+        F.when(F.col("n_new") > F.col("n_agree"), F.col("best_new"))
+        .when(
+            F.col("n_new") == F.col("n_agree"),
+            F.least(F.col("best_match"), F.col("best_new")),
+        )
+        .otherwise(F.col("best_match"))
+        .alias("best_match"),
+        F.lit(False).alias("flagged"),
+    )
+    merged = merged.withColumn(
+        "flagged", F.col("n_agree") >= MINHASH_DECON_AGREE
+    )
+    n_changed = delta.count()
+    _publish_decontam_flags(merged, flag_dir)
+    return {"n_bench": n_bench, "n_changed": n_changed}
+
+
+def run_decontam_flag_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sf_dir: str,
+    flag_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin: benchmark-doc-id arrivals -> incremental flag
+    maintenance, the foreachBatch batch-first shell every store stream
+    here uses (AvailableNow trigger; at-least-once replay is idempotent
+    because the max-merge is)."""
+
+    def ingest(batch_df, batch_id: int):
+        update_decontam_flags(
+            spark, sf_dir, batch_df.select("doc_id"), flag_dir
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
