@@ -471,10 +471,12 @@ def update_decontam_flags(
     train_sig = sig.join(
         F.broadcast(remaining.select("doc_id")), "doc_id", "left_semi"
     )
-    delta = _best_agreement(train_sig, bench_sig).select(
-        "doc_id",
-        F.col("n_agree").cast("long").alias("n_new"),
-        F.col("best_match").alias("best_new"),
+    delta = _tp(  # referenced twice: the merge below + the count
+        _best_agreement(train_sig, bench_sig).select(
+            "doc_id",
+            F.col("n_agree").cast("long").alias("n_new"),
+            F.col("best_match").alias("best_new"),
+        )
     )
     merged = remaining.join(F.broadcast(delta), "doc_id", "left").select(
         "doc_id",
