@@ -45,14 +45,10 @@ _DRIVER_PRIORITY = [
     "ann_pq_trained_topk",
     "ann_recall_audit",
     "ann_topk_bruteforce",
-    "blog_union_minjoin",
-    "children_counts",
     "cross_source_dup_matrix",
     "dedup_best_representative",
-    "dedup_cluster_stats",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "doc_novelty",
     "embedding_kmeans",
@@ -64,7 +60,6 @@ _DRIVER_PRIORITY = [
     "ivfpq_trained_recall_audit",
     "leakage_free_split",
     "minhash_decontaminate",
-    "mixture_weights",
     "pq_train",
     "pq_trained_recall_audit",
     "quantile_error_audit",
@@ -92,7 +87,6 @@ _DRIVER_ROTATE_LAST = [
     "ann_ivf_sharded_recall_audit",
     "ann_ivf_sharded_topk",
     "ann_ivf_topk",
-    "ann_ivfpq_batch",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",
@@ -101,10 +95,11 @@ _DRIVER_ROTATE_LAST = [
     "asof_purchase_attribution",
     "authorperm_codec",
     "balanced_sample",
-    "bigram_perplexity",
+    "blog_union_minjoin",
     "bloom_membership",
     "bm25_search",
     "build_vocab",
+    "children_counts",
     "chunk_dedup",
     "chunk_documents",
     "chunk_excise",
@@ -123,7 +118,9 @@ _DRIVER_ROTATE_LAST = [
     "curriculum_buckets",
     "daily_moving_avg",
     "decontaminate",
+    "dedup_cluster_stats",
     "dedup_embedding_lsh_single_probe",
+    "dedup_exact",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -145,7 +142,6 @@ _DRIVER_ROTATE_LAST = [
     "events_pivot",
     "feed_semijoin",
     "follow_counts",
-    "graph_pagerank",
     "hll_daily_merge",
     "hll_distinct",
     "hourly_hll_distinct",
@@ -158,6 +154,7 @@ _DRIVER_ROTATE_LAST = [
     "length_histogram",
     "lsh_recall_audit",
     "lsh_recall_audit_sampled",
+    "mixture_weights",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
@@ -194,13 +191,11 @@ _DRIVER_ROTATE_LAST = [
     "text_quality_score",
     "text_repetition",
     "text_token_counts",
-    "thread_tree",
     "time_format_wire",
     "token_count_quantiles",
     "top_ngrams",
     "trending_tags",
     "tumbling_event_counts",
-    "unigram_perplexity",
     "url_density",
     "weighted_sample",
     "zipf_slope",
@@ -254,6 +249,18 @@ _ROUND_MODIFIED = [
     # sampling, so the old plan was quadratic at scale) — already in
     # the head via the r08 cohort; result hash-pinned unchanged
     "minhash_decontaminate",
+    # r12 OPTIMIZATION round: restructured plans (results hash-pinned
+    # unchanged; displaced head slots come from five multi-round-green,
+    # untouched queries whose evidence age moves 3 -> 4, inside the hard
+    # bound): pagerank co-partitioned deg-on-edges iteration, tree walk
+    # minus its per-level no-op distinct + plan memoization, perplexity
+    # frequency tables folded from the persisted per-doc counts, batched
+    # IVF-PQ serving memoized
+    "graph_pagerank",
+    "thread_tree",
+    "bigram_perplexity",
+    "unigram_perplexity",
+    "ann_ivfpq_batch",
 ]
 
 

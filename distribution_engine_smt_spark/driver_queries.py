@@ -499,6 +499,13 @@ def thread_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# memoize: the walk itself (8 levels of eager localCheckpoint jobs) runs at
+# construction time; repeated callers hold the expanded frame — the same
+# plan-reuse discipline as the other heavy-construction queries, and it
+# stops each call from leaking a fresh set of checkpointed frontier RDDs
+QUERIES["thread_tree"] = memoize_df(thread_tree)
+
+
 # ---------------------------------------------------------------------------
 # get_follow_count — A4 conditional counts
 # (reference: engine/follow_storage.py:90-110)

@@ -51,13 +51,19 @@ def expand_tree(
                     how="inner",
                 )
                 .select(F.col(id_col))
-                .distinct()
                 .withColumn("depth", F.lit(level))
             )
+            # acyclic (tree) edges: a node has exactly one parent and the
+            # frontier is duplicate-free by induction, so each child id
+            # appears once — the per-level .distinct() the r11 walk ran was
+            # a no-op that cost one full shuffle per level (8 Exchanges on
+            # thread_tree). The cyclic path still dedups via seen/distinct.
             if not acyclic:
-                children = children.join(
-                    seen.select(id_col), on=id_col, how="left_anti"
-                ).withColumn("depth", F.lit(level))
+                children = (
+                    children.distinct()
+                    .join(seen.select(id_col), on=id_col, how="left_anti")
+                    .withColumn("depth", F.lit(level))
+                )
             # materialize each frontier once, distributed (no driver
             # collect — a level can be huge): localCheckpoint truncates the
             # growing lineage so level N doesn't recompute levels 1..N-1

@@ -865,6 +865,7 @@ def _occ_sql() -> str:
 
 
 @register("index_occupancy_audit", _occ_sql())
+@memoize_df
 def index_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-occupancy audit for every width-laddered blocking structure
     (VERDICT r6 #1): per structure, the chosen width, the observed bucket

@@ -1172,6 +1172,7 @@ def _split_leakage_sql() -> str:
 
 
 @register("split_leakage_audit", _split_leakage_sql())
+@memoize_df
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many VERIFIED near-dup pairs cross the train/val/test boundary
     under three split coins: per-document i.i.d. (``doc_coin`` — the

@@ -363,7 +363,17 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_unique"))
     )
-    tot = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # per-doc gram totals straight off the scan: count(*) of the exploded
+    # frame per doc == the ngram array's size (word_ngrams is never empty —
+    # its gram count is greatest(len - 7, 1) >= 1 for any text including
+    # null — so explode emits exactly size rows per doc), and the second
+    # corpus-wide explode + doc_id shuffle the r11 plan paid for ``tot``
+    # disappears; only the fundamental h-shuffle remains. No filter here:
+    # a size guard would be pushed below the projection and evaluate the
+    # ngram transform twice per row.
+    tot = docs.select(
+        "doc_id", F.size(word_ngrams(F.col("text"), NGRAM_N)).alias("n_grams")
+    )
     return (
         tot.join(uniq, "doc_id", "left")
         .select(

@@ -111,12 +111,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
         )
     )
-    # persist the edges: every iteration re-reads them, and the degree pass
-    # shares the same scan
+    # hash-partition the edge list on ``src`` ONCE and attach each source's
+    # out-degree to its edge rows before persisting: the degree aggregation
+    # reuses the repartition exchange, the deg-attach join is co-partitioned
+    # (no exchange on either side), and — the iteration win — node state
+    # shrinks to (src, tokens), so each iteration is ONE join against the
+    # cached pre-partitioned edges plus ONE groupBy(dst) shuffle. The r11
+    # plan carried deg on the state frame instead, which cost a second
+    # (state ⋈ deg) SortMergeJoin + exchanges per iteration (6 Exchanges /
+    # iteration -> 1; measured 2.37 s -> see OPTIMIZATION_r12.md).
+    # explicit partition count (the session's shuffle width, itself derived
+    # from SPARK_GRAFT_CPUS / cluster conf): a count-less repartition is
+    # AQE-coalescible, which leaves the cached relation's partitioning
+    # unrecognizable to EnsureRequirements and re-exchanges the edges at
+    # every iteration join. sortWithinPartitions is kept by the cache too,
+    # so the per-iteration SortMergeJoin re-sorts only the state side.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window
+
+    # deg via a per-src count window instead of groupBy + self-join: the
+    # window's required sort doubles as the cached frame's ordering, so the
+    # one-time build is exchange + sort + window (no second join) and every
+    # iteration's SortMergeJoin re-sorts only the state side.
+    e = (
+        e.repartition(n_part, F.col("src"))
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    )
     e = tracked_persist(e)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # node state carries (tokens, deg) together so an iteration is one join
-    state = deg.select("src", F.lit(PR_BASE).cast("long").alias("tokens"), "deg")
+    # initial state off the CACHED frame (the r11 plan re-derived the whole
+    # orders ⋈ lineitem distinct for it): src-partitioned input means this
+    # groupBy needs no exchange
+    state = (
+        e.select("src")
+        .distinct()
+        .select("src", F.lit(PR_BASE).cast("long").alias("tokens"))
+    )
     for _ in range(PR_ITERS):
         recv = (
             e.join(state, "src")
@@ -124,13 +153,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("contrib").cast("long").alias("recv"))
         )
-        tokens = recv.select(
+        state = recv.select(
             F.col("dst").alias("src"),
-            (F.lit(PR_KEEP) + F.expr(f"(85 * recv) div 100")).cast("long").alias(
+            (F.lit(PR_KEEP) + F.expr("(85 * recv) div 100")).cast("long").alias(
                 "tokens"
             ),
         )
-        state = tokens.join(deg, "src").select("src", "tokens", "deg")
     return (
         state.select(F.col("src").alias("node"), "tokens")
         .orderBy(F.col("tokens").desc(), F.col("node").asc())

@@ -271,6 +271,7 @@ def pq_train_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 @register("pq_train", _PQ_TRAIN_SQL)
+@memoize_df
 def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-subspace k-means codebook training (PQ_S x PQ_K cells, PQT_ITERS
     Lloyd rounds, seeded from the slices of vectors 0..PQ_K-1): final cell
@@ -470,6 +471,7 @@ def _ivfpq_batch_sql() -> str:
 
 
 @register("ann_ivfpq_batch", _ivfpq_batch_sql())
+@memoize_df
 def ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched serving through the composed IVF-PQ index: BATCH_Q query
     vectors route driver-side to their NPROBE nearest cells, and ONE scan

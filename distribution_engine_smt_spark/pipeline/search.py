@@ -314,6 +314,7 @@ def _bm25_scored_sql() -> str:
     "rrf_hybrid_search",
     None,  # assigned below — needs the bm25 oracle text registered first
 )
+@memoize_df
 def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval via reciprocal-rank fusion: the BM25
     ranking (terms {terms}) and the embedding-cosine ranking (query vector
@@ -498,9 +499,16 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = t["documents"].select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    dtf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
-    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("n_tok"))
-    tot = tok.agg(F.count("*").cast("double").alias("n_total"))
+    # ONE explode + one (doc_id, tok) shuffle; the corpus token frequency
+    # and total derive from the persisted per-doc counts (sum(ct) ==
+    # count(*) of the exploded frame — exact integer sums, so the doubles
+    # are identical) instead of re-exploding and re-shuffling the corpus
+    # two more times as the r11 plan did.
+    dtf = tracked_persist(
+        tok.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
+    )
+    freq = dtf.groupBy("tok").agg(F.sum("ct").cast("double").alias("n_tok"))
+    tot = dtf.agg(F.sum("ct").cast("double").alias("n_total"))
     joined = dtf.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(tot))
     folded = joined.groupBy("doc_id").agg(
         F.array_sort(
@@ -609,9 +617,15 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.bg").alias("bg"), F.col("p.ctx").alias("ctx"))
-    dbf = bg.groupBy("doc_id", "bg", "ctx").agg(F.count("*").alias("ct"))
-    bfreq = bg.groupBy("bg").agg(F.count("*").cast("double").alias("n_bg"))
-    cfreq = bg.groupBy("ctx").agg(F.count("*").cast("double").alias("n_ctx"))
+    # ONE bigram explode + one (doc_id, bg, ctx) shuffle; both frequency
+    # tables fold the persisted per-doc counts (sum(ct) == count(*) of the
+    # exploded frame — exact integer sums) instead of re-running the
+    # tokenize + explode two more times as the r11 plan did.
+    dbf = tracked_persist(
+        bg.groupBy("doc_id", "bg", "ctx").agg(F.count("*").alias("ct"))
+    )
+    bfreq = dbf.groupBy("bg").agg(F.sum("ct").cast("double").alias("n_bg"))
+    cfreq = dbf.groupBy("ctx").agg(F.sum("ct").cast("double").alias("n_ctx"))
     joined = dbf.join(F.broadcast(bfreq), "bg").join(F.broadcast(cfreq), "ctx")
     folded = joined.groupBy("doc_id").agg(
         F.array_sort(

@@ -30,9 +30,18 @@ IVF_SIGN_BITS = 6
 
 
 def dot_fold(a: Column, b: Column) -> Column:
-    """Fixed-order dot product: left fold over zip_with products."""
+    """Fixed-order dot product: left fold over zip_with products.
+
+    The float->double widening happens ONCE per array (``cast`` to
+    array<double>) instead of once per element inside the lambda: the
+    element cast was ~40% of the fold's runtime (measured 2.06 s -> 1.29 s
+    on the 195k-pair dedup_embedding_cosine shape, bit-identical results —
+    element-wise cast and array cast are the same exact float->double
+    widening, and the multiply/add order is unchanged)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
