@@ -39,6 +39,15 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # cluster default; tests use ~KBs
 
 
+def _dlit(vals):
+    """Constant array<double> Column in one py4j round-trip (see
+    pipeline.similarity.dlit_array; lazy import keeps this module free of
+    pipeline imports at load time)."""
+    from ..pipeline.similarity import dlit_array
+
+    return dlit_array(vals)
+
+
 def _leaf_dirs(path: str) -> list[str]:
     """Leaf directories of a (possibly hive-partitioned) parquet tree."""
     leaves: list[str] = []
@@ -306,7 +315,9 @@ def probe_ivf_index(spark, index_dir: str, centroids, q_vec, top: int = 10):
 
     q_cid = min(range(len(centroids)), key=lambda i: (d2(q_vec, centroids[i]), i))
     q_norm = sum(float(x) * float(x) for x in q_vec) ** 0.5
-    q_arr = F.array(*[F.lit(float(x)) for x in q_vec])
+    from ..pipeline.similarity import dlit_array
+
+    q_arr = dlit_array(q_vec)
     cell = spark.read.parquet(index_dir).where(F.col("cid") == q_cid)
     return (
         cell.select(
@@ -1318,7 +1329,7 @@ def probe_adaptive_ivfpq(
     dot = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
-            F.array(*[F.lit(float(x)) for x in q_vec]),
+            _dlit(q_vec),
             lambda a, b: a * b,
         ),
         F.lit(0.0),
@@ -1418,7 +1429,7 @@ def probe_adaptive_ivf(
     dot = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
-            F.array(*[F.lit(float(x)) for x in q_vec]),
+            _dlit(q_vec),
             lambda a, b: a * b,
         ),
         F.lit(0.0),

@@ -53,7 +53,9 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size."""
     t = _t(spark, sf_dir)
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.expr(
+        "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS) + ")"
+    )
     ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
         "double"
     ) / F.size(toks)
@@ -119,7 +121,9 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are order-independent, so no decimal machinery is needed."""
     t = _t(spark, sf_dir)
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.expr(
+        "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS) + ")"
+    )
     stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
         "double"
     ) / F.size(toks)

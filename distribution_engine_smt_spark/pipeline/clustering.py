@@ -59,10 +59,15 @@ from .params import (  # noqa: E402
 def _dist_to_literal(emb, centroid: list[float]):
     """Fixed-order fold of squared differences against a driver-side
     centroid (list of Python doubles -> literal array)."""
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
+    # one Literal node instead of DIM F.lit calls, and the float->double
+    # widening happens once per array (see dot_fold) — identical values,
+    # identical IEEE sequence
+    from .similarity import dlit_array
+
+    arr = dlit_array(centroid)
     return F.aggregate(
         F.zip_with(
-            emb, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            emb.cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)
         ),
         F.lit(0.0),
         lambda a, x: a + x,

@@ -322,11 +322,58 @@ def _hyperplane_signs() -> list[list[list[float]]]:
 _SIGNS = _hyperplane_signs()
 
 
+import functools
+
+
+def dlit_array(vals) -> Column:
+    """Constant array<double> Column in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(x) ...])`` — and ``F.lit(list)``, which expands to
+    the same thing inside PySpark — costs one gateway call per element
+    (~0.3 ms each); a 64-dim constant built that way is ~20 ms of pure
+    driver RPC, and the LSH/PQ families build hundreds per query
+    construction. One ``F.expr`` string parse is ~1 ms. ``repr(float)``
+    is the shortest round-trip representation, so the parsed doubles are
+    bit-identical to the old per-element literals."""
+    assert len(vals) > 0
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+    )
+
+
+def dlit_array2(rows) -> Column:
+    """Constant array<array<double>> Column in one py4j round-trip."""
+    assert len(rows) > 0
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _plane_lit(t: int, k: int) -> Column:
+    """Plane (t, k) as ONE cached array-literal Column. The planes are
+    process-constants, but the old per-call ``F.array(*[F.lit(s) ...])``
+    built 65 py4j Column objects per plane per query construction —
+    across 8 tables x RHP_MAX_BITS planes that was the bulk of the LSH
+    family's multi-second DataFrame-construction cost (profiled: 2.0 s
+    of the 6.5 s dedup_embedding_lsh construct in plane building alone).
+    The lru_cache makes repeat constructions free."""
+    return dlit_array(_SIGNS[t][k])
+
+
 def _rhp_dot(col: Column, t: int, k: int) -> Column:
-    """embedding . plane_k of table t (the signed margin of bit k)."""
-    plane = F.array(*[F.lit(s) for s in _SIGNS[t][k]])
+    """embedding . plane_k of table t (the signed margin of bit k).
+    float->double widening happens once per array (see dot_fold) — the
+    same exact widening as the old per-element cast, minus its runtime."""
     return F.aggregate(
-        F.zip_with(col, plane, lambda x, y: x.cast("double") * y),
+        F.zip_with(
+            col.cast("array<double>"), _plane_lit(t, k), lambda x, y: x * y
+        ),
         F.lit(0.0),
         lambda a, b: a + b,
     )
@@ -1182,12 +1229,12 @@ def _pq_sub_dists(col: Column, seeds: list[list[float]], s: int) -> Column:
     K-vector of squared diffs, accumulated elementwise in i-order —
     bit-identical to a per-codeword fold at 1/K the expression count."""
     o = s * PQ_DSUB
-    # cwl[i][k] = codeword k's component at subspace offset i
-    cwl = F.array(
-        *[
-            F.array(*[F.lit(float(seeds[k][o + i])) for k in range(PQ_K)])
-            for i in range(PQ_DSUB)
-        ]
+    # cwl[i][k] = codeword k's component at subspace offset i — ONE nested
+    # Literal node (identical values/type to the old 72-node
+    # F.array-of-F.lit tree, at a fraction of the construction/analysis
+    # cost; the encode path builds PQ_S of these per call)
+    cwl = dlit_array2(
+        [[float(seeds[k][o + i]) for k in range(PQ_K)] for i in range(PQ_DSUB)]
     )
 
     def step(acc: Column, i: Column) -> Column:
@@ -1282,8 +1329,7 @@ def pq_adc_col(lut: list[list[float]]) -> Column:
     adc = None
     for s in range(PQ_S):
         term = F.try_element_at(
-            F.array(*[F.lit(lut[s][k]) for k in range(PQ_K)]),
-            F.col(f"c{s}") + 1,
+            dlit_array(lut[s]), F.col(f"c{s}") + 1
         )
         adc = term if adc is None else adc + term
     return adc

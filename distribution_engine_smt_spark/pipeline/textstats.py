@@ -75,7 +75,9 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.expr(
+        "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS) + ")"
+    )
     ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
         "double"
     ) / F.size(toks)
@@ -115,7 +117,9 @@ def quality_col() -> "F.Column":
     """Spark twin of :func:`quality_sql_expr` (same blend, same rounding),
     in terms of the documents columns ``text``/``n_chars``."""
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.expr(
+        "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS) + ")"
+    )
     stop_ratio = F.size(
         F.filter(toks, lambda x: F.array_contains(stop_arr, x))
     ).cast("double") / F.size(toks)
