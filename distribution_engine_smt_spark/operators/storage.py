@@ -2351,7 +2351,7 @@ def update_rhp_band_store(
         F.posexplode(
             F.array(
                 *[
-                    _rhp_bucket(F.col("embedding"), tb, bits)
+                    _rhp_bucket("embedding", tb, bits)
                     for tb in range(RHP_TABLES)
                 ]
             )
@@ -2424,7 +2424,7 @@ def migrate_rhp_band_store(
             F.array(
                 *[
                     _rhp_bucket(
-                        F.col("embedding"), tb, new_bits, start=old_bits
+                        "embedding", tb, new_bits, start=old_bits
                     )
                     for tb in range(RHP_TABLES)
                 ]

@@ -498,54 +498,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token: md5 (layer 1), per-position hex value (layer 2), cheap packed
     # bit math (layer 3). Inlining everything into one Project re-evaluates
     # md5 per packed column (16x) — measured 5x slower.
-    toks = t["documents"].select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    #
+    # Every layer is built as ONE selectExpr string parse: the per-Column
+    # DSL form of the same tree cost ~14k py4j round-trips (~0.4 ms each)
+    # of pure DataFrame-construction latency per cold call — the dominant
+    # cost of this query's bench cold run. Canonicalized analyzed plans
+    # verified EQUAL between the two forms (same Catalyst tree, same
+    # results; pinned in tests/test_sql_expr_parity.py).
+    toks = t["documents"].selectExpr(
+        "doc_id", "explode(split(trim(text), ' ')) AS tok"
     )
-    hashed = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    hashed = toks.selectExpr("doc_id", "md5(CAST(tok AS BINARY)) AS h")
 
-    def _hexval(p: int):
+    def _hexval(p: int) -> str:
         # hex char at position p -> 0..15 via ascii math ('0'-'9','a'-'f')
-        a = F.ascii(F.substring(F.col("h"), p, 1))
-        return F.when(a <= 57, a - 48).otherwise(a - 87)
+        a = f"ascii(substring(h, {p}, 1))"
+        return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
 
-    vals = hashed.select(
-        "doc_id", *[_hexval(p).alias(f"v{p}") for p in range(1, 17)]
+    vals = hashed.selectExpr(
+        "doc_id", *[f"{_hexval(p)} AS v{p}" for p in range(1, 17)]
     )
 
-    def _packed(p: int, lo_bit: int):
+    def _packed(p: int, lo_bit: int) -> str:
         # two bit-counters per long: lanes at bit 0 and bit 32
-        v = F.col(f"v{p}")
         return (
-            F.shiftright(v, lo_bit).bitwiseAND(F.lit(1)).cast("long")
-            + F.shiftleft(
-                F.shiftright(v, lo_bit + 1).bitwiseAND(F.lit(1)).cast("long"), 32
-            )
+            f"(CAST(shiftright(v{p}, {lo_bit}) & 1 AS BIGINT) + "
+            f"shiftleft(CAST(shiftright(v{p}, {lo_bit + 1}) & 1 AS BIGINT), 32))"
         )
 
-    per_tok = vals.select(
+    per_tok = vals.selectExpr(
         "doc_id",
-        *[_packed(p, 0).alias(f"pk{p}a") for p in range(1, 17)],
-        *[_packed(p, 2).alias(f"pk{p}b") for p in range(1, 17)],
+        *[f"{_packed(p, 0)} AS pk{p}a" for p in range(1, 17)],
+        *[f"{_packed(p, 2)} AS pk{p}b" for p in range(1, 17)],
     )
     agg = per_tok.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"pk{p}a").alias(f"pk{p}a") for p in range(1, 17)],
-        *[F.sum(f"pk{p}b").alias(f"pk{p}b") for p in range(1, 17)],
+        F.expr("count(*) AS n"),
+        *[F.expr(f"sum(pk{p}a) AS pk{p}a") for p in range(1, 17)],
+        *[F.expr(f"sum(pk{p}b) AS pk{p}b") for p in range(1, 17)],
     )
 
-    def _digit(p: int):
-        out = F.lit(0)
+    def _digit(p: int) -> str:
+        out = "0"
         for b in range(4):  # unpack lane, majority-vote, weight 2^b
-            col = F.col(f"pk{p}a") if b < 2 else F.col(f"pk{p}b")
-            s = F.shiftright(col, 32 * (b % 2)).bitwiseAND(F.lit(0xFFFFFFFF))
-            out = out + F.when(
-                F.lit(2) * s >= F.col("n"), F.lit(1 << b)
-            ).otherwise(F.lit(0))
-        return F.lower(F.conv(out.cast("string"), 10, 16))
+            col = f"pk{p}a" if b < 2 else f"pk{p}b"
+            s = f"(shiftright({col}, {32 * (b % 2)}) & {0xFFFFFFFF})"
+            out = f"{out} + (CASE WHEN 2 * {s} >= n THEN {1 << b} ELSE 0 END)"
+        return f"lower(conv(CAST({out} AS STRING), 10, 16))"
 
-    return agg.select(
+    return agg.selectExpr(
         "doc_id",
-        F.concat(*[_digit(p) for p in range(1, 17)]).alias("simhash"),
+        "concat(" + ", ".join(_digit(p) for p in range(1, 17)) + ") AS simhash",
     ).orderBy(F.col("doc_id").asc())
 
 
@@ -591,34 +593,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark evaluates higher-order-function lambdas outside codegen) and
     # was this query's 13x bench regression in round 4.
     sigs = tracked_persist(
-        dedup_simhash(spark, sf_dir).select(
+        dedup_simhash(spark, sf_dir).selectExpr(
             "doc_id",
             "simhash",
-            F.substring(F.col("simhash"), 1, 4).alias("band"),
-            F.conv(F.substring(F.col("simhash"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("lo"),
-            F.conv(F.substring(F.col("simhash"), 9, 8), 16, 10)
-            .cast("long")
-            .alias("hi"),
+            "substring(simhash, 1, 4) AS band",
+            "CAST(conv(substring(simhash, 1, 8), 16, 10) AS BIGINT) AS lo",
+            "CAST(conv(substring(simhash, 9, 8), 16, 10) AS BIGINT) AS hi",
         )
     )
-    a = sigs.select(
-        F.col("doc_id").alias("d1"), F.col("lo").alias("lo1"),
-        F.col("hi").alias("hi1"), "band",
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("d2"), F.col("lo").alias("lo2"),
-        F.col("hi").alias("hi2"), "band",
-    )
-    hamming = (
-        F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
-        + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
-    ).cast("int")
+    a = sigs.selectExpr("doc_id AS d1", "lo AS lo1", "hi AS hi1", "band")
+    b = sigs.selectExpr("doc_id AS d2", "lo AS lo2", "hi AS hi2", "band")
     return (
         a.join(b, "band")
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", hamming.alias("hamming"))
+        .selectExpr(
+            "d1",
+            "d2",
+            "CAST(bit_count(lo1 ^ lo2) + bit_count(hi1 ^ hi2) AS INT)"
+            " AS hamming",
+        )
         .filter(F.col("hamming") <= 12)
         .orderBy(F.col("d1").asc(), F.col("d2").asc())
     )

@@ -48,9 +48,9 @@ from .similarity import (
     PQ_S,
     PQ_TOP,
     _cos_sql,
-    _pq_sub_dists,
     dot_fold,
     pq_adc_col,
+    pq_code_expr,
     pq_encode,
     pq_query_lut,
     pq_seed_vectors,
@@ -182,35 +182,19 @@ _PQ_TRAIN_SQL = f"""
 _FIT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
-def _slices(s: int):
-    return F.slice("embedding", s * PQ_DSUB + 1, PQ_DSUB)
-
-
 def _assigned_slices(emb: DataFrame, vseeds: list[list[float]]) -> DataFrame:
     """One corpus pass assigning EVERY subspace: per row, PQ_S (code,
     slice) structs posexploded to (vec_id, s, code, sl) — assignment is
     the same single-fold-per-subspace argmin the encode path uses, so the
     fit and the encoder can never disagree on a code."""
-    pairs = F.posexplode(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        F.array_position(
-                            (ds := _pq_sub_dists(F.col("embedding"), vseeds, s)),
-                            F.array_min(ds),
-                        )
-                        - 1
-                    )
-                    .cast("int")
-                    .alias("code"),
-                    _slices(s).alias("sl"),
-                )
-                for s in range(PQ_S)
-            ]
-        )
+    structs = ", ".join(
+        f"struct({pq_code_expr('embedding', vseeds, s)} AS code, "
+        f"slice(embedding, {s * PQ_DSUB + 1}, {PQ_DSUB}) AS sl)"
+        for s in range(PQ_S)
     )
-    return emb.select("vec_id", pairs.alias("s", "x")).select(
+    return emb.selectExpr(
+        "vec_id", f"posexplode(array({structs})) AS (s, x)"
+    ).select(
         "vec_id", "s", F.col("x.code").alias("code"), F.col("x.sl").alias("sl")
     )
 

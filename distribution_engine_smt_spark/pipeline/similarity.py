@@ -354,41 +354,72 @@ def dlit_array2(rows) -> Column:
     )
 
 
-@functools.lru_cache(maxsize=None)
-def _plane_lit(t: int, k: int) -> Column:
-    """Plane (t, k) as ONE cached array-literal Column. The planes are
-    process-constants, but the old per-call ``F.array(*[F.lit(s) ...])``
-    built 65 py4j Column objects per plane per query construction —
-    across 8 tables x RHP_MAX_BITS planes that was the bulk of the LSH
-    family's multi-second DataFrame-construction cost (profiled: 2.0 s
-    of the 6.5 s dedup_embedding_lsh construct in plane building alone).
-    The lru_cache makes repeat constructions free."""
-    return dlit_array(_SIGNS[t][k])
-
-
-def _rhp_dot(col: Column, t: int, k: int) -> Column:
-    """embedding . plane_k of table t (the signed margin of bit k).
-    float->double widening happens once per array (see dot_fold) — the
-    same exact widening as the old per-element cast, minus its runtime."""
-    return F.aggregate(
-        F.zip_with(
-            col.cast("array<double>"), _plane_lit(t, k), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
+def dot_fold_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of ``dot_fold`` — same Catalyst tree
+    (canonicalized-plan equality pinned in tests/test_sql_expr_parity.py)
+    at ONE expression parse instead of ~10 py4j round-trips per dot.
+    The r12 construction profile showed DataFrame-construction latency
+    is almost entirely py4j round-trips (~0.4 ms each; the LSH/simhash
+    families paid 10-14k per cold call), so every hot builder now
+    composes SQL text and parses once via selectExpr/F.expr."""
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+        f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
     )
 
 
-def _rhp_bucket(col: Column, t: int, bits: int, start: int = 0) -> Column:
-    """bits-bit bucket id for hash table t: bit_k = sign(embedding . plane_k).
-    ``start`` > 0 yields only the HIGH bits [start, bits) — the delta a
-    width migration adds to an existing lower-width bucket (bit k's plane
-    is the same at every width, so bucket_k' = bucket_k + delta)."""
-    acc = F.lit(0)
+def cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of ``cosine`` (same tree as the DSL form)."""
+    return (
+        f"({dot_fold_sql(a, b)} / "
+        f"(sqrt({dot_fold_sql(a, a)}) * sqrt({dot_fold_sql(b, b)})))"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _plane_sql(t: int, k: int) -> str:
+    """Plane (t, k) as cached SQL array-literal text. The planes are
+    process-constants; the r11 fix cached them as one-parse Columns, but
+    even one py4j call per USE of a cached Column adds up across 8 tables
+    x RHP_MAX_BITS planes x the probe chain's tree reuse — composing SQL
+    TEXT keeps the whole bucket/probe build at a handful of round-trips
+    (the r12 construction profile: dedup_embedding_lsh spent 4.3 s in
+    ~10k py4j calls per cold construction; the text form is ~400)."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in _SIGNS[t][k]) + ")"
+
+
+def _rhp_dot_sql_expr(col: str, t: int, k: int) -> str:
+    """embedding . plane_k of table t as Spark-SQL text (the signed margin
+    of bit k). float->double widening happens once per array (see
+    dot_fold); same Catalyst tree as the old DSL form — canonicalized-plan
+    equality pinned in tests/test_sql_expr_parity.py."""
+    return (
+        f"aggregate(zip_with(CAST({col} AS ARRAY<DOUBLE>), {_plane_sql(t, k)}, "
+        f"(x, y) -> x * y), 0.0D, (a, b) -> a + b)"
+    )
+
+
+def _rhp_bucket_expr(col: str, t: int, bits: int, start: int = 0) -> str:
+    """bits-bit bucket id for hash table t as Spark-SQL text:
+    bit_k = sign(embedding . plane_k). ``start`` > 0 yields only the HIGH
+    bits [start, bits) — the delta a width migration adds to an existing
+    lower-width bucket (bit k's plane is the same at every width, so
+    bucket_k' = bucket_k + delta)."""
+    acc = "0"
     for k in range(start, bits):
-        dot = _rhp_dot(col, t, k)
-        acc = acc + F.when(dot >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-    return acc
+        acc = (
+            f"{acc} + (CASE WHEN {_rhp_dot_sql_expr(col, t, k)} >= 0 "
+            f"THEN {1 << k} ELSE 0 END)"
+        )
+    return f"({acc})"
+
+
+def _rhp_bucket(col: str, t: int, bits: int, start: int = 0) -> Column:
+    """``_rhp_bucket_expr`` as a Column (one parse). ``col`` is a column
+    NAME, not a Column — text composition is what keeps construction at
+    O(1) round-trips."""
+    return F.expr(_rhp_bucket_expr(col, t, bits, start))
 
 
 def _rhp_bucket_sql(col: str, t: int) -> str:
@@ -467,11 +498,11 @@ def rhp_band_frame_at(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     """Derive the band table at an EXPLICIT width (no store check) — the
     building block the store builder and the width-migration job share."""
     emb = _t(spark, sf_dir)["embeddings"]
-    return emb.select(
+    return emb.selectExpr(
         "vec_id",
-        F.array(
-            *[_rhp_bucket(F.col("embedding"), tb, bits) for tb in range(RHP_TABLES)]
-        ).alias("bks"),
+        "array("
+        + ", ".join(_rhp_bucket_expr("embedding", tb, bits) for tb in range(RHP_TABLES))
+        + ") AS bks",
     ).select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
 
 
@@ -506,21 +537,24 @@ def dedup_embedding_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFr
         .select("id_new", "id_corpus")
         .distinct()
     )
-    e1 = emb.select(
-        F.col("vec_id").alias("id_new"),
-        F.col("embedding").alias("e1"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n1"),
+    e1 = emb.selectExpr(
+        "vec_id AS id_new",
+        "embedding AS e1",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS n1",
     )
-    e2 = emb.select(
-        F.col("vec_id").alias("id_corpus"),
-        F.col("embedding").alias("e2"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n2"),
+    e2 = emb.selectExpr(
+        "vec_id AS id_corpus",
+        "embedding AS e2",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS n2",
     )
-    cos = dot_fold(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         cand.join(e1, "id_new")
         .join(e2, "id_corpus")
-        .select("id_new", "id_corpus", cos.alias("cos"))
+        .selectExpr(
+            "id_new",
+            "id_corpus",
+            f"({dot_fold_sql('e1', 'e2')} / (n1 * n2)) AS cos",
+        )
         .filter(F.col("cos") >= NEARDUP_COSINE)
         .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
     )
@@ -677,55 +711,56 @@ def rhp_multiprobe_buckets(df: DataFrame, bits: int, flips: int) -> DataFrame:
     time). Shared by the registered multiprobe query and the
     planted-pair recall audit — the probe arithmetic cannot drift
     between them."""
-    pows = F.array(*[F.lit(1 << k) for k in range(RHP_MAX_BITS)])
-    dotted = df.select(
+    # Built as SQL text end to end (one parse per projection): the DSL
+    # form of this chain was ~10.5k py4j round-trips (~4-6 s of pure
+    # construction latency per cold call); the text form is ~400.
+    # Canonicalized analyzed plans verified EQUAL between the two forms.
+    pows = "array(" + ", ".join(str(1 << k) for k in range(RHP_MAX_BITS)) + ")"
+    dotted = df.selectExpr(
         "vec_id",
         *[
-            F.array(
-                *[_rhp_dot(F.col("embedding"), t, k) for k in range(bits)]
-            ).alias(f"d{t}")
+            "array("
+            + ", ".join(_rhp_dot_sql_expr("embedding", t, k) for k in range(bits))
+            + f") AS d{t}"
             for t in range(RHP_TABLES)
         ],
     )
 
-    def probe_struct(t: int):
-        dt = F.col(f"d{t}")
-        b0 = F.lit(0)
-        for k in range(bits):  # same k-order adds as _rhp_bucket
-            b0 = b0 + F.when(
-                F.try_element_at(dt, F.lit(k + 1)) >= 0, F.lit(1 << k)
-            ).otherwise(F.lit(0))
-        absd = F.transform(dt, lambda x: F.abs(x))
+    def probe_struct(t: int) -> str:
+        dt = f"d{t}"
+        b0 = "0"
+        for k in range(bits):  # same k-order adds as _rhp_bucket_expr
+            b0 = (
+                f"{b0} + (CASE WHEN try_element_at({dt}, {k + 1}) >= 0 "
+                f"THEN {1 << k} ELSE 0 END)"
+            )
+        b0 = f"({b0})"
+        absd = f"transform({dt}, x -> abs(x))"
 
-        def masked(arr, kp):
-            return F.transform(
-                arr, lambda x, i: F.when(i == kp, F.lit(1e308)).otherwise(x)
+        def masked(arr: str, kp: str) -> str:
+            return (
+                f"transform({arr}, (x, i) -> CASE WHEN i = {kp} "
+                f"THEN {repr(1e308)}D ELSE x END)"
             )
 
         flip_pows = []
         for _ in range(min(flips, bits)):
-            kmin = (F.array_position(absd, F.array_min(absd)) - 1).cast("int")
-            flip_pows.append(F.try_element_at(pows, kmin + 1))
+            kmin = f"CAST(array_position({absd}, array_min({absd})) - 1 AS INT)"
+            flip_pows.append(f"try_element_at({pows}, {kmin} + 1)")
             absd = masked(absd, kmin)
         buckets = [b0]
         for p in flip_pows:  # subset enumeration: [S ∪ {p} for S so far]
-            buckets = buckets + [b.bitwiseXOR(p) for b in buckets]
-        return F.struct(
-            F.lit(t).alias("tbl"), F.array(*buckets).alias("bks")
-        )
+            buckets = buckets + [f"({b} ^ {p})" for b in buckets]
+        return f"struct({t} AS tbl, array({', '.join(buckets)}) AS bks)"
 
     return (
-        dotted.select(
+        dotted.selectExpr(
             "vec_id",
-            F.explode(
-                F.array(*[probe_struct(t) for t in range(RHP_TABLES)])
-            ).alias("x"),
+            "explode(array("
+            + ", ".join(probe_struct(t) for t in range(RHP_TABLES))
+            + ")) AS x",
         )
-        .select(
-            "vec_id",
-            F.col("x.tbl").alias("tbl"),
-            F.explode("x.bks").alias("bucket"),
-        )
+        .selectExpr("vec_id", "x.tbl AS tbl", "explode(x.bks) AS bucket")
     )
 
 
@@ -750,17 +785,16 @@ def multiprobe_lsh_pairs(
         .select("id_new", "id_corpus")
         .distinct()
     )
-    e1 = emb.select(
-        F.col("vec_id").alias("id_new"),
-        F.col("embedding").alias("e1"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n1"),
+    e1 = emb.selectExpr(
+        "vec_id AS id_new",
+        "embedding AS e1",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS n1",
     )
-    e2 = emb.select(
-        F.col("vec_id").alias("id_corpus"),
-        F.col("embedding").alias("e2"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n2"),
+    e2 = emb.selectExpr(
+        "vec_id AS id_corpus",
+        "embedding AS e2",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS n2",
     )
-    cos = dot_fold(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     # the SURVIVOR set (tiny) is persisted before the orderBy: the range
     # partitioner samples its child in a separate pass, which would
     # otherwise evaluate the doubled candidate join + verify chain twice
@@ -769,7 +803,11 @@ def multiprobe_lsh_pairs(
     verified = tracked_persist(
         cand.join(e1, "id_new")
         .join(e2, "id_corpus")
-        .select("id_new", "id_corpus", cos.alias("cos"))
+        .selectExpr(
+            "id_new",
+            "id_corpus",
+            f"({dot_fold_sql('e1', 'e2')} / (n1 * n2)) AS cos",
+        )
         .filter(F.col("cos") >= NEARDUP_COSINE)
     )
     return verified.orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
@@ -1223,32 +1261,48 @@ def pq_seed_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
-def _pq_sub_dists(col: Column, seeds: list[list[float]], s: int) -> Column:
+def _pq_sub_dists_expr(col: str, seeds: list[list[float]], s: int) -> str:
     """All K squared distances of subspace s as ONE fold with an
     array-of-K accumulator (mirrors _pq_dists_sql): per dimension a
     K-vector of squared diffs, accumulated elementwise in i-order —
-    bit-identical to a per-codeword fold at 1/K the expression count."""
+    bit-identical to a per-codeword fold at 1/K the expression count.
+    Spark-SQL TEXT (the py4j-free construction form; canonicalized-plan
+    equality with the old DSL fold pinned in tests/test_sql_expr_parity.py)."""
     o = s * PQ_DSUB
     # cwl[i][k] = codeword k's component at subspace offset i — ONE nested
-    # Literal node (identical values/type to the old 72-node
-    # F.array-of-F.lit tree, at a fraction of the construction/analysis
-    # cost; the encode path builds PQ_S of these per call)
-    cwl = dlit_array2(
-        [[float(seeds[k][o + i]) for k in range(PQ_K)] for i in range(PQ_DSUB)]
-    )
-
-    def step(acc: Column, i: Column) -> Column:
-        x = F.try_element_at(col, F.lit(o) + i).cast("double")
-        diffs = F.transform(
-            F.try_element_at(cwl, i), lambda c: (x - c) * (x - c)
+    # literal (identical values/type to the old 72-node F.array-of-F.lit
+    # tree; the encode path embeds PQ_S of these per call)
+    cwl = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(repr(float(seeds[k][o + i])) + "D" for k in range(PQ_K))
+            + ")"
+            for i in range(PQ_DSUB)
         )
-        return F.zip_with(acc, diffs, lambda a, d: a + d)
-
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_DSUB)),
-        F.array_repeat(F.lit(0.0), PQ_K),
-        step,
+        + ")"
     )
+    x = f"CAST(try_element_at({col}, {o} + i) AS DOUBLE)"
+    return (
+        f"aggregate(sequence(1, {PQ_DSUB}), array_repeat(0.0D, {PQ_K}), "
+        f"(acc, i) -> zip_with(acc, transform(try_element_at({cwl}, i), "
+        f"c -> ({x} - c) * ({x} - c)), (a, d) -> a + d))"
+    )
+
+
+def _pq_sub_dists(col: str, seeds: list[list[float]], s: int) -> Column:
+    """Column form of ``_pq_sub_dists_expr`` for call sites that compose
+    it into struct builders. ``col`` is a column NAME (text composition
+    is what keeps construction at O(1) py4j round-trips)."""
+    return F.expr(_pq_sub_dists_expr(col, seeds, s))
+
+
+def pq_code_expr(col: str, seeds: list[list[float]], s: int) -> str:
+    """Code of subspace s as Spark-SQL text: lowest-index-wins argmin via
+    array_position(ds, array_min(ds)) — the shared first-match-of-the-min
+    contract."""
+    ds = _pq_sub_dists_expr(col, seeds, s)
+    return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
 
 
 def pq_encode(
@@ -1262,19 +1316,11 @@ def pq_encode(
     comparable with the existing lists'. ``keep`` carries already-computed
     columns (the routed cid) through in the same projection — no join-back
     shuffle."""
-    return df.select(
+    return df.selectExpr(
         "vec_id",
         *keep,
         *[
-            (
-                F.array_position(
-                    (ds := _pq_sub_dists(F.col("embedding"), seeds, s)),
-                    F.array_min(ds),
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(f"c{s}")
+            f"{pq_code_expr('embedding', seeds, s)} AS c{s}"
             for s in range(PQ_S)
         ],
     )
@@ -1322,17 +1368,22 @@ def pq_query_lut(
     return lut
 
 
+def pq_adc_expr(lut: list[list[float]]) -> str:
+    """ADC distance over the code columns c0..c{S-1} as Spark-SQL text:
+    one literal-array LUT lookup per subspace, summed in subspace order
+    (the SQL twin's addition order)."""
+    terms = [
+        "try_element_at(array("
+        + ",".join(repr(float(v)) + "D" for v in lut[s])
+        + f"), c{s} + 1)"
+        for s in range(PQ_S)
+    ]
+    return " + ".join(terms)
+
+
 def pq_adc_col(lut: list[list[float]]) -> Column:
-    """ADC distance over the code columns c0..c{S-1}: one literal-array
-    LUT lookup per subspace, summed in subspace order (the SQL twin's
-    addition order)."""
-    adc = None
-    for s in range(PQ_S):
-        term = F.try_element_at(
-            dlit_array(lut[s]), F.col(f"c{s}") + 1
-        )
-        adc = term if adc is None else adc + term
-    return adc
+    """``pq_adc_expr`` as a Column (one parse)."""
+    return F.expr(pq_adc_expr(lut))
 
 
 @register("ann_pq_topk", _pq_sql())

@@ -1,5 +1,5 @@
 """The r12 literal-array collapse (similarity.dlit_array / dlit_array2 /
-_plane_lit) replaced ``F.array(*[F.lit(float(x)) ...])`` trees with single
+_plane_sql) replaced ``F.array(*[F.lit(float(x)) ...])`` trees with single
 parsed array literals purely to cut DataFrame-construction cost. The
 optimization contract is BIT-IDENTITY: the parsed doubles must equal the
 per-element literals exactly (repr(float) is the shortest round-trip
@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from distribution_engine_smt_spark.pipeline.similarity import (
     _SIGNS,
-    _plane_lit,
+    _plane_sql,
     dlit_array,
     dlit_array2,
 )
@@ -65,12 +65,12 @@ def test_dlit_array2_bit_identical(spark):
     assert df.schema["a"].dataType.simpleString() == "array<array<double>>"
 
 
-def test_plane_lit_matches_signs_table(spark):
-    # the cached plane literal must reproduce the RHP sign table exactly
+def test_plane_sql_matches_signs_table(spark):
+    # the cached plane literal text must reproduce the RHP sign table exactly
     vals = spark.range(1).select(
-        _plane_lit(0, 0).alias("p0"), _plane_lit(1, 3).alias("p1")
+        F.expr(_plane_sql(0, 0)).alias("p0"), F.expr(_plane_sql(1, 3)).alias("p1")
     ).first()
     assert list(vals["p0"]) == [float(s) for s in _SIGNS[0][0]]
     assert list(vals["p1"]) == [float(s) for s in _SIGNS[1][3]]
-    # and the lru_cache must hand back the same Column object on re-call
-    assert _plane_lit(0, 0) is _plane_lit(0, 0)
+    # and the lru_cache must hand back the same string object on re-call
+    assert _plane_sql(0, 0) is _plane_sql(0, 0)
