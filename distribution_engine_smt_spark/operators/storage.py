@@ -357,13 +357,12 @@ def update_ivf_index(
     At 100 TB this is the ingest path of a vector index: no refit, no
     rewrite of existing cells — k distance literals per new vector,
     map-only, then a partitioned write of just the batch."""
-    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..pipeline.clustering import assign_cid_expr
 
-    d = [_dist_to_literal(F.col("embedding"), c) for c in centroids]
     assigned = new_vectors.select(
         "vec_id",
         "embedding",
-        _argmin_case(d).alias("cid"),
+        F.expr(assign_cid_expr("embedding", centroids)).alias("cid"),
         F.lit(batch_id).alias("batch_id"),
     )
     (
@@ -792,23 +791,24 @@ def update_sharded_ivf_store(
     never k1 x k2)."""
     import functools
 
-    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..pipeline.clustering import assign_cid_expr
     from ..session import tracked_persist
 
     cents1, level2 = load_sharded_ivf_meta(sf_dir)
-    d1 = [_dist_to_literal(F.col("embedding"), c) for c in cents1]
     routed = tracked_persist(
-        new_vectors.select("vec_id", "embedding", _argmin_case(d1).alias("cid1"))
+        new_vectors.selectExpr(
+            "vec_id", "embedding",
+            f"{assign_cid_expr('embedding', cents1)} AS cid1",
+        )
     )
     branches = []
     for c1 in range(len(cents1)):
-        d2 = [_dist_to_literal(F.col("embedding"), c) for c in level2[c1]]
         branches.append(
-            routed.where(F.col("cid1") == c1).select(
+            routed.where(F.col("cid1") == c1).selectExpr(
                 "vec_id",
                 "embedding",
                 "cid1",
-                _argmin_case(d2).alias("cid2"),
+                f"{assign_cid_expr('embedding', level2[c1])} AS cid2",
             )
         )
     assigned = functools.reduce(
@@ -1900,28 +1900,27 @@ def update_adaptive_ivf_store(
     write keeps the old-or-new guarantee."""
     import functools
 
-    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..pipeline.clustering import assign_cid_expr
     from ..session import tracked_persist
 
     store_path = adaptive_ivf_store_path(sf_dir, k1)
     if os.path.isdir(store_path):
         _sweep_retired(store_path)
     meta = load_adaptive_ivf_meta(sf_dir, k1)
-    d1 = [_dist_to_literal(F.col("embedding"), c) for c in meta["cents1"]]
     routed = tracked_persist(
-        new_vectors.select("vec_id", "embedding", _argmin_case(d1).alias("cid1"))
+        new_vectors.selectExpr(
+            "vec_id", "embedding",
+            f"{assign_cid_expr('embedding', meta['cents1'])} AS cid1",
+        )
     )
     branches = []
     for c1 in range(len(meta["cents1"])):
         rows = routed.where(F.col("cid1") == c1)
         if c1 in meta["level2"]:
-            d2 = [
-                _dist_to_literal(F.col("embedding"), c)
-                for c in meta["level2"][c1]
-            ]
             branches.append(
-                rows.select(
-                    "vec_id", "embedding", "cid1", _argmin_case(d2).alias("cid2")
+                rows.selectExpr(
+                    "vec_id", "embedding", "cid1",
+                    f"{assign_cid_expr('embedding', meta['level2'][c1])} AS cid2",
                 )
             )
         else:
@@ -2125,12 +2124,11 @@ def update_ivfpq_code_store(
     duplicates — same at-least-once discipline as update_ivf_index. The
     probe's partition filter on cid is untouched (batch_id is a
     sub-directory of the cell)."""
-    from ..pipeline.clustering import _argmin_case, _dist_to_literal
+    from ..pipeline.clustering import assign_cid_expr
     from ..pipeline.similarity import pq_encode
 
-    d = [_dist_to_literal(F.col("embedding"), c) for c in centroids]
-    routed = new_vectors.select(
-        "vec_id", "embedding", _argmin_case(d).alias("cid")
+    routed = new_vectors.selectExpr(
+        "vec_id", "embedding", f"{assign_cid_expr('embedding', centroids)} AS cid"
     )
     assigned = pq_encode(routed, seeds, keep=("cid",)).withColumn(
         "batch_id", F.lit(batch_id)
@@ -3084,24 +3082,14 @@ def build_clustered_mass_fit_store(
             seeds2 = _distinct_seeds(cell, k2)
             asg2, cents2 = _lloyd_fit_frame(cell, seeds2)
             level2[c] = cents2
-            from ..pipeline.clustering import _dist_to_literal
+            from ..pipeline.clustering import dist_struct_array_expr
             from pyspark.sql import Window as _W
 
-            dists = cell.select(
+            dists = cell.selectExpr(
                 "vec_id",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                _dist_to_literal(
-                                    F.col("embedding"), cents2[i]
-                                ).alias("d"),
-                                F.lit(i).alias("c2"),
-                            )
-                            for i in range(len(cents2))
-                        ]
-                    )
-                ).alias("dc"),
+                "explode("
+                + dist_struct_array_expr("embedding", cents2, "c2")
+                + ") AS dc",
             ).select(
                 "vec_id",
                 F.col("dc.d").alias("d"),

@@ -1888,7 +1888,7 @@ def _cm_w2_assignments(spark: SparkSession, sf_dir: str, n: int = CF_N):
     per-cell fits + distance ranking live — shared by the w2 audit
     (n = CF_N) and the wide k2 >= 16 audit (n = CW_N)."""
     from ..operators.storage import read_clustered_mass_fit
-    from .clustering import _dist_to_literal, _lloyd_fit_frame
+    from .clustering import _lloyd_fit_frame, dist_struct_array_expr
     from .params import ivf_cells_for
     from pyspark.sql import Window
 
@@ -1941,21 +1941,11 @@ def _cm_w2_assignments(spark: SparkSession, sf_dir: str, n: int = CF_N):
         cell = emb.join(
             asg.filter(F.col("cid") == c).select("vec_id"), "vec_id"
         )
-        dists = cell.select(
+        dists = cell.selectExpr(
             "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            _dist_to_literal(
-                                F.col("embedding"), level2[c][i]
-                            ).alias("d"),
-                            F.lit(i).alias("cid2"),
-                        )
-                        for i in range(len(level2[c]))
-                    ]
-                )
-            ).alias("dc"),
+            "explode("
+            + dist_struct_array_expr("embedding", level2[c], "cid2")
+            + ") AS dc",
         ).select("vec_id", F.col("dc.d").alias("d"), F.col("dc.cid2").alias("cid2"))
         w = Window.partitionBy("vec_id").orderBy(
             F.col("d").asc(), F.col("cid2").asc()

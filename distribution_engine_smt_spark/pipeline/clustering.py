@@ -56,21 +56,54 @@ from .params import (  # noqa: E402
 )
 
 
-def _dist_to_literal(emb, centroid: list[float]):
+def _dist_to_literal_expr(emb: str, centroid: list[float]) -> str:
     """Fixed-order fold of squared differences against a driver-side
-    centroid (list of Python doubles -> literal array)."""
-    # one Literal node instead of DIM F.lit calls, and the float->double
-    # widening happens once per array (see dot_fold) — identical values,
-    # identical IEEE sequence
-    from .similarity import dlit_array
+    centroid, as Spark-SQL text (one parse; the Column-DSL form cost ~12
+    py4j round-trips per centroid and every assignment builds k of them).
+    Same Catalyst tree as the old DSL fold — float->double widening once
+    per array, identical IEEE sequence; canonicalized-plan equality
+    pinned in tests/test_sql_expr_parity.py."""
+    arr = "array(" + ",".join(repr(float(v)) + "D" for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with(CAST({emb} AS ARRAY<DOUBLE>), {arr}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x)"
+    )
 
-    arr = dlit_array(centroid)
-    return F.aggregate(
-        F.zip_with(
-            emb.cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
+
+def _dist_to_literal(emb, centroid: list[float]):
+    """``_dist_to_literal_expr`` as a Column. ``emb`` may be a column
+    NAME (preferred — one parse) or a Column (legacy call sites)."""
+    if not isinstance(emb, str):
+        emb = emb._jc.toString()
+    return F.expr(_dist_to_literal_expr(emb, centroid))
+
+
+def assign_cid_expr(emb: str, cents: list[list[float]]) -> str:
+    """Cell assignment (lowest-index-wins argmin over the k centroid
+    distances) as ONE Spark-SQL expression — the text twin of
+    ``_argmin_case([_dist_to_literal(...) ...])``, THE quantizer
+    assignment every consumer (fits, routers, store builders) shares."""
+    ds = (
+        "array("
+        + ", ".join(_dist_to_literal_expr(emb, c) for c in cents)
+        + ")"
+    )
+    return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
+
+
+def dist_struct_array_expr(
+    emb: str, cents: list[list[float]], idx_name: str
+) -> str:
+    """array(struct(dist AS d, i AS {idx_name}) ...) as Spark-SQL text —
+    the explode-all-distances shape the two-level stores rank with a
+    per-vector window."""
+    return (
+        "array("
+        + ", ".join(
+            f"struct({_dist_to_literal_expr(emb, c)} AS d, {i} AS {idx_name})"
+            for i, c in enumerate(cents)
+        )
+        + ")"
     )
 
 
@@ -94,6 +127,15 @@ def _argmin_case(d: list):
 
 def _dec(el):
     return el.cast("double").cast("decimal(20,6)")
+
+
+def _dim_sum_sql(j: int, col: str = "embedding") -> str:
+    """Text twin of ``F.sum(_dec(F.try_element_at(col, F.lit(j))))`` —
+    the order-free decimal dimension sum every Lloyd update aggregates."""
+    return (
+        f"sum(CAST(CAST(try_element_at({col}, {j}) AS DOUBLE) "
+        f"AS DECIMAL(20,6)))"
+    )
 
 
 _FIT_CACHE: dict[tuple, tuple] = {}
@@ -156,22 +198,20 @@ def kmeans_fit(
     assign_cents = cents
     for _ in range(iters):
         assign_cents = cents
-        d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
-        asg = emb.select("vec_id", "embedding", _argmin_case(d).alias("cid"))
+        asg = emb.selectExpr(
+            "vec_id", "embedding", f"{assign_cid_expr('embedding', cents)} AS cid"
+        )
         sums = asg.groupBy("cid").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(_dec(F.try_element_at("embedding", F.lit(j)))).alias(f"s{j}")
-                for j in range(1, DIM + 1)
-            ],
+            F.expr("count(*) AS n"),
+            *[F.expr(f"{_dim_sum_sql(j)} AS s{j}") for j in range(1, DIM + 1)],
         )
         rows = {
             r["cid"]: r
-            for r in sums.select(
+            for r in sums.selectExpr(
                 "cid",
                 "n",
                 *[
-                    (F.col(f"s{j}").cast("double") / F.col("n")).alias(f"c{j}")
+                    f"CAST(s{j} AS DOUBLE) / n AS c{j}"
                     for j in range(1, DIM + 1)
                 ],
             ).collect()
@@ -197,25 +237,24 @@ def _lloyd_fit_frame(frame: DataFrame, seeds: list[list[float]], iters: int = IT
     assign_cents = cents
     for _ in range(iters):
         assign_cents = cents
-        d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
-        asg = frame.select("vec_id", "embedding", _argmin_case(d).alias("cid"))
+        asg = frame.selectExpr(
+            "vec_id", "embedding", f"{assign_cid_expr('embedding', cents)} AS cid"
+        )
         rows = {
             r["cid"]: r
             for r in asg.groupBy("cid")
             .agg(
-                F.count("*").alias("n"),
+                F.expr("count(*) AS n"),
                 *[
-                    F.sum(_dec(F.try_element_at("embedding", F.lit(j)))).alias(
-                        f"s{j}"
-                    )
+                    F.expr(f"{_dim_sum_sql(j)} AS s{j}")
                     for j in range(1, DIM + 1)
                 ],
             )
-            .select(
+            .selectExpr(
                 "cid",
                 "n",
                 *[
-                    (F.col(f"s{j}").cast("double") / F.col("n")).alias(f"c{j}")
+                    f"CAST(s{j} AS DOUBLE) / n AS c{j}"
                     for j in range(1, DIM + 1)
                 ],
             )

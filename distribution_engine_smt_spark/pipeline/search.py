@@ -85,18 +85,6 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _bm25_term_score(tf, dl_norm, n, df):
-    """One term's BM25 contribution; identical association order to the SQL.
-
-    idf = ln(1 + (N - df + 0.5) / (df + 0.5))
-    w   = idf * (tf * (k1 + 1)) / (tf + k1 * dl_norm)
-    """
-    idf = F.log(
-        F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5))
-    )
-    return idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + F.lit(BM25_K1) * dl_norm)
-
-
 # The scoring SELECT (no ORDER/LIMIT tail) is the shared constant: the
 # bm25_search oracle appends its top-k tail, and the RRF hybrid oracle
 # embeds the same text as a CTE — identical lexical scores by construction,
@@ -161,44 +149,49 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for every document — unordered, unlimited; shared by
-    bm25_search and the RRF hybrid ranker."""
+    bm25_search and the RRF hybrid ranker. Built as Spark-SQL text (one
+    parse per projection; same Catalyst tree as the old Column-DSL form —
+    see similarity.dot_fold_sql for the construction-cost rationale)."""
+    from .textstats import tokens_sql
+
     t = _t(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    m = t["documents"].select(
+    toks = tokens_sql("text")
+    m = t["documents"].selectExpr(
         "doc_id",
-        F.size(toks).cast("long").alias("dl"),
+        f"CAST(size({toks}) AS BIGINT) AS dl",
         *[
-            # closure factory, not a default arg: F.filter dispatches on the
-            # lambda's arity, so a 2-parameter lambda would be called as
-            # (value, index) and the term would silently become the index
-            F.size(F.filter(toks, (lambda t: lambda x: x == F.lit(t))(term)))
-            .cast("long")
-            .alias(f"tf{i}")
+            f"CAST(size(filter({toks}, x -> x = '{term}')) AS BIGINT) AS tf{i}"
             for i, term in enumerate(BM25_TERMS)
         ],
     )
     # ONE single-row corpus-stats aggregate, broadcast back over the scan.
     stats = m.agg(
-        F.count("*").cast("double").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl"),
         *[
-            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            F.expr(f"CAST(sum(CAST(tf{i} > 0 AS INT)) AS DOUBLE) AS df{i}")
             for i in range(len(BM25_TERMS))
         ],
     )
     scored = m.crossJoin(F.broadcast(stats))
     dl_norm = (
-        F.lit(1.0 - BM25_B)
-        + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        f"({repr(1.0 - BM25_B)}D + {repr(BM25_B)}D"
+        " * (CAST(dl AS DOUBLE) / avgdl))"
     )
-    score = _bm25_term_score(
-        F.col("tf0").cast("double"), dl_norm, F.col("n"), F.col("df0")
-    )
-    for i in range(1, len(BM25_TERMS)):
-        score = score + _bm25_term_score(
-            F.col(f"tf{i}").cast("double"), dl_norm, F.col("n"), F.col(f"df{i}")
+
+    def term_score(i: int) -> str:
+        # idf = ln(1 + (N - df + 0.5) / (df + 0.5));
+        # w = idf * (tf * (k1 + 1)) / (tf + k1 * dl_norm) — identical
+        # association order to the SQL oracle
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        idf = f"ln(1.0D + (n - df{i} + 0.5D) / (df{i} + 0.5D))"
+        return (
+            f"{idf} * ({tf} * {repr(BM25_K1 + 1.0)}D)"
+            f" / ({tf} + {repr(BM25_K1)}D * {dl_norm})"
         )
-    return scored.select("doc_id", F.round(score, 6).alias("bm25"))
+
+    score = " + ".join(term_score(i) for i in range(len(BM25_TERMS)))
+    return scored.selectExpr("doc_id", f"round({score}, 6) AS bm25")
 
 
 # ---------------------------------------------------------------------------
@@ -348,23 +341,22 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # dense side: cosine vs query vec 0, top-RRF_DEPTH with rank
-    from .similarity import dot_fold
+    from .similarity import dot_fold_sql
 
     emb = t["embeddings"]
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     dense_scored = (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .selectExpr(
+            "*", f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS norm"
+        )
         .crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (F.col("norm") * F.col("q_norm"))
-            ).alias("cos"),
+        .selectExpr(
+            "vec_id AS doc_id",
+            f"({dot_fold_sql('embedding', 'q_emb')} / (norm * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
         .limit(RRF_DEPTH)

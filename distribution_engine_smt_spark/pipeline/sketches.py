@@ -53,29 +53,37 @@ _DUCK_HV = (
 )
 
 
+# Spark-SQL text twin of the Column form below (one parse; see
+# similarity.dot_fold_sql for the construction-cost rationale)
+_HV_SQL = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+# the shared user-id sketch key, as Spark-SQL text
+HLL_KEY = "CAST(CAST(user_id AS STRING) AS BINARY)"
+
+
 def _hv(col):
-    """Spark-side 60-bit md5 hash, bit-identical to ``_DUCK_HV``."""
+    """Spark-side 60-bit md5 hash, bit-identical to ``_DUCK_HV``.
+    Accepts Spark-SQL text (preferred — one parse) or a Column."""
+    if isinstance(col, str):
+        return F.expr(_HV_SQL.format(expr=col))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def hll_registers(df: DataFrame, group_cols: list[str], key_col) -> DataFrame:
-    """HLL register table for ``key_col`` per group: (group..., bucket,
-    m_j). No pre-distinct — max(rho) absorbs duplicate keys, so this is
-    ONE map-side-combinable shuffle however often a key repeats. Registers
-    merge by max, which is exactly what a streaming update-mode agg or a
-    cross-partition combine does — shared by the batch query and
-    ``streaming.windows.run_hll_stream``."""
-    h = df.withColumn("__hv", _hv(key_col))
-    r = h.select(
+def hll_registers(df: DataFrame, group_cols: list[str], key_expr: str) -> DataFrame:
+    """HLL register table for key ``key_expr`` (Spark-SQL text) per group:
+    (group..., bucket, m_j). No pre-distinct — max(rho) absorbs duplicate
+    keys, so this is ONE map-side-combinable shuffle however often a key
+    repeats. Registers merge by max, which is exactly what a streaming
+    update-mode agg or a cross-partition combine does — shared by the
+    batch query and ``streaming.windows.run_hll_stream``."""
+    h = df.selectExpr("*", _HV_SQL.format(expr=key_expr) + " AS __hv")
+    r = h.selectExpr(
         *group_cols,
-        F.pmod(F.col("__hv"), F.lit(HLL_M)).alias("bucket"),
-        F.when(F.expr(f"__hv div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
-        .otherwise(
-            F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"__hv div {HLL_M}")))
-        )
-        .alias("rho"),
+        f"pmod(__hv, {HLL_M}) AS bucket",
+        f"CASE WHEN (__hv div {HLL_M}) = 0 THEN {HLL_RHO_MAX} "
+        f"ELSE {HLL_RHO_MAX} - length(bin(__hv div {HLL_M})) END AS rho",
     )
-    return r.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("m_j"))
+    return r.groupBy(*group_cols, "bucket").agg(F.expr("max(rho) AS m_j"))
 
 
 def hll_estimate(reg: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -84,31 +92,27 @@ def hll_estimate(reg: DataFrame, group_cols: list[str]) -> DataFrame:
     one float division at the end, round(2); standard linear-counting
     branch below 2.5m when empty registers remain."""
     s = reg.groupBy(*group_cols).agg(
-        F.count("*").cast("long").alias("n_present"),
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)"))
-            + (F.lit(HLL_M).cast("long") - F.count("*"))
-            * F.lit(1 << HLL_RHO_MAX).cast("long")
-        ).alias("s_int"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_present"),
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)) + "
+            f"(CAST({HLL_M} AS BIGINT) - count(*)) * "
+            f"CAST({1 << HLL_RHO_MAX}L AS BIGINT) AS s_int"
+        ),
     )
-    e = s.select(
+    e = s.selectExpr(
         *group_cols,
-        (F.lit(HLL_M).cast("long") - F.col("n_present")).alias("v_empty"),
+        f"CAST({HLL_M} AS BIGINT) - n_present AS v_empty",
         "s_int",
-        (
-            F.lit(HLL_ALPHA)
-            * F.lit(float(HLL_M * HLL_M))
-            * F.lit(float(1 << HLL_RHO_MAX))
-            / F.col("s_int").cast("double")
-        ).alias("raw_e"),
+        f"{repr(HLL_ALPHA)}D * {repr(float(HLL_M * HLL_M))}D * "
+        f"{repr(float(1 << HLL_RHO_MAX))}D / CAST(s_int AS DOUBLE) AS raw_e",
     )
-    est = F.when(
-        (F.col("raw_e") <= F.lit(2.5 * HLL_M)) & (F.col("v_empty") > 0),
-        F.lit(HLL_M)
-        * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
-    ).otherwise(F.col("raw_e"))
-    return e.select(
-        *group_cols, "v_empty", "s_int", F.round(est, 2).alias("est_distinct")
+    est = (
+        f"CASE WHEN raw_e <= {repr(2.5 * HLL_M)}D AND v_empty > 0 "
+        f"THEN {HLL_M} * ln({repr(float(HLL_M))}D / CAST(v_empty AS DOUBLE)) "
+        f"ELSE raw_e END"
+    )
+    return e.selectExpr(
+        *group_cols, "v_empty", "s_int", f"round({est}, 2) AS est_distinct"
     )
 
 
@@ -186,7 +190,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count rides along to make the ~1.04/sqrt(32) error visible."""
     ev = _t(spark, sf_dir)["events"]
     reg = hll_registers(
-        ev, ["event_type"], F.col("user_id").cast("string").cast("binary")
+        ev, ["event_type"], HLL_KEY
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
@@ -397,7 +401,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     final float division per estimate, round(4), integer everywhere
     else; exact counts ride along."""
     ev = _t(spark, sf_dir)["events"]
-    hv = _hv(F.col("user_id").cast("string").cast("binary"))
+    hv = _hv(HLL_KEY)
 
     def sketch(event_type: str) -> DataFrame:
         # distinct AFTER hashing (on hv, matching the oracle's DISTINCT hv):
@@ -699,7 +703,7 @@ def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     kilobytes — instead of the raw corpus. An exact distinct rollup can't
     do this: distinct counts don't add across days when users repeat."""
     ev = _t(spark, sf_dir)["events"]
-    key = F.col("user_id").cast("string").cast("binary")
+    key = HLL_KEY
     daily = hll_registers(
         ev.withColumn("day", F.date_trunc("day", F.col("ts"))), ["day"], key
     )
@@ -964,7 +968,7 @@ def hourly_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = hll_registers(
         ev.withColumn("hour", hour),
         ["hour"],
-        F.col("user_id").cast("string").cast("binary"),
+        HLL_KEY,
     )
     exact = ev.groupBy(hour.alias("hour")).agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
@@ -993,7 +997,7 @@ def build_hll_register_store(spark: SparkSession, sf_dir: str, out_dir: str):
             "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
         ),
         ["day"],
-        F.col("user_id").cast("string").cast("binary"),
+        HLL_KEY,
     )
     daily.write.mode("overwrite").partitionBy("day").parquet(out_dir)
 

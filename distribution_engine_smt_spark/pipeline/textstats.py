@@ -26,6 +26,12 @@ def tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+def tokens_sql(col: str) -> str:
+    """Spark-SQL text twin of ``tokens`` (same tree, one parse — see
+    similarity.dot_fold_sql for the construction-cost rationale)."""
+    return f"split(trim({col}), '\\\\s+')"
+
+
 # ---------------------------------------------------------------------------
 # token counting: whitespace tokens + a BPE-ish subword estimate
 # ---------------------------------------------------------------------------

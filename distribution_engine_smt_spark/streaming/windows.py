@@ -371,7 +371,7 @@ def run_hll_stream(
         out_dir,
         checkpoint_dir,
         lambda raw: hll_registers(
-            raw, ["event_type"], F.col("user_id").cast("string").cast("binary")
+            raw, ["event_type"], "CAST(CAST(user_id AS STRING) AS BINARY)"
         ),
     )
 
@@ -432,7 +432,7 @@ def run_hourly_hll_stream(
         lambda raw: hll_registers(
             raw.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
             ["hour"],
-            F.col("user_id").cast("string").cast("binary"),
+            "CAST(CAST(user_id AS STRING) AS BINARY)",
         ),
     )
 
@@ -509,7 +509,7 @@ def run_kmv_stream(
     raw = spark.readStream.schema(schema).parquet(source_dir)
     hashed = raw.select(
         "event_type",
-        _hv(F.col("user_id").cast("string").cast("binary")).alias("hv"),
+        _hv("CAST(CAST(user_id AS STRING) AS BINARY)").alias("hv"),
     )
     sketch = kmv_sketch_stream(hashed, k)
 

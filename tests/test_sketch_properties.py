@@ -45,7 +45,7 @@ def _py_registers(keys) -> dict[int, int]:
 
 def _spark_registers(spark, keys) -> dict[int, int]:
     df = spark.createDataFrame([(k,) for k in keys], "k long")
-    reg = hll_registers(df, [], F.col("k").cast("string").cast("binary"))
+    reg = hll_registers(df, [], "CAST(CAST(k AS STRING) AS BINARY)")
     return {r["bucket"]: r["m_j"] for r in reg.collect()}
 
 

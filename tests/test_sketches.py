@@ -186,7 +186,7 @@ def test_register_store_prunes_partitions_and_matches_direct(spark, tmp_path):
 
     [stored] = est_df.collect()
     direct_reg = hll_registers(
-        in_range, [], F.col("user_id").cast("string").cast("binary")
+        in_range, [], "CAST(CAST(user_id AS STRING) AS BINARY)"
     )
     [direct] = hll_estimate(direct_reg, []).collect()
     assert stored["est_distinct"] == direct["est_distinct"]

@@ -249,7 +249,7 @@ def test_hll_stream_registers_survive_restart_and_match_batch(spark, tmp_path):
     batch_regs_w1 = {
         (r["event_type"], r["bucket"]): r["m_j"]
         for r in hll_registers(
-            wave1, ["event_type"], F.col("user_id").cast("string").cast("binary")
+            wave1, ["event_type"], "CAST(CAST(user_id AS STRING) AS BINARY)"
         ).collect()
     }
     assert regs_w1 == batch_regs_w1
@@ -261,7 +261,7 @@ def test_hll_stream_registers_survive_restart_and_match_batch(spark, tmp_path):
     batch_regs = {
         (r["event_type"], r["bucket"]): r["m_j"]
         for r in hll_registers(
-            ev, ["event_type"], F.col("user_id").cast("string").cast("binary")
+            ev, ["event_type"], "CAST(CAST(user_id AS STRING) AS BINARY)"
         ).collect()
     }
     assert {
