@@ -45,30 +45,22 @@ _DRIVER_PRIORITY = [
     "ann_pq_trained_topk",
     "ann_recall_audit",
     "ann_topk_bruteforce",
-    "cross_source_dup_matrix",
     "dedup_best_representative",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "doc_novelty",
     "embedding_kmeans",
-    "embedding_outliers",
-    "hard_negatives",
     "index_occupancy_audit",
     "ivfpq_recall_audit",
     "ivfpq_residual_recall_audit",
     "ivfpq_trained_recall_audit",
-    "leakage_free_split",
     "minhash_decontaminate",
     "pq_train",
     "pq_trained_recall_audit",
-    "quantile_error_audit",
     "rrf_hybrid_search",
     "semdedup",
     "split_leakage_audit",
-    "substring_dup_spans",
     "tfidf_keywords",
-    "top_boilerplate_spans",
 ]
 # multi-round-green AND untouched this round — rotated past the 50-slot
 # cap (regenerated each round so head + this = registry). Every one
@@ -78,6 +70,14 @@ _DRIVER_PRIORITY = [
 # (ADVICE r11 #3: a name listed twice double-counted in the cap math);
 # test_rotation_lists_are_disjoint pins it.
 _DRIVER_ROTATE_LAST = [
+    "cross_source_dup_matrix",
+    "dedup_clusters",
+    "embedding_outliers",
+    "hard_negatives",
+    "leakage_free_split",
+    "quantile_error_audit",
+    "substring_dup_spans",
+    "top_boilerplate_spans",
     "above_nation_avg_balance",
     "account_history_page",
     "adaptive_maintenance_audit",
@@ -85,11 +85,9 @@ _DRIVER_ROTATE_LAST = [
     "ann_ivf_kmeans_topk",
     "ann_ivf_nprobe_topk",
     "ann_ivf_sharded_recall_audit",
-    "ann_ivf_sharded_topk",
     "ann_ivf_topk",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk",
-    "ann_pq_topk",
     "ann_query_batch",
     "ann_sq8_topk",
     "asof_purchase_attribution",
@@ -97,7 +95,6 @@ _DRIVER_ROTATE_LAST = [
     "balanced_sample",
     "blog_union_minjoin",
     "bloom_membership",
-    "bm25_search",
     "build_vocab",
     "children_counts",
     "chunk_dedup",
@@ -119,12 +116,9 @@ _DRIVER_ROTATE_LAST = [
     "daily_moving_avg",
     "decontaminate",
     "dedup_cluster_stats",
-    "dedup_embedding_lsh_single_probe",
     "dedup_exact",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "deterministic_shuffle",
     "discussions_by_created",
     "discussions_by_hot",
@@ -142,13 +136,11 @@ _DRIVER_ROTATE_LAST = [
     "events_pivot",
     "feed_semijoin",
     "follow_counts",
-    "hll_daily_merge",
     "hll_distinct",
     "hourly_hll_distinct",
     "json_double_decode",
     "json_props_sum",
     "kmv_distinct",
-    "kmv_set_ops",
     "langid_confusion",
     "latest_event_per_key",
     "length_histogram",
@@ -261,6 +253,24 @@ _ROUND_MODIFIED = [
     "bigram_perplexity",
     "unigram_perplexity",
     "ann_ivfpq_batch",
+    # r12 OPTIMIZATION round, construction-cost collapse: these queries'
+    # bodies/kernels were rewritten as one-parse SQL text (canonicalized
+    # plans pinned EQUAL to the old DSL forms in
+    # tests/test_sql_expr_parity.py; results hash-pinned unchanged in the
+    # full local sweep). Representatives of every rewritten kernel family
+    # sit in the head: simhash layers, the RHP band/verify chain, the PQ
+    # encode/ADC kernels, the kmeans assignment, the HLL/KMV sketch math,
+    # and the BM25 scorer. Displaced slots come from eight r08-cohort
+    # queries untouched this round, at evidence age exactly the <= 4
+    # bound — they MUST lead the r13 head.
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "bm25_search",
+    "hll_daily_merge",
+    "kmv_set_ops",
+    "ann_pq_topk",
+    "dedup_embedding_lsh_single_probe",
+    "ann_ivf_sharded_topk",
 ]
 
 
