@@ -29,113 +29,102 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver caps its oracle pass at 50 queries per round (observed in r2;
-# see docs/PLANS.md "Driver 50-query cap"), so we rotate: the r12 head is
-# the 33-query cohort whose last driver-green row is r08 (age 3 — the
-# stalest evidence in the registry; VERDICT r11 #3) followed by this
-# round's modified queries. Together they fill the cap exactly; every
-# other query keeps its oracle and stays hash-checked locally each round
-# regardless of position (tests/test_driver_queries.py +
-# LOCAL_CORRECTNESS artifact).
+# see docs/PLANS.md "Driver 50-query cap"), so we rotate: the r13 head is
+# (1) the 13 queries whose driver evidence is age 5 after r12 — the eight
+# r08-cohort names VERDICT r12 #3 requires to LEAD this head plus the five
+# rotated out in r12 session 1 (tests/test_local_correctness.py enforces
+# the <= 4 hard bound), (2) this round's modified queries
+# (_ROUND_MODIFIED), and (3) the stalest age-4 queries filling the cap.
 _DRIVER_PRIORITY = [
-    # --- r12 head part 1: the r08 cohort (driver evidence age 3 after
-    # r11; re-greening them here keeps the registry's worst-case age at
-    # 3 after this round — tests/test_local_correctness.py enforces the
-    # <= 4 hard bound)
-    "ann_ivfpq_trained_topk",
-    "ann_pq_trained_topk",
-    "ann_recall_audit",
-    "ann_topk_bruteforce",
-    "dedup_best_representative",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "doc_novelty",
-    "embedding_kmeans",
-    "index_occupancy_audit",
-    "ivfpq_recall_audit",
-    "ivfpq_residual_recall_audit",
-    "ivfpq_trained_recall_audit",
-    "minhash_decontaminate",
-    "pq_train",
-    "pq_trained_recall_audit",
-    "rrf_hybrid_search",
-    "semdedup",
-    "split_leakage_audit",
-    "tfidf_keywords",
+    # --- age-5 cohort (last driver-green r08): MUST lead the r13 head
+    "blog_union_minjoin",
+    "children_counts",
+    "cross_source_dup_matrix",
+    "dedup_cluster_stats",
+    "dedup_clusters",
+    "dedup_exact",
+    "embedding_outliers",
+    "hard_negatives",
+    "leakage_free_split",
+    "mixture_weights",
+    "quantile_error_audit",
+    "substring_dup_spans",
+    "top_boilerplate_spans",
+    # --- stalest age-4 fill (last driver-green r09)
+    "decontaminate",
+    "dedup_exact_keep_first",
+    "discussions_by_created",
 ]
 # multi-round-green AND untouched this round — rotated past the 50-slot
 # cap (regenerated each round so head + this = registry). Every one
 # stays hash-checked locally each round (tests/test_driver_queries.py)
 # and in the committed LOCAL_CORRECTNESS artifact (local_correctness.py).
 # Disjoint from _DRIVER_PRIORITY and _ROUND_MODIFIED by construction
-# (ADVICE r11 #3: a name listed twice double-counted in the cap math);
-# test_rotation_lists_are_disjoint pins it.
+# (ADVICE r11 #3); test_rotation_lists_are_disjoint pins it.
 _DRIVER_ROTATE_LAST = [
-    "cross_source_dup_matrix",
-    "dedup_clusters",
-    "embedding_outliers",
-    "hard_negatives",
-    "leakage_free_split",
-    "quantile_error_audit",
-    "substring_dup_spans",
-    "top_boilerplate_spans",
     "above_nation_avg_balance",
     "account_history_page",
     "adaptive_maintenance_audit",
-    "ann_ivf_kmeans_nprobe",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_nprobe_topk",
-    "ann_ivf_sharded_recall_audit",
-    "ann_ivf_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_query_batch",
-    "ann_sq8_topk",
     "asof_purchase_attribution",
     "authorperm_codec",
     "balanced_sample",
-    "blog_union_minjoin",
+    "bigram_perplexity",
     "bloom_membership",
+    "bm25_search",
     "build_vocab",
-    "children_counts",
     "chunk_dedup",
     "chunk_documents",
     "chunk_excise",
+    "clustered_adaptive_ivfpq_topk",
     "clustered_adaptive_merge_audit",
     "clustered_adaptive_occupancy_audit",
-    "clustered_fixture_stats",
+    "clustered_adaptive_probe_recall_audit",
+    "clustered_adaptive_semdedup_audit",
+    "clustered_adaptive_semdedup_w2_audit",
+    "clustered_adaptive_semdedup_w2k16_audit",
+    "clustered_adaptive_topk_p1",
+    "clustered_adaptive_topk_p2",
+    "clustered_ivf_occupancy_audit",
     "clustered_ivfpq_residual_recall_audit",
     "clustered_ivfpq_residual_topk",
     "clustered_ivfpq_trained_recall_audit",
     "clustered_ivfpq_trained_topk",
-    "clustered_mass_fixture_stats",
-    "clustered_semdedup_audit",
-    "cms_heavy_hitters",
+    "clustered_kmeans_agreement_audit",
+    "clustered_mass_occupancy_audit",
+    "clustered_mass_semdedup_audit",
     "corpus_datasheet",
     "curated_corpus",
     "curriculum_buckets",
     "daily_moving_avg",
-    "decontaminate",
-    "dedup_cluster_stats",
-    "dedup_exact",
-    "dedup_exact_keep_first",
+    "dedup_best_representative",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_flips1",
+    "dedup_embedding_lsh_flips3",
+    "dedup_embedding_lsh_multiprobe",
+    "dedup_embedding_lsh_single_probe",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
     "deterministic_shuffle",
-    "discussions_by_created",
     "discussions_by_hot",
     "discussions_by_payout_keyset",
     "discussions_by_promoted",
     "discussions_by_trending",
+    "doc_novelty",
     "dup_inflation",
     "earliest_event_per_user",
-    "embedding_dim_stats",
+    "embedding_kmeans",
     "embedding_lsh_flips1_recall_audit",
     "embedding_lsh_multiprobe_recall_audit",
+    "embedding_lsh_planted_recall_audit",
     "embedding_lsh_recall_audit",
     "event_funnel",
-    "event_zscore_anomaly",
     "events_pivot",
     "feed_semijoin",
     "follow_counts",
+    "graph_pagerank",
+    "hll_daily_merge",
     "hll_distinct",
     "hourly_hll_distinct",
     "json_double_decode",
@@ -146,7 +135,7 @@ _DRIVER_ROTATE_LAST = [
     "length_histogram",
     "lsh_recall_audit",
     "lsh_recall_audit_sampled",
-    "mixture_weights",
+    "minhash_decontaminate",
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_metadata_stats",
@@ -156,7 +145,7 @@ _DRIVER_ROTATE_LAST = [
     "payout_accumulation",
     "pii_redact",
     "post_with_votes",
-    "pq_recall_audit",
+    "pq_train",
     "prefix_select",
     "pricing_summary",
     "quality_filter",
@@ -166,6 +155,7 @@ _DRIVER_ROTATE_LAST = [
     "regional_revenue",
     "replies_in_notin",
     "reward_curves",
+    "rrf_hybrid_search",
     "sales_rollup",
     "sampled_quantiles",
     "segment_nation_counts",
@@ -183,14 +173,16 @@ _DRIVER_ROTATE_LAST = [
     "text_quality_score",
     "text_repetition",
     "text_token_counts",
+    "tfidf_keywords",
+    "thread_tree",
     "time_format_wire",
     "token_count_quantiles",
     "top_ngrams",
     "trending_tags",
     "tumbling_event_counts",
+    "unigram_perplexity",
     "url_density",
     "weighted_sample",
-    "zipf_slope",
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
@@ -202,77 +194,47 @@ _DRIVER_ROTATE_LAST = [
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
 _ROUND_MODIFIED = [
-    # r12: the four CF/mass fixture audits now read the l3 fit store's
-    # audit-width tables (fit-ksplit, codes-plain/residgen, mass level-1
-    # assignment; VERDICT r11 #1) — cold 7.55/5.86/4.98/3.08 s -> <2 s,
-    # results hash-pinned unchanged
-    "clustered_ivf_occupancy_audit",
-    "clustered_kmeans_agreement_audit",
-    "clustered_mass_occupancy_audit",
-    "clustered_pq_variant_audit",
-    # the non-headline flips-curve points + the planted audit read the
-    # materialized pair store (VERDICT r11 #4); the headline
-    # dedup_embedding_lsh is now its own LIVE callable (was an alias of
-    # _multiprobe), so its identity changed too
-    "dedup_embedding_lsh",
-    "dedup_embedding_lsh_multiprobe",
-    "dedup_embedding_lsh_flips1",
-    "dedup_embedding_lsh_flips3",
-    "embedding_lsh_planted_recall_audit",
-    # _cm_query_cell_fit now hot-gates level-2 fitting in both branches
-    # (ADVICE r11 #2) — execution path changed for every consumer,
-    # results hash-pinned unchanged
-    "clustered_adaptive_topk_p1",
-    "clustered_adaptive_topk_p2",
-    "clustered_adaptive_ivfpq_topk",
-    "clustered_adaptive_probe_recall_audit",
-    # the truth-pair derivation and width-2 assignment were refactored
-    # into size-parameterized shared helpers for the wide fixture —
-    # same arithmetic, shared code path, re-verified this round
-    "clustered_mass_semdedup_audit",
-    "clustered_adaptive_semdedup_audit",
-    "clustered_adaptive_semdedup_w2_audit",
-    # NEW this round (zero driver rows -> head by policy): the w2/k2
-    # crossover measured at k2 = 16 (VERDICT r11 #5)
-    "clustered_adaptive_semdedup_w2k16_audit",
-    # the signature-agreement scan is now a posting-list join on
-    # (component, value) instead of a train x bench broadcast nested
-    # loop (the bench side grows with the corpus under BENCH_MOD
-    # sampling, so the old plan was quadratic at scale) — already in
-    # the head via the r08 cohort; result hash-pinned unchanged
-    "minhash_decontaminate",
-    # r12 OPTIMIZATION round: restructured plans (results hash-pinned
-    # unchanged; displaced head slots come from five multi-round-green,
-    # untouched queries whose evidence age moves 3 -> 4, inside the hard
-    # bound): pagerank co-partitioned deg-on-edges iteration, tree walk
-    # minus its per-level no-op distinct + plan memoization, perplexity
-    # frequency tables folded from the persisted per-doc counts, batched
-    # IVF-PQ serving memoized
-    "graph_pagerank",
-    "thread_tree",
-    "bigram_perplexity",
-    "unigram_perplexity",
-    "ann_ivfpq_batch",
-    # r12 OPTIMIZATION round, construction-cost collapse: these queries'
-    # bodies/kernels were rewritten as one-parse SQL text (canonicalized
-    # plans pinned EQUAL to the old DSL forms in
-    # tests/test_sql_expr_parity.py; results hash-pinned unchanged in the
-    # full local sweep). Representatives of every rewritten kernel family
-    # sit in the head: simhash layers, the RHP band/verify chain, the PQ
-    # encode/ADC kernels, the kmeans assignment, the HLL/KMV sketch math,
-    # and the BM25 scorer. Displaced slots come from eight r08-cohort
-    # queries untouched this round, at evidence age exactly the <= 4
-    # bound — they MUST lead the r13 head.
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "bm25_search",
-    "hll_daily_merge",
-    "kmv_set_ops",
+    # r13 OPTIMIZATION round, construction-cost collapse wave 2: bodies
+    # rewritten as one-parse SQL text (selectExpr/F.expr) — plan-identical
+    # by construction (plans/r13/<q>_{before,after}.txt normalize to zero
+    # diff lines; kernel parity pinned in tests/test_sql_expr_parity.py;
+    # results hash-pinned unchanged vs the DuckDB oracles), plus the
+    # fixture-stats store read-or-compute and zipf_slope/state audits.
+    "ann_sq8_topk",
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_ivf_nprobe_topk",
+    "dedup_embedding_cosine",
+    "ann_query_batch",
     "ann_pq_topk",
-    "dedup_embedding_lsh_single_probe",
+    "semdedup",
     "ann_ivf_sharded_topk",
+    "ann_ivfpq_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_nprobe",
+    "ann_pq_trained_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_batch",
+    "ivfpq_recall_audit",
+    "pq_recall_audit",
+    "ann_recall_audit",
+    "ivfpq_trained_recall_audit",
+    "ivfpq_residual_recall_audit",
+    "pq_trained_recall_audit",
+    "ann_ivf_sharded_recall_audit",
+    "clustered_fixture_stats",
+    "clustered_mass_fixture_stats",
+    "zipf_slope",
+    "clustered_pq_variant_audit",
+    "clustered_semdedup_audit",
+    "cms_heavy_hitters",
+    "kmv_set_ops",
+    "embedding_dim_stats",
+    "index_occupancy_audit",
+    "split_leakage_audit",
+    "event_zscore_anomaly",
 ]
-
 
 def _ordered(names: list[str]) -> list[str]:
     head = [n for n in _DRIVER_PRIORITY if n in names]

@@ -65,6 +65,11 @@ def memoize_df(fn):
             cached = _DF_CACHE[key] = fn(spark, sf_dir)
         return cached
 
+    # label for the bench artifact (VERDICT r12 #8): a memoized query's
+    # warm runs reuse the constructed frame, so its warm number measures
+    # execution only — BENCH_DETAIL lists these so the semantics are
+    # explicit instead of inferred
+    wrapped._memoized = True
     return wrapped
 
 

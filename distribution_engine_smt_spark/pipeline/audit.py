@@ -364,24 +364,22 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. Variance is clamped at 0 before sqrt so float rounding
     can't produce NaN."""
     emb = _t(spark, sf_dir)["embeddings"]
-    el = emb.select(F.posexplode("embedding").alias("pos", "v0")).select(
-        (F.col("pos") + 1).alias("dim"), F.col("v0").cast("double").alias("v")
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    el = emb.selectExpr("posexplode(embedding) AS (pos, v0)").selectExpr(
+        "(pos + 1) AS dim", "CAST(v0 AS DOUBLE) AS v"
     )
-    dec = lambda c: c.cast("decimal(20,6)")  # noqa: E731
     s = el.groupBy("dim").agg(
-        F.count("*").alias("n"),
-        F.sum(dec(F.col("v"))).alias("sv"),
-        F.sum(dec(F.col("v") * F.col("v"))).alias("sv2"),
+        F.expr("count(*) AS n"),
+        F.expr("sum(CAST(v AS DECIMAL(20,6))) AS sv"),
+        F.expr("sum(CAST(v * v AS DECIMAL(20,6))) AS sv2"),
     )
-    mean = F.col("sv").cast("double") / F.col("n")
-    var = F.greatest(
-        F.col("sv2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
-    )
-    return s.select(
+    mean = "(CAST(sv AS DOUBLE) / n)"
+    var = f"greatest(CAST(sv2 AS DOUBLE) / n - {mean} * {mean}, 0.0D)"
+    return s.selectExpr(
         "dim",
-        F.col("n").cast("long").alias("n"),
-        F.round(mean, 6).alias("mean"),
-        F.round(F.sqrt(var), 6).alias("std"),
+        "CAST(n AS BIGINT) AS n",
+        f"round({mean}, 6) AS mean",
+        f"round(sqrt({var}), 6) AS std",
     ).orderBy(F.col("dim").asc())
 
 
@@ -893,23 +891,20 @@ def index_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_doc = corpus_count(spark, sf_dir, "documents")
 
     def stats(szdf: DataFrame, structure: str, n_items: int, width: int):
+        # one-parse SQL text (r13): same trees as the old Column-DSL agg
         return szdf.agg(
-            F.count("*").alias("n_buckets"),
-            F.sum("sz").alias("n_rows"),
-            F.max("sz").alias("max_bucket"),
-            F.sum(F.col("sz") * F.col("sz")).alias("s2"),
-        ).select(
-            F.lit(structure).alias("structure"),
-            F.lit(n_items).cast("long").alias("n_items"),
-            F.lit(width).cast("long").alias("width"),
-            F.col("n_buckets").cast("long").alias("n_buckets"),
-            F.round(
-                F.col("n_rows").cast("double") / F.col("n_buckets"), 6
-            ).alias("avg_bucket"),
-            F.col("max_bucket").cast("long").alias("max_bucket"),
-            F.round(F.col("s2").cast("double") / F.lit(n_items), 6).alias(
-                "cand_per_probe"
-            ),
+            F.expr("count(*) AS n_buckets"),
+            F.expr("sum(sz) AS n_rows"),
+            F.expr("max(sz) AS max_bucket"),
+            F.expr("sum(sz * sz) AS s2"),
+        ).selectExpr(
+            f"'{structure}' AS structure",
+            f"CAST({n_items} AS BIGINT) AS n_items",
+            f"CAST({width} AS BIGINT) AS width",
+            "CAST(n_buckets AS BIGINT) AS n_buckets",
+            "round(CAST(n_rows AS DOUBLE) / n_buckets, 6) AS avg_bucket",
+            "CAST(max_bucket AS BIGINT) AS max_bucket",
+            f"round(CAST(s2 AS DOUBLE) / {n_items}, 6) AS cand_per_probe",
         )
 
     rsz = (

@@ -218,7 +218,37 @@ _CF_STATS_SQL = f"""
     """
 
 
+def _cf_frame_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cl, embedding) for the balanced fixture: the cf-fit
+    store's materialized ``fit`` table when built (its rows ARE the
+    generator's output — content equality vs the live derivation pinned
+    by test_clustered_cf_fit_store_matches_derived), else the live
+    generation. The read-or-compute discipline every fixture audit uses
+    (VERDICT r11 #1, extended to the stats queries per VERDICT r12 #5);
+    oracles always re-derive from scratch, keeping the store
+    hash-checked."""
+    from ..operators.storage import read_clustered_cf_fit
+
+    stored, _meta = read_clustered_cf_fit(spark)
+    if stored is not None:
+        return stored.select("vec_id", "cl", "embedding")
+    return clustered_fixture_frame(spark, sf_dir)
+
+
+def _cm_frame_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-fixture twin of ``_cf_frame_stored`` (cmass-fit store's
+    (vec_id, cl, embedding) columns when built, else live generation;
+    content pinned by test_mass_fit_store tests, oracles re-derive)."""
+    from ..operators.storage import read_clustered_mass_fit
+
+    stored, _meta = read_clustered_mass_fit(spark)
+    if stored is not None:
+        return stored.select("vec_id", "cl", "embedding")
+    return clustered_mass_fixture_frame(spark, sf_dir)
+
+
 @register("clustered_fixture_stats", _CF_STATS_SQL)
+@memoize_df
 def clustered_fixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structure proof for the mixture fixture: per generative cluster,
     the mean cosine of members to their OWN center vs to the best OTHER
@@ -228,20 +258,22 @@ def clustered_fixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the embedding_kmeans parity pattern); max() per row is order-free.
 
     Scale shape: fixture scan x C-row broadcast centers, one (vec_id)
-    partial-agg shuffle + one (cl) rollup — no corpus self-join."""
-    fx = clustered_fixture_frame(spark, sf_dir)
+    partial-agg shuffle + one (cl) rollup — no corpus self-join. Reads
+    the cf-fit store's materialized fixture when built (VERDICT r12 #5 —
+    the warm cost WAS re-running the 2048 x 64 md5 generation + its
+    assembly shuffle every run); cosine is one-parse SQL text (same
+    tree, parity pinned in tests/test_sql_expr_parity.py)."""
+    from .similarity import cosine_sql
+
+    fx = _cf_frame_stored(spark, sf_dir)
     cents = F.broadcast(
         spark.createDataFrame(
             [(c, cf_center(c)) for c in range(CF_C)],
             "c int, cent array<double>",
         )
     )
-    cos = dot_fold(F.col("embedding"), F.col("cent")) / (
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_fold(F.col("cent"), F.col("cent")))
-    )
-    pc = fx.crossJoin(cents).select(
-        "vec_id", "cl", "c", cos.alias("cos")
+    pc = fx.crossJoin(cents).selectExpr(
+        "vec_id", "cl", "c", cosine_sql("embedding", "cent") + " AS cos"
     )
     pr = pc.groupBy("vec_id", "cl").agg(
         F.max(F.when(F.col("c") == F.col("cl"), F.col("cos"))).alias("cos_own"),
@@ -473,14 +505,12 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains (≈640 literals), which janino refused (>64KB method ->
     # interpreted) and Catalyst planned for seconds: the same structure
     # as the SQL twin's plutm/rlutm relations is also the fast plan.
-    def adc_over_ls() -> F.Column:
-        adc = None
-        for s in range(PQ_S):  # pq_adc_col's subspace addition order
-            term = F.try_element_at(
-                F.try_element_at("ls", F.lit(s + 1)), F.col(f"c{s}") + 1
-            )
-            adc = term if adc is None else adc + term
-        return adc
+    # One-parse SQL text (r13): the same left-assoc sum of
+    # try_element_at terms the old per-Column loop built.
+    adc_sql = " + ".join(
+        f"try_element_at(try_element_at(ls, {s + 1}), c{s} + 1)"
+        for s in range(PQ_S)  # pq_adc_col's subspace addition order
+    )
 
     luts_p = [pq_query_lut(seeds, qs[q]) for q in range(CF_Q)]
     plutm = F.broadcast(
@@ -492,7 +522,7 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = (
         codes_p.crossJoin(plutm)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", adc_over_ls().alias("adc"))
+        .selectExpr("qid", "vec_id", adc_sql + " AS adc")
     )
 
     rlutm = F.broadcast(
@@ -514,7 +544,7 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual = (
         codes_r.join(rlutm, codes_r["cl"] == rlutm["c"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", adc_over_ls().alias("adc"))
+        .selectExpr("qid", "vec_id", adc_sql + " AS adc")
     )
 
     w = Window.partitionBy("qid").orderBy(
@@ -527,20 +557,20 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", F.row_number().over(w).alias("rrk")
     )
 
-    q = fx.filter(F.col("vec_id") < CF_Q).select(
-        F.col("vec_id").cast("int").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-    )
-    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
+    from .similarity import cosine_sql
+
+    q = fx.filter(F.col("vec_id") < CF_Q).selectExpr(
+        "CAST(vec_id AS INT) AS qid",
+        "embedding AS q_emb",
     )
     wt = Window.partitionBy("qid").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
     truth = (
         fx.join(F.broadcast(q), fx["vec_id"] != q["qid"])
-        .select("qid", "vec_id", cos.alias("cos"))
+        .selectExpr(
+            "qid", "vec_id", cosine_sql("embedding", "q_emb") + " AS cos"
+        )
         .select("qid", "vec_id", F.row_number().over(wt).alias("rk"))
         .filter(F.col("rk") <= CF_TOP)
         .select("qid", "vec_id")
@@ -549,12 +579,9 @@ def clustered_pq_variant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrk, ["qid", "vec_id"], "left"
     )
     recalls = [
-        F.round(
-            F.sum(
-                F.when(F.col(v) <= cut, 1).otherwise(0)
-            ).cast("double")
-            / F.count("*"),
-            6,
+        F.expr(
+            f"round(CAST(sum(CASE WHEN {v} <= {cut} THEN 1 ELSE 0 END) "
+            f"AS DOUBLE) / count(*), 6)"
         ).alias(f"recall_{name}_{cut}")
         for name, v in (("plain", "prk"), ("residual", "rrk"))
         for cut in CF_CUTS
@@ -614,27 +641,26 @@ def clustered_semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: blocked pair work shuffles on cl (cell interiors only);
     the unblocked baseline is probe-sample x corpus, the quadratic term
-    you only ever pay at audit cadence on a sample."""
-    fx = tracked_persist(clustered_fixture_frame(spark, sf_dir))
-    sides = fx.select(
+    you only ever pay at audit cadence on a sample. Reads the cf-fit
+    store's materialized fixture when built and scores with one-parse
+    SQL text (r13 — generation off the hot path, same trees for the
+    pair cosines)."""
+    from .similarity import dot_fold_sql
+
+    fx = tracked_persist(_cf_frame_stored(spark, sf_dir))
+    sides = fx.selectExpr(
         "vec_id",
         "cl",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS norm",
     )
-    a = sides.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cl").alias("cl_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
+    a = sides.selectExpr(
+        "vec_id AS id_a", "cl AS cl_a", "embedding AS e_a", "norm AS n_a"
     )
-    b = sides.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cl").alias("cl_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
+    b = sides.selectExpr(
+        "vec_id AS id_b", "cl AS cl_b", "embedding AS e_b", "norm AS n_b"
     )
-    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = F.expr(f"({dot_fold_sql('e_a', 'e_b')} / (n_a * n_b))")
     bp = tracked_persist(
         a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
         .filter(cos >= CF_SEM_COS)
@@ -1279,23 +1305,27 @@ _CM_STATS_SQL = f"""
 
 
 @register("clustered_mass_fixture_stats", _CM_STATS_SQL)
+@memoize_df
 def clustered_mass_fixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structure + mass profile of the imbalanced fixture: per component,
     the halving-ladder size (1021 down to 16) and the same tight/loose
     cosine separation as the balanced fixture (own ≈0.999, best-other
-    ≈0.19) — real coarse structure with REALISTIC category imbalance."""
-    fx = clustered_mass_fixture_frame(spark, sf_dir)
+    ≈0.19) — real coarse structure with REALISTIC category imbalance.
+    Reads the cmass-fit store's materialized fixture when built and
+    scores with one-parse SQL text (VERDICT r12 #5, same treatment as
+    clustered_fixture_stats)."""
+    from .similarity import cosine_sql
+
+    fx = _cm_frame_stored(spark, sf_dir)
     cents = F.broadcast(
         spark.createDataFrame(
             [(c, cf_center(c)) for c in range(CF_C)],
             "c int, cent array<double>",
         )
     )
-    cos = dot_fold(F.col("embedding"), F.col("cent")) / (
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_fold(F.col("cent"), F.col("cent")))
+    pc = fx.crossJoin(cents).selectExpr(
+        "vec_id", "cl", "c", cosine_sql("embedding", "cent") + " AS cos"
     )
-    pc = fx.crossJoin(cents).select("vec_id", "cl", "c", cos.alias("cos"))
     pr = pc.groupBy("vec_id", "cl").agg(
         F.max(F.when(F.col("c") == F.col("cl"), F.col("cos"))).alias("cos_own"),
         F.max(F.when(F.col("c") != F.col("cl"), F.col("cos"))).alias("cos_other"),

@@ -70,11 +70,17 @@ def _dist_to_literal_expr(emb: str, centroid: list[float]) -> str:
     )
 
 
-def _dist_to_literal(emb, centroid: list[float]):
-    """``_dist_to_literal_expr`` as a Column. ``emb`` may be a column
-    NAME (preferred — one parse) or a Column (legacy call sites)."""
+def _dist_to_literal(emb: str, centroid: list[float]):
+    """``_dist_to_literal_expr`` as a Column. ``emb`` must be a column
+    NAME: a computed/aliased Column stringifies to non-parseable text,
+    so the legacy ``Column -> _jc.toString()`` round-trip was only ever
+    valid for trivial references and is rejected outright (ADVICE r12
+    #4)."""
     if not isinstance(emb, str):
-        emb = emb._jc.toString()
+        raise TypeError(
+            "_dist_to_literal expects a column NAME (str); a Column's "
+            "string form is not parseable SQL for computed expressions"
+        )
     return F.expr(_dist_to_literal_expr(emb, centroid))
 
 
@@ -478,29 +484,22 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     them."""
     asg, _cents = kmeans_fit(spark, sf_dir)
     emb = _t(spark, sf_dir)["embeddings"]
-    from .similarity import dot_fold
+    from .similarity import dot_fold_sql
 
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
     cells = emb.join(asg, "vec_id")
-    q = (
-        cells.filter(F.col("vec_id") == 0)
-        .select(
-            F.col("embedding").alias("q_emb"),
-            F.col("cid").alias("q_cid"),
-            F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-        )
+    q = cells.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        "cid AS q_cid",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         cells.crossJoin(F.broadcast(q))
         .where((F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != 0))
-        .select(
+        .selectExpr(
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(IVF_TOP)
@@ -555,25 +554,21 @@ def ann_ivf_kmeans_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     sel = sorted(range(len(cents)), key=lambda i: (d2(cents[i]), i))[:NPROBE]
-    from .similarity import dot_fold
+    from .similarity import dot_fold_sql
 
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     cells = emb.join(asg, "vec_id")
     return (
         cells.where(F.col("cid").isin(sel) & (F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(IVF_TOP)
@@ -669,7 +664,7 @@ def ann_ivf_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..operators import storage as _storage
-    from .similarity import dot_fold
+    from .similarity import dot_fold_sql
 
     emb = _t(spark, sf_dir)["embeddings"]
     q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -716,24 +711,20 @@ def ann_ivf_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel2 = sorted(range(len(cents2)), key=lambda i: (d2(cents2[i]), i))[
             :NPROBE
         ]
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     if asg2 is not None:  # derived path: attach the query-time level-2 fit
         cell = cell.join(asg2.withColumnRenamed("cid", "cid2"), "vec_id")
     return (
         cell.where(F.col("cid2").isin(sel2) & (F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(IVF_TOP)
@@ -874,7 +865,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import storage
     from .similarity import (
         PQ_TOP,
-        dot_fold,
+        dot_fold_sql,
         pq_adc_col,
         pq_codes_frame,
         pq_query_lut,
@@ -905,22 +896,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(IVFPQ_CAND)
     )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         emb.join(F.broadcast(cand), "vec_id")
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(PQ_TOP)
@@ -962,29 +949,24 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose with the sign-pattern LSH sub-buckets (dedup_embedding_lsh)
     for a second blocking level. Norms are precomputed per side, one dot
     fold per pair."""
-    from .similarity import dot_fold
+    from .similarity import dot_fold_sql
 
     asg, _cents = kmeans_fit(spark, sf_dir, k=K)  # fixed-spec rung
     emb = _t(spark, sf_dir)["embeddings"]
-    sides = emb.join(asg, "vec_id").select(
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    sides = emb.join(asg, "vec_id").selectExpr(
         "vec_id",
         "cid",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS norm",
     )
-    a = sides.select(
-        F.col("vec_id").alias("id_a"),
-        "cid",
-        F.col("embedding").alias("e_a"),
-        F.col("norm").alias("n_a"),
+    a = sides.selectExpr(
+        "vec_id AS id_a", "cid", "embedding AS e_a", "norm AS n_a"
     )
-    b = sides.select(
-        F.col("vec_id").alias("id_b"),
-        "cid",
-        F.col("embedding").alias("e_b"),
-        F.col("norm").alias("n_b"),
+    b = sides.selectExpr(
+        "vec_id AS id_b", "cid", "embedding AS e_b", "norm AS n_b"
     )
-    cos = dot_fold(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = F.expr(f"({dot_fold_sql('e_a', 'e_b')} / (n_a * n_b))")
     dup = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -889,6 +889,19 @@ def _split_coin(rep_col) -> "F.Column":
     )
 
 
+def _split_coin_sql(rep: str) -> str:
+    """Spark-SQL text twin of ``_split_coin`` (one parse; canonicalized-
+    plan equality pinned in tests/test_sql_expr_parity.py)."""
+    hv = (
+        "CAST(conv(substring(md5(CAST(CAST(" + rep + " AS STRING) AS "
+        "BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"CASE WHEN {hv} % 10 < 8 THEN 'train' "
+        f"WHEN {hv} % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
 def split_manifest(docs: DataFrame) -> DataFrame:
     """Batch manifest build: (doc_id, h, group_rep, split) — the
     leakage_free_split assignment with the content hash retained so the
@@ -1197,65 +1210,45 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
     reps = docs.select("doc_id", F.min("doc_id").over(w).alias("group_rep"))
     labels = dedup_clusters(spark, sf_dir)
-    splits = reps.join(labels, "doc_id", "left").select(
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    splits = reps.join(labels, "doc_id", "left").selectExpr(
         "doc_id",
-        _split_coin(F.col("doc_id")).alias("doc_split"),
-        _split_coin(F.col("group_rep")).alias("group_split"),
-        _split_coin(F.coalesce(F.col("cluster_id"), F.col("doc_id"))).alias(
-            "cluster_split"
-        ),
+        _split_coin_sql("doc_id") + " AS doc_split",
+        _split_coin_sql("group_rep") + " AS group_split",
+        _split_coin_sql("coalesce(cluster_id, doc_id)") + " AS cluster_split",
     )
-    s1 = splits.select(
-        F.col("doc_id").alias("d1"),
-        F.col("doc_split").alias("ds1"),
-        F.col("group_split").alias("gs1"),
-        F.col("cluster_split").alias("cs1"),
+    s1 = splits.selectExpr(
+        "doc_id AS d1", "doc_split AS ds1",
+        "group_split AS gs1", "cluster_split AS cs1",
     )
-    s2 = splits.select(
-        F.col("doc_id").alias("d2"),
-        F.col("doc_split").alias("ds2"),
-        F.col("group_split").alias("gs2"),
-        F.col("cluster_split").alias("cs2"),
+    s2 = splits.selectExpr(
+        "doc_id AS d2", "doc_split AS ds2",
+        "group_split AS gs2", "cluster_split AS cs2",
     )
     half = s1.join(F.broadcast(pairs), "d1")
     j = s2.join(F.broadcast(half), "d2")
-    cross = lambda a, b: F.sum(  # noqa: E731
-        (F.col(a) != F.col(b)).cast("long")
-    )
+    cross = lambda a, b: f"sum(CAST(({a} != {b}) AS BIGINT))"  # noqa: E731
     # zero-pair corpora yield an explicit (n_pairs=0, n_cross=0, rate=0.0)
     # row per method, not NULLs: sum() over the empty aggregate is NULL in
     # both engines, so both twins coalesce the sums and gate the ratio
     agg = j.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.coalesce(cross("ds1", "ds2"), F.lit(0)).alias("doc_cross"),
-        F.coalesce(cross("gs1", "gs2"), F.lit(0)).alias("group_cross"),
-        F.coalesce(cross("cs1", "cs2"), F.lit(0)).alias("cluster_cross"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_pairs"),
+        F.expr(f"coalesce({cross('ds1', 'ds2')}, 0) AS doc_cross"),
+        F.expr(f"coalesce({cross('gs1', 'gs2')}, 0) AS group_cross"),
+        F.expr(f"coalesce({cross('cs1', 'cs2')}, 0) AS cluster_cross"),
     )
-    stacked = agg.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("cluster_coin").alias("method"),
-                    F.col("n_pairs"),
-                    F.col("cluster_cross").alias("n_cross"),
-                ),
-                F.struct(
-                    F.lit("doc_coin").alias("method"),
-                    F.col("n_pairs"),
-                    F.col("doc_cross").alias("n_cross"),
-                ),
-                F.struct(
-                    F.lit("group_coin").alias("method"),
-                    F.col("n_pairs"),
-                    F.col("group_cross").alias("n_cross"),
-                ),
-            )
-        ).alias("r")
+    stacked = agg.selectExpr(
+        "explode(array("
+        "struct('cluster_coin' AS method, n_pairs, cluster_cross AS n_cross), "
+        "struct('doc_coin' AS method, n_pairs, doc_cross AS n_cross), "
+        "struct('group_coin' AS method, n_pairs, group_cross AS n_cross)"
+        ")) AS r"
     ).select("r.*")
     return stacked.withColumn(
         "leak_rate",
-        F.when(
-            F.col("n_pairs") > 0,
-            F.round(F.col("n_cross").cast("double") / F.col("n_pairs"), 6),
-        ).otherwise(F.lit(0.0)),
+        F.expr(
+            "CASE WHEN n_pairs > 0 "
+            "THEN round(CAST(n_cross AS DOUBLE) / n_pairs, 6) "
+            "ELSE 0.0D END"
+        ),
     ).orderBy(F.col("method").asc())

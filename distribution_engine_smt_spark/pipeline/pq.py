@@ -48,7 +48,6 @@ from .similarity import (
     PQ_S,
     PQ_TOP,
     _cos_sql,
-    dot_fold,
     pq_adc_col,
     pq_code_expr,
     pq_encode,
@@ -199,6 +198,32 @@ def _assigned_slices(emb: DataFrame, vseeds: list[list[float]]) -> DataFrame:
     )
 
 
+
+def _rerank_exact(emb, cand, top: int):
+    """Exact-cosine rerank of an ADC candidate frame (vec_id, approx)
+    against the query vector (vec_id 0): the shared tail of every PQ /
+    IVF-PQ probe. One-parse SQL text (r13) — same Catalyst trees as the
+    old per-site Column-DSL chains (dot_fold_sql parity pinned in
+    tests/test_sql_expr_parity.py)."""
+    from .similarity import dot_fold_sql
+
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(top)
+    )
+
+
 def pq_train_fit(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Train the per-subspace codebooks; returns them as PQ_K "virtual
     seed" vectors (virtual seed k = concat over s of codeword cb[s][k])
@@ -344,26 +369,7 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(PQ_CAND)
     )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
-    return (
-        emb.join(F.broadcast(cand), "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-        .limit(PQ_TOP)
-    )
+    return _rerank_exact(emb, cand, PQ_TOP)
 
 
 # ---------------------------------------------------------------------------
@@ -535,10 +541,13 @@ def ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crk") <= IVFPQ_CAND)
         .select("q_id", "vec_id")
     )
-    qdf = emb.filter(F.col("vec_id") < BATCH_Q).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    from .similarity import dot_fold_sql
+
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    qdf = emb.filter(F.col("vec_id") < BATCH_Q).selectExpr(
+        "vec_id AS q_id",
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     wr = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
@@ -546,16 +555,11 @@ def ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qdf), "q_id")
-        .select(
+        .selectExpr(
             "q_id",
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .withColumn("rk", F.row_number().over(wr).cast("long"))
         .where(F.col("rk") <= BATCH_TOP)
@@ -671,26 +675,7 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(IVFPQT_CAND)
     )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
-    return (
-        emb.join(F.broadcast(cand), "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-        .limit(PQ_TOP)
-    )
+    return _rerank_exact(emb, cand, PQ_TOP)
 
 
 def _ivfpq_trained_recall_sql() -> str:
@@ -908,26 +893,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(IVFPQR_CAND)
     )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
-    )
-    return (
-        emb.join(F.broadcast(cand), "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-        .limit(PQ_TOP)
-    )
+    return _rerank_exact(emb, cand, PQ_TOP)
 
 
 def _ivfpq_residual_recall_sql() -> str:

@@ -87,18 +87,22 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correctness baseline every ANN variant is measured against."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    # (dot_fold_sql parity pinned in tests/test_sql_expr_parity.py)
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     # norms precompute per side (1 fold/vector) instead of per pair (3x fewer)
     return (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .withColumn(
+            "norm", F.expr(f"sqrt({dot_fold_sql('embedding', 'embedding')})")
+        )
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            (dot_fold(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / (norm * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -130,6 +134,19 @@ def _bucket(col: Column) -> Column:
     )
 
 
+def _bucket_expr(col: str) -> str:
+    """Spark-SQL text twin of ``_bucket`` (one parse; canonicalized-plan
+    equality pinned in tests/test_sql_expr_parity.py). ``2.0D`` keeps
+    the base a DOUBLE literal — bare ``2.0`` parses as DECIMAL."""
+    return (
+        f"aggregate(transform(sequence(1, {IVF_SIGN_BITS}), i -> "
+        f"CASE WHEN try_element_at({col}, i) >= 0 "
+        "THEN CAST(power(2.0D, CAST(i - 1 AS DOUBLE)) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 @register(
     "ann_ivf_topk",
     f"""
@@ -152,19 +169,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition column, so the probe is a partition-pruned scan of ~1.6% of
     the corpus; recall is tuned by probing neighboring cells (nprobe)."""
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].withColumn("cell", _bucket(F.col("embedding")))
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.col("cell"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    emb = t["embeddings"].withColumn("cell", F.expr(_bucket_expr("embedding")))
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        "cell",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .withColumn(
+            "norm", F.expr(f"sqrt({dot_fold_sql('embedding', 'embedding')})")
+        )
         .join(F.broadcast(q), "cell")
-        .select(
+        .selectExpr(
             "vec_id",
-            (dot_fold(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / (norm * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(5)
@@ -197,22 +217,25 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell list is 7 partition-pruned reads, the bit_count condition never
     touches the data files."""
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].withColumn("cell", _bucket(F.col("embedding")))
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.col("cell").alias("q_cell"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    emb = t["embeddings"].withColumn("cell", F.expr(_bucket_expr("embedding")))
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        "cell AS q_cell",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        .withColumn(
+            "norm", F.expr(f"sqrt({dot_fold_sql('embedding', 'embedding')})")
+        )
         .join(
             F.broadcast(q),
             F.bit_count(F.col("cell").bitwiseXOR(F.col("q_cell"))) <= 1,
         )
-        .select(
+        .selectExpr(
             "vec_id",
-            (dot_fold(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / (norm * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -241,20 +264,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set at real scale; thresholds verify exactly."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    batch = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("id_new"),
-        F.col("embedding").alias("e_new"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("n_new"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    batch = emb.filter(F.col("vec_id") < 100).selectExpr(
+        "vec_id AS id_new",
+        "embedding AS e_new",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS n_new",
     )
-    cos = dot_fold(F.col("e_new"), F.col("embedding")) / (F.col("n_new") * F.col("norm"))
     return (
-        emb.withColumn("norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))))
+        emb.withColumn(
+            "norm", F.expr(f"sqrt({dot_fold_sql('embedding', 'embedding')})")
+        )
         .crossJoin(F.broadcast(batch))
         .filter(F.col("id_new") < F.col("vec_id"))
-        .select(
+        .selectExpr(
             "id_new",
-            F.col("vec_id").alias("id_corpus"),
-            cos.alias("cos"),
+            "vec_id AS id_corpus",
+            f"({dot_fold_sql('e_new', 'embedding')} / (n_new * norm)) AS cos",
         )
         .filter(F.col("cos") >= NEARDUP_COSINE)
         .orderBy(F.col("id_new").asc(), F.col("id_corpus").asc())
@@ -928,6 +953,12 @@ def _maxabs(col: Column) -> Column:
     return F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
 
 
+def _maxabs_expr(col: str) -> str:
+    """Spark-SQL text twin of ``_maxabs`` (one parse; canonicalized-plan
+    equality pinned in tests/test_sql_expr_parity.py)."""
+    return f"array_max(transform({col}, x -> abs(CAST(x AS DOUBLE))))"
+
+
 def _sq8(col: Column, m: Column) -> Column:
     """int8-range quantization: trunc(x * 127 / max|x|) per element.
 
@@ -941,12 +972,31 @@ def _sq8(col: Column, m: Column) -> Column:
     )
 
 
+def _sq8_expr(col: str, m: str) -> str:
+    """Spark-SQL text twin of ``_sq8`` (one parse; plan equality pinned
+    in tests/test_sql_expr_parity.py). ``127.0D`` keeps the scale a
+    DOUBLE literal — bare ``127.0`` parses as DECIMAL."""
+    return (
+        f"transform({col}, x -> "
+        f"CAST(CAST(x AS DOUBLE) * 127.0D / {m} AS BIGINT))"
+    )
+
+
 def _qdot(a: Column, b: Column) -> Column:
     """Exact integer dot product of two quantized vectors (left fold)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def _qdot_expr(a: str, b: str) -> str:
+    """Spark-SQL text twin of ``_qdot`` (one parse; plan equality pinned
+    in tests/test_sql_expr_parity.py)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
@@ -1003,29 +1053,33 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
+    # one-parse SQL text throughout (r13 construction-cost collapse):
+    # same Catalyst trees as the old Column-DSL chain, kernels pinned in
+    # tests/test_sql_expr_parity.py
     q = (
         emb.filter(F.col("vec_id") == 0)
-        .withColumn("m", _maxabs(F.col("embedding")))
-        .select(
-            F.col("embedding").alias("qemb"),
-            _sq8(F.col("embedding"), F.col("m")).alias("qv"),
+        .withColumn("m", F.expr(_maxabs_expr("embedding")))
+        .selectExpr(
+            "embedding AS qemb",
+            _sq8_expr("embedding", "m") + " AS qv",
         )
     )
     cand = (
         emb.filter(F.col("vec_id") != 0)
-        .withColumn("m", _maxabs(F.col("embedding")))
-        .withColumn("cv", _sq8(F.col("embedding"), F.col("m")))
+        .withColumn("m", F.expr(_maxabs_expr("embedding")))
+        .withColumn("cv", F.expr(_sq8_expr("embedding", "m")))
         .crossJoin(F.broadcast(q))
-        .select("vec_id", "embedding", "qemb", _qdot(F.col("cv"), F.col("qv")).alias("qdot"))
+        .selectExpr(
+            "vec_id", "embedding", "qemb",
+            _qdot_expr("cv", "qv") + " AS qdot",
+        )
         .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
         .limit(SQ8_CANDIDATES)
     )
-    cos = dot_fold(F.col("embedding"), F.col("qemb")) / (
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_fold(F.col("qemb"), F.col("qemb")))
-    )
     return (
-        cand.select("vec_id", "qdot", cos.alias("cos"))
+        cand.selectExpr(
+            "vec_id", "qdot", cosine_sql("embedding", "qemb") + " AS cos"
+        )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
@@ -1059,24 +1113,22 @@ def _batch_scores(emb: DataFrame, n_q: int) -> DataFrame:
     """DataFrame twin of :func:`_batch_scored_sql`: (q_id, vec_id, cos)
     with per-side norm precompute; the query batch broadcasts, the
     corpus streams through one scan scoring all |Q| queries per row."""
-    q = emb.filter(F.col("vec_id") < n_q).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    q = emb.filter(F.col("vec_id") < n_q).selectExpr(
+        "vec_id AS q_id",
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         emb.filter(F.col("vec_id") >= n_q)
         .withColumn(
-            "norm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
+            "norm", F.expr(f"sqrt({dot_fold_sql('embedding', 'embedding')})")
         )
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "q_id",
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (F.col("norm") * F.col("q_norm"))
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / (norm * q_norm)) AS cos",
         )
     )
 
@@ -1418,22 +1470,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx").asc(), F.col("vec_id").asc())
         .limit(PQ_CAND)
     )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         emb.join(F.broadcast(cand), "vec_id")
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(PQ_TOP)

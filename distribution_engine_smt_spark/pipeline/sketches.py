@@ -219,9 +219,28 @@ def salted_positions(col, prefix: str, depth: int, width: int):
     )
 
 
+def salted_positions_sql(col: str, prefix: str, depth: int, width: int) -> str:
+    """Spark-SQL text twin of ``salted_positions`` (one parse;
+    canonicalized-plan equality pinned in tests/test_sql_expr_parity.py)."""
+    terms = ", ".join(
+        "pmod("
+        + _HV_SQL.format(
+            expr=f"CAST(concat('{prefix}{j}:', {col}) AS BINARY)"
+        )
+        + f", {width})"
+        for j in range(depth)
+    )
+    return f"array({terms})"
+
+
 def cms_bucket_array():
     """The CMS_DEPTH salted bucket positions for column ``tok``."""
     return salted_positions(F.col("tok"), "cms", CMS_DEPTH, CMS_WIDTH)
+
+
+def _cms_bucket_array_sql() -> str:
+    """SQL-text twin of ``cms_bucket_array`` (one parse)."""
+    return salted_positions_sql("tok", "cms", CMS_DEPTH, CMS_WIDTH)
 
 
 def cms_cells(tok_df: DataFrame, weight_col: str | None = None) -> DataFrame:
@@ -230,14 +249,15 @@ def cms_cells(tok_df: DataFrame, weight_col: str | None = None) -> DataFrame:
     streaming path), weighted adds otherwise (the batch path over a
     pre-counted token frame). Cells are additive, so both routes produce
     identical grids — asserted by the streaming drain test."""
-    hashed = tok_df.select(
-        *( [weight_col] if weight_col else [] ),
-        F.posexplode(cms_bucket_array()).alias("j", "bucket"),
+    hashed = tok_df.selectExpr(
+        *([weight_col] if weight_col else []),
+        f"posexplode({_cms_bucket_array_sql()}) AS (j, bucket)",
     )
-    agg = (
-        F.sum(weight_col) if weight_col else F.count("*")
+    agg_sql = (
+        f"CAST(sum({weight_col}) AS BIGINT)" if weight_col
+        else "CAST(count(*) AS BIGINT)"
     )
-    return hashed.groupBy("j", "bucket").agg(agg.cast("long").alias("cell"))
+    return hashed.groupBy("j", "bucket").agg(F.expr(agg_sql + " AS cell"))
 
 
 # ---------------------------------------------------------------------------
@@ -291,20 +311,21 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the drain test asserts identical cells). Salted buckets use
     md5('cms<j>:' || tok), portable to the DuckDB oracle."""
     docs = _t(spark, sf_dir)["documents"]
-    toks = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    toks = docs.selectExpr("explode(split(trim(text), ' ')) AS tok")
+    cnt = toks.groupBy("tok").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_exact")
     )
-    cnt = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_exact"))
-    buckets = cms_bucket_array()
     sketch = cms_cells(cnt, weight_col="n_exact")
     top = cnt.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(20)
-    probe = top.select(
-        "tok", "n_exact", F.posexplode(buckets).alias("j", "bucket")
+    probe = top.selectExpr(
+        "tok", "n_exact",
+        f"posexplode({_cms_bucket_array_sql()}) AS (j, bucket)",
     )
     return (
         probe.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("tok", "n_exact")
-        .agg(F.min("cell").cast("long").alias("est_cms"))
+        .agg(F.expr("CAST(min(cell) AS BIGINT) AS est_cms"))
         .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
     )
 
@@ -429,16 +450,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k_used = min(|u|, K), so k_used < K exactly when |u| < K — no
     # separate count over u needed
     ku = u.orderBy(F.col("hv").asc()).limit(KMV_K)
+    # one-parse SQL text (r13): same trees as the old Column-DSL agg
     agg = ku.agg(
-        F.count("*").cast("long").alias("k_used"),
-        F.max("hv").alias("kth_hash"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
-        F.sum(F.col("in_a") * (1 - F.col("in_b")))
-        .cast("long")
-        .alias("n_a_only"),
-        F.sum((1 - F.col("in_a")) * F.col("in_b"))
-        .cast("long")
-        .alias("n_b_only"),
+        F.expr("CAST(count(*) AS BIGINT) AS k_used"),
+        F.expr("max(hv) AS kth_hash"),
+        F.expr("CAST(sum(in_a * in_b) AS BIGINT) AS n_both"),
+        F.expr("CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_a_only"),
+        F.expr("CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_b_only"),
     )
     both = ev.filter(
         F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B)
@@ -446,39 +464,41 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         both.groupBy("user_id")
         .agg(
-            F.count_distinct("event_type").alias("cnt"),
-            F.max(
-                F.when(F.col("event_type") == _KMV_SET_B, 1).otherwise(0)
-            ).alias("has_b"),
+            F.expr("count(DISTINCT event_type) AS cnt"),
+            F.expr(
+                f"max(CASE WHEN event_type = '{_KMV_SET_B}' THEN 1 ELSE 0 "
+                "END) AS has_b"
+            ),
         )
         .agg(
-            F.count("*").cast("long").alias("n_union_exact"),
-            F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_intersect_exact"),
-            F.sum(F.when(F.col("has_b") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_a_minus_b_exact"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_union_exact"),
+            F.expr(
+                "CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+                "AS n_intersect_exact"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN has_b = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+                "AS n_a_minus_b_exact"
+            ),
         )
     )
-    est_union = F.when(
-        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
-    ).otherwise(
-        F.lit(float(KMV_K - 1))
-        / (F.col("kth_hash").cast("double") / F.lit(float(_HEX15)))
+    est_union = (
+        f"CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE {repr(float(KMV_K - 1))}D / "
+        f"(CAST(kth_hash AS DOUBLE) / {repr(float(_HEX15))}D) END"
     )
 
-    def frac(col_name: str):
-        return F.col(col_name).cast("double") / F.col("k_used").cast("double")
+    def frac(col_name: str) -> str:
+        return f"(CAST({col_name} AS DOUBLE) / CAST(k_used AS DOUBLE))"
 
-    return agg.crossJoin(F.broadcast(ex)).select(
+    return agg.crossJoin(F.broadcast(ex)).selectExpr(
         "k_used",
         "kth_hash",
-        F.round(est_union, 4).alias("est_union"),
-        F.round(frac("n_both"), 4).alias("jaccard_est"),
-        F.round(frac("n_both") * est_union, 4).alias("est_intersect"),
-        F.round(frac("n_a_only") * est_union, 4).alias("est_a_minus_b"),
-        F.round(frac("n_b_only") * est_union, 4).alias("est_b_minus_a"),
+        f"round({est_union}, 4) AS est_union",
+        f"round({frac('n_both')}, 4) AS jaccard_est",
+        f"round({frac('n_both')} * {est_union}, 4) AS est_intersect",
+        f"round({frac('n_a_only')} * {est_union}, 4) AS est_a_minus_b",
+        f"round({frac('n_b_only')} * {est_union}, 4) AS est_b_minus_a",
         "n_union_exact",
         "n_intersect_exact",
         "n_a_minus_b_exact",
@@ -561,18 +581,21 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     keys = t["events"].select(F.col("user_id").alias("k")).distinct()
 
-    def positions(key_col):
-        return F.posexplode(
-            salted_positions(key_col.cast("string"), "bf", BLOOM_K, BLOOM_BITS)
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    positions_sql = (
+        "posexplode("
+        + salted_positions_sql(
+            "CAST(k AS STRING)", "bf", BLOOM_K, BLOOM_BITS
         )
-
+        + ") AS (j, pos)"
+    )
     bits = (
-        keys.select(positions(F.col("k")).alias("j", "pos"))
+        keys.selectExpr(positions_sql)
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     probe = t["customer"].select(F.col("c_custkey").alias("k"))
-    probed = probe.select("k", positions(F.col("k")).alias("j", "pos"))
+    probed = probe.selectExpr("k", positions_sql)
     member = keys.withColumn("is_member", F.lit(1))
     verdict = (
         probed.join(F.broadcast(bits), ["j", "pos"], "left")

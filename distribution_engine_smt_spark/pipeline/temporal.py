@@ -385,6 +385,9 @@ def event_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = _t(spark, sf_dir)
     ev = t["events"]
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain.
+    # lag() needs the window; it stays a windowed selectExpr over the
+    # same (user_id; ts, event_id) frame.
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     lagged = ev.select(
         "event_id",
@@ -392,34 +395,35 @@ def event_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         *[F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, _ZS_WIN + 1)],
     )
-    arr = F.filter(
-        F.array(*[F.col(f"l{i}") for i in range(_ZS_WIN, 0, -1)]),
-        lambda x: x.isNotNull(),
+    arr_sql = (
+        "filter(array("
+        + ", ".join(f"l{i}" for i in range(_ZS_WIN, 0, -1))
+        + "), x -> x IS NOT NULL)"
     )
-    arrd = lagged.select("event_id", "user_id", "value", arr.alias("arr"))
-    n = F.size("arr")
-    fold = lambda c: F.aggregate(c, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    arrd = lagged.selectExpr(
+        "event_id", "user_id", "value", arr_sql + " AS arr"
+    )
+    fold = lambda c: f"aggregate({c}, 0.0D, (a, b) -> a + b)"  # noqa: E731
     # 0.0 + x == x exactly for x > 0, so the init-less DuckDB fold matches
-    stats = arrd.select(
+    stats = arrd.selectExpr(
         "event_id",
         "user_id",
         "value",
-        n.alias("n"),
-        F.when(n >= _ZS_MIN, fold(F.col("arr"))).alias("s"),
-        F.when(
-            n >= _ZS_MIN, fold(F.transform(F.col("arr"), lambda x: x * x))
-        ).alias("s2"),
+        "size(arr) AS n",
+        f"CASE WHEN size(arr) >= {_ZS_MIN} THEN {fold('arr')} END AS s",
+        f"CASE WHEN size(arr) >= {_ZS_MIN} "
+        f"THEN {fold('transform(arr, x -> x * x)')} END AS s2",
     )
-    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    var = "((s2 - s * s / n) / (n - 1))"
+    z = f"((value - s / n) / sqrt{var})"
     return (
-        stats.where((F.col("n") >= _ZS_MIN) & (var > 0.0))
-        .select(
+        stats.where(F.expr(f"n >= {_ZS_MIN} AND {var} > 0.0D"))
+        .selectExpr(
             "event_id",
             "user_id",
             "n",
-            F.round(z, 6).alias("z"),
-            (F.abs(z) > 2.0).alias("is_anomaly"),
+            f"round({z}, 6) AS z",
+            f"(abs({z}) > 2.0D) AS is_anomaly",
         )
         .orderBy(F.col("event_id").asc())
     )

@@ -28,7 +28,16 @@ def tokens(col):
 
 def tokens_sql(col: str) -> str:
     """Spark-SQL text twin of ``tokens`` (same tree, one parse — see
-    similarity.dot_fold_sql for the construction-cost rationale)."""
+    similarity.dot_fold_sql for the construction-cost rationale).
+
+    The regex rides in a SQL string literal, so its meaning depends on
+    ``spark.sql.parser.escapedStringLiterals`` staying at its default
+    (false): '\\\\s+' parses to the two characters ``\\s+``. With the
+    conf flipped the same text means a literal-backslash pattern and
+    silently diverges from the Column twin. Pinned (together with the
+    interpolated BM25 term literals in search.py, which share the
+    sensitivity) by tests/test_sql_expr_parity.py::
+    test_escaped_string_literals_conf_and_tokens_parity (ADVICE r12 #2)."""
     return f"split(trim({col}), '\\\\s+')"
 
 

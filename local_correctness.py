@@ -48,7 +48,7 @@ def default_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def run(sf_dir: str, out_path: str) -> dict[str, dict]:
+def run(sf_dir: str, out_path: str, only: list[str] | None = None) -> dict[str, dict]:
     from pyspark.sql import SparkSession
 
     import distribution_engine_smt_spark.pipeline  # noqa: F401 (registers)
@@ -76,7 +76,8 @@ def run(sf_dir: str, out_path: str) -> dict[str, dict]:
     con = duck_con(sf_dir)
     records: dict[str, dict] = {}
     t_start = time.perf_counter()
-    for i, name in enumerate(sorted(QUERIES), 1):
+    names = sorted(QUERIES) if only is None else [n for n in only if n in QUERIES]
+    for i, name in enumerate(names, 1):
         rec = {
             "rows_match": False,
             "schema_match": False,
@@ -109,7 +110,7 @@ def run(sf_dir: str, out_path: str) -> dict[str, dict]:
         records[name] = rec
         status = "ok" if rec["hash_match"] or rec["err"] == "no_oracle" else "FAIL"
         print(
-            f"[{i}/{len(QUERIES)}] {name}: {status}"
+            f"[{i}/{len(names)}] {name}: {status}"
             + (f" ({rec['err']})" if status == "FAIL" else ""),
             flush=True,
         )
@@ -151,10 +152,18 @@ def main() -> None:
         ),
     )
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: hash-check just these "
+        "(dev loop for touched queries; the committed artifact is "
+        "always a full sweep)",
+    )
     args = ap.parse_args()
     rnd = args.round if args.round is not None else default_round()
     out = args.out or os.path.join(ROOT, f"LOCAL_CORRECTNESS_r{rnd:02d}.json")
-    records = run(args.sf_dir, out)
+    only = args.only.split(",") if args.only else None
+    records = run(args.sf_dir, out, only=only)
     bad = [
         n
         for n, r in records.items()

@@ -261,3 +261,29 @@ def test_summary_endpoint_payload_degrades_under_the_cap():
     )
     assert summary9["endpoints"] == endpoints9
     assert len(json.dumps(summary9)) < 2048
+
+
+def test_detail_labels_memoized_queries():
+    """VERDICT r12 #8: the detail artifact must carry a ``memoized`` list
+    naming every registry query whose top-level callable is plan-memoized
+    (their warm numbers measure execution only). Detail-only — the driver
+    summary line must NOT grow (2 KB cap)."""
+    import distribution_engine_smt_spark.pipeline  # noqa: F401
+    from distribution_engine_smt_spark import driver_queries
+
+    warm = {n: 0.1 for n in driver_queries.QUERIES}
+    detail, summary = bench.summarize(warm, dict(warm), {}, 0.1, 1.0)
+    assert "memoized" in detail and "memoized" not in summary
+    memo = detail["memoized"]
+    assert memo == sorted(memo)
+    # ground truth: exactly the @memoize_df-wrapped registry callables
+    expect = sorted(
+        n
+        for n, f in driver_queries.QUERIES.items()
+        if getattr(f, "_memoized", False)
+    )
+    assert memo == expect
+    # the flag rides the wrapper, so the list can't be empty while
+    # memoize_df is in use (thread_tree et al. have been memoized
+    # since r12)
+    assert "thread_tree" in memo

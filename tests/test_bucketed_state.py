@@ -4,6 +4,8 @@ reads must round-trip the canonical (bucket-free) schema."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import hashlib
 import json
@@ -17,6 +19,8 @@ from distribution_engine_smt_spark.streaming import DualStreamRunner
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 NOW = datetime(2024, 1, 1, 13, 0, 0)
 
+
+pytestmark = pytest.mark.slow  # bucketed-state partition-rewrite soaks -- full battery tier (VERDICT r12 #1); run with -m "slow or not slow"
 
 def _digests(root, table):
     return {

@@ -64,6 +64,15 @@ def test_converted_queries_stay_one_parse(spark, py4j_counter):
         release_caches(spark)
         py4j_counter[0] = 0
         driver_queries.QUERIES[name](spark, SF_DIR)
+        # liveness (ADVICE r12 #3): a real construction always makes SOME
+        # round-trips; a zero counter means the patched connection class
+        # isn't the one in use (e.g. a non-pinned-thread GatewayConnection)
+        # and every ceiling below would pass vacuously — fail loudly
+        # instead of silently disarming the guard.
+        assert py4j_counter[0] > 0, (
+            f"{name}: py4j counter stayed 0 — the send_command patch "
+            "missed the active connection class; the guard is disarmed"
+        )
         if py4j_counter[0] > bound:
             over[name] = (py4j_counter[0], bound)
     assert not over, (

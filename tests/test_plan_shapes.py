@@ -290,16 +290,33 @@ def test_bucketed_merge_exchanges(spark):
 
 
 def test_clustered_fixture_generation_stays_narrow(spark):
-    """The fixture generator must keep its explode-per-coordinate shape:
-    small per-row expressions (codegen-eligible) + ONE assembly
-    aggregate. A refactor back to the wide literal projection would
-    still be correct but fall out of codegen and re-pay ~12 s of
-    planning (measured; module docstring)."""
+    """The fixture input must be either (a) the materialized cf-fit
+    store (r13: clustered_fixture_stats reads the store's fixture rows
+    when built — a 2048-row parquet scan) or (b) the live
+    explode-per-coordinate generation with its ONE assembly aggregate.
+    A refactor back to the wide literal projection would still be
+    correct but fall out of codegen and re-pay ~12 s of planning
+    (measured; module docstring)."""
     plan = _plan(spark, "clustered_fixture_stats")
     assert "CartesianProduct" not in plan
-    # generation assembles through the ordered-collect aggregate (with a
-    # map-side partial), not a wide literal projection
-    assert "partial_collect_list" in plan
+    # store-read path: the fixture rides in from the cf-fit store scan;
+    # live path: generation assembles through the ordered-collect
+    # aggregate (map-side partial). Never a wide literal projection.
+    assert "cf-fit-" in plan or "partial_collect_list" in plan
+    # the live generator itself keeps the narrow shape regardless
+    from distribution_engine_smt_spark.pipeline.clustered import (
+        clustered_fixture_frame,
+    )
+    from tests.conftest import SF_DIR
+
+    gen_plan = clustered_fixture_frame(
+        spark, SF_DIR
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_collect_list" in gen_plan
 
 
 def test_clustered_pq_variant_audit_luts_join_as_broadcasts(spark):

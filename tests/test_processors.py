@@ -21,6 +21,8 @@ T1 = datetime(2024, 1, 1, 12, 0, 3)
 T2 = datetime(2024, 1, 1, 12, 0, 6)
 
 
+pytestmark = pytest.mark.slow  # L1/L2 batch-processor soaks over the state fixture -- full battery tier (VERDICT r12 #1); run with -m "slow or not slow"
+
 @pytest.fixture()
 def state(spark):
     s = {name: tables.empty_table(spark, name) for name in schemas.STATE_TABLES}

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from distribution_engine_smt_spark import queries, schemas, tables
 from distribution_engine_smt_spark.processors import apply_l1_batch, apply_l2_batch
 
+pytestmark = pytest.mark.slow  # reference-parity integration suite (multi-minute state fixture) -- full battery tier (VERDICT r12 #1); run with -m "slow or not slow"
+
 NOW = datetime(2024, 1, 10, 0, 0, 0)
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 

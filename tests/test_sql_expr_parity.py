@@ -22,6 +22,7 @@ from distribution_engine_smt_spark.pipeline.similarity import (
     cosine,
     cosine_sql,
     dlit_array,
+    dlit_array2,
     dot_fold,
     dot_fold_sql,
 )
@@ -160,3 +161,219 @@ def test_dedup_simhash_sql_form_matches_dsl_reference(spark, monkeypatch):
     old = _simhash_dsl(docs)
     assert _canon(old) == _canon(new)
     assert old.collect() == new.collect()
+
+
+def test_escaped_string_literals_conf_and_tokens_parity(spark):
+    """ADVICE r12 #2: tokens_sql (and the interpolated BM25 term literals
+    in search.py) embed backslash escapes inside SQL string literals —
+    correct only while spark.sql.parser.escapedStringLiterals stays at
+    its default (false). Pin the conf AND the plan/value parity of the
+    twins so a conf flip or an escaping edit fails here, not in the slow
+    oracle sweep."""
+    from distribution_engine_smt_spark.pipeline.textstats import (
+        tokens,
+        tokens_sql,
+    )
+
+    assert (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false"
+    ), "SQL-text kernels assume escapedStringLiterals=false"
+    df = spark.createDataFrame(
+        [(" a  b\tc ",), ("one",), ("", ), ("x \\s+ y",)], "text STRING"
+    )
+    old = df.select(tokens(F.col("text")).alias("t"))
+    new = df.selectExpr(tokens_sql("text") + " AS t")
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+
+
+# ---------------------------------------------------------------------------
+# r13 wave: every new SQL-text twin pinned against its live (or frozen)
+# Column-DSL form — canonicalized-plan equality + bit-exact values.
+# (ADVICE r12 #1 extended the r12 pins to the kmeans/PQ kernels below.)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_kernels_plan_and_values(spark):
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        _maxabs,
+        _maxabs_expr,
+        _qdot,
+        _qdot_expr,
+        _sq8,
+        _sq8_expr,
+    )
+
+    df = _vec_frame(spark)
+    old = df.withColumn("m", _maxabs(F.col("embedding"))).select(
+        "vec_id", _sq8(F.col("embedding"), F.col("m")).alias("v")
+    )
+    new = df.withColumn("m", F.expr(_maxabs_expr("embedding"))).selectExpr(
+        "vec_id", _sq8_expr("embedding", "m") + " AS v"
+    )
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+    q = new.selectExpr("vec_id AS qid", "v AS qv")
+    j = new.crossJoin(q)
+    oldd = j.select(_qdot(F.col("v"), F.col("qv")).alias("d"))
+    newd = j.selectExpr(_qdot_expr("v", "qv") + " AS d")
+    assert _canon(oldd) == _canon(newd)
+    assert oldd.collect() == newd.collect()
+
+
+def test_ivf_sign_bucket_plan_and_values(spark):
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        _bucket,
+        _bucket_expr,
+    )
+
+    df = _vec_frame(spark)
+    old = df.select("vec_id", _bucket(F.col("embedding")).alias("cell"))
+    new = df.selectExpr("vec_id", _bucket_expr("embedding") + " AS cell")
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+
+
+def test_salted_positions_sql_plan_and_values(spark):
+    from distribution_engine_smt_spark.pipeline.sketches import (
+        salted_positions,
+        salted_positions_sql,
+    )
+
+    df = spark.createDataFrame([("alpha",), ("beta",), ("",)], "tok STRING")
+    old = df.select(
+        salted_positions(F.col("tok"), "cms", 4, 512).alias("p")
+    )
+    new = df.selectExpr(
+        salted_positions_sql("tok", "cms", 4, 512) + " AS p"
+    )
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+
+
+def test_split_coin_sql_plan_and_values(spark):
+    from distribution_engine_smt_spark.pipeline.curation import (
+        _split_coin,
+        _split_coin_sql,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id LONG")
+    old = df.select(_split_coin(F.col("doc_id")).alias("s"))
+    new = df.selectExpr(_split_coin_sql("doc_id") + " AS s")
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+
+
+def _dist_to_literal_dsl(col, centroid):
+    """Frozen pre-r12 Column-DSL reference for _dist_to_literal_expr."""
+    arr = dlit_array(centroid)
+    return F.aggregate(
+        F.zip_with(
+            col.cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def test_kmeans_assignment_plan_and_values(spark):
+    """ADVICE r12 #1: pin the kmeans distance fold + lowest-index-wins
+    argmin SQL text against the frozen DSL forms."""
+    from distribution_engine_smt_spark.pipeline.clustering import (
+        _argmin_case,
+        _dist_to_literal_expr,
+        assign_cid_expr,
+    )
+
+    df = _vec_frame(spark)
+    cents = [
+        [((c * 13 + j) % 11 - 5) / 4.0 for j in range(64)] for c in range(3)
+    ]
+    old = df.select(
+        _dist_to_literal_dsl(F.col("embedding"), cents[0]).alias("d")
+    )
+    new = df.selectExpr(
+        _dist_to_literal_expr("embedding", cents[0]) + " AS d"
+    )
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+    olda = df.select(
+        _argmin_case(
+            [_dist_to_literal_dsl(F.col("embedding"), c) for c in cents]
+        ).alias("cid")
+    )
+    newa = df.selectExpr(assign_cid_expr("embedding", cents) + " AS cid")
+    assert _canon(olda) == _canon(newa)
+    assert olda.collect() == newa.collect()
+
+
+def test_pq_kernels_plan_and_values(spark):
+    """ADVICE r12 #1: pin the PQ sub-distance fold, code argmin, and ADC
+    sum SQL text against frozen DSL references."""
+    from distribution_engine_smt_spark.pipeline.similarity import (
+        PQ_DSUB,
+        PQ_K,
+        PQ_S,
+        _pq_sub_dists_expr,
+        pq_adc_expr,
+        pq_code_expr,
+    )
+
+    df = _vec_frame(spark)
+    seeds = [
+        [((k * 7 + j * 3) % 19 - 9) / 5.0 for j in range(64)]
+        for k in range(PQ_K)
+    ]
+
+    def sub_dists_dsl(col, s):
+        o = s * PQ_DSUB
+        cwl = dlit_array2(
+            [
+                [float(seeds[k][o + i]) for k in range(PQ_K)]
+                for i in range(PQ_DSUB)
+            ]
+        )
+        x = lambda i: F.try_element_at(col, F.lit(o) + i).cast("double")  # noqa: E731
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_DSUB)),
+            F.array_repeat(F.lit(0.0), PQ_K),
+            lambda acc, i: F.zip_with(
+                acc,
+                F.transform(
+                    F.try_element_at(cwl, i), lambda c: (x(i) - c) * (x(i) - c)
+                ),
+                lambda a, d: a + d,
+            ),
+        )
+
+    s = 1
+    old = df.select(sub_dists_dsl(F.col("embedding"), s).alias("ds"))
+    new = df.selectExpr(_pq_sub_dists_expr("embedding", seeds, s) + " AS ds")
+    assert _canon(old) == _canon(new)
+    assert old.collect() == new.collect()
+    # code: argmin over the list
+    ds_dsl = sub_dists_dsl(F.col("embedding"), s)
+    oldc = df.select(
+        (F.array_position(ds_dsl, F.array_min(ds_dsl)) - 1)
+        .cast("int")
+        .alias("c")
+    )
+    newc = df.selectExpr(pq_code_expr("embedding", seeds, s) + " AS c")
+    assert _canon(oldc) == _canon(newc)
+    assert oldc.collect() == newc.collect()
+    # ADC: per-subspace literal-LUT lookups summed in subspace order
+    lut = [[(s0 * PQ_K + k) / 7.0 for k in range(PQ_K)] for s0 in range(PQ_S)]
+    codes = df.selectExpr(
+        "vec_id",
+        *[f"pmod(vec_id + {s0}, {PQ_K}) AS c{s0}" for s0 in range(PQ_S)],
+    )
+    adc_dsl = None
+    for s0 in range(PQ_S):
+        term = F.try_element_at(
+            dlit_array(lut[s0]), F.col(f"c{s0}") + 1
+        )
+        adc_dsl = term if adc_dsl is None else adc_dsl + term
+    olda = codes.select(adc_dsl.alias("adc"))
+    newa = codes.selectExpr(pq_adc_expr(lut) + " AS adc")
+    assert _canon(olda) == _canon(newa)
+    assert olda.collect() == newa.collect()

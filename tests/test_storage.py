@@ -308,7 +308,7 @@ def test_kmeans_fit_centroids_are_the_assignment_quantizer(spark):
 
     asg, cents = kmeans_fit(spark, SF_DIR)
     emb = load_tpch(spark, SF_DIR)["embeddings"]
-    d = [_dist_to_literal(F.col("embedding"), c) for c in cents]
+    d = [_dist_to_literal("embedding", c) for c in cents]
     routed = emb.select("vec_id", _argmin_case(d).alias("routed_cid"))
     mismatch = (
         routed.join(asg, "vec_id")

@@ -25,6 +25,8 @@ from distribution_engine_smt_spark.pipeline.dedup import (
 from .conftest import SF_DIR
 
 
+pytestmark = pytest.mark.slow  # adaptive IVF/PQ store lifecycle soaks (builds, streams, crash/restart replays) -- full battery tier (VERDICT r12 #1); run with -m "slow or not slow"
+
 @pytest.fixture()
 def store_dir(tmp_path, monkeypatch):
     d = str(tmp_path / "stores")

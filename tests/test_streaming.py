@@ -26,6 +26,8 @@ T0 = datetime(2024, 1, 1, 12, 0, 0)
 NOW = datetime(2024, 1, 1, 13, 0, 0)
 
 
+pytestmark = pytest.mark.slow  # end-to-end dual-stream runner soaks -- full battery tier (VERDICT r12 #1); run with -m "slow or not slow"
+
 def _write_l2_file(path, rows):
     with open(path, "w") as f:
         for r in rows:
