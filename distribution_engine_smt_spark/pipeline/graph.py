@@ -99,17 +99,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     past that, as operators/recursive.py does for deep trees).
     """
     t = _t(spark, sf_dir)
+    # one-parse SQL text (r13): same trees as the old Column-DSL selects
     cs = (
         t["orders"]
         .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .selectExpr("o_custkey AS c", "l_suppkey AS s")
         .distinct()
     )
     e = (
-        cs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
-        .unionAll(
-            cs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
-        )
+        cs.selectExpr("(c * 2) AS src", "(s * 2 + 1) AS dst")
+        .unionAll(cs.selectExpr("(s * 2 + 1) AS src", "(c * 2) AS dst"))
     )
     # hash-partition the edge list on ``src`` ONCE and attach each source's
     # out-degree to its edge rows before persisting: the degree aggregation
@@ -149,18 +148,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         recv = (
             e.join(state, "src")
-            .select("dst", F.expr("tokens div deg").alias("contrib"))
+            .selectExpr("dst", "(tokens div deg) AS contrib")
             .groupBy("dst")
-            .agg(F.sum("contrib").cast("long").alias("recv"))
+            .agg(F.expr("CAST(sum(contrib) AS BIGINT) AS recv"))
         )
-        state = recv.select(
-            F.col("dst").alias("src"),
-            (F.lit(PR_KEEP) + F.expr("(85 * recv) div 100")).cast("long").alias(
-                "tokens"
-            ),
+        state = recv.selectExpr(
+            "dst AS src",
+            f"CAST({PR_KEEP} + ((85 * recv) div 100) AS BIGINT) AS tokens",
         )
     return (
-        state.select(F.col("src").alias("node"), "tokens")
+        state.selectExpr("src AS node", "tokens")
         .orderBy(F.col("tokens").desc(), F.col("node").asc())
         .limit(PR_TOP)
     )

@@ -311,11 +311,18 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window on the vocabulary relation (vocab-sized, not corpus-
     sized), and a {ranks}-row fold per source. Output rows = |sources|."""
     t = _t(spark, sf_dir)
+    # one-parse SQL text (r13): same trees as the old Column-DSL chain.
+    # Plan shape (plans/r13/zipf_slope_after.txt): ONE Generate for the
+    # single tokenize+explode pass, map-side partial agg before the
+    # (source, tok) exchange, and the rk <= ZIPF_RANKS filter compiles
+    # to WindowGroupLimit (partial per-partition top-k BEFORE the source
+    # exchange) — not the perplexity multi-explode disease (VERDICT r12
+    # #7 checked; nothing to remove).
     tf = (
         t["documents"]
-        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .selectExpr("source", f"explode({tokens_sql('text')}) AS tok")
         .groupBy("source", "tok")
-        .agg(F.count("*").alias("freq"))
+        .agg(F.expr("count(*) AS freq"))
     )
     from pyspark.sql import Window
 
@@ -326,31 +333,27 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk") <= ZIPF_RANKS
     )
     pts = ranked.groupBy("source").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("rk"),
-                    F.log(F.col("rk").cast("double")).alias("x"),
-                    F.log(F.col("freq").cast("double")).alias("y"),
-                )
-            )
-        ).alias("p"),
-        F.count("*").cast("double").alias("n"),
+        F.expr(
+            "array_sort(collect_list(struct(rk, "
+            "ln(CAST(rk AS DOUBLE)) AS x, "
+            "ln(CAST(freq AS DOUBLE)) AS y))) AS p"
+        ),
+        F.expr("CAST(count(*) AS DOUBLE) AS n"),
     )
 
-    def fold(expr):
-        return F.aggregate(F.col("p"), F.lit(0.0), expr)
+    def fold(term: str) -> str:
+        return f"aggregate(p, 0.0D, (a, s) -> a + {term})"
 
-    sx = fold(lambda a, s: a + s["x"])
-    sy = fold(lambda a, s: a + s["y"])
-    sxy = fold(lambda a, s: a + s["x"] * s["y"])
-    sxx = fold(lambda a, s: a + s["x"] * s["x"])
-    slope = (F.col("n") * sxy - sx * sy) / (F.col("n") * sxx - sx * sx)
+    sx = fold("s.x")
+    sy = fold("s.y")
+    sxy = fold("s.x * s.y")
+    sxx = fold("s.x * s.x")
+    slope = f"((n * {sxy} - {sx} * {sy}) / (n * {sxx} - {sx} * {sx}))"
     return (
-        pts.select(
+        pts.selectExpr(
             "source",
-            F.col("n").cast("long").alias("n_ranks"),
-            F.round(slope, 6).alias("slope"),
+            "CAST(n AS BIGINT) AS n_ranks",
+            f"round({slope}, 6) AS slope",
         )
         .orderBy(F.col("source").asc())
     )
